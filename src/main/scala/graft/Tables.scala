@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog of the driver-generated TPC-H-ish test tables (TESTDATA.md).
+  *
+  * Mirrors the reference's `Get{id}` relational operator (reference
+  * `src/expr/src/relation.rs:116-127`): every named collection resolves to a
+  * schema'd DataFrame. Registration is temp-view-based so both the DataFrame
+  * API and `spark.sql` entry points see the same catalog.
+  *
+  * Scale notes: tables are plain parquet reads — Spark's DataSource V2 gives
+  * min/max pruning, predicate pushdown and column pruning for free, which is
+  * the analog of the reference's persist filter pushdown
+  * (`src/expr/src/interpret.rs`). At 100 TB the same code path applies; only
+  * `spark.sql.files.maxPartitionBytes` tuning differs.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every table as a temp view; idempotent and metadata-only. */
+  def register(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
+
+/** Session factory used by tests and local tooling. local[32] mirrors the
+  * driver environment; shuffle.partitions=32 matches core count (NOT the 200
+  * default — at real cluster scale this becomes a function of input size, and
+  * AQE coalescing handles the rest).
+  */
+object GraftSession {
+  def create(master: String = "local[32]"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
