@@ -1,7 +1,12 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.RelationalQueries
+import graft.functions.FunctionQueries
+import graft.multimodal.MultimodalQueries
+import graft.operators.{AggregateQueries, RelationalQueries, SqlQueries, WindowQueries}
+import graft.similarity.SimilarityQueries
+import graft.streaming.StreamingQueries
+import graft.text.TextQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -11,10 +16,11 @@ import graft.operators.RelationalQueries
   */
 object SparkEntry {
 
-  private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
-    Seq(
-      (RelationalQueries.queries, RelationalQueries.oracle)
-    )
+  private def all: Seq[Q] =
+    RelationalQueries.defs ++ WindowQueries.defs ++ SqlQueries.defs ++
+      AggregateQueries.defs ++
+      FunctionQueries.defs ++ TextQueries.defs ++ SimilarityQueries.defs ++
+      MultimodalQueries.defs ++ StreamingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -22,10 +28,10 @@ object SparkEntry {
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    groups.iterator.map(_._1).reduce(_ ++ _)
+    all.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    groups.iterator.map(_._2).reduce(_ ++ _)
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

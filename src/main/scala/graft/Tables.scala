@@ -20,8 +20,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Spark has no nanosecond timestamp type; the `events` table stores
+    * TIMESTAMP(NANOS) which Spark refuses to read natively. With
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by [[GraftSession]],
+    * Verify and Bench) the column arrives as epoch-nanos LongType and is
+    * losslessly converted here (the data is µs-aligned) — the analog of the
+    * reference widening its `MzTimestamp` to the engine timeline
+    * (`src/repr/src/timestamp.rs`). */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.find(_.name == "ts") match {
+      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
 
   /** Register every table as a temp view; idempotent and metadata-only. */
   def register(spark: SparkSession, sfDir: String): Unit =
@@ -41,6 +54,7 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
       .getOrCreate()

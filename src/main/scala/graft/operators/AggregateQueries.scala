@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Statistical aggregates. The reference expands stddev/variance as SQL
+  * macros over sum/count arithmetic (reference `src/sql/src/func.rs` — they
+  * are NOT engine aggregates, SURVEY §2.3); we do exactly the same expansion
+  * here over exact decimal sums so Spark and the oracle agree bit-for-bit,
+  * and additionally expose Spark's native approx sketches (the reference has
+  * no HLL/percentile aggregates at all — free capability on our side).
+  */
+object AggregateQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[Q] = Seq(
+
+    // var/stddev via the reference's own macro expansion:
+    // var = (sum(x²) - sum(x)²/n) / (n-1), over exact decimal sums.
+    Q("reduce_stats",
+      """SELECT l_returnflag,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |           * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+        |  (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |            * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |     * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+        |    / (count(*) - 1) AS var_samp,
+        |  sqrt((CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |             * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |     * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+        |    / (count(*) - 1)) AS stddev_samp
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      val qd = col("l_quantity").cast("decimal(18,2)")
+      val n = count(lit(1))
+      val s1 = sum(qd).cast("double")
+      val s2 = sum(qd * qd).cast("double")
+      val variance = (s2 - s1 * s1 / n) / (n - lit(1))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(n.as("n"), s1.as("s1"), s2.as("s2"),
+          variance.as("var_samp"), sqrt(variance).as("stddev_samp"))
+    },
+
+    // count_if / conditional aggregation.
+    Q("reduce_count_if",
+      """SELECT o_orderstatus,
+        |  CAST(sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |  CAST(sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count_if(col("o_totalprice") > 300000).as("n_big"),
+          count_if(col("o_orderpriority").like("1%")).as("n_urgent"))
+    },
+
+    // Spark-native sketches — beyond the reference's capability set
+    // (it has no approx aggregates); deterministic within Spark → rows-only.
+    Q.rowsOnly("reduce_approx_sketches") { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          approx_count_distinct(col("o_custkey")).as("approx_nd_cust"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_price"),
+          percentile_approx(col("o_totalprice"), lit(0.99), lit(1000)).as("p99_price"))
+    }
+  )
+}

@@ -1,52 +1,395 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Q, Tables}
+import graft.streaming.Changelog
 
 /** Batch coverage of the reference's 15-op relational IR (`MirRelationExpr`,
   * reference `src/expr/src/relation.rs:99-309`) expressed Spark-first: each
   * query is the idiomatic DataFrame/Catalyst form, not a port of the
-  * timely/differential rendering.
+  * timely/differential rendering. Set-op derivations (EXCEPT ALL/INTERSECT
+  * ALL from Union/Negate/Threshold, relation.rs:1362-1427) use Spark's native
+  * `exceptAll`/`intersectAll`; the explicit diff-column form is exercised via
+  * [[graft.streaming.Changelog]] in `changelog_threshold`.
   *
-  * Every entry here has a matching DuckDB oracle in [[oracle]]; column names
-  * are aliased identically on both sides (the driver hash-compares by
-  * column-name-sorted values).
+  * Scale notes: dimension sides of joins are `broadcast()` hinted (region /
+  * nation / supplier stay tiny relative to fact tables at every SF); fact-fact
+  * joins shuffle on their equijoin keys and AQE handles skew. Aggregations are
+  * declarative `groupBy.agg` → Catalyst plans partial (map-side) aggregation
+  * automatically.
   */
 object RelationalQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Money convention: the test data carries 2-decimal doubles; exact
+    * decimal arithmetic with a final cast back to double gives bit-identical
+    * results on Spark and the DuckDB oracle (plain double sums differ in the
+    * last ulp depending on addition order; `round()` then disagrees at
+    * `.xx5` boundaries). Mirrors the reference's `Numeric` money type
+    * (reference `src/repr/src/scalar.rs:1640-1651`). */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
   /** TPC-H Q1 shape — Reduce with accumulable aggregates
-    * (reference relation.rs:238-251, render/reduce.rs). Map-side partial
-    * aggregation + single shuffle on the (tiny) group key: scale-safe.
-    */
+    * (reference relation.rs:238-251, render/reduce.rs). */
   def q1Agg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg("l_quantity"), 6).as("avg_qty"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (q1Agg _)
-  )
-
-  val oracle: Map[String, String] = Map(
-    "q1_agg" ->
+  val defs: Seq[Q] = Seq(
+    Q("q1_agg",
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)(q1Agg _),
+
+    // Constant{rows} (relation.rs:107-112): literal multiset incl. duplicates.
+    Q("constant",
+      "SELECT * FROM (VALUES (1, 'a'), (1, 'a'), (2, 'b'), (3, NULL)) AS t(id, tag)") {
+      (s, _) =>
+        import s.implicits._
+        Seq((1L, Option("a")), (1L, Option("a")), (2L, Option("b")), (3L, Option.empty[String]))
+          .toDF("id", "tag")
+    },
+
+    // Project{outputs} (relation.rs:170-175): column selection + reorder.
+    Q("project",
+      "SELECT n_name, n_nationkey FROM nation") { (s, dir) =>
+      t(s, dir, "nation").select(col("n_name"), col("n_nationkey"))
+    },
+
+    // Map{scalars} (relation.rs:179-186): computed columns referencing
+    // earlier computed columns.
+    Q("map_scalars",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |       * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |       * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |       * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS charge
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .withColumn("revenue0", dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("revenue0").cast("double").as("revenue"),
+          (col("revenue0") * (lit(1) + dec(col("l_tax")))).cast("double").as("charge"))
+    },
+
+    // Filter{predicates} (relation.rs:201-206): conjunction of AND/OR/IN/
+    // BETWEEN/LIKE predicates — all pushed to the parquet scan by Catalyst.
+    Q("filter_pred",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderstatus IN ('F', 'P')
+        |  AND o_totalprice BETWEEN 100000 AND 150000
+        |  AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "orders")
+          .filter(col("o_orderstatus").isin("F", "P")
+            && col("o_totalprice").between(100000, 150000)
+            && (col("o_orderpriority").like("1-%") || col("o_orderpriority").like("2-%")))
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    },
+
+    // FlatMap{GenerateSeries} (relation.rs:190-197, func.rs:3566-3581).
+    Q("flatmap_series",
+      """SELECT n, n * n AS n_sq
+        |FROM (SELECT unnest(generate_series(1, 1000)) AS n)""".stripMargin) { (s, _) =>
+      s.range(1).select(explode(sequence(lit(1L), lit(1000L))).as("n"))
+        .select(col("n"), (col("n") * col("n")).as("n_sq"))
+    },
+
+    // FlatMap{Unnest + WithOrdinality} (func.rs:3615-3623, 3645).
+    Q("flatmap_tokens",
+      """SELECT doc_id,
+        |  unnest(string_split(text, ' ')) AS tok,
+        |  CAST(unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS INT) AS pos
+        |FROM documents WHERE doc_id < 20""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("tok"), col("pos"))
+    },
+
+    // FlatMap{JsonbEach} (func.rs:3559-3563): explode a JSON object into
+    // (key, value) rows.
+    Q("flatmap_jsonb_each",
+      """SELECT event_id,
+        |  unnest(json_keys(props)) AS key,
+        |  unnest(list_transform(json_keys(props),
+        |    k -> json_extract_string(props, '$.' || k))) AS value
+        |FROM events WHERE user_id < 30""".stripMargin) { (s, dir) =>
+      t(s, dir, "events").filter(col("user_id") < 30)
+        .select(col("event_id"),
+          explode(from_json(col("props"),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.StringType))).as(Seq("key", "value")))
+    },
+
+    // FlatMap{UnnestArray + WithOrdinality} (func.rs:3615-3623) over a real
+    // array column.
+    Q("flatmap_unnest_embedding",
+      """SELECT vec_id,
+        |  CAST(unnest(generate_series(1, len(embedding))) - 1 AS INT) AS pos,
+        |  unnest(embedding::DOUBLE[]) AS val
+        |FROM embeddings WHERE vec_id < 5""".stripMargin) { (s, dir) =>
+      t(s, dir, "embeddings").filter(col("vec_id") < 5)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+        .select(col("vec_id"), col("pos"), col("val").cast("double").as("val"))
+    },
+
+    // Join{inputs, equivalences} n-ary equijoin (relation.rs:214-230) —
+    // TPC-H Q5 shape. Dims broadcast; fact-fact join shuffles on keys.
+    Q("join_multiway",
+      """SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      t(s, dir, "customer")
+        .join(orders, col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+    },
+
+    // Outer joins live in HIR (JoinKind, hir.rs:1214-1219); Spark has them
+    // natively — no lowering-to-unions needed.
+    Q("join_left",
+      """SELECT c_custkey, count(o_orderkey) AS order_cnt,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(
+          count(col("o_orderkey")).as("order_cnt"),
+          coalesce(sum(dec(col("o_totalprice"))), lit(0)).cast("double").as("total_spent"))
+    },
+
+    Q("join_full",
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey, c_acctbal, o_totalprice
+        |FROM (SELECT * FROM customer WHERE c_acctbal > 9950) c
+        |FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 495000) o
+        |  ON c_custkey = o_custkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").filter(col("c_acctbal") > 9950)
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 495000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "full")
+        .select(
+          coalesce(c("c_custkey"), o("o_custkey")).as("custkey"),
+          col("c_acctbal"), col("o_totalprice"))
+    },
+
+    Q("join_semi",
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_suppkey = s_suppkey AND l_shipdate >= TIMESTAMP '2001-10-01')""".stripMargin) {
+      (s, dir) =>
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("2001-10-01").cast("timestamp"))
+        t(s, dir, "supplier")
+          .join(li, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+    },
+
+    Q("join_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+    },
+
+    // Theta residual on top of an equijoin — the reference expresses range
+    // predicates as residual filters in Join.equivalences (§2.1, no dedicated
+    // range-join operator).
+    Q("join_theta_residual",
+      """SELECT p_brand, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |  AND l_quantity BETWEEN p_size - 2 AND p_size + 2
+        |GROUP BY p_brand""".stripMargin) { (s, dir) =>
+      broadcast(t(s, dir, "part"))
+        .join(t(s, dir, "lineitem"),
+          col("p_partkey") === col("l_partkey")
+            && col("l_quantity").between(col("p_size") - 2, col("p_size") + 2))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+    },
+
+    Q("join_cross",
+      """SELECT r_name, c_mktsegment
+        |FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer)""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "region").select(col("r_name"))
+          .crossJoin(t(s, dir, "customer").select(col("c_mktsegment")).distinct())
+    },
+
+    // Reduce{group_key, aggregates} (relation.rs:238-251) — accumulable +
+    // hierarchical + distinct aggregates in one pass (§2.3).
+    Q("reduce_aggs",
+      """SELECT o_orderstatus,
+        |  count(*) AS n,
+        |  count(DISTINCT o_custkey) AS nd_cust,
+        |  strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+        |  strftime(max(o_orderdate), '%Y-%m-%d') AS max_date,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  bool_and(o_totalprice > 2000) AS all_above,
+        |  bool_or(o_totalprice > 499000) AS any_above
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("nd_cust"),
+          date_format(min("o_orderdate"), "yyyy-MM-dd").as("min_date"),
+          date_format(max("o_orderdate"), "yyyy-MM-dd").as("max_date"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"),
+          (sum(dec(col("o_totalprice"))).cast("double") / count(lit(1))).as("avg_price"),
+          expr("bool_and(o_totalprice > 2000)").as("all_above"),
+          expr("bool_or(o_totalprice > 499000)").as("any_above"))
+    },
+
+    Q("reduce_distinct",
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem") { (s, dir) =>
+      t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()
+    },
+
+    // TopK{group_key, order_key, limit} (relation.rs:255-274) — per-group
+    // top-k via ranked window + filter; Catalyst rewrites this to a
+    // WindowGroupLimit (no full sort of each group at scale).
+    Q("topk_group",
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    },
+
+    // TopK with offset (relation.rs:262-266: `offset` skips leading rows).
+    Q("topk_offset",
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn BETWEEN 4 AND 6""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn").between(4, 6))
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    },
+
+    // Global TopK = RowSetFinishing (ORDER BY/LIMIT post-processing,
+    // reference src/adapter/src/coord/peek.rs) — Spark TakeOrderedAndProject.
+    Q("topk_global",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    },
+
+    // Union{base, inputs} (relation.rs:292-297): multiset union.
+    Q("union_all",
+      """SELECT l_partkey, 'r' AS src FROM lineitem WHERE l_returnflag = 'R'
+        |UNION ALL
+        |SELECT l_partkey, 'a' AS src FROM lineitem WHERE l_returnflag = 'A'""".stripMargin) {
+      (s, dir) =>
+        val li = t(s, dir, "lineitem")
+        li.filter(col("l_returnflag") === "R").select(col("l_partkey"), lit("r").as("src"))
+          .unionAll(
+            li.filter(col("l_returnflag") === "A").select(col("l_partkey"), lit("a").as("src")))
+    },
+
+    // UNION DISTINCT = Union + Reduce(distinct) in the reference's planner.
+    Q("union_distinct",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct()
+    },
+
+    // EXCEPT ALL = Threshold(Union(a, Negate(b))) (relation.rs:1362-1427);
+    // Spark's exceptAll implements the same multiset semantics natively.
+    Q("except_all",
+      """SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |EXCEPT ALL
+        |SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_returnflag") === "R").select(col("l_partkey"))
+        .exceptAll(li.filter(col("l_returnflag") === "A").select(col("l_partkey")))
+    },
+
+    Q("intersect_all",
+      """SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |INTERSECT ALL
+        |SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_returnflag") === "R").select(col("l_partkey"))
+        .intersectAll(li.filter(col("l_returnflag") === "A").select(col("l_partkey")))
+    },
+
+    // Negate + Threshold on an explicit diff column (relation.rs:278-288)
+    // via the Changelog algebra — the engine's changelog-mode core.
+    Q("changelog_threshold",
+      """SELECT l_partkey, CAST(net AS BIGINT) AS diff FROM (
+        |  SELECT l_partkey,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END) AS net
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+        |  GROUP BY l_partkey) WHERE net > 0""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val r = Changelog.fromRows(li.filter(col("l_returnflag") === "R").select(col("l_partkey")))
+      val a = Changelog.fromRows(li.filter(col("l_returnflag") === "A").select(col("l_partkey")))
+      Changelog.threshold(Changelog.unionAll(r, Changelog.negate(a)))
+    }
   )
 }

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Batch-verifiable analogs of the reference's streaming semantics over the
+  * `events` table. The reference has no window/watermark API — tumbling
+  * windows are `date_bin` + temporal filters
+  * (`doc/user/content/transform-data/patterns/temporal-filters.md`), upsert
+  * is an envelope (envelope.rs:24-35). The same *semantics* run here as
+  * batch queries with DuckDB oracles; the streaming execution path of the
+  * identical operators is covered by the ScalaTest MemoryStream specs
+  * (UpsertEnvelopeSpec etc.).
+  */
+object StreamingQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  val defs: Seq[Q] = Seq(
+
+    // Tumbling window aggregation — reference pattern: date_bin + temporal
+    // filter; Spark: window(ts, "15 minutes") (→ watermarked in streaming).
+    Q("events_tumbling_15m",
+      """SELECT event_type,
+        |  strftime(time_bucket(INTERVAL 15 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type, bucket_start""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"),
+          window(col("ts"), "15 minutes").getField("start").as("w_start"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("event_type"),
+          date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
+          col("n"), col("sum_value"))
+    },
+
+    // Sessionization (gaps-and-islands): the reference has no session-window
+    // primitive at all (SURVEY §2.6) — this is the relational formulation
+    // both engines agree on; streaming Spark additionally offers
+    // session_window() natively.
+    Q("events_sessionize",
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('second', lag(ts) OVER w, ts) > 600
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE user_id < 50
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, event_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events,
+        |  CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir).filter(col("user_id") < 50)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull
+            || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 600, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+            .as("duration_s"))
+        .select(col("user_id"), col("session_id"), col("n_events"), col("duration_s"))
+    },
+
+    // Upsert-envelope batch analog: latest value per key (the state the
+    // UpsertEnvelope operator would hold after ingesting the whole stream).
+    Q("upsert_latest",
+      """SELECT user_id, event_id AS last_event_id, value AS last_value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("value").as("last_value"))
+    },
+
+    // Temporal-filter TTL semantics (MfpPlan::extract_temporal,
+    // linear.rs:411-470): `mz_now() <= ts + INTERVAL '30 days'` at a pinned
+    // logical "now" — batch-evaluated exactly as the reference would at one
+    // timestamp; in streaming this is the watermark expiry.
+    Q("temporal_filter_ttl",
+      """SELECT event_id, user_id, event_type
+        |FROM events
+        |WHERE TIMESTAMP '2024-01-10 00:00:00' <= ts + INTERVAL 3 DAY
+        |  AND ts <= TIMESTAMP '2024-01-10 00:00:00'""".stripMargin) { (s, dir) =>
+      val logicalNow = lit("2024-01-10 00:00:00").cast("timestamp")
+      events(s, dir)
+        .filter(logicalNow <= col("ts") + expr("INTERVAL 3 DAYS")
+          && col("ts") <= logicalNow)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }
+  )
+}

@@ -1,0 +1,178 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Training-data text pipeline operators over the `documents` table: exact
+  * dedup, n-gram Jaccard near-dup, language-ID heuristic, quality scoring,
+  * token counting, fingerprinting. These extend the reference's capability
+  * set (SURVEY §7.2 M7) with the operations a 100 TB LLM-data pipeline needs.
+  *
+  * Everything is built from codegen'd built-ins (split/filter/transform/
+  * explode + hash functions) — no UDFs — so the same plans scale out: the
+  * shingle self-join in `dedup_ngram_jaccard` shuffles on the shingle key
+  * (at real scale you'd LSH-bucket first — see
+  * [[graft.similarity.SimilarityQueries]] minhash — this query is the exact
+  * verifier that runs on candidate pairs).
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val EnStops = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+  private val DeStops = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu")
+
+  private def inList(items: Seq[String]): String =
+    items.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** size(filter(tokens, t -> t IN (...))) — same text on both engines'
+    * lambda dialects modulo list function names. */
+  private def hitCount(tokensCol: String, items: Seq[String]): Column =
+    size(expr(s"filter($tokensCol, t -> t IN ${inList(items)})"))
+
+  val defs: Seq[Q] = Seq(
+
+    // Exact dedup: hash-groupBy on normalized content — one shuffle on the
+    // hash key, scales linearly.
+    Q("dedup_exact",
+      """SELECT md5(lower(text)) AS content_hash,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  count(*) AS copies
+        |FROM documents GROUP BY md5(lower(text))""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .groupBy(md5(lower(col("text"))).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+    },
+
+    // Character-3-gram Jaccard similarity for near-dup pairs. Shingle →
+    // inverted-index self-join → intersection counts → |A∪B| by
+    // inclusion-exclusion.
+    Q("dedup_ngram_jaccard",
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 120),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 1)), i -> substr(t, i, 3))) AS sh
+        |  FROM d)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+        |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+        |FROM pairs JOIN sizes sa ON sa.doc_id = id_a
+        |           JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin) {
+      (s, dir) =>
+        val d = docs(s, dir).filter(col("doc_id") < 120)
+          .select(col("doc_id"), lower(col("text")).as("t"))
+        val sh = d.select(col("doc_id"),
+            explode(array_distinct(expr(
+              "transform(sequence(1, greatest(length(t) - 2, 1)), i -> substring(t, i, 3))")))
+              .as("sh"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val a = sh.as("a"); val b = sh.as("b")
+        val pairs = a.join(b,
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+        val sa = sizes.as("sa"); val sb = sizes.as("sb")
+        val jac = col("inter").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("inter"))
+        pairs
+          .join(sa, col("sa.doc_id") === col("id_a"))
+          .join(sb, col("sb.doc_id") === col("id_b"))
+          .filter(jac >= 0.5)
+          .select(col("id_a"), col("id_b"), col("inter"), jac.as("jaccard"))
+    },
+
+    // Language ID: stopword-hit n-gram heuristic (SURVEY §7.2 M7).
+    Q("text_langid",
+      s"""SELECT doc_id, lang,
+         |  CAST(len(list_filter(string_split(lower(text), ' '),
+         |    t -> t IN ${inList(EnStops)})) AS INT) AS en_hits,
+         |  CAST(len(list_filter(string_split(lower(text), ' '),
+         |    t -> t IN ${inList(DeStops)})) AS INT) AS de_hits,
+         |  CASE
+         |    WHEN len(list_filter(string_split(lower(text), ' '), t -> t IN ${inList(EnStops)}))
+         |       > len(list_filter(string_split(lower(text), ' '), t -> t IN ${inList(DeStops)}))
+         |      THEN 'en'
+         |    WHEN len(list_filter(string_split(lower(text), ' '), t -> t IN ${inList(DeStops)}))
+         |       > len(list_filter(string_split(lower(text), ' '), t -> t IN ${inList(EnStops)}))
+         |      THEN 'de'
+         |    ELSE 'und' END AS pred_lang
+         |FROM documents""".stripMargin) { (s, dir) =>
+      val toks = split(lower(col("text")), " ")
+      docs(s, dir)
+        .withColumn("toks", toks)
+        .withColumn("en_hits", hitCount("toks", EnStops))
+        .withColumn("de_hits", hitCount("toks", DeStops))
+        .select(
+          col("doc_id"), col("lang"), col("en_hits"), col("de_hits"),
+          when(col("en_hits") > col("de_hits"), "en")
+            .when(col("de_hits") > col("en_hits"), "de")
+            .otherwise("und").as("pred_lang"))
+    },
+
+    // Quality scoring: length / token stats / stopword density — rational
+    // arithmetic only, so Spark and the oracle agree bit-for-bit.
+    Q("text_quality",
+      s"""SELECT doc_id,
+         |  CAST(len(text) AS INT) AS n_chars_m,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         |  CAST(len(replace(text, ' ', '')) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS mean_tok_len,
+         |  CAST(len(list_filter(string_split(lower(text), ' '),
+         |    t -> t IN ${inList(EnStops)})) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS stop_ratio,
+         |  CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000
+         |        AND CAST(len(list_filter(string_split(lower(text), ' '),
+         |              t -> t IN ${inList(EnStops)})) AS DOUBLE)
+         |              / len(string_split(text, ' ')) > 0.02
+         |       THEN 'keep' ELSE 'flag' END AS verdict
+         |FROM documents""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val nTok = size(col("toks"))
+      docs(s, dir)
+        .withColumn("toks", toks)
+        .withColumn("ltoks", split(lower(col("text")), " "))
+        .withColumn("n_chars_m", length(col("text")))
+        .withColumn("n_tokens", nTok)
+        .withColumn("mean_tok_len",
+          length(regexp_replace(col("text"), " ", "")).cast("double") / nTok)
+        .withColumn("stop_ratio", hitCount("ltoks", EnStops).cast("double") / nTok)
+        .select(
+          col("doc_id"), col("n_chars_m"), col("n_tokens"), col("mean_tok_len"),
+          col("stop_ratio"),
+          when(col("n_tokens").between(20, 1000) && col("stop_ratio") > 0.02, "keep")
+            .otherwise("flag").as("verdict"))
+    },
+
+    // Token counting: whitespace tokens + a BPE-ish regex segmentation.
+    Q("text_tokens",
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), ' +')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS INT)
+        |    AS bpeish_tokens
+        |FROM documents""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          size(split(trim(col("text")), " +")).as("ws_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .as("bpeish_tokens"))
+    },
+
+    // Document fingerprint: md5 over whitespace-normalized lowercase content.
+    Q("text_fingerprint",
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          md5(regexp_replace(lower(col("text")), " +", " ")).as("fp"))
+    }
+  )
+}
