@@ -31,15 +31,34 @@ object Bench {
     // warm-up: JVM/codegen/parquet-footer caches (not counted)
     try runOnce(SparkEntry.queries("q1_agg")) catch { case _: Throwable => () }
 
+    // A query that throws is recorded with an explicit error marker — never
+    // as a fast success (its elapsed time is still reported for context).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try runOnce(fn) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { runOnce(fn); None } catch {
+        case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(160))
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val total = results.filter(_._3.isEmpty).map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${results.count(_._3.isEmpty)},"n_err":${results.count(_._3.nonEmpty)},"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+    // Single huge stdout lines get truncated by log capture — the file is the
+    // machine-readable artifact; the path is printed so the driver finds it.
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")).toAbsolutePath
+    java.nio.file.Files.writeString(out, json)
+    println(s"BENCH_JSON_PATH=$out")
+    println(json)
     spark.stop()
   }
 }

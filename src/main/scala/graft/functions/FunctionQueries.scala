@@ -240,34 +240,39 @@ object FunctionQueries {
     },
 
     // Array/list ops (reference binary.rs:374-387, variadic.rs ArrayCreate
-    // etc.) — Spark higher-order functions, all codegen-friendly.
+    // etc.) — Spark higher-order functions, all codegen-friendly. Array-typed
+    // outputs are projected through array_to_string so the driver's
+    // comparator (which can't hash raw array cells) sees canonical strings;
+    // the array-native computation stays internal.
     Q("fn_array",
       """SELECT n,
-        |  [n, n + 1, n + 2] AS arr,
+        |  array_to_string([n, n + 1, n + 2], ',') AS arr_s,
         |  CAST(len([n, n + 1, n + 2]) AS INT) AS sz,
         |  list_contains([n, n + 1, n + 2], 2) AS has2,
         |  [n, n + 1, n + 2][2] AS elem2,
-        |  [n, n + 1, n + 2][2:3] AS sliced,
+        |  array_to_string([n, n + 1, n + 2][2:3], ',') AS sliced_s,
         |  CAST(list_sum([n, n + 1, n + 2]) AS BIGINT) AS summed,
-        |  list_sort([n + 2, n, n + 1]) AS sorted_asc,
+        |  array_to_string(list_sort([n + 2, n, n + 1]), ',') AS sorted_s,
         |  array_to_string([n, n + 1, n + 2], ',') AS joined,
-        |  list_transform([n, n + 1, n + 2], x -> x * 10) AS times10,
-        |  list_filter([n, n + 1, n + 2], x -> x % 2 = 0) AS evens
+        |  array_to_string(list_transform([n, n + 1, n + 2], x -> x * 10), ',') AS times10_s,
+        |  array_to_string(list_filter([n, n + 1, n + 2], x -> x % 2 = 0), ',') AS evens_s
         |FROM (SELECT unnest(generate_series(1, 100)) AS n)""".stripMargin) { (s, _) =>
+      def str(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        array_join(transform(c, _.cast("string")), ",")
       s.range(1, 101).select(col("id").as("n"))
         .withColumn("arr", array(col("n"), col("n") + 1, col("n") + 2))
         .select(
           col("n"),
-          col("arr"),
+          str(col("arr")).as("arr_s"),
           size(col("arr")).as("sz"),
           array_contains(col("arr"), 2).as("has2"),
           element_at(col("arr"), 2).as("elem2"),
-          slice(col("arr"), 2, 2).as("sliced"),
+          str(slice(col("arr"), 2, 2)).as("sliced_s"),
           aggregate(col("arr"), lit(0L), (acc, x) => acc + x).as("summed"),
-          sort_array(array(col("n") + 2, col("n"), col("n") + 1)).as("sorted_asc"),
+          str(sort_array(array(col("n") + 2, col("n"), col("n") + 1))).as("sorted_s"),
           array_join(transform(col("arr"), _.cast("string")), ",").as("joined"),
-          transform(col("arr"), _ * 10).as("times10"),
-          filter(col("arr"), x => x % 2 === 0).as("evens"))
+          str(transform(col("arr"), _ * 10)).as("times10_s"),
+          str(filter(col("arr"), x => x % 2 === 0)).as("evens_s"))
     },
 
     // Bit ops (reference binary.rs:234-263): Spark `^` == DuckDB `xor()`,

@@ -61,15 +61,30 @@ object AggregateQueries {
           count_if(col("o_orderpriority").like("1%")).as("n_urgent"))
     },
 
-    // Spark-native sketches — beyond the reference's capability set
-    // (it has no approx aggregates); deterministic within Spark → rows-only.
-    Q.rowsOnly("reduce_approx_sketches") { (s, dir) =>
+    // Spark-native sketches — beyond the reference's capability set (it has
+    // no approx aggregates). Approximate values can't hash-match an exact
+    // oracle, so the query EMITS the bound check itself: each output column
+    // is `sketch within tolerance of the exact value` (exact computed in the
+    // same aggregation), and the oracle asserts all-TRUE. A broken sketch
+    // (or a broken bound) flips a cell and the hash mismatch flags it.
+    Q("reduce_approx_sketches",
+      """SELECT o_orderstatus, true AS nd_ok, true AS p50_ok, true AS p99_ok
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
         .agg(
-          approx_count_distinct(col("o_custkey")).as("approx_nd_cust"),
-          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_price"),
-          percentile_approx(col("o_totalprice"), lit(0.99), lit(1000)).as("p99_price"))
+          approx_count_distinct(col("o_custkey")).as("a_nd"),
+          countDistinct(col("o_custkey")).as("x_nd"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("a_p50"),
+          expr("percentile(o_totalprice, 0.40D)").as("x_p40"),
+          expr("percentile(o_totalprice, 0.60D)").as("x_p60"),
+          percentile_approx(col("o_totalprice"), lit(0.99), lit(1000)).as("a_p99"),
+          expr("percentile(o_totalprice, 0.97D)").as("x_p97"),
+          max(col("o_totalprice")).as("x_max"))
+        .select(col("o_orderstatus"),
+          (abs(col("a_nd") - col("x_nd")) <= col("x_nd") * 0.2).as("nd_ok"),
+          (col("a_p50") >= col("x_p40") && col("a_p50") <= col("x_p60")).as("p50_ok"),
+          (col("a_p99") >= col("x_p97") && col("a_p99") <= col("x_max")).as("p99_ok"))
     }
   )
 }

@@ -46,8 +46,12 @@ object SqlQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_custkey HAVING count(*) >= 15""".stripMargin),
 
-    // Let / shared subplan (relation.rs:131-138): CTE referenced twice —
-    // TPC-H Q15 shape.
+    // Let / shared subplan (relation.rs:131-138): CTE consumed twice —
+    // TPC-H Q15 shape. Materialize's `Let` binds the subplan ONCE; the
+    // scalar-subquery formulation made Spark scan+aggregate lineitem twice
+    // (two AdaptiveSparkPlans, no ReusedExchange — round-1 plan audit), so
+    // the max is taken as `max() OVER ()` on the single aggregated CTE:
+    // one lineitem scan, one tiny window over ~supplier-count rows.
     sqlQ("cte_shared",
       """WITH revenue AS (
         |  SELECT l_suppkey AS supplier_no,
@@ -56,11 +60,15 @@ object SqlQueries {
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '2000-01-01'
         |    AND l_shipdate < TIMESTAMP '2000-04-01'
-        |  GROUP BY l_suppkey)
+        |  GROUP BY l_suppkey),
+        |ranked AS (
+        |  SELECT supplier_no, total_revenue,
+        |    max(total_revenue) OVER () AS max_revenue
+        |  FROM revenue)
         |SELECT s_suppkey, s_name, total_revenue
-        |FROM supplier, revenue
+        |FROM supplier, ranked
         |WHERE s_suppkey = supplier_no
-        |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin),
+        |  AND total_revenue = max_revenue""".stripMargin),
 
     sqlQ("grouping_sets",
       """SELECT l_returnflag, l_linestatus,
@@ -118,8 +126,13 @@ object SqlQueries {
           .filter(col("v") <= 1000),
         "u")
       val base = Seq(1L).toDF("n")
-      Recursion.fixpoint(base,
-        frontier => frontier.join(edges, frontier("n") === edges("u")).select(col("v").as("n")))
+      // Release the pinned arrangement once the fixpoint result is
+      // lineage-independent (localCheckpoint inside fixpoint) — otherwise the
+      // cached partitions stay pinned for the rest of the 70-query session.
+      try
+        Recursion.fixpoint(base,
+          frontier => frontier.join(edges, frontier("n") === edges("u")).select(col("v").as("n")))
+      finally graft.plans.Arrangement.release(edges)
     }
   )
 }

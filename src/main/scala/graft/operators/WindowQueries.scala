@@ -137,16 +137,18 @@ object WindowQueries {
         .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
     },
 
-    // Ordered collector: ListConcat / ArrayConcat analog → sorted array agg.
+    // Ordered collector: ListConcat / ArrayConcat analog → sorted array agg,
+    // serialized to a canonical string so the driver comparator can hash it
+    // (the collected array itself is the internal representation).
     Q("array_agg_sorted",
-      """SELECT o_orderpriority, list(s ORDER BY s) AS statuses FROM
+      """SELECT o_orderpriority, array_to_string(list(s ORDER BY s), ',') AS statuses FROM
         |  (SELECT DISTINCT o_orderpriority, o_orderstatus AS s FROM orders)
         |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
       t(s, dir, "orders")
         .select(col("o_orderpriority"), col("o_orderstatus").as("s"))
         .distinct()
         .groupBy(col("o_orderpriority"))
-        .agg(sort_array(collect_list(col("s"))).as("statuses"))
+        .agg(array_join(sort_array(collect_list(col("s"))), ",").as("statuses"))
     }
   )
 }

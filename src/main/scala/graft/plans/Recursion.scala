@@ -17,8 +17,24 @@ import org.apache.spark.sql.DataFrame
   */
 object Recursion {
 
-  /** Least fixpoint of `base ∪ step(·)` under set semantics. */
-  def fixpoint(base: DataFrame, step: DataFrame => DataFrame, maxIter: Int = 100): DataFrame = {
+  /** Least fixpoint of `base ∪ step(·)` under set semantics.
+    *
+    * REQUIRES a **linear** step: the semi-naive loop feeds only the
+    * newly-discovered delta to `step`, which computes the true fixpoint only
+    * when `step` distributes over union (`step(A ∪ B) = step(A) ∪ step(B)`)
+    * — e.g. `frontier ⋈ static_edges`. A non-linear step (frontier joined
+    * with itself, as in `path ⋈ path` transitive closure) must use
+    * [[fixpointNonLinear]], which feeds the full accumulated set each round.
+    *
+    * Hitting `maxIter` without convergence (the reference's per-binding
+    * `limits`, relation.rs:154-166, which also truncates silently by default)
+    * logs a warning; pass `requireConvergence = true` to raise instead.
+    */
+  def fixpoint(
+      base: DataFrame,
+      step: DataFrame => DataFrame,
+      maxIter: Int = 100,
+      requireConvergence: Boolean = false): DataFrame = {
     var all = base.distinct().localCheckpoint(true)
     var frontier = all
     var i = 0
@@ -29,6 +45,35 @@ object Recursion {
       frontier = delta
       i += 1
     }
+    if (i == maxIter && !frontier.isEmpty) {
+      val msg = s"Recursion.fixpoint: maxIter=$maxIter reached without convergence; " +
+        "result is truncated (the reference's LetRec `limits` semantics)"
+      if (requireConvergence) throw new IllegalStateException(msg)
+      else System.err.println(s"[graft] WARN $msg")
+    }
+    all
+  }
+
+  /** Fixpoint for NON-linear steps: `step` receives the full accumulated
+    * collection every round (naive iteration — correct for any monotone
+    * step, at the cost of recomputing over the whole set each round). */
+  def fixpointNonLinear(
+      base: DataFrame,
+      step: DataFrame => DataFrame,
+      maxIter: Int = 100,
+      requireConvergence: Boolean = false): DataFrame = {
+    var all = base.distinct().localCheckpoint(true)
+    var i = 0
+    while (i < maxIter) {
+      val delta = step(all).distinct().except(all).localCheckpoint(true)
+      if (delta.isEmpty) return all
+      all = all.union(delta).localCheckpoint(true)
+      i += 1
+    }
+    val msg = s"Recursion.fixpointNonLinear: maxIter=$maxIter reached without convergence; " +
+      "result is truncated"
+    if (requireConvergence) throw new IllegalStateException(msg)
+    else System.err.println(s"[graft] WARN $msg")
     all
   }
 }

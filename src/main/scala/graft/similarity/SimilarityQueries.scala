@@ -12,9 +12,15 @@ import graft.{Q, Tables}
   * and SimHash fingerprints.
   *
   * All vector math is `zip_with`/`aggregate` higher-order functions over
-  * `array<double>` — codegen'd, no UDFs. Hash-based variants use `xxhash64`
-  * (engine-deterministic, not portable SQL) and are therefore rows-only
-  * checks; the exact cosine query has a full DuckDB oracle.
+  * `array<double>` — codegen'd, no UDFs.
+  *
+  * Hash portability: every pseudo-random hash is derived from `md5` hex,
+  * which Spark and DuckDB compute identically (same portability precedent as
+  * the reference's digest functions, reference
+  * `src/expr/src/scalar/func/binary.rs:363-393`). A 60-bit integer hash is
+  * `conv(substr(md5(s),1,15),16,10)` on Spark ≡
+  * `CAST('0x' || substr(md5(s),1,15) AS BIGINT)` on DuckDB, so all three LSH
+  * pipelines have full DuckDB oracles — no engine-specific hashing anywhere.
   */
 object SimilarityQueries {
 
@@ -28,6 +34,10 @@ object SimilarityQueries {
   /** dot(a, b) as a codegen'd higher-order expression. */
   private def dot(a: String, b: String) =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+
+  /** Portable 60-bit hash of a string expression (Spark side). */
+  private def h60(sqlExpr: String): String =
+    s"CAST(conv(substr(md5($sqlExpr), 1, 15), 16, 10) AS BIGINT)"
 
   val defs: Seq[Q] = Seq(
 
@@ -55,24 +65,48 @@ object SimilarityQueries {
         .select(col("q_id"), col("c_id"), col("cos_sim"))
     },
 
-    // Random-hyperplane LSH: 16 deterministic pseudo-hyperplanes from
-    // xxhash64 → 16-bit bucket per vector → candidates only within a bucket
-    // → exact cosine verification. The scale path for ANN: candidate
-    // generation is a hash-bucket shuffle, not a cross join.
-    Q.rowsOnly("ann_lsh_bucketed") { (s, dir) =>
+    // Random-hyperplane LSH: 16 deterministic md5-derived pseudo-hyperplanes
+    // → 16-bit sketch per vector, banded 4×4 (OR-construction) → candidates
+    // only within a bucket → exact cosine verification. The scale path for
+    // ANN: candidate generation is a hash-bucket shuffle, not a cross join.
+    // Bit decisions threshold the ROUNDED dot product so both engines agree
+    // at FP noise level.
+    Q("ann_lsh_bucketed",
+      """WITH hyper AS (
+        |  SELECT j, list(u ORDER BY d) AS u FROM (
+        |    SELECT j, d,
+        |      (CAST('0x' || substr(md5('hp' || j || ':' || d), 1, 15) AS BIGINT)
+        |         % 1001) / 500.0 - 1.0 AS u
+        |    FROM range(16) t(j), range(64) s(d))
+        |  GROUP BY j),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |bits AS (
+        |  SELECT vec_id, j,
+        |    CASE WHEN round(list_dot_product(v, u), 6) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM e, hyper),
+        |buckets AS (
+        |  SELECT vec_id, j // 4 AS band, sum(bit << (j % 4)) AS bucket
+        |  FROM bits GROUP BY vec_id, band),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM buckets a JOIN buckets b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+        |FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+        |WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3""".stripMargin) { (s, dir) =>
       val e = emb(s, dir)
-      val hyper = s.range(16).select(col("id").cast("int").as("j"),
+      val hyper = s.range(16).select(col("id").cast("long").as("j"),
         expr("transform(sequence(0, 63), " +
-          "d -> CAST(xxhash64(id * 64 + d) % 1001 AS DOUBLE) / 500.0 - 1.0)").as("u"))
+          s"d -> CAST(${h60("concat('hp', id, ':', d)")} % 1001 AS DOUBLE) / 500.0 - 1.0)").as("u"))
       val bits = e.crossJoin(broadcast(hyper))
         .select(col("vec_id"), col("j"),
-          (dot("v", "u") >= 0).cast("long").as("bit"))
+          (round(dot("v", "u"), 6) >= 0).cast("long").as("bit"))
       // 4 bands × 4 bits: a pair is a candidate if it matches in ANY band
       // (standard LSH OR-construction — tune bits/bands for target recall).
       val buckets = bits
         .withColumn("band", expr("j div 4"))
         .groupBy(col("vec_id"), col("band"))
-        .agg(sum(expr("shiftleft(bit, j % 4)")).as("bucket"))
+        .agg(sum(expr("shiftleft(bit, CAST(j % 4 AS INT))")).as("bucket"))
       val a = buckets.as("a"); val b = buckets.as("b")
       val cand = a.join(b,
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
@@ -89,7 +123,34 @@ object SimilarityQueries {
 
     // MinHash + banded LSH over 5-word shingles
     // (shingle → 32 minhashes → 8 bands of 4 → bucket join → estimate).
-    Q.rowsOnly("dedup_minhash_lsh") { (s, dir) =>
+    // Minhashes are md5-hex prefixes compared as strings — min() is the
+    // same byte-wise comparison in both engines.
+    Q("dedup_minhash_lsh",
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i : i + 4], ' ') AS sh
+        |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 4, 1) + 1)) AS i) t),
+        |minh AS (
+        |  SELECT doc_id, p, min(substr(md5(sh || ':' || p), 1, 16)) AS mh
+        |  FROM sh, range(32) t(p)
+        |  GROUP BY doc_id, p),
+        |sig AS (SELECT doc_id, list(mh ORDER BY p) AS sig FROM minh GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, b AS band,
+        |    md5(array_to_string(sig[b * 4 + 1 : b * 4 + 4], '|') || '#' || b) AS bh
+        |  FROM sig, range(8) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST(list_sum(list_transform(range(1, 33),
+        |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32.0
+        |    AS est_jaccard
+        |FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+        |WHERE CAST(list_sum(list_transform(range(1, 33),
+        |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32.0
+        |  >= 0.4""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
         .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
       val sh = d.select(col("doc_id"),
@@ -99,7 +160,8 @@ object SimilarityQueries {
           .as("sh"))
       val minh = sh
         .select(col("doc_id"),
-          explode(expr("transform(sequence(0, 31), p -> struct(p AS p, xxhash64(sh, p) AS h))"))
+          explode(expr("transform(sequence(0, 31), " +
+            "p -> struct(p AS p, substr(md5(concat(sh, ':', p)), 1, 16) AS h))"))
             .as("ph"))
         .select(col("doc_id"), col("ph.p").as("p"), col("ph.h").as("h"))
         .groupBy(col("doc_id"), col("p")).agg(min(col("h")).as("mh"))
@@ -107,7 +169,8 @@ object SimilarityQueries {
         .agg(expr("transform(array_sort(collect_list(struct(p, mh))), s -> s.mh)").as("sig"))
       val banded = sig.select(col("doc_id"),
           explode(expr("transform(sequence(0, 7), " +
-            "b -> struct(b AS band, xxhash64(slice(sig, b * 4 + 1, 4), b) AS bh))")).as("bb"))
+            "b -> struct(b AS band, " +
+            "md5(concat(concat_ws('|', slice(sig, b * 4 + 1, 4)), '#', b)) AS bh))")).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       val a = banded.as("a"); val b = banded.as("b")
       val cand = a.join(b,
@@ -124,17 +187,41 @@ object SimilarityQueries {
         .filter(col("est_jaccard") >= 0.4)
     },
 
-    // SimHash: 64-bit token-hash fingerprint; near-dup candidates block on
-    // four 16-bit sub-bands, then Hamming-filter via bit_count(xor).
-    Q.rowsOnly("dedup_simhash") { (s, dir) =>
+    // SimHash: 60-bit token-hash fingerprint (md5-derived); near-dup
+    // candidates block on four 15-bit sub-bands, then Hamming-filter via
+    // bit_count(xor).
+    Q("dedup_simhash",
+      """WITH toks AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+        |  WHERE len(tok) > 0),
+        |bits AS (
+        |  SELECT doc_id, b AS bit_idx,
+        |    CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS contrib
+        |  FROM toks, range(60) t(b)),
+        |fp AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+        |        << bit_idx) AS simhash
+        |  FROM (SELECT doc_id, bit_idx, sum(contrib) AS s
+        |        FROM bits GROUP BY doc_id, bit_idx)
+        |  GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, simhash, b AS band, (simhash >> (b * 15)) & 32767 AS bh
+        |  FROM fp, range(4) t(b))
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12""".stripMargin) { (s, dir) =>
       val toks = docs(s, dir)
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
         .filter(length(col("tok")) > 0)
-        .withColumn("h", xxhash64(col("tok")))
+        .withColumn("h", expr(h60("tok")))
       val bits = toks
         .select(col("doc_id"),
           posexplode(expr(
-            "transform(sequence(0, 63), b -> IF((shiftright(h, b) & 1) = 1, 1, -1))"))
+            "transform(sequence(0, 59), b -> IF((shiftright(h, b) & 1) = 1, 1, -1))"))
             .as(Seq("bit_idx", "contrib")))
       val fp = bits.groupBy(col("doc_id"), col("bit_idx"))
         .agg(sum(col("contrib")).as("s"))
@@ -143,7 +230,7 @@ object SimilarityQueries {
         .agg(sum(expr("shiftleft(bit, bit_idx)")).as("simhash"))
       val banded = fp.select(col("doc_id"), col("simhash"),
           explode(expr("transform(sequence(0, 3), " +
-            "b -> struct(b AS band, shiftright(simhash, b * 16) & 65535 AS bh))")).as("bb"))
+            "b -> struct(b AS band, shiftright(simhash, b * 15) & 32767 AS bh))")).as("bb"))
         .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       val a = banded.as("a"); val b = banded.as("b")
       a.join(b,

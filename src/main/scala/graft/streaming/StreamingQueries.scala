@@ -92,6 +92,47 @@ object StreamingQueries {
           col("value").as("last_value"))
     },
 
+    // Changelog round-trip exercising fromRows → Negate → multiset Union →
+    // consolidate/Threshold → RepeatRow expansion (reference
+    // `src/expr/src/relation.rs:278-297`; RepeatRow func.rs:3611-3614):
+    // nation + (− nations ≥ 15) + (extra copy of nations < 5) ⇒ nations < 15,
+    // with < 5 at multiplicity 2 — the oracle states exactly that.
+    Q("changelog_repeat_row",
+      """SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 15
+        |UNION ALL
+        |SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 5""".stripMargin) { (s, dir) =>
+      val n = Tables.load(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      Changelog.toRows(Changelog.unionAll(
+        Changelog.fromRows(n),
+        Changelog.negate(Changelog.fromRows(n.filter(col("n_nationkey") >= 15))),
+        Changelog.fromRows(n.filter(col("n_nationkey") < 5))))
+    },
+
+    // IncrementalReduce.accumulable in its batch form (reference
+    // `ReductionType::Accumulable`, plan/reduce.rs:89-102): diff-weighted
+    // sums over a changelog that retracts every 'F' order — net result must
+    // equal the plain aggregate over non-'F' rows. Decimal sums keep the two
+    // engines bit-identical; final projection widens to double.
+    Q("incremental_reduce_batch",
+      """SELECT o_orderpriority,
+        |  count(*) AS support,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_val
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val changelog = Changelog.unionAll(
+        Changelog.fromRows(o),
+        Changelog.negate(Changelog.fromRows(o.filter(col("o_orderstatus") === "F"))))
+        .drop("o_orderstatus")
+      IncrementalReduce.accumulable(changelog, Seq("o_orderpriority"), "price")
+        .select(col("o_orderpriority"), col("support"),
+          col("sum_val").cast("double").as("sum_val"),
+          (col("sum_val").cast("double") / col("support")).as("avg_val"))
+    },
+
     // Temporal-filter TTL semantics (MfpPlan::extract_temporal,
     // linear.rs:411-470): `mz_now() <= ts + INTERVAL '30 days'` at a pinned
     // logical "now" — batch-evaluated exactly as the reference would at one

@@ -8,15 +8,15 @@ class UpsertEnvelopeSpec extends SparkSpec {
 
   test("streaming upsert emits insert/retract changelog across batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val input = MemoryStream[(String, Option[String])]
+    val input = MemoryStream[(String, Option[String], Long)]
     val query = UpsertEnvelope.toChangelog(input.toDS())
       .writeStream.format("memory").queryName("upsert_out").outputMode("append").start()
     try {
-      input.addData(("a", Some("v1")), ("b", Some("v1")))
+      input.addData(("a", Some("v1"), 0L), ("b", Some("v1"), 1L))
       query.processAllAvailable()
-      input.addData(("a", Some("v2")))
+      input.addData(("a", Some("v2"), 2L))
       query.processAllAvailable()
-      input.addData(("b", None)) // tombstone
+      input.addData(("b", None, 3L)) // tombstone
       query.processAllAvailable()
       val rows = spark.table("upsert_out").as[(String, String, Long)].collect().toSet
       assert(rows == Set(
@@ -26,13 +26,20 @@ class UpsertEnvelopeSpec extends SparkSpec {
     } finally query.stop()
   }
 
-  test("batch upsert collapses to per-key net state") {
+  test("batch upsert applies per-key updates in OFFSET order, not input order") {
+    // Deliberately shuffled input order: offsets define the winner.
     val input = Seq(
-      ("k1", Option("x")), ("k1", Option("y")), ("k2", Option("z")), ("k2", Option.empty[String]))
+      ("k1", Option("y"), 5L), ("k1", Option("x"), 1L),
+      ("k2", Option.empty[String], 9L), ("k2", Option("z"), 2L))
       .toDS()
     val out = UpsertEnvelope.toChangelog(input).collect().toSet
     assert(out == Set(
       ("k1", "x", 1L), ("k1", "x", -1L), ("k1", "y", 1L),
       ("k2", "z", 1L), ("k2", "z", -1L)))
+  }
+
+  test("re-sending an identical value is a no-op (consolidated)") {
+    val input = Seq(("k", Option("v"), 1L), ("k", Option("v"), 2L)).toDS()
+    assert(UpsertEnvelope.toChangelog(input).collect().toSeq == Seq(("k", "v", 1L)))
   }
 }
