@@ -5,8 +5,10 @@ import graft.functions.FunctionQueries
 import graft.multimodal.MultimodalQueries
 import graft.operators.{AggregateQueries, RelationalQueries, SqlQueries, WindowQueries}
 import graft.similarity.SimilarityQueries
+import graft.sources.SourceQueries
 import graft.streaming.StreamingQueries
 import graft.text.TextQueries
+import graft.views.ViewQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +22,8 @@ object SparkEntry {
     RelationalQueries.defs ++ WindowQueries.defs ++ SqlQueries.defs ++
       AggregateQueries.defs ++
       FunctionQueries.defs ++ TextQueries.defs ++ SimilarityQueries.defs ++
-      MultimodalQueries.defs ++ StreamingQueries.defs
+      MultimodalQueries.defs ++ StreamingQueries.defs ++
+      ViewQueries.defs ++ SourceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+import graft.streaming.Changelog
+
+/** Driver-checked CDC ingestion: the events table is re-encoded as Debezium
+  * envelope JSON in-query (op `d` for low values, `u` otherwise, offset =
+  * event_id), then decoded → upsert envelope → changelog → final state. The
+  * oracle computes the same final state relationally: the latest-by-offset
+  * per key, dropped when the latest op is a delete. The file-stream
+  * transport of the identical pipeline is covered by DebeziumJsonSpec.
+  */
+object SourceQueries {
+
+  private val cdcRowSchema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("value", DoubleType)))
+
+  val defs: Seq[Q] = Seq(
+
+    Q("cdc_debezium_upsert",
+      """SELECT user_id, last_value FROM (
+        |  SELECT user_id, value AS last_value,
+        |    CASE WHEN value < 10 THEN 'd' ELSE 'u' END AS op,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND op <> 'd'""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      // Encode each event as a Debezium envelope (what a Kafka topic would
+      // carry): value<10 → tombstone-style delete of the key.
+      val isDelete = col("value") < 10
+      val image = struct(col("user_id"), col("value"))
+      val raw = ev.select(
+        to_json(struct(
+          when(isDelete, lit("d")).otherwise(lit("u")).as("op"),
+          (unix_timestamp(col("ts")) * 1000).as("ts_ms"),
+          when(isDelete, image).as("before"),
+          when(!isDelete, image).as("after"))).as("value"),
+        col("event_id").cast("long").as("offset"))
+
+      val changelog = DebeziumJson.toChangelog(raw, cdcRowSchema, Seq("user_id"))
+        .toDF("k", "v", Changelog.DiffCol)
+
+      // Final state = net-positive rows of the changelog, re-typed.
+      Changelog.threshold(changelog)
+        .select(from_json(col("v"), cdcRowSchema).as("r"))
+        .select(col("r.user_id").as("user_id"), col("r.value").as("last_value"))
+    }
+  )
+}

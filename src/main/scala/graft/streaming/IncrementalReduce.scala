@@ -33,6 +33,41 @@ object IncrementalReduce {
       .withColumn("avg_val", col("sum_val") / col("support"))
   }
 
+  /** Streaming: per touched key, emit the FULL changelog of the maintained
+    * aggregate — a retraction `(old_row, -1)` followed by an insertion
+    * `(new_row, +1)` — exactly what a downstream SUBSCRIBE consumer needs to
+    * mirror the view (reference `sink/subscribe.rs`: subscribes receive the
+    * view's update stream, not its state). Output tuples are
+    * `(key, support, total, diff)`; a key whose support drops to ≤ 0 emits
+    * only the retraction. */
+  def accumulableChangelogStream[K](deltas: org.apache.spark.sql.Dataset[(K, Double, Long)])(
+      implicit ke: Encoder[K],
+      ine: Encoder[(K, Double, Long)],
+      ste: Encoder[(Long, Double)],
+      oute: Encoder[(K, Long, Double, Long)]): org.apache.spark.sql.Dataset[(K, Long, Double, Long)] = {
+    deltas
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: K, rows: Iterator[(K, Double, Long)], state: GroupState[(Long, Double)]) =>
+          val old = state.getOption
+          var (support, total) = old.getOrElse((0L, 0.0))
+          rows.foreach { case (_, v, diff) =>
+            support += diff
+            total += v * diff
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[(K, Long, Double, Long)]
+          if (!old.contains((support, total))) { // no-op batches consolidate to nothing
+            old.foreach { case (s0, t0) => out += ((key, s0, t0, -1L)) }
+            if (support <= 0) state.remove()
+            else {
+              state.update((support, total))
+              out += ((key, support, total, 1L))
+            }
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming: keyed running (count, sum) state updated by each delta batch;
     * emits the new aggregate row per touched key (changelog of the view). */
   def accumulableStream[K](deltas: org.apache.spark.sql.Dataset[(K, Double, Long)])(
