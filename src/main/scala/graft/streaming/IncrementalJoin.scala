@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental equi-join maintenance under arbitrary insert/retract
+  * changelogs — the reference's linear join plan
+  * (`src/compute/src/render/join/`, `JoinPlan::Linear`): for collections A, B
+  * with updates δA, δB in one timestamp's batch,
+  *
+  *   δ(A ⋈ B) = δA ⋈ B ∪ A ⋈ δB ∪ δA ⋈ δB
+  *
+  * where multiset multiplicities MULTIPLY through the join
+  * (`diff_out = diff_l · diff_r` — differential dataflow's product rule; a
+  * retraction meeting a retraction yields +1, which is exactly the
+  * inclusion-exclusion correction).
+  *
+  * Scale: each term is a plain Spark equi-join — shuffled on the join key
+  * (or broadcast when one side is small), so the delta evaluation
+  * parallelizes like any batch join and touches |δ|·matches rows, never the
+  * full A ⋈ B. In continuous operation A and B are the maintained state
+  * (e.g. materialized-view snapshots); the deltas are micro-batches.
+  */
+object IncrementalJoin {
+
+  private val L = "__diff_l"
+  private val R = "__diff_r"
+
+  /** Join two changelogs on `keys`; multiplicities multiply. Non-key columns
+    * must be disjoint (rename before calling, as with any join). */
+  def joinChangelogs(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.withColumnRenamed(Changelog.DiffCol, L)
+      .join(right.withColumnRenamed(Changelog.DiffCol, R), keys, "inner")
+      .withColumn(Changelog.DiffCol, col(L) * col(R))
+      .drop(L, R)
+
+  /** The delta rule: output changelog of `A ⋈ B` for one batch, given the
+    * pre-batch states and the batch's deltas. Union the result into the
+    * maintained output (then consolidate) to advance the view. */
+  def delta(
+      aState: DataFrame, aDelta: DataFrame,
+      bState: DataFrame, bDelta: DataFrame,
+      keys: Seq[String]): DataFrame =
+    Changelog.unionAll(
+      joinChangelogs(aDelta, bState, keys),
+      joinChangelogs(aState, bDelta, keys),
+      joinChangelogs(aDelta, bDelta, keys))
+}

@@ -133,6 +133,52 @@ object StreamingQueries {
           (col("sum_val").cast("double") / col("support")).as("avg_val"))
     },
 
+    // Incremental join delta rule (reference `src/compute/src/render/join/`):
+    // δ(A⋈B) = δA⋈B ∪ A⋈δB ∪ δA⋈δB with multiplied diffs. States: orders ⋈
+    // customer; deltas retract cheap orders AND negative-balance customers —
+    // the δA⋈δB term's +1 products are the inclusion-exclusion correction,
+    // so the maintained output must equal the join of the updated inputs.
+    Q("incremental_join_delta",
+      """SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice >= 50000 AND c_acctbal >= 0""".stripMargin) { (s, dir) =>
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_name"), col("c_acctbal"))
+      val aState = Changelog.fromRows(orders)
+      val bState = Changelog.fromRows(cust)
+      val aDelta = Changelog.negate(Changelog.fromRows(orders.filter(col("o_totalprice") < 50000)))
+      val bDelta = Changelog.negate(Changelog.fromRows(cust.filter(col("c_acctbal") < 0)))
+      val keys = Seq("o_custkey")
+      val maintained = Changelog.unionAll(
+        IncrementalJoin.joinChangelogs(aState, bState, keys),
+        IncrementalJoin.delta(aState, aDelta, bState, bDelta, keys))
+      Changelog.threshold(maintained).select(col("o_orderkey"), col("c_name"))
+    },
+
+    // Hierarchical min/max over a retraction-bearing changelog (reference
+    // ReductionType::Hierarchical, plan/reduce.rs:89-102): Threshold
+    // resolves the net multiset, extrema recompute over survivors. The
+    // retracted 'F' orders include per-priority extrema, so a wrong net
+    // multiset shifts min/max visibly.
+    Q("incremental_minmax_batch",
+      """SELECT o_orderpriority, min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price, count(*) AS n
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderstatus"), col("o_totalprice"))
+      val changelog = Changelog.unionAll(
+        Changelog.fromRows(o),
+        Changelog.negate(Changelog.fromRows(o.filter(col("o_orderstatus") === "F"))))
+      Changelog.threshold(changelog)
+        .drop("o_orderstatus")
+        .groupBy(col("o_orderpriority"))
+        .agg(min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          sum(col(Changelog.DiffCol)).as("n")) // multiplicity-weighted count
+    },
+
     // Temporal-filter TTL semantics (MfpPlan::extract_temporal,
     // linear.rs:411-470): `mz_now() <= ts + INTERVAL '30 days'` at a pinned
     // logical "now" — batch-evaluated exactly as the reference would at one
