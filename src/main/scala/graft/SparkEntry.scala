@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.functions.FunctionQueries
+import graft.functions.{CollectorQueries, FunctionQueries, PgFunctionQueries}
 import graft.multimodal.MultimodalQueries
 import graft.operators.{AggregateQueries, RelationalQueries, SqlQueries, WindowQueries}
 import graft.similarity.SimilarityQueries
@@ -21,7 +21,8 @@ object SparkEntry {
   private def all: Seq[Q] =
     RelationalQueries.defs ++ WindowQueries.defs ++ SqlQueries.defs ++
       AggregateQueries.defs ++
-      FunctionQueries.defs ++ TextQueries.defs ++ SimilarityQueries.defs ++
+      FunctionQueries.defs ++ CollectorQueries.defs ++ PgFunctionQueries.defs ++
+      TextQueries.defs ++ SimilarityQueries.defs ++
       MultimodalQueries.defs ++ StreamingQueries.defs ++
       ViewQueries.defs ++ SourceQueries.defs
 
