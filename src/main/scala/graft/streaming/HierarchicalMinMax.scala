@@ -20,6 +20,38 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object HierarchicalMinMax {
 
+  /** Monotonic (append-only) min/max — the reference's `MonotonicTop1` plan
+    * (`src/compute-types/src/plan/top_k.rs:28-35`): when
+    * [[graft.plans.MonotonicAnalysis]] proves the input never retracts,
+    * state shrinks from a value multiset to a single (min, max) pair — O(1)
+    * per key instead of O(distinct values). Negative diffs are rejected
+    * loudly (the planner must not have chosen this path). */
+  def monotonicMinMaxStream[K](deltas: Dataset[(K, Double, Long)])(
+      implicit ke: Encoder[K],
+      ine: Encoder[(K, Double, Long)],
+      ste: Encoder[(Double, Double)],
+      oute: Encoder[(K, Double, Double, Long)]): Dataset[(K, Double, Double, Long)] = {
+    deltas
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: K, rows: Iterator[(K, Double, Long)], state: GroupState[(Double, Double)]) =>
+          val old = state.getOption
+          var cur = old
+          rows.foreach { case (_, v, diff) =>
+            require(diff > 0, s"monotonic min/max plan received a retraction for key $key")
+            cur = cur match {
+              case None => Some((v, v))
+              case Some((mn, mx)) => Some((math.min(mn, v), math.max(mx, v)))
+            }
+          }
+          cur.foreach(state.update)
+          if (old == cur) Iterator.empty
+          else
+            (old.map { case (mn, mx) => (key, mn, mx, -1L) } ++
+              cur.map { case (mn, mx) => (key, mn, mx, 1L) }).iterator
+      }
+  }
+
   def minMaxChangelogStream[K](deltas: Dataset[(K, Double, Long)])(
       implicit ke: Encoder[K],
       ine: Encoder[(K, Double, Long)],

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.functions._
+
+import graft.plans.MonotonicAnalysis
+import graft.streaming.Changelog
+
+/** Golden-plan tests for the custom optimizer rules (reference golden-test
+  * pattern `test/sqllogictest/transform/`): assert the OPTIMIZED plan shape,
+  * not just results. */
+class OptimizerRulesSpec extends SparkSpec {
+
+  private def optimizedHasAggregate(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.exists(_.isInstanceOf[Aggregate])
+
+  test("reduce elision: GROUP BY unique key over one relation collapses to Project") {
+    val nation = Tables.load(spark, Sf, "nation")
+    val agg = nation
+      .filter(col("n_regionkey") < 4)
+      .groupBy(col("n_nationkey"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_regionkey")).as("s"),
+        max(col("n_name")).as("mx"), avg(col("n_regionkey")).as("a"),
+        count(col("n_name")).as("nn"))
+
+    assert(!optimizedHasAggregate(agg), "Aggregate should be elided:\n" +
+      agg.queryExecution.optimizedPlan.treeString)
+
+    // golden shape: a Project directly over the scan (no shuffle at all)
+    val physical = agg.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange"), s"no shuffle expected:\n$physical")
+
+    // and the values are the single-row-group semantics
+    def num(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[Number](i).longValue
+    val rows = agg.collect().map(r =>
+      (num(r, 0), num(r, 1), num(r, 2), r.getString(3), r.getDouble(4), num(r, 5)))
+    val expected = Tables.load(spark, Sf, "nation")
+      .filter(col("n_regionkey") < 4).collect().map(r => (
+        num(r, r.fieldIndex("n_nationkey")), 1L,
+        num(r, r.fieldIndex("n_regionkey")),
+        r.getString(r.fieldIndex("n_name")),
+        num(r, r.fieldIndex("n_regionkey")).toDouble,
+        if (r.isNullAt(r.fieldIndex("n_name"))) 0L else 1L))
+    assert(rows.toSet == expected.toSet)
+  }
+
+  test("reduce elision does NOT fire across a join (key no longer unique)") {
+    val nation = Tables.load(spark, Sf, "nation")
+    val customer = Tables.load(spark, Sf, "customer")
+    val agg = customer.join(nation, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_nationkey"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(optimizedHasAggregate(agg))
+  }
+
+  test("reduce elision does NOT fire when grouping lacks the full key") {
+    val nation = Tables.load(spark, Sf, "nation")
+    val agg = nation.groupBy(col("n_regionkey")).agg(count(lit(1)).as("cnt"))
+    assert(optimizedHasAggregate(agg))
+  }
+
+  test("monotonic analysis: insert-only plans are monotonic; Negate breaks it") {
+    val n = Tables.load(spark, Sf, "nation")
+    val appendOnly = Changelog.unionAll(
+      Changelog.fromRows(n.filter(col("n_nationkey") < 5)),
+      Changelog.fromRows(n.filter(col("n_nationkey") >= 5)))
+    assert(MonotonicAnalysis.isMonotonic(appendOnly))
+
+    val withRetractions = Changelog.unionAll(
+      Changelog.fromRows(n),
+      Changelog.negate(Changelog.fromRows(n.filter(col("n_nationkey") < 5))))
+    assert(!MonotonicAnalysis.isMonotonic(withRetractions))
+  }
+}
