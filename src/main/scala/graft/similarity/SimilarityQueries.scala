@@ -121,28 +121,11 @@ object SimilarityQueries {
         .filter(col("cos_sim") >= 0.3)
     },
 
-    // MinHash + banded LSH over 5-word shingles
-    // (shingle → 32 minhashes → 8 bands of 4 → bucket join → estimate).
-    // Minhashes are md5-hex prefixes compared as strings — min() is the
-    // same byte-wise comparison in both engines.
+    // MinHash + banded LSH over 5-word shingles (shingle → two-hash minwise
+    // family → 32 permutation minhashes → 8 bands of 4 → bucket join →
+    // estimate). Pipeline + oracle CTEs shared via [[MinHashLsh]].
     Q("dedup_minhash_lsh",
-      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, array_to_string(toks[i : i + 4], ' ') AS sh
-        |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 4, 1) + 1)) AS i) t),
-        |minh AS (
-        |  SELECT doc_id, p, min(substr(md5(sh || ':' || p), 1, 16)) AS mh
-        |  FROM sh, range(32) t(p)
-        |  GROUP BY doc_id, p),
-        |sig AS (SELECT doc_id, list(mh ORDER BY p) AS sig FROM minh GROUP BY doc_id),
-        |banded AS (
-        |  SELECT doc_id, b AS band,
-        |    md5(array_to_string(sig[b * 4 + 1 : b * 4 + 4], '|') || '#' || b) AS bh
-        |  FROM sig, range(8) t(b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM banded a JOIN banded b
-        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+      s"""WITH ${MinHashLsh.oracleCtes}
         |SELECT id_a, id_b,
         |  CAST(list_sum(list_transform(range(1, 33),
         |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32.0
@@ -151,33 +134,8 @@ object SimilarityQueries {
         |WHERE CAST(list_sum(list_transform(range(1, 33),
         |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32.0
         |  >= 0.4""".stripMargin) { (s, dir) =>
-      val d = docs(s, dir)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
-      val sh = d.select(col("doc_id"),
-        explode(array_distinct(expr(
-          "transform(sequence(1, greatest(size(toks) - 4, 1)), " +
-            "i -> concat_ws(' ', slice(toks, i, 5)))")))
-          .as("sh"))
-      val minh = sh
-        .select(col("doc_id"),
-          explode(expr("transform(sequence(0, 31), " +
-            "p -> struct(p AS p, substr(md5(concat(sh, ':', p)), 1, 16) AS h))"))
-            .as("ph"))
-        .select(col("doc_id"), col("ph.p").as("p"), col("ph.h").as("h"))
-        .groupBy(col("doc_id"), col("p")).agg(min(col("h")).as("mh"))
-      val sig = minh.groupBy(col("doc_id"))
-        .agg(expr("transform(array_sort(collect_list(struct(p, mh))), s -> s.mh)").as("sig"))
-      val banded = sig.select(col("doc_id"),
-          explode(expr("transform(sequence(0, 7), " +
-            "b -> struct(b AS band, " +
-            "md5(concat(concat_ws('|', slice(sig, b * 4 + 1, 4)), '#', b)) AS bh))")).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      val a = banded.as("a"); val b = banded.as("b")
-      val cand = a.join(b,
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
+      val sig = MinHashLsh.signatures(docs(s, dir))
+      val cand = MinHashLsh.candidates(sig)
       val sa = sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
       val sb = sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
       cand.join(sa, "id_a").join(sb, "id_b")

@@ -46,44 +46,51 @@ object TextQueries {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
     },
 
-    // Character-3-gram Jaccard similarity for near-dup pairs. Shingle →
-    // inverted-index self-join → intersection counts → |A∪B| by
-    // inclusion-exclusion.
+    // Character-3-gram Jaccard as the EXACT VERIFIER over MinHash-LSH
+    // candidate pairs — the scale-safe composition: the quadratic all-pairs
+    // shingle self-join never runs; exact intersection counting touches only
+    // |candidates| × |shingles-per-doc| rows. (Round 1 capped this query to
+    // doc_id < 120 because it ran standalone; the cap is gone.)
     Q("dedup_ngram_jaccard",
-      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 120),
-        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+      s"""WITH ${graft.similarity.MinHashLsh.oracleCtes},
+        |csh AS (SELECT DISTINCT doc_id, sh FROM (
         |  SELECT doc_id, unnest(list_transform(
         |    generate_series(1, greatest(len(t) - 2, 1)), i -> substr(t, i, 3))) AS sh
-        |  FROM d)),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |  FROM (SELECT doc_id, lower(text) AS t FROM documents))),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM csh GROUP BY doc_id),
         |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id)
+        |  SELECT c.id_a, c.id_b, count(*) AS inter
+        |  FROM cand c
+        |  JOIN csh a ON a.doc_id = c.id_a
+        |  JOIN csh b ON b.doc_id = c.id_b AND b.sh = a.sh
+        |  GROUP BY c.id_a, c.id_b)
         |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
         |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
         |FROM pairs JOIN sizes sa ON sa.doc_id = id_a
         |           JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin) {
       (s, dir) =>
-        val d = docs(s, dir).filter(col("doc_id") < 120)
+        val cand = graft.similarity.MinHashLsh.candidates(
+          graft.similarity.MinHashLsh.signatures(docs(s, dir)))
+        val csh = docs(s, dir)
           .select(col("doc_id"), lower(col("text")).as("t"))
-        val sh = d.select(col("doc_id"),
+          .select(col("doc_id"),
             explode(array_distinct(expr(
               "transform(sequence(1, greatest(length(t) - 2, 1)), i -> substring(t, i, 3))")))
               .as("sh"))
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val a = sh.as("a"); val b = sh.as("b")
-        val pairs = a.join(b,
-            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        val sizes = csh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val a = csh.select(col("doc_id").as("id_a"), col("sh"))
+        val b = csh.select(col("doc_id").as("id_b2"), col("sh").as("sh_b"))
+        val pairs = cand
+          .join(a, "id_a")
+          .join(b, col("id_b2") === col("id_b") && col("sh_b") === col("sh"))
+          .groupBy(col("id_a"), col("id_b"))
           .agg(count(lit(1)).as("inter"))
-        val sa = sizes.as("sa"); val sb = sizes.as("sb")
+        val sa = sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a"))
+        val sb = sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b"))
         val jac = col("inter").cast("double") /
-          (col("sa.sz") + col("sb.sz") - col("inter"))
-        pairs
-          .join(sa, col("sa.doc_id") === col("id_a"))
-          .join(sb, col("sb.doc_id") === col("id_b"))
+          (col("sz_a") + col("sz_b") - col("inter"))
+        pairs.join(sa, "id_a").join(sb, "id_b")
           .filter(jac >= 0.5)
           .select(col("id_a"), col("id_b"), col("inter"), jac.as("jaccard"))
     },
