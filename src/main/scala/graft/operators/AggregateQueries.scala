@@ -61,6 +61,36 @@ object AggregateQueries {
           count_if(col("o_orderpriority").like("1%")).as("n_urgent"))
     },
 
+    // Error-as-data (reference `src/expr/src/scalar.rs` EvalError; SURVEY
+    // §2.5): scalar eval errors become NULL payload + a tagged error column
+    // instead of killing the query — the changelog-friendly convention for
+    // poisoned rows. try_* functions are the Spark carriers (ANSI mode is on,
+    // so the un-tried forms would throw).
+    Q("fn_error_as_data",
+      """SELECT n,
+        |  TRY_CAST(s AS INTEGER) AS maybe_int,
+        |  CASE WHEN TRY_CAST(s AS INTEGER) IS NULL
+        |       THEN 'invalid_integer: ' || s END AS cast_err,
+        |  CASE WHEN d = 0 THEN NULL ELSE CAST(n AS DOUBLE) / d END AS maybe_div,
+        |  CASE WHEN d = 0 THEN 'division_by_zero' END AS div_err
+        |FROM (SELECT n,
+        |        CASE WHEN n % 3 = 0 THEN CAST(n AS VARCHAR) ELSE 'x' || n END AS s,
+        |        n % 5 AS d
+        |      FROM (SELECT unnest(generate_series(1, 200)) AS n))""".stripMargin) { (s, _) =>
+      s.range(1, 201).select(col("id").as("n"))
+        .withColumn("s", when(col("n") % 3 === 0, col("n").cast("string"))
+          .otherwise(concat(lit("x"), col("n").cast("string"))))
+        .withColumn("d", col("n") % 5)
+        .select(
+          col("n"),
+          expr("try_cast(s AS INT)").as("maybe_int"),
+          when(expr("try_cast(s AS INT)").isNull,
+            concat(lit("invalid_integer: "), col("s"))).as("cast_err"),
+          expr("try_divide(CAST(n AS DOUBLE), CASE WHEN d = 0 THEN NULL ELSE d END)")
+            .as("maybe_div"),
+          when(col("d") === 0, lit("division_by_zero")).as("div_err"))
+    },
+
     // Spark-native sketches — beyond the reference's capability set (it has
     // no approx aggregates). Approximate values can't hash-match an exact
     // oracle, so the query EMITS the bound check itself: each output column

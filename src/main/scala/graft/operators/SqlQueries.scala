@@ -103,6 +103,28 @@ object SqlQueries {
         .agg(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"))
     },
 
+    // LetRec with MUTUAL recursion (relation.rs:154-166, N bindings):
+    // evens/odds defined in terms of each other, iterated jointly to the
+    // fixed point by Recursion.mutualFixpoint. Oracle states the closed
+    // form.
+    Q("letrec_mutual",
+      """SELECT 'even' AS side, n FROM (SELECT unnest(generate_series(0, 20, 2)) AS n)
+        |UNION ALL
+        |SELECT 'odd' AS side, n FROM (SELECT unnest(generate_series(1, 20, 2)) AS n)""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val even0 = Seq(0L).toDF("n")
+      val odd0 = s.emptyDataFrame.select(lit(0L).as("n")).limit(0)
+      val Seq(evens, odds) = Recursion.mutualFixpoint(
+        Seq(even0, odd0),
+        { case Seq(e, o) =>
+          Seq(
+            Seq(0L).toDF("n").unionByName(o.select((col("n") + 1).as("n"))).filter(col("n") <= 20),
+            e.select((col("n") + 1).as("n")).filter(col("n") <= 20))
+        })
+      evens.select(lit("even").as("side"), col("n"))
+        .unionByName(odds.select(lit("odd").as("side"), col("n")))
+    },
+
     // LetRec (relation.rs:154-166): reachability over a derived edge table
     // (u → 2u, u → 3u up to 1000) from {1} — the 3-smooth numbers. Runs as a
     // driver-side semi-naive fixpoint (graft.plans.Recursion).

@@ -54,6 +54,58 @@ object Recursion {
     all
   }
 
+  /** Per-binding iteration cap — the reference's `LetRecLimit`
+    * (relation.rs:154-166): after `maxIters` rounds the binding freezes at
+    * its current value while others continue. */
+  final case class LetRecLimit(maxIters: Int)
+
+  /** `WITH MUTUALLY RECURSIVE` (reference `LetRec`, relation.rs:154-166):
+    * N bindings re-evaluated JOINTLY until every binding is stable —
+    * `X_j^{t+1} = step_j(X_1^t … X_N^t)`, general fixed-point iteration
+    * (each step sees all current bindings; steps typically include their
+    * base as `base ∪ …`, matching the reference's recomputation semantics
+    * rather than blind accumulation).
+    *
+    * `limits(j)` freezes binding j after its round cap (per-binding
+    * `LetRecLimit`); the global `maxIter` guards divergence like
+    * [[fixpoint]]. Each round is distributed (distinct + exceptAll on
+    * executors, localCheckpoint lineage truncation); the driver only
+    * orchestrates. */
+  def mutualFixpoint(
+      bases: Seq[DataFrame],
+      step: Seq[DataFrame] => Seq[DataFrame],
+      limits: Seq[Option[LetRecLimit]] = Nil,
+      maxIter: Int = 100,
+      requireConvergence: Boolean = false): Seq[DataFrame] = {
+    require(bases.nonEmpty)
+    val lim: Seq[Option[LetRecLimit]] =
+      if (limits.isEmpty) Seq.fill(bases.size)(None) else limits
+    var cur = bases.map(_.distinct().localCheckpoint(true))
+    val frozen = Array.fill(bases.size)(false)
+    var i = 0
+    while (i < maxIter) {
+      val proposed = step(cur)
+      require(proposed.size == cur.size, "step must return one plan per binding")
+      val next = proposed.zip(cur).zipWithIndex.map { case ((n, c), j) =>
+        if (frozen(j)) c else n.distinct().localCheckpoint(true)
+      }
+      val changed = next.zip(cur).zipWithIndex.exists { case ((n, c), j) =>
+        !frozen(j) && (!n.exceptAll(c).isEmpty || !c.exceptAll(n).isEmpty)
+      }
+      cur = next
+      i += 1
+      lim.zipWithIndex.foreach { case (l, j) =>
+        if (l.exists(_.maxIters <= i)) frozen(j) = true
+      }
+      if (!changed) return cur
+    }
+    val msg = s"Recursion.mutualFixpoint: maxIter=$maxIter reached without convergence; " +
+      "result is truncated (the reference's LetRec limits semantics)"
+    if (requireConvergence) throw new IllegalStateException(msg)
+    else System.err.println(s"[graft] WARN $msg")
+    cur
+  }
+
   /** Fixpoint for NON-linear steps: `step` receives the full accumulated
     * collection every round (naive iteration — correct for any monotone
     * step, at the cost of recomputing over the whole set each round). */

@@ -21,6 +21,19 @@ object SourceQueries {
 
   val defs: Seq[Q] = Seq(
 
+    // Load-generator source (reference sources/load_generator.rs): the
+    // oracle recomputes every generated column from the row id.
+    Q("source_load_generator",
+      """SELECT id,
+        |  CAST('0x' || substr(md5('slr' || id), 1, 15) AS BIGINT) % 1000 AS seller,
+        |  (CAST('0x' || substr(md5('amt' || id), 1, 15) AS BIGINT) % 100000) / 100.0 AS amount,
+        |  (['book','car','gem','art','toy','wine','coin','map'])[
+        |    CAST(CAST('0x' || substr(md5('itm' || id), 1, 15) AS BIGINT) % 8 AS INT) + 1] AS item,
+        |  1704067200 + (id * 7919) % 604800 AS bid_s
+        |FROM range(1000) t(id)""".stripMargin) { (s, _) =>
+      LoadGenerator.auctionsBatch(s, 1000)
+    },
+
     Q("cdc_debezium_upsert",
       """SELECT user_id, last_value FROM (
         |  SELECT user_id, value AS last_value,
