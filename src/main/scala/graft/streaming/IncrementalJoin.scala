@@ -45,4 +45,33 @@ object IncrementalJoin {
       joinChangelogs(aDelta, bState, keys),
       joinChangelogs(aState, bDelta, keys),
       joinChangelogs(aDelta, bDelta, keys))
+
+  /** N-ary linear-chain delta rule — the reference's delta-query plan shape
+    * (`JoinPlan::Delta`, `src/compute-types/src/plan/join.rs:46-51`): for a
+    * join chain `A_1 ⋈ A_2 ⋈ … ⋈ A_n` (input `i+1` joins the prefix on
+    * `stepKeys(i)`), one batch's output delta telescopes as
+    *
+    *   δOut = Σ_i  A_1' ⋈ … ⋈ A_{i-1}' ⋈ δA_i ⋈ A_{i+1} ⋈ … ⋈ A_n
+    *
+    * (primes = post-batch states `A_j ∪ δA_j`). Every term routes through a
+    * delta-sized input, so no intermediate of the full join is ever
+    * materialized — the property that gave the reference its 9.4 GB vs
+    * 45.5 GB LDBC result (`test/ldbc-bi/20231206_eager_delta_join_experiment.md`). */
+  def deltaN(
+      states: Seq[DataFrame],
+      deltas: Seq[DataFrame],
+      stepKeys: Seq[Seq[String]]): DataFrame = {
+    require(states.size >= 2 && states.size == deltas.size &&
+      stepKeys.size == states.size - 1)
+    val updated = states.zip(deltas).map { case (s, d) => Changelog.unionAll(s, d) }
+    val terms = states.indices.map { i =>
+      val parts = states.indices.map { j =>
+        if (j < i) updated(j) else if (j == i) deltas(i) else states(j)
+      }
+      parts.zipWithIndex.tail.foldLeft(parts.head) { case (acc, (p, j)) =>
+        joinChangelogs(acc, p, stepKeys(j - 1))
+      }
+    }
+    Changelog.unionAll(terms: _*)
+  }
 }

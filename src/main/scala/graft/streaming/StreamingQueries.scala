@@ -156,6 +156,46 @@ object StreamingQueries {
       Changelog.threshold(maintained).select(col("o_orderkey"), col("c_name"))
     },
 
+    // N-ary delta-query join (reference JoinPlan::Delta, plan/join.rs:46-51):
+    // lineitem ⋈ orders ⋈ customer maintained through one batch that
+    // retracts on ALL THREE inputs simultaneously — every telescoping term
+    // (including the multi-delta corrections via updated prefixes) must fire
+    // for the maintained output to equal the join of the updated inputs.
+    Q("incremental_join_delta3",
+      """SELECT c.c_custkey, count(*) AS n,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE l.l_quantity >= 10 AND o.o_totalprice >= 100000 AND c.c_acctbal >= 0
+        |GROUP BY c.c_custkey""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_custkey"), col("c_acctbal"))
+      val states = Seq(
+        Changelog.fromRows(li),
+        Changelog.fromRows(orders),
+        Changelog.fromRows(cust))
+      val deltas = Seq(
+        Changelog.negate(Changelog.fromRows(li.filter(col("l_quantity") < 10))),
+        Changelog.negate(Changelog.fromRows(orders.filter(col("o_totalprice") < 100000))),
+        Changelog.negate(Changelog.fromRows(cust.filter(col("c_acctbal") < 0))))
+      val stepKeys = Seq(Seq("l_orderkey"), Seq("o_custkey"))
+      val init = states.zipWithIndex.tail.foldLeft(states.head) { case (acc, (p, j)) =>
+        IncrementalJoin.joinChangelogs(acc, p, stepKeys(j - 1))
+      }
+      val maintained = Changelog.threshold(Changelog.unionAll(
+        init, IncrementalJoin.deltaN(states, deltas, stepKeys)))
+      maintained
+        .groupBy(col("c_custkey"))
+        .agg(sum(col(Changelog.DiffCol)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)") * col(Changelog.DiffCol))
+            .cast("double").as("qty"))
+    },
+
     // Hierarchical min/max over a retraction-bearing changelog (reference
     // ReductionType::Hierarchical, plan/reduce.rs:89-102): Threshold
     // resolves the net multiset, extrema recompute over survivors. The

@@ -72,7 +72,16 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
   def table(name: String): DataFrame = {
     val v = currentVersion(name).getOrElse(
       throw new IllegalArgumentException(s"materialized view not found: $name"))
-    spark.read.parquet(viewDir(name).resolve(s"v=$v").toString)
+    tableAt(name, v)
+  }
+
+  /** AS OF read: a specific committed version (the timestamp-oracle analog —
+    * versions are the view's logical timestamps; history persists until
+    * [[vacuum]]). */
+  def tableAt(name: String, version: Long): DataFrame = {
+    val dir = viewDir(name).resolve(s"v=$version")
+    require(Files.exists(dir), s"version $version of $name not found (vacuumed?)")
+    spark.read.parquet(dir.toString)
   }
 
   /** Full refresh: re-run the defining query, commit as a new version. */

@@ -32,6 +32,7 @@ class MaterializedViewSpec extends SparkSpec {
     assert(cat.currentVersion("nat").contains(1L))
     assert(before.count() == 5)            // old snapshot still consistent
     assert(cat.table("nat").count() == 10) // new reads see the new version
+    assert(cat.tableAt("nat", 0L).count() == 5) // AS OF old version
   }
 
   test("incremental accumulable refresh == full recompute after delta batch") {
