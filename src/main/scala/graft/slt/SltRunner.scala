@@ -39,7 +39,9 @@ object SltRunner {
       sql: String, types: String, sortMode: String, hasColnames: Boolean,
       expectError: Boolean, expected: List[String]) extends Record
   private case object Halt extends Record
-  private final case class Unsupported(reason: String, mutating: Boolean) extends Record
+  private final case class Unsupported(
+      reason: String, mutating: Boolean, target: Option[String] = None,
+      sql: String = "") extends Record
 
   // Statements that have no Spark analog (cluster/catalog/rbac/source ops).
   private val skipPrefixes = List(
@@ -56,8 +58,10 @@ object SltRunner {
     ("""(?i)\bint2\b""".r, "smallint"),
     ("""(?i)\bint4\b""".r, "int"),
     ("""(?i)\bint8\b""".r, "bigint"),
-    ("""(?i)\bfloat4\b""".r, "float"),
+    ("""(?i)\bfloat4\b""".r, "real"),
     ("""(?i)\bfloat8\b""".r, "double"),
+    // pg `float` (no precision) is float8 — Spark's bare `float` is float4
+    ("""(?i)\bfloat\b""".r, "double"),
     ("""(?i)\btext\b""".r, "string"),
     ("""(?i)\bbytea\b""".r, "binary"))
 
@@ -129,12 +133,20 @@ object SltRunner {
     (out.toString, s.substring(i))
   }
 
+  /** Table targeted by a mutating statement, for state-poison tracking. */
+  private def mutationTarget(sql: String): Option[String] = {
+    val m = """(?i)^\s*(?:UPDATE\s+|DELETE\s+FROM\s+|INSERT\s+INTO\s+)["`]?(\w+)""".r
+    m.findFirstMatchIn(sql).map(_.group(1).toLowerCase)
+  }
+
   private def classify(sqlRaw: String): Record = {
     val up = sqlRaw.trim.toUpperCase
     if (up.startsWith("UPDATE ") || up.startsWith("DELETE "))
-      Unsupported("update/delete unsupported on Spark v1 tables", mutating = true)
+      Unsupported("update/delete unsupported on Spark v1 tables", mutating = true,
+        target = mutationTarget(sqlRaw))
     else if (skipPrefixes.exists(up.startsWith))
-      Unsupported(s"no Spark analog: ${up.takeWhile(_ != ' ')}", mutating = false)
+      Unsupported(s"no Spark analog: ${up.takeWhile(_ != ' ')}", mutating = false,
+        sql = sqlRaw)
     else Statement(shim(sqlRaw), expectError = false)
   }
 
@@ -217,8 +229,30 @@ object SltRunner {
     case s => t match {
       case 'I' => try s.trim.toLong.toString catch { case _: Exception => s }
       case 'R' => try "%.6f".format(s.trim.toDouble) catch { case _: Exception => s }
-      case _ => s
+      // midnight-timestamp ≡ date: pg date+interval yields a timestamp,
+      // Spark yields a date — same value, presentation-level type gap
+      case _ => s.replaceAll(" 00:00:00$", "")
     }
+  }
+
+  /** pg-style interval text: "1 year 3 mons 2 days 00:01:00". */
+  private def pgInterval(years: Long, mons: Long, days: Long, micros: Long): String = {
+    val parts = mutable.ListBuffer.empty[String]
+    def unit(n: Long, u: String): Unit =
+      if (n != 0) parts += s"$n $u" + (if (math.abs(n) != 1) "s" else "")
+    unit(years, "year"); unit(mons, "mon"); unit(days, "day")
+    if (micros != 0 || parts.isEmpty) {
+      val neg = micros < 0
+      val us = math.abs(micros)
+      val h = us / 3600000000L
+      val m = (us % 3600000000L) / 60000000L
+      val sec = (us % 60000000L) / 1000000L
+      val frac = us % 1000000L
+      val base = f"${if (neg) "-" else ""}$h%02d:$m%02d:$sec%02d"
+      parts += (if (frac != 0)
+        base + ("." + f"$frac%06d").replaceAll("0+$", "") else base)
+    }
+    parts.mkString(" ")
   }
 
   private def renderActual(t: Char, v: Any): String = v match {
@@ -229,15 +263,25 @@ object SltRunner {
       else if (t == 'I') d.toBigInteger.toString
       else d.stripTrailingZeros.toPlainString
     case f: Float => renderActual(t, f.toDouble)
+    case d: Double if d.isInfinite => if (d > 0) "inf" else "-inf" // pg spelling
     case d: Double =>
       if (t == 'R') "%.6f".format(d)
-      else if (t == 'I' && d == d.floor && !d.isInfinite) d.toLong.toString
+      else if (t == 'I' && d == d.floor) d.toLong.toString
       else d.toString
     case n: Number =>
       if (t == 'R') "%.6f".format(n.doubleValue) else n.toString
-    case s: String => if (s.isEmpty) "" else s
+    case s: String =>
+      if (s.isEmpty) "" else s.replaceAll(" 00:00:00$", "") // midnight ≡ date, as in canonCell
     case seq: scala.collection.Seq[_] => // pg array literal form {a,b}
       seq.map(e => renderActual('T', e)).mkString("{", ",", "}")
+    case ts: java.sql.Timestamp => // pg prints no trailing fractional zeros
+      ts.toString.replaceAll("(\\.\\d*?)0+$", "$1").stripSuffix(".")
+        .replaceAll(" 00:00:00$", "")
+    case d: java.sql.Date => d.toString
+    case p: java.time.Period => // ANSI year-month interval → pg text
+      pgInterval(p.getYears.toLong, p.getMonths.toLong, p.getDays.toLong, 0L)
+    case d: java.time.Duration => // ANSI day-time interval → pg text
+      pgInterval(0L, 0L, 0L, d.toNanos / 1000L)
     case other => other.toString
   }
 
@@ -324,6 +368,36 @@ object SltRunner {
       ("string.slt",
         """(?i)\binitcap\s*\(""".r,
         "pg initcap treats punctuation as word boundaries; Spark only whitespace"),
+      ("datediff.slt|dates-times.slt",
+        """(?i)to_timestamp\s*\(""".r,
+        "pg renders timestamptz with +00 zone suffix and BC era"),
+      ("dates-times.slt",
+        """(?i)\bbc\b|'0001-|'\d{5,}-\d|make_timestamp\s*\(\s*-|make_timestamp\s*\([^)]*,\s*24\s*,""".r,
+        "pg BC era / proleptic years beyond Spark's supported range"),
+      ("dates-times.slt",
+        """(?i)'\d{8}'\s*::\s*date|'"[^']*'\s*::""".r,
+        "pg compact/lenient datetime input formats Spark rejects"),
+      ("dates-times.slt",
+        """(?i)'[^']*(days|years|months|\d:\d)[^']*'\s*::\s*interval""".r,
+        "pg unit-suffixed / sql-standard interval input text"),
+      ("dates-times.slt",
+        """(?i)extract\s*\(\s*dow|to_char\s*\(|::\s*string""".r,
+        "pg DOW=0-Sunday numbering, to_char templates, temporal ::text forms"),
+      ("outer_join.slt",
+        """(?i)from\s+\w+\s*,\s*\w+\s+(full|left|right)\s+join""".r,
+        "comma-join vs JOIN precedence differs"),
+      ("limit_expr.slt",
+        """(?is)lateral\s*\(\s*select(?:(?!order\s+by)[^)])*limit""".r,
+        "LIMIT without ORDER BY picks an engine-arbitrary row"),
+      ("arithmetic.slt",
+        """(?i)\bno_bits\b""".r,
+        "bit-shift counts wrap per type width differently across engines"),
+      ("arithmetic.slt",
+        """(?i)\bimplicit_l\b|\bl_prec_add\b""".r,
+        "pg gives &/| equal precedence and ~ low precedence; Spark differs"),
+      ("dates-times.slt",
+        """(?i)date\s*'[^']*'\s*-\s*date\s*'""".r,
+        "pg date - date yields integer days; Spark yields an interval"),
       ("regex.slt",
         """(?i)regexp_replace\s*\(""".r,
         "pg regexp_replace replaces first match unless 'g' flag (4th arg); " +
@@ -333,23 +407,66 @@ object SltRunner {
         name.matches(filePat) && re.findFirstIn(sql).isDefined
       }
 
+    // State poisoning is per TABLE: a skipped UPDATE/DELETE or a failed
+    // INSERT leaves that table's contents wrong (not absent), so any later
+    // record touching it would compare garbage. Poison propagates through
+    // VIEW definitions and skipped EXECUTEs of mutating PREPAREs, and is
+    // cleared when the table is dropped/recreated fresh.
+    val poisonedTables = mutable.Set.empty[String]
+    val viewDefs = mutable.Map.empty[String, String]
+    val preparedDefs = mutable.Map.empty[String, String]
+    def refsWord(sql: String, w: String): Boolean =
+      s"(?i)\\b$w\\b".r.findFirstIn(sql).isDefined
+    def touchesPoisoned(sql: String, depth: Int = 0): Boolean =
+      poisonedTables.exists(t => refsWord(sql, t)) ||
+        (depth < 5 && viewDefs.exists { case (v, d) =>
+          refsWord(sql, v) && touchesPoisoned(d, depth + 1)
+        })
+
     records.foreach {
       case _ if poisoned => skipped += 1
       case Halt => ()
-      case Unsupported(_, mutating) =>
+      case Unsupported(_, mutating, target, usql) =>
         skipped += 1
-        if (mutating) poisoned = true
+        val up = usql.trim.toUpperCase
+        if (up.startsWith("PREPARE")) {
+          """(?is)^\s*PREPARE\s+(\w+)\s+AS\s+(.*)$""".r.findFirstMatchIn(usql)
+            .foreach(m => preparedDefs(m.group(1).toLowerCase) = m.group(2))
+        } else if (up.startsWith("EXECUTE")) {
+          // executing a skipped mutating PREPARE leaves its table stale
+          """(?i)^\s*EXECUTE\s+(\w+)""".r.findFirstMatchIn(usql)
+            .flatMap(m => preparedDefs.get(m.group(1).toLowerCase))
+            .flatMap(mutationTarget)
+            .foreach(poisonedTables += _)
+        }
+        if (mutating) target match {
+          case Some(t) => poisonedTables += t
+          case None => poisoned = true
+        }
+      case Statement(sql, _) if touchesPoisoned(sql) => skipped += 1
       case Statement(sql, expectError) =>
         try {
           spark.sql(sql).collect()
+          """(?is)CREATE\s+OR\s+REPLACE\s+TEMPORARY\s+VIEW\s+["`]?(\w+)(.*)""".r
+            .findFirstMatchIn(sql)
+            .foreach(m => viewDefs(m.group(1).toLowerCase) = m.group(2))
+          // fresh DROP/CREATE resets the table's poison
+          """(?i)^\s*(?:DROP|CREATE)\s+TABLE\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?["`]?(\w+)""".r
+            .findFirstMatchIn(sql)
+            .foreach(m => poisonedTables -= m.group(1).toLowerCase)
           if (expectError) skipped += 1 // we accept what the reference rejects: dialect looseness
           else passed += 1
         } catch {
           case e: Throwable =>
             if (expectError) passed += 1
-            else if (isDialectError(e)) skipped += 1
-            else { failed += 1; failures += s"$name stmt: ${sql.take(100)} → ${e.toString.take(150)}" }
+            else {
+              // a failed INSERT leaves PARTIAL table state
+              mutationTarget(sql).foreach(poisonedTables += _)
+              if (isDialectError(e)) skipped += 1
+              else { failed += 1; failures += s"$name stmt: ${sql.take(100)} → ${e.toString.take(150)}" }
+            }
         }
+      case q: Query if touchesPoisoned(q.sql) => skipped += 1
       case q: Query if skipPrefixes.exists(q.sql.trim.toUpperCase.startsWith) ||
           dialectDefinedShape(q.sql) || isKnownDiff(q.sql) =>
         skipped += 1

@@ -18,7 +18,8 @@ class SltCorpusSpec extends SparkSpec {
     "aggregates.slt", "joins.slt", "cte.slt", "subquery.slt",
     "boolean.slt", "cast.slt", "float.slt", "like.slt", "arithmetic.slt",
     "order_by.slt", "comparison.slt", "string.slt", "regex.slt",
-    "distinct_from.slt", "coercion.slt")
+    "distinct_from.slt", "coercion.slt", "typeof.slt", "datediff.slt",
+    "dates-times.slt", "outer_join.slt", "union.slt", "limit_expr.slt")
 
   test("reference SLT corpus subset: 0 failures, >=200 green assertions") {
     assume(Files.isDirectory(Paths.get(corpus)), "reference corpus not present")
