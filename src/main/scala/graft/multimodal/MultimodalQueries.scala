@@ -52,6 +52,55 @@ object MultimodalQueries {
           lit("png").as("fmt"))
         .as[MediaRecord]
       media.mapPartitions(_.map(decodeStub)).toDF()
+    },
+
+    // REAL (non-stub) multimodal plumbing: binary payloads carrying actual
+    // magic bytes (PNG/JPEG/GIF), content-type sniffing on the prefix, and
+    // fixed-size frame sampling (every 4th 128-byte frame) with per-frame
+    // digests — the video-keyframe-extraction shape. All byte-level work
+    // runs on the hex encoding (2 chars/byte) because the oracle engine has
+    // no blob slicing; the payload itself is genuine binary.
+    Q("media_sniff_frames",
+      """WITH media AS (
+        |  SELECT doc_id,
+        |    from_hex(CASE doc_id % 3 WHEN 0 THEN '89504e47'
+        |             WHEN 1 THEN 'ffd8ffe0' ELSE '47494638' END)
+        |      || text::BLOB AS payload
+        |  FROM documents),
+        |hexed AS (
+        |  SELECT doc_id, lower(hex(payload)) AS hexp,
+        |    CAST(octet_length(payload) AS BIGINT) AS n_bytes
+        |  FROM media)
+        |SELECT doc_id,
+        |  CASE WHEN starts_with(hexp, '89504e47') THEN 'png'
+        |       WHEN starts_with(hexp, 'ffd8ff') THEN 'jpeg'
+        |       WHEN starts_with(hexp, '47494638') THEN 'gif'
+        |       ELSE 'unknown' END AS fmt,
+        |  n_bytes,
+        |  CAST(i AS INT) AS frame_idx,
+        |  md5(substr(hexp, i * 256 + 1, 256)) AS frame_md5
+        |FROM hexed,
+        |LATERAL (SELECT unnest(range(0, CAST(greatest(n_bytes // 128, 1) AS INT), 4)) AS i) t""".stripMargin) { (s, dir) =>
+      val magic = expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '89504e47' " +
+        "WHEN 1 THEN 'ffd8ffe0' ELSE '47494638' END")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(unhex(magic), encode(col("text"), "UTF-8")).as("payload"))
+        .select(col("doc_id"), lower(hex(col("payload"))).as("hexp"),
+          length(col("payload")).cast("long").as("n_bytes"))
+        .select(col("doc_id"),
+          when(expr("startswith(hexp, '89504e47')"), "png")
+            .when(expr("startswith(hexp, 'ffd8ff')"), "jpeg")
+            .when(expr("startswith(hexp, '47494638')"), "gif")
+            .otherwise("unknown").as("fmt"),
+          col("n_bytes"),
+          posexplode(expr(
+            "transform(sequence(0, CAST(greatest(n_bytes div 128, 1) AS INT) - 1, 4), x -> x)"))
+            .as(Seq("pos", "i")),
+          col("hexp"))
+        .select(col("doc_id"), col("fmt"), col("n_bytes"),
+          col("i").cast("int").as("frame_idx"),
+          md5(expr("CAST(substr(hexp, i * 256 + 1, 256) AS BINARY)")).as("frame_md5"))
     }
   )
 }
