@@ -208,8 +208,10 @@ object SltRunner {
               expected += lines(i); i += 1
             }
           }
-          out += Query(shim(sql), types, sortMode, opts.contains("colnames"),
-            expectError = false, expected.toList)
+          out += (if (opts.contains("multiline"))
+            Unsupported("multiline output format", mutating = false)
+          else Query(shim(sql), types, sortMode, opts.contains("colnames"),
+            expectError = false, expected.toList))
         }
       } else i += 1 // stray line
     }
@@ -228,10 +230,17 @@ object SltRunner {
     case "true" | "false" => raw
     case s => t match {
       case 'I' => try s.trim.toLong.toString catch { case _: Exception => s }
-      case 'R' => try "%.6f".format(s.trim.toDouble) catch { case _: Exception => s }
+      case 'R' => try "%.3f".format(s.trim.toDouble) catch { case _: Exception => s }
       // midnight-timestamp ≡ date: pg date+interval yields a timestamp,
-      // Spark yields a date — same value, presentation-level type gap
-      case _ => s.replaceAll(" 00:00:00$", "")
+      // Spark yields a date — same value, presentation-level type gap.
+      // Purely numeric T tokens canonicalize numerically: `mode standard`
+      // renders floats %.3f and pg keeps numeric where Spark promotes to
+      // double, so "3" / "3.0" / "3.000" must all compare equal.
+      case _ =>
+        val stripped = s.replaceAll(" 00:00:00$", "")
+        if (stripped.matches("-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?"))
+          try "%.3f".format(stripped.toDouble) catch { case _: Exception => stripped }
+        else stripped
     }
   }
 
@@ -259,17 +268,17 @@ object SltRunner {
     case null => "NULL"
     case b: Boolean => if (b) "true" else "false"
     case d: java.math.BigDecimal =>
-      if (t == 'R') "%.6f".format(d.doubleValue)
+      if (t == 'R') "%.3f".format(d.doubleValue)
       else if (t == 'I') d.toBigInteger.toString
       else d.stripTrailingZeros.toPlainString
     case f: Float => renderActual(t, f.toDouble)
     case d: Double if d.isInfinite => if (d > 0) "inf" else "-inf" // pg spelling
     case d: Double =>
-      if (t == 'R') "%.6f".format(d)
+      if (t == 'R') "%.3f".format(d)
       else if (t == 'I' && d == d.floor) d.toLong.toString
       else d.toString
     case n: Number =>
-      if (t == 'R') "%.6f".format(n.doubleValue) else n.toString
+      if (t == 'R') "%.3f".format(n.doubleValue) else n.toString
     case s: String =>
       if (s.isEmpty) "" else s.replaceAll(" 00:00:00$", "") // midnight ≡ date, as in canonCell
     case seq: scala.collection.Seq[_] => // pg array literal form {a,b}
@@ -398,6 +407,24 @@ object SltRunner {
       ("dates-times.slt",
         """(?i)date\s*'[^']*'\s*-\s*date\s*'""".r,
         "pg date - date yields integer days; Spark yields an interval"),
+      ("funcs.slt",
+        """(?i)date_trunc\s*\(\s*'(microseconds|milliseconds|decade|century|millennium)""".r,
+        "pg-only date_trunc fields Spark maps to NULL"),
+      ("funcs.slt|string.slt",
+        """(?i)\b[lrb]trim\s*\([^()]*,""".r,
+        "pg (l/r/b)trim(str, chars) vs Spark (chars, str) argument order"),
+      ("funcs.slt",
+        """(?i)coalesce\s*\(\s*1,\s*1\s*/\s*0|cot\s*\(\s*-0""".r,
+        "literal type unification / negative-zero edge renders differently"),
+      ("funcs.slt",
+        """(?i)\blog\s*\(""".r,
+        "pg log() is base-10; Spark's log() is natural log"),
+      ("chr.slt",
+        """(?i)\bchr\s*\(\s*\d{3,}""".r,
+        "pg chr() is a Unicode codepoint; Spark's wraps at 256"),
+      ("encode.slt",
+        """(?i)\bencode\s*\([^)]*'(escape|base64|hex)'""".r,
+        "pg encode(bytea, format) vs Spark encode(str, charset)"),
       ("regex.slt",
         """(?i)regexp_replace\s*\(""".r,
         "pg regexp_replace replaces first match unless 'g' flag (4th arg); " +
@@ -497,7 +524,8 @@ object SltRunner {
                   val expCanon = exp.map(cells =>
                     cells.zipWithIndex.map { case (c, j) => canonCell(types(j), c) })
                   val actCanon = rows.toList.map(r =>
-                    types.indices.toList.map(j => renderActual(types(j), r.get(j))))
+                    types.indices.toList.map(j =>
+                      canonCell(types(j), renderActual(types(j), r.get(j)))))
                   // without an ORDER BY the row order is unspecified in any
                   // engine — compare as multisets even in nosort mode
                   val effSort =

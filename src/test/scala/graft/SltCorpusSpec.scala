@@ -19,7 +19,9 @@ class SltCorpusSpec extends SparkSpec {
     "boolean.slt", "cast.slt", "float.slt", "like.slt", "arithmetic.slt",
     "order_by.slt", "comparison.slt", "string.slt", "regex.slt",
     "distinct_from.slt", "coercion.slt", "typeof.slt", "datediff.slt",
-    "dates-times.slt", "outer_join.slt", "union.slt", "limit_expr.slt")
+    "dates-times.slt", "outer_join.slt", "limit_expr.slt", "funcs.slt",
+    "degenerate.slt", "disambiguate_columns.slt", "char.slt", "chr.slt",
+    "encode.slt", "extract.slt")
 
   test("reference SLT corpus subset: 0 failures, >=200 green assertions") {
     assume(Files.isDirectory(Paths.get(corpus)), "reference corpus not present")
