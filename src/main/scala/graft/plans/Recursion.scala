@@ -90,7 +90,8 @@ object Recursion {
         if (frozen(j)) c else n.distinct().localCheckpoint(true)
       }
       val changed = next.zip(cur).zipWithIndex.exists { case ((n, c), j) =>
-        !frozen(j) && (!n.exceptAll(c).isEmpty || !c.exceptAll(n).isEmpty)
+        // one job per binding: symmetric difference, then emptiness
+        !frozen(j) && !n.exceptAll(c).unionByName(c.exceptAll(n)).isEmpty
       }
       cur = next
       i += 1

@@ -65,19 +65,22 @@ object SimilarityQueries {
         .select(col("q_id"), col("c_id"), col("cos_sim"))
     },
 
-    // Random-hyperplane LSH: 16 deterministic md5-derived pseudo-hyperplanes
-    // → 16-bit sketch per vector, banded 4×4 (OR-construction) → candidates
+    // Random-hyperplane LSH: 64 deterministic md5-derived pseudo-hyperplanes
+    // → 64-bit sketch per vector, banded 8×8 (OR-construction) → candidates
     // only within a bucket → exact cosine verification. The scale path for
-    // ANN: candidate generation is a hash-bucket shuffle, not a cross join.
-    // Bit decisions threshold the ROUNDED dot product so both engines agree
-    // at FP noise level.
+    // ANN: candidate generation is a hash-bucket shuffle, not a cross join,
+    // and 8-bit bands (256 buckets each) keep per-bucket populations — and
+    // therefore the quadratic within-bucket pair count — bounded as the
+    // corpus grows (4-bit bands' 16 buckets would not). Recall for cos≈0.9
+    // pairs ≈ 1-(1-0.86^8)^8 ≈ 0.94. Bit decisions threshold the ROUNDED
+    // dot product so both engines agree at FP noise level.
     Q("ann_lsh_bucketed",
       """WITH hyper AS (
         |  SELECT j, list(u ORDER BY d) AS u FROM (
         |    SELECT j, d,
         |      (CAST('0x' || substr(md5('hp' || j || ':' || d), 1, 15) AS BIGINT)
         |         % 1001) / 500.0 - 1.0 AS u
-        |    FROM range(16) t(j), range(64) s(d))
+        |    FROM range(64) t(j), range(64) s(d))
         |  GROUP BY j),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |bits AS (
@@ -85,7 +88,7 @@ object SimilarityQueries {
         |    CASE WHEN round(list_dot_product(v, u), 6) >= 0 THEN 1 ELSE 0 END AS bit
         |  FROM e, hyper),
         |buckets AS (
-        |  SELECT vec_id, j // 4 AS band, sum(bit << (j % 4)) AS bucket
+        |  SELECT vec_id, j // 8 AS band, sum(bit << (j % 8)) AS bucket
         |  FROM bits GROUP BY vec_id, band),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -95,18 +98,18 @@ object SimilarityQueries {
         |FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
         |WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3""".stripMargin) { (s, dir) =>
       val e = emb(s, dir)
-      val hyper = s.range(16).select(col("id").cast("long").as("j"),
+      val hyper = s.range(64).select(col("id").cast("long").as("j"),
         expr("transform(sequence(0, 63), " +
           s"d -> CAST(${h60("concat('hp', id, ':', d)")} % 1001 AS DOUBLE) / 500.0 - 1.0)").as("u"))
       val bits = e.crossJoin(broadcast(hyper))
         .select(col("vec_id"), col("j"),
           (round(dot("v", "u"), 6) >= 0).cast("long").as("bit"))
-      // 4 bands × 4 bits: a pair is a candidate if it matches in ANY band
+      // 8 bands × 8 bits: a pair is a candidate if it matches in ANY band
       // (standard LSH OR-construction — tune bits/bands for target recall).
       val buckets = bits
-        .withColumn("band", expr("j div 4"))
+        .withColumn("band", expr("j div 8"))
         .groupBy(col("vec_id"), col("band"))
-        .agg(sum(expr("shiftleft(bit, CAST(j % 4 AS INT))")).as("bucket"))
+        .agg(sum(expr("shiftleft(bit, CAST(j % 8 AS INT))")).as("bucket"))
       val a = buckets.as("a"); val b = buckets.as("b")
       val cand = a.join(b,
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
