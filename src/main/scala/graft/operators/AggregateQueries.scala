@@ -106,15 +106,16 @@ object AggregateQueries {
           approx_count_distinct(col("o_custkey")).as("a_nd"),
           countDistinct(col("o_custkey")).as("x_nd"),
           percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("a_p50"),
-          expr("percentile(o_totalprice, 0.40D)").as("x_p40"),
-          expr("percentile(o_totalprice, 0.60D)").as("x_p60"),
+          // one sorted pass for all three exact bounds
+          expr("percentile(o_totalprice, array(0.40D, 0.60D, 0.97D))").as("x_p"),
           percentile_approx(col("o_totalprice"), lit(0.99), lit(1000)).as("a_p99"),
-          expr("percentile(o_totalprice, 0.97D)").as("x_p97"),
           max(col("o_totalprice")).as("x_max"))
         .select(col("o_orderstatus"),
           (abs(col("a_nd") - col("x_nd")) <= col("x_nd") * 0.2).as("nd_ok"),
-          (col("a_p50") >= col("x_p40") && col("a_p50") <= col("x_p60")).as("p50_ok"),
-          (col("a_p99") >= col("x_p97") && col("a_p99") <= col("x_max")).as("p99_ok"))
+          (col("a_p50") >= element_at(col("x_p"), 1)
+            && col("a_p50") <= element_at(col("x_p"), 2)).as("p50_ok"),
+          (col("a_p99") >= element_at(col("x_p"), 3)
+            && col("a_p99") <= col("x_max")).as("p99_ok"))
     }
   )
 }

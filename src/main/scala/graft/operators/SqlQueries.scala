@@ -108,9 +108,9 @@ object SqlQueries {
     // fixed point by Recursion.mutualFixpoint. Oracle states the closed
     // form.
     Q("letrec_mutual",
-      """SELECT 'even' AS side, n FROM (SELECT unnest(generate_series(0, 20, 2)) AS n)
+      """SELECT 'even' AS side, n FROM (SELECT unnest(generate_series(0, 8, 2)) AS n)
         |UNION ALL
-        |SELECT 'odd' AS side, n FROM (SELECT unnest(generate_series(1, 20, 2)) AS n)""".stripMargin) { (s, _) =>
+        |SELECT 'odd' AS side, n FROM (SELECT unnest(generate_series(1, 8, 2)) AS n)""".stripMargin) { (s, _) =>
       import s.implicits._
       val even0 = Seq(0L).toDF("n")
       val odd0 = s.emptyDataFrame.select(lit(0L).as("n")).limit(0)
@@ -118,8 +118,8 @@ object SqlQueries {
         Seq(even0, odd0),
         { case Seq(e, o) =>
           Seq(
-            Seq(0L).toDF("n").unionByName(o.select((col("n") + 1).as("n"))).filter(col("n") <= 20),
-            e.select((col("n") + 1).as("n")).filter(col("n") <= 20))
+            Seq(0L).toDF("n").unionByName(o.select((col("n") + 1).as("n"))).filter(col("n") <= 8),
+            e.select((col("n") + 1).as("n")).filter(col("n") <= 8))
         })
       evens.select(lit("even").as("side"), col("n"))
         .unionByName(odds.select(lit("odd").as("side"), col("n")))
