@@ -14,6 +14,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * sets; the TPC-H-style schema keeps column names globally unique, which is
   * what lets the rule match by name (a production version would tag keys per
   * relation id).
+  *
+  * Register only NON-NULLABLE keys (primary keys). A nullable UNIQUE column
+  * admits duplicate NULLs, so eliding a Reduce grouped on it would leak
+  * them — the exact trap cockroach/distinct.slt's regression #44296 pins
+  * (crdb and the reference both exhibit it; we refuse by contract).
   */
 object UniqueKeys {
   private val keys = TrieMap.empty[String, Set[String]]

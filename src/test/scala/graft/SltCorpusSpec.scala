@@ -21,7 +21,12 @@ class SltCorpusSpec extends SparkSpec {
     "distinct_from.slt", "coercion.slt", "typeof.slt", "datediff.slt",
     "dates-times.slt", "outer_join.slt", "limit_expr.slt", "funcs.slt",
     "degenerate.slt", "disambiguate_columns.slt", "char.slt", "chr.slt",
-    "encode.slt", "extract.slt")
+    "encode.slt", "extract.slt",
+    // borrowed CockroachDB corpus (reference test/sqllogictest/cockroach/)
+    "cockroach/and_or.slt", "cockroach/conditional.slt", "cockroach/where.slt",
+    "cockroach/values.slt", "cockroach/distinct.slt", "cockroach/union.slt",
+    "cockroach/limit.slt", "cockroach/select_table_alias.slt",
+    "cockroach/suboperators.slt", "cockroach/case_sensitive_names.slt")
 
   test("reference SLT corpus subset: 0 failures, >=200 green assertions") {
     assume(Files.isDirectory(Paths.get(corpus)), "reference corpus not present")
