@@ -54,10 +54,11 @@ object SimilarityQueries {
         |  SELECT q_id, c_id, cos_sim,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rn
         |  FROM pairs) WHERE rn <= 5""".stripMargin) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("qv"))
       val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"))
-      val cos = dot("qv", "cv") / (sqrt(dot("qv", "qv")) * sqrt(dot("cv", "cv")))
+      val cos = expr("cosine_similarity(qv, cv)")
       val pairs = q.crossJoin(c).filter(col("c_id") =!= col("q_id"))
         .select(col("q_id"), col("c_id"), round(cos, 6).as("cos_sim"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id").asc)
@@ -118,7 +119,8 @@ object SimilarityQueries {
         .distinct()
       val ea = e.select(col("vec_id").as("id_a"), col("v").as("va"))
       val eb = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
-      val cos = dot("va", "vb") / (sqrt(dot("va", "va")) * sqrt(dot("vb", "vb")))
+      graft.functions.VectorFunctions.register(s)
+      val cos = expr("cosine_similarity(va, vb)")
       cand.join(ea, "id_a").join(eb, "id_b")
         .select(col("id_a"), col("id_b"), round(cos, 6).as("cos_sim"))
         .filter(col("cos_sim") >= 0.3)
