@@ -47,6 +47,27 @@ object RelationalQueries {
         count(lit(1)).as("count_order"))
 
   val defs: Seq[Q] = Seq(
+
+    // Skew-mitigated join (SURVEY §4.2 / prompt: "salting for skew"):
+    // lineitem keys concentrate on few orders in adversarial data; the
+    // salted plan spreads each hot key across 8 partitions and must produce
+    // EXACTLY the plain join's aggregate (deterministic salt).
+    Q("join_salted_skew",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_quantity > 30
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val probe = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") > 30)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val build = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.plans.SkewJoin.saltedJoin(probe, build, Seq("l_orderkey"), factor = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+    },
     Q("q1_agg",
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
