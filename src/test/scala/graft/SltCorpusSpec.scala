@@ -26,7 +26,9 @@ class SltCorpusSpec extends SparkSpec {
     "cockroach/and_or.slt", "cockroach/conditional.slt", "cockroach/where.slt",
     "cockroach/values.slt", "cockroach/distinct.slt", "cockroach/union.slt",
     "cockroach/limit.slt", "cockroach/select_table_alias.slt",
-    "cockroach/suboperators.slt", "cockroach/case_sensitive_names.slt")
+    "cockroach/suboperators.slt", "cockroach/case_sensitive_names.slt",
+    "cockroach/join.slt", "cockroach/subquery_correlated.slt",
+    "cockroach/select.slt", "cockroach/scale.slt", "cockroach/views.slt")
 
   test("reference SLT corpus subset: 0 failures, >=200 green assertions") {
     assume(Files.isDirectory(Paths.get(corpus)), "reference corpus not present")
