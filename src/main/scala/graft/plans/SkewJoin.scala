@@ -30,6 +30,9 @@ object SkewJoin {
       pmod(hash(probeCols: _*), lit(factor)))
     val replicated = build.withColumn(SaltCol,
       explode(expr(s"sequence(0, ${factor - 1})")))
-    salted.join(replicated, keys :+ SaltCol, "inner").drop(SaltCol)
+    // Salting only matters in the shuffled regime — a broadcast join has no
+    // per-reducer hotspot (and Catalyst would happily broadcast a small
+    // replicated side at test scale, hiding the plan being demonstrated).
+    salted.join(replicated.hint("shuffle_hash"), keys :+ SaltCol, "inner").drop(SaltCol)
   }
 }

@@ -61,4 +61,26 @@ final class MaintainedJoin(
   }
 
   def outputVersion: Option[Long] = catalog.currentVersion(outName)
+
+  /** Continuous operation: attach a STREAMING tagged changelog
+    * (`__src ∈ {a, b}` + the union of both sides' columns + diff) and apply
+    * each micro-batch through the delta rule — Structured Streaming's
+    * foreachBatch is the reference's "dataflow keeps running" loop, the
+    * micro-batch boundary its timestamp. Spark allows one sink per query,
+    * so the two inputs arrive as one tagged union (disjoint non-key columns
+    * null on the other side's rows). */
+  def attachStream(tagged: DataFrame, name: String,
+      aCols: Seq[String], bCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    tagged.writeStream
+      .queryName(name)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF().persist()
+        try {
+          applyBatch(
+            b.filter(col("__src") === "a").select(aCols.map(col): _*),
+            b.filter(col("__src") === "b").select(bCols.map(col): _*))
+        } finally { b.unpersist(); () }
+      }
+      .start()
 }

@@ -39,4 +39,27 @@ class MaintainedJoinSpec extends SparkSpec {
     // history preserved: three committed output versions
     assert(mj.outputVersion.contains(2L))
   }
+
+  test("streaming drive: tagged changelog stream advances the maintained join") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cat = new ViewCatalog(spark, Files.createTempDirectory("graft-mjs").toString)
+    val mj = new MaintainedJoin(cat, "ocs", Seq("k"))
+    mj.initialize(
+      Seq((1, "a1"), (2, "a2")).toDF("k", "av"),
+      Seq((1, "b1")).toDF("k", "bv"))
+
+    // tagged union schema: (__src, k, av, bv, diff)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Int, String, String, Long)]
+    val query = mj.attachStream(
+      input.toDS().toDF("__src", "k", "av", "bv", Changelog.DiffCol),
+      "mj_stream", Seq("k", "av", Changelog.DiffCol), Seq("k", "bv", Changelog.DiffCol))
+    try {
+      // one micro-batch: insert b2 (k=2), retract a1
+      input.addData(("b", 2, null, "b2", 1L), ("a", 1, "a1", null, -1L))
+      query.processAllAvailable()
+      val out = mj.output.select(col("k"), col("av"), col("bv")).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+      assert(out == Set((2, "a2", "b2")))
+    } finally query.stop()
+  }
 }
