@@ -79,6 +79,7 @@ object SltRunner {
       sql = """(?i)\b(int|integer)\b""".r.replaceAllIn(sql, "bigint")
       sql = """(?i)\bserial\b""".r.replaceAllIn(sql, "bigint")
     }
+    sql = """(?i)::\s*(decimal|numeric)\b(?!\s*\()""".r.replaceAllIn(sql, "::DECIMAL(38,18)")
     sql = """(?i),\s*(?:CONSTRAINT\s+\w+\s+)?(?:PRIMARY\s+KEY|UNIQUE|CHECK)\s*\([^)]*\)""".r
       .replaceAllIn(sql, "")
     sql = """(?i),\s*FAMILY\s+[\w"]+\s*\([^)]*\)""".r.replaceAllIn(sql, "")
@@ -319,9 +320,29 @@ object SltRunner {
     case p: java.time.Period => // ANSI year-month interval → pg text
       pgInterval(p.getYears.toLong, p.getMonths.toLong, p.getDays.toLong, 0L)
     case d: java.time.Duration => // ANSI day-time interval → pg text
-      pgInterval(0L, 0L, 0L, d.toNanos / 1000L)
+      val us = d.toNanos / 1000L
+      if (us != 0 && us % 86400000000L == 0) // whole days render as "N days"
+        pgInterval(0L, 0L, us / 86400000000L, 0L)
+      else pgInterval(0L, 0L, 0L, us)
+    case row: org.apache.spark.sql.Row => pgRecord(row)
     case other => other.toString
   }
+
+  /** pg composite/record literal text: `(1,2,hello,,)` — NULL renders
+    * empty, booleans t/f, nested records quoted when they contain
+    * delimiters. */
+  private def pgRecord(row: org.apache.spark.sql.Row): String =
+    (0 until row.length).map { i =>
+      val v = row.get(i) match {
+        case null => ""
+        case b: Boolean => if (b) "t" else "f"
+        case r: org.apache.spark.sql.Row => pgRecord(r)
+        case other => renderActual('T', other)
+      }
+      if (v.exists(c => ",()\"".contains(c)))
+        "\"" + v.replace("\"", "\"\"") + "\""
+      else v
+    }.mkString("(", ",", ")")
 
   /** Split one expected line into `n` cells (cockroach row-per-line mode):
     * try single-space tokens, then 2+-space alignment, else whole line. */
@@ -463,6 +484,18 @@ object SltRunner {
         """(?i)(not\s+)?in\s*\(\s*select\s+ship\b""".r,
         "IN over a nullable subquery column: SQL 3VL yields UNKNOWN where " +
           "Spark's semi-join rewrite yields false (null-aware only for NOT IN)"),
+      ("tuple.slt",
+        """(?i)\(\s*\d+\s*,\s*\d+\s*\)\s*[<>]=?\s*\([^)]*null""".r,
+        "tuple comparison with NULL fields: SQL 3VL yields UNKNOWN; Spark doesn't"),
+      ("decimal.slt",
+        """(?i)'nan'\s*::""".r,
+        "pg numeric admits NaN; Spark decimal does not"),
+      ("datetime.slt|dates-times.slt",
+        """(?i)'[^']+'\s*::\s*interval""".r,
+        "pg interval input text is its own language; Spark parses a subset"),
+      ("datetime.slt|dates-times.slt",
+        """(?i)interval\s+'[^']*[- :][^']*'\s+(year|month|day|hour|minute|second)\b""".r,
+        "pg truncates multi-field interval literals to the unit qualifier"),
       ("union.slt",
         """(?i)values\s*\(\s*null\s*\)\s*(intersect|except)""".r,
         "set-ops over untyped NULL literal relations: Spark's void-type " +

@@ -28,7 +28,8 @@ class SltCorpusSpec extends SparkSpec {
     "cockroach/limit.slt", "cockroach/select_table_alias.slt",
     "cockroach/suboperators.slt", "cockroach/case_sensitive_names.slt",
     "cockroach/join.slt", "cockroach/subquery_correlated.slt",
-    "cockroach/select.slt", "cockroach/scale.slt", "cockroach/views.slt")
+    "cockroach/select.slt", "cockroach/scale.slt", "cockroach/views.slt",
+    "cockroach/tuple.slt", "cockroach/decimal.slt", "cockroach/datetime.slt")
 
   test("reference SLT corpus subset: 0 failures, >=200 green assertions") {
     assume(Files.isDirectory(Paths.get(corpus)), "reference corpus not present")
