@@ -32,14 +32,14 @@ object MinHashLsh {
       .select(col("doc_id"),
         (expr("CAST(conv(substr(hex, 1, 15), 16, 10) AS BIGINT)") % P).as("h1"),
         (expr("CAST(conv(substr(hex, 16, 15), 16, 10) AS BIGINT)") % P).as("h2"))
-    hashes
-      .select(col("doc_id"),
-        explode(expr(s"transform(sequence(0, 31), p -> struct(p AS p, (h1 + p * h2) % $P AS h))"))
-          .as("ph"))
-      .select(col("doc_id"), col("ph.p").as("p"), col("ph.h").as("h"))
-      .groupBy(col("doc_id"), col("p")).agg(min(col("h")).as("mh"))
-      .groupBy(col("doc_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(p, mh))), s -> s.mh)").as("sig"))
+    // 32 min-aggregates in ONE aggregation (not an explode): map-side
+    // partial aggregation collapses each partition to one 32-value row per
+    // doc before the shuffle — the explode formulation shuffles 32× the
+    // shingle count.
+    val mins = (0 until 32).map(p => min((col("h1") + lit(p) * col("h2")) % P).as(s"m$p"))
+    hashes.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until 32).map(p => col(s"m$p")): _*).as("sig"))
   }
 
   /** Banded candidate pairs (id_a < id_b), deduplicated across bands. */

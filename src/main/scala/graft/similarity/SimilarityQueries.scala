@@ -158,10 +158,11 @@ object SimilarityQueries {
         |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
         |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
         |  WHERE len(tok) > 0),
+        |hc AS (SELECT doc_id, h, count(*) AS cnt FROM toks GROUP BY doc_id, h),
         |bits AS (
         |  SELECT doc_id, b AS bit_idx,
-        |    CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS contrib
-        |  FROM toks, range(60) t(b)),
+        |    CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END AS contrib
+        |  FROM hc, range(60) t(b)),
         |fp AS (
         |  SELECT doc_id,
         |    sum(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
@@ -181,10 +182,14 @@ object SimilarityQueries {
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
         .filter(length(col("tok")) > 0)
         .withColumn("h", expr(h60("tok")))
-      val bits = toks
+      // repeated tokens collapse to (hash, multiplicity) BEFORE the 60-way
+      // bit explosion — natural-language repetition cuts the exploded row
+      // count severalfold; contributions are count-weighted, same sums.
+      val hc = toks.groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("cnt"))
+      val bits = hc
         .select(col("doc_id"),
           posexplode(expr(
-            "transform(sequence(0, 59), b -> IF((shiftright(h, b) & 1) = 1, 1, -1))"))
+            "transform(sequence(0, 59), b -> IF((shiftright(h, b) & 1) = 1, cnt, -cnt))"))
             .as(Seq("bit_idx", "contrib")))
       val fp = bits.groupBy(col("doc_id"), col("bit_idx"))
         .agg(sum(col("contrib")).as("s"))
