@@ -124,6 +124,23 @@ object WindowQueries {
         .select(col("o_orderkey"), count(lit(1)).over(w).as("n_close"))
     },
 
+    // LagLead{ignore_nulls: true} (reference func.rs:1969-1981) — the
+    // explicit IGNORE NULLS variant of the analytic functions.
+    Q("window_lag_ignore_nulls",
+      """SELECT o_orderkey,
+        |  lag(CASE WHEN o_totalprice > 200000 THEN o_totalprice END IGNORE NULLS)
+        |    OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS prev_big,
+        |  first_value(CASE WHEN o_totalprice > 200000 THEN o_totalprice END IGNORE NULLS)
+        |    OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS first_big
+        |FROM orders WHERE o_orderkey < 2000""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
+      val big = when(col("o_totalprice") > 200000, col("o_totalprice"))
+      t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          lag(big, 1, null, ignoreNulls = true).over(w).as("prev_big"),
+          first(big, ignoreNulls = true).over(w).as("first_big"))
+    },
+
     // Ordered collector: StringAgg with ORDER BY (func.rs:1928-1959). Spark
     // side: sort_array(collect_list) + array_join — deterministic regardless
     // of partitioning.
