@@ -12,10 +12,22 @@ object PgFunctions {
 
   /** `date_bin(width, ts, origin)` — bucket `ts` into `width`-second bins
     * anchored at `origin` (reference binary.rs DateBin; pg 14 semantics:
-    * floor division, so timestamps before the origin land in earlier bins). */
-  def dateBin(widthSec: Long, ts: Column, origin: Column): Column = {
-    val o = unix_timestamp(origin)
-    timestamp_seconds(o + floor((unix_timestamp(ts) - o) / widthSec) * widthSec)
+    * floor division, so timestamps before the origin land in earlier bins).
+    * Computed in epoch MICROSECONDS (pg's native timestamp resolution) with
+    * pure integer arithmetic — sub-second inputs bin exactly, no truncation
+    * and no double rounding. For sub-second widths use [[dateBinMicros]]. */
+  def dateBin(widthSec: Long, ts: Column, origin: Column): Column =
+    dateBinMicros(Math.multiplyExact(widthSec, 1000000L), ts, origin)
+
+  /** [[dateBin]] with the width in microseconds. The bin start is
+    * `ts - ((ts - origin) mod width)` with a floor (always-non-negative)
+    * modulus, all in long µs — matching pg 14 `date_bin` to the µs. */
+  def dateBinMicros(widthUs: Long, ts: Column, origin: Column): Column = {
+    require(widthUs > 0, s"date_bin width must be positive, got ${widthUs}us")
+    val w = lit(widthUs)
+    val delta = unix_micros(ts) - unix_micros(origin)
+    val behind = ((delta % w) + w) % w
+    timestamp_micros(unix_micros(ts) - behind)
   }
 
   /** `uuid_generate_v5(namespace_uuid_hex, name)` — RFC 4122 §4.3

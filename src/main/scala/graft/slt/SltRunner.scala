@@ -65,31 +65,53 @@ object SltRunner {
     ("""(?i)\btext\b""".r, "string"),
     ("""(?i)\bbytea\b""".r, "binary"))
 
-  /** Statements arriving from CockroachDB-derived files (crdb mode):
-    * `INT` is 64-bit there, and DDL carries constraints Spark has no
-    * syntax for (PRIMARY KEY, UNIQUE, CHECK, FAMILY) — metadata-only for
-    * a logic test, so they are stripped. */
-  @volatile private var crdbMode = false
-
-  /** Rewrite the handful of dialect differences Spark can absorb. */
-  private def shim(sql0: String): String = {
-    var sql = sql0
-    typeRewrites.foreach { case (re, to) => sql = re.replaceAllIn(sql, to) }
-    if (crdbMode) {
-      sql = """(?i)\b(int|integer)\b""".r.replaceAllIn(sql, "bigint")
-      sql = """(?i)\bserial\b""".r.replaceAllIn(sql, "bigint")
+  /** Apply `f` to each maximal run of SQL OUTSIDE single-quoted string
+    * literals, leaving literal contents untouched — so shim regexes (which
+    * rewrite keywords like UNIQUE/CHECK or `::decimal`) can never mangle SQL
+    * that merely CONTAINS those tokens inside quotes. A doubled `''` escape
+    * toggles out and straight back in, which is equivalent for this
+    * purpose. */
+  private def mapOutsideLiterals(sql: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var inQ = false
+    sql.foreach { c =>
+      if (!inQ && c == '\'') {
+        out.append(f(seg.toString)); seg.clear(); inQ = true; out.append(c)
+      } else if (inQ) {
+        out.append(c); if (c == '\'') inQ = false
+      } else seg.append(c)
     }
-    sql = """(?i)::\s*(decimal|numeric)\b(?!\s*\()""".r.replaceAllIn(sql, "::DECIMAL(38,18)")
-    sql = """(?i),\s*(?:CONSTRAINT\s+\w+\s+)?(?:PRIMARY\s+KEY|UNIQUE|CHECK)\s*\([^)]*\)""".r
-      .replaceAllIn(sql, "")
-    sql = """(?i),\s*FAMILY\s+[\w"]+\s*\([^)]*\)""".r.replaceAllIn(sql, "")
-    sql = """(?i)\s+PRIMARY\s+KEY""".r.replaceAllIn(sql, "")
-    sql = """(?i)\s+UNIQUE\b""".r.replaceAllIn(sql, "")
-    sql = sql.replaceAll("(?i)CREATE\\s+MATERIALIZED\\s+VIEW\\s+",
-      "CREATE OR REPLACE TEMPORARY VIEW ")
-    sql = sql.replaceAll("(?i)CREATE\\s+VIEW\\s+", "CREATE OR REPLACE TEMPORARY VIEW ")
-    sql = sql.replaceAll("(?i)DROP\\s+MATERIALIZED\\s+VIEW\\s+", "DROP VIEW ")
-    addNullsOrdering(sql)
+    out.append(f(seg.toString))
+    out.toString
+  }
+
+  /** Rewrite the handful of dialect differences Spark can absorb.
+    * `crdb`: statements arriving from CockroachDB-derived files — `INT` is
+    * 64-bit there, and DDL carries constraints Spark has no syntax for
+    * (PRIMARY KEY, UNIQUE, CHECK, FAMILY) — metadata-only for a logic test,
+    * so they are stripped. */
+  private def shim(sql0: String, crdb: Boolean): String = {
+    val rewritten = mapOutsideLiterals(sql0) { seg0 =>
+      var sql = seg0
+      typeRewrites.foreach { case (re, to) => sql = re.replaceAllIn(sql, to) }
+      if (crdb) {
+        sql = """(?i)\b(int|integer)\b""".r.replaceAllIn(sql, "bigint")
+        sql = """(?i)\bserial\b""".r.replaceAllIn(sql, "bigint")
+      }
+      sql = """(?i)::\s*(decimal|numeric)\b(?!\s*\()""".r.replaceAllIn(sql, "::DECIMAL(38,18)")
+      sql = """(?i),\s*(?:CONSTRAINT\s+\w+\s+)?(?:PRIMARY\s+KEY|UNIQUE|CHECK)\s*\([^)]*\)""".r
+        .replaceAllIn(sql, "")
+      sql = """(?i),\s*FAMILY\s+[\w"]+\s*\([^)]*\)""".r.replaceAllIn(sql, "")
+      sql = """(?i)\s+PRIMARY\s+KEY""".r.replaceAllIn(sql, "")
+      sql = """(?i)\s+UNIQUE\b""".r.replaceAllIn(sql, "")
+      sql = sql.replaceAll("(?i)CREATE\\s+MATERIALIZED\\s+VIEW\\s+",
+        "CREATE OR REPLACE TEMPORARY VIEW ")
+      sql = sql.replaceAll("(?i)CREATE\\s+VIEW\\s+", "CREATE OR REPLACE TEMPORARY VIEW ")
+      sql = sql.replaceAll("(?i)DROP\\s+MATERIALIZED\\s+VIEW\\s+", "DROP VIEW ")
+      sql
+    }
+    addNullsOrdering(rewritten)
   }
 
   private def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
@@ -155,7 +177,7 @@ object SltRunner {
     m.findFirstMatchIn(sql).map(_.group(1).toLowerCase)
   }
 
-  private def classify(sqlRaw: String): Record = {
+  private def classify(sqlRaw: String, crdb: Boolean): Record = {
     val up = sqlRaw.trim.toUpperCase
     if (up.startsWith("UPDATE ") || up.startsWith("DELETE "))
       Unsupported("update/delete unsupported on Spark v1 tables", mutating = true,
@@ -163,12 +185,12 @@ object SltRunner {
     else if (skipPrefixes.exists(up.startsWith))
       Unsupported(s"no Spark analog: ${up.takeWhile(_ != ' ')}", mutating = false,
         sql = sqlRaw)
-    else Statement(shim(sqlRaw), expectError = false)
+    else Statement(shim(sqlRaw, crdb), expectError = false)
   }
 
   // ---------------- parsing ----------------
 
-  private def parse(lines: Array[String]): List[Record] = {
+  private def parse(lines: Array[String], crdb: Boolean): List[Record] = {
     val out = mutable.ListBuffer.empty[Record]
     var i = 0
     def collectSql(stop: String => Boolean): String = {
@@ -207,7 +229,7 @@ object SltRunner {
         val expectErr = line.startsWith("statement error")
         i += 1
         val sql = collectSql(_ => false)
-        emit(classify(sql) match {
+        emit(classify(sql, crdb) match {
           case s: Statement => s.copy(expectError = expectErr)
           case u: Unsupported if expectErr =>
             // an expected-error statement we can't run: harmless skip
@@ -219,7 +241,7 @@ object SltRunner {
         if (parts.length >= 2 && parts(1) == "error") {
           i += 1
           val sql = collectSql(_ => false)
-          emit(Query(shim(sql), "", "nosort", hasColnames = false,
+          emit(Query(shim(sql, crdb), "", "nosort", hasColnames = false,
             expectError = true, Nil))
         } else {
           val types = parts.lift(1).getOrElse("")
@@ -240,7 +262,7 @@ object SltRunner {
           }
           emit(if (opts.contains("multiline"))
             Unsupported("multiline output format", mutating = false)
-          else Query(shim(sql), types, sortMode, opts.contains("colnames"),
+          else Query(shim(sql, crdb), types, sortMode, opts.contains("colnames"),
             expectError = false, expected.toList))
         }
       } else i += 1 // stray line
@@ -372,10 +394,10 @@ object SltRunner {
   }
 
   def runFile(spark: SparkSession, path: String): Report = {
-    crdbMode = path.contains("cockroach")
+    val crdb = path.contains("cockroach")
     val lines = Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8)
       .asScala.toArray
-    val records = parse(lines)
+    val records = parse(lines, crdb)
     var passed, failed, skipped = 0
     var poisoned = false
     val failures = mutable.ListBuffer.empty[String]

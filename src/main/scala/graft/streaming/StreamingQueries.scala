@@ -219,6 +219,38 @@ object StreamingQueries {
           sum(col(Changelog.DiffCol)).as("n")) // multiplicity-weighted count
     },
 
+    // Retraction-capable TopK maintenance in its batch form (reference
+    // TopKPlan::Basic, plan/top_k.rs:34,85): the changelog inserts every
+    // order, RETRACTS all 'F' orders (which include per-priority maxima, so
+    // a wrong net multiset shifts the top set) and double-inserts 'O'
+    // orders (multiplicity 2 must consume two top-k slots). Net top-3 per
+    // priority by (price DESC, key ASC — total order). The streaming
+    // execution of the same operator is BasicTopKSpec.
+    Q("topk_under_retraction",
+      """WITH base AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderstatus <> 'F'
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderstatus = 'O'),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM base)
+        |SELECT o_orderpriority, o_orderkey, o_totalprice
+        |FROM ranked WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val changelog = Changelog.unionAll(
+        Changelog.fromRows(o),
+        Changelog.negate(Changelog.fromRows(o.filter(col("o_orderstatus") === "F"))),
+        Changelog.fromRows(o.filter(col("o_orderstatus") === "O")))
+        .drop("o_orderstatus")
+      BasicTopK.maintainBatch(changelog, Seq("o_orderpriority"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
+    },
+
     // Temporal-filter TTL semantics (MfpPlan::extract_temporal,
     // linear.rs:411-470): `mz_now() <= ts + INTERVAL '30 days'` at a pinned
     // logical "now" — batch-evaluated exactly as the reference would at one

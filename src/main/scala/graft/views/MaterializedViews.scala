@@ -35,16 +35,104 @@ import graft.streaming.Changelog
 final class ViewCatalog(spark: SparkSession, baseDir: String) {
 
   private val defs = TrieMap.empty[String, SparkSession => DataFrame]
+  private val groupOf = TrieMap.empty[String, String] // member view -> group
 
   private def viewDir(name: String): Path = Paths.get(baseDir, name)
   private def currentFile(name: String): Path = viewDir(name).resolve("_CURRENT")
+  private def groupDir(group: String): Path = Paths.get(baseDir, s"$group.group")
 
-  /** Latest committed version, if the view has ever been written. */
-  def currentVersion(name: String): Option[Long] = {
-    val f = currentFile(name)
+  private def readPointer(f: Path): Option[Long] =
     if (Files.exists(f))
       Some(new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.toLong)
     else None
+
+  /** Latest committed version, if the view has ever been written. A view
+    * that belongs to a commit group resolves through the group's manifest
+    * (one atomic pointer for the whole group), not a per-view pointer. */
+  def currentVersion(name: String): Option[Long] =
+    groupOf.get(name) match {
+      case Some(g) =>
+        currentGroupSeq(g).flatMap(s => groupManifest(g, s)._2.get(name))
+      case None => readPointer(currentFile(name))
+    }
+
+  // ---- atomic multi-collection commit groups -------------------------------
+  //
+  // The reference's persist sink advances ONE frontier across every
+  // collection a dataflow writes (`src/compute/src/sink/materialized_view.rs`;
+  // timestamp oracle `src/timestamp-oracle/src/lib.rs:46`): readers never see
+  // collection X at time t with collection Y at t-1, and a crashed write is
+  // invisible. The Spark-side analog: all member version dirs are written
+  // completely, then ONE manifest file (naming every member's version + the
+  // last applied batchId) is flipped atomically. A reader resolves the
+  // manifest once, so it observes all-old or all-new, never a torn mix; a
+  // crash before the flip leaves only orphan version dirs the replay
+  // overwrites.
+
+  /** Current manifest sequence number of a commit group. */
+  def currentGroupSeq(group: String): Option[Long] =
+    readPointer(groupDir(group).resolve("_CURRENT"))
+
+  /** (lastBatchId, member -> version) recorded at a given group sequence. */
+  def groupManifest(group: String, seq: Long): (Long, Map[String, Long]) = {
+    val bytes = Files.readAllBytes(groupDir(group).resolve(s"manifest-$seq"))
+    var batchId = -1L
+    val m = Map.newBuilder[String, Long]
+    new String(bytes, StandardCharsets.UTF_8).split("\n").map(_.trim)
+      .filter(_.nonEmpty).foreach { line =>
+        val Array(k, v) = line.split("=", 2)
+        if (k == "__batchId") batchId = v.toLong else m += k -> v.toLong
+      }
+    (batchId, m.result())
+  }
+
+  /** Commit new versions of several views as ONE atomic, idempotent step.
+    *
+    * `batchId >= 0` marks a replayable streaming batch: if the group's
+    * manifest already records `lastBatchId >= batchId`, the call is a no-op
+    * returning false — a restarted/replayed `foreachBatch` cannot
+    * double-apply. `batchId = -1` always applies (non-batch maintenance).
+    *
+    * Members not in `dfs` keep their current versions in the new manifest.
+    */
+  def commitGroup(group: String, batchId: Long, dfs: Map[String, DataFrame]): Boolean = {
+    val curSeq = currentGroupSeq(group)
+    val (curBatch, curVers) =
+      curSeq.map(s => groupManifest(group, s)).getOrElse((-1L, Map.empty[String, Long]))
+    if (batchId >= 0 && curBatch >= batchId) return false // replayed batch
+    dfs.keys.foreach(n => groupOf.put(n, group))
+    val newVers = dfs.map { case (n, df) =>
+      val next = curVers.get(n).fold(0L)(_ + 1)
+      df.write.mode("overwrite").parquet(viewDir(n).resolve(s"v=$next").toString)
+      n -> next
+    }
+    val nextSeq = curSeq.fold(0L)(_ + 1)
+    val effBatch = if (batchId >= 0) batchId else curBatch
+    Files.createDirectories(groupDir(group))
+    val content = (s"__batchId=$effBatch" +:
+      (curVers ++ newVers).toSeq.sortBy(_._1).map { case (n, v) => s"$n=$v" })
+      .mkString("\n")
+    Files.write(groupDir(group).resolve(s"manifest-$nextSeq"),
+      content.getBytes(StandardCharsets.UTF_8))
+    val tmp = groupDir(group).resolve(s"_CURRENT.tmp.$nextSeq")
+    Files.write(tmp, nextSeq.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, groupDir(group).resolve("_CURRENT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    true
+  }
+
+  /** Last replayable batchId the group committed (-1 if none). */
+  def lastBatchId(group: String): Long =
+    currentGroupSeq(group).map(s => groupManifest(group, s)._1).getOrElse(-1L)
+
+  /** AS OF read of a group member at a group sequence number. Every member
+    * read at the same seq is mutually consistent — they come from one
+    * manifest (the timestamp-oracle analog: seq is the group's logical
+    * timestamp). History persists until [[vacuum]]. */
+  def tableAsOf(group: String, name: String, seq: Long): DataFrame = {
+    val (_, vers) = groupManifest(group, seq)
+    tableAt(name, vers.getOrElse(name,
+      throw new IllegalArgumentException(s"$name not in group $group at seq $seq")))
   }
 
   /** Write `df` as the next version and atomically flip the pointer. */
@@ -67,6 +155,15 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
     commitVersion(name, query(spark))
   }
 
+  /** Register the defining query WITHOUT writing a version — the write-only
+    * commit path ([[commitGroup]]) stays separate from definition
+    * registration, so batch application can never install a definition that
+    * captures its own delta (re-running such a definition would double-apply
+    * the batch). */
+  def registerDefinition(name: String, query: SparkSession => DataFrame): Unit = {
+    defs.put(name, query); ()
+  }
+
   /** Read the latest committed snapshot (a plain DataFrame — joins, aggs,
     * further views compose on top exactly like the reference's `Get`). */
   def table(name: String): DataFrame = {
@@ -84,11 +181,21 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
     spark.read.parquet(dir.toString)
   }
 
-  /** Full refresh: re-run the defining query, commit as a new version. */
+  /** Full refresh: re-run the defining query, commit as a new version. The
+    * query is evaluated against the CURRENT catalog state (definitions must
+    * read through [[table]], never capture deltas), so a refresh of a
+    * group-member view recomputes from its live inputs and commits through
+    * the group manifest. */
   def refreshFull(name: String): Long = {
     val query = defs.getOrElse(name,
       throw new IllegalArgumentException(s"view definition not registered: $name"))
-    commitVersion(name, query(spark))
+    val df = query(spark)
+    groupOf.get(name) match {
+      case Some(g) =>
+        commitGroup(g, -1L, Map(name -> df))
+        currentVersion(name).get
+      case None => commitVersion(name, df)
+    }
   }
 
   /** Incremental refresh of an **accumulable-aggregate** view whose rows are

@@ -16,6 +16,16 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 2)         // not 4
   }
 
+  test("crash after rename but before marker re-drives the batch") {
+    val dir = Files.createTempDirectory("graft-eos3").toString
+    val batch = Seq((1, "a")).toDF("k", "v")
+    assert(ExactlyOnceSink.writeBatch(batch, dir, 0L))
+    // simulate the crash window: data dir renamed, marker never written
+    Files.delete(java.nio.file.Paths.get(dir, "_committed_0"))
+    assert(ExactlyOnceSink.writeBatch(batch, dir, 0L)) // re-drives, still once
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
   test("streaming batches land as committed batch dirs, readable together") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = Files.createTempDirectory("graft-eos2").toString

@@ -54,6 +54,35 @@ class OptimizerRulesSpec extends SparkSpec {
     assert(optimizedHasAggregate(agg))
   }
 
+  test("reduce elision tracks key provenance by ExprId, not by name") {
+    import spark.implicits._
+    val nation = Tables.load(spark, Sf, "nation")
+
+    // a verbatim Project keeps the key pristine — still elides
+    val pristine = nation.select(col("n_nationkey"), col("n_name"))
+      .groupBy(col("n_nationkey")).agg(count(lit(1)).as("cnt"))
+    assert(!optimizedHasAggregate(pristine))
+
+    // a non-key column RENAMED to the key name must not elide
+    val renamed = nation.select(col("n_regionkey").as("n_nationkey"), col("n_name"))
+      .groupBy(col("n_nationkey")).agg(count(lit(1)).as("cnt"))
+    assert(optimizedHasAggregate(renamed))
+    assert(renamed.collect().map(_.getLong(1)).sum == nation.count())
+
+    // a computed expression reusing the key name must not elide
+    val computed = nation.select((col("n_nationkey") % 2).as("n_nationkey"))
+      .groupBy(col("n_nationkey")).agg(count(lit(1)).as("cnt"))
+    assert(optimizedHasAggregate(computed))
+    assert(computed.collect().length == 2)
+
+    // an unrelated relation reusing a registered key name (the SLT-created
+    // table trap) must not elide — keys are tagged per relation signature
+    val t = Seq(1, 1, 2).toDF("event_id")
+    val slt = t.groupBy(col("event_id")).agg(count(lit(1)).as("cnt"))
+    assert(optimizedHasAggregate(slt))
+    assert(slt.collect().map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("reduce elision does NOT fire when grouping lacks the full key") {
     val nation = Tables.load(spark, Sf, "nation")
     val agg = nation.groupBy(col("n_regionkey")).agg(count(lit(1)).as("cnt"))
