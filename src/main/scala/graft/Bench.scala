@@ -32,9 +32,15 @@ object Bench {
     // warm-up: JVM/codegen/parquet-footer caches (not counted)
     try runOnce(SparkEntry.queries("q1_agg")) catch { case _: Throwable => () }
 
+    // optional arg: time only queries whose name contains the filter
+    // (local iteration; the driver passes no args and times everything)
+    val nameFilter: String => Boolean =
+      if (args.nonEmpty) (n: String) => n.contains(args(0)) else (_: String) => true
+
     // A query that throws is recorded with an explicit error marker — never
     // as a fast success (its elapsed time is still reported for context).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.filter(q => nameFilter(q._1))
+      .sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { runOnce(fn); None } catch {
         case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(160))

@@ -100,22 +100,32 @@ object AggregateQueries {
     Q("reduce_approx_sketches",
       """SELECT o_orderstatus, true AS nd_ok, true AS p50_ok, true AS p99_ok
         |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
-      t(s, dir, "orders")
-        .groupBy(col("o_orderstatus"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_custkey"), col("o_totalprice"))
+      // Pass 1: ONLY the approximate sketches (one row per group). Mixing
+      // countDistinct into this aggregate plants an Expand that doubles every
+      // input row through the QuantileSummaries updates — measured 4× the
+      // whole query's cost.
+      val sk = o.groupBy(col("o_orderstatus"))
         .agg(
           approx_count_distinct(col("o_custkey")).as("a_nd"),
-          countDistinct(col("o_custkey")).as("x_nd"),
           percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("a_p50"),
-          // one sorted pass for all three exact bounds
-          expr("percentile(o_totalprice, array(0.40D, 0.60D, 0.97D))").as("x_p"),
-          percentile_approx(col("o_totalprice"), lit(0.99), lit(1000)).as("a_p99"),
-          max(col("o_totalprice")).as("x_max"))
+          percentile_approx(col("o_totalprice"), lit(0.99), lit(1000)).as("a_p99"))
+      // Pass 2 — rank check instead of exact percentile(): the fraction of
+      // rows at or below the approximate quantile must sit in a band around
+      // the target. Verdict is exact, cost is two hash aggregations + a
+      // broadcast of one row per group — the exact-percentile formulation
+      // sorted every group, which is the check that would not survive 100×.
+      o.join(broadcast(sk), "o_orderstatus")
+        .groupBy(col("o_orderstatus"), col("a_nd"), col("a_p50"), col("a_p99"))
+        .agg(
+          countDistinct(col("o_custkey")).as("x_nd"),
+          avg(when(col("o_totalprice") <= col("a_p50"), 1.0d).otherwise(0.0d)).as("f50"),
+          avg(when(col("o_totalprice") <= col("a_p99"), 1.0d).otherwise(0.0d)).as("f99"))
         .select(col("o_orderstatus"),
           (abs(col("a_nd") - col("x_nd")) <= col("x_nd") * 0.2).as("nd_ok"),
-          (col("a_p50") >= element_at(col("x_p"), 1)
-            && col("a_p50") <= element_at(col("x_p"), 2)).as("p50_ok"),
-          (col("a_p99") >= element_at(col("x_p"), 3)
-            && col("a_p99") <= col("x_max")).as("p99_ok"))
+          (col("f50") >= 0.40d && col("f50") <= 0.60d).as("p50_ok"),
+          (col("f99") >= 0.97d && col("f99") <= 1.0d).as("p99_ok"))
     }
   )
 }

@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
 
 /** `WITH MUTUALLY RECURSIVE` / `LetRec` analog
   * (reference `src/expr/src/relation.rs:154-166`).
@@ -35,22 +36,25 @@ object Recursion {
       step: DataFrame => DataFrame,
       maxIter: Int = 100,
       requireConvergence: Boolean = false): DataFrame = {
-    var all = base.distinct().localCheckpoint(true)
+    // LAZY checkpoints throughout: `delta.isEmpty` is the round's single
+    // explicit job — Spark's end-of-job checkpoint pass materializes the
+    // marked ancestors in the same action, so each round costs one driver
+    // round-trip instead of four (delta job, emptiness, union job, loop-top
+    // emptiness). Lineage is still truncated every round.
+    var all = base.distinct().localCheckpoint(false)
     var frontier = all
     var i = 0
-    while (i < maxIter && !frontier.isEmpty) {
-      val delta = step(frontier).distinct().except(all).localCheckpoint(true)
+    while (i < maxIter) {
+      val delta = step(frontier).distinct().except(all).localCheckpoint(false)
       if (delta.isEmpty) return all
-      all = all.union(delta).localCheckpoint(true)
+      all = all.union(delta).localCheckpoint(false)
       frontier = delta
       i += 1
     }
-    if (i == maxIter && !frontier.isEmpty) {
-      val msg = s"Recursion.fixpoint: maxIter=$maxIter reached without convergence; " +
-        "result is truncated (the reference's LetRec `limits` semantics)"
-      if (requireConvergence) throw new IllegalStateException(msg)
-      else System.err.println(s"[graft] WARN $msg")
-    }
+    val msg = s"Recursion.fixpoint: maxIter=$maxIter reached without convergence; " +
+      "result is truncated (the reference's LetRec `limits` semantics)"
+    if (requireConvergence) throw new IllegalStateException(msg)
+    else System.err.println(s"[graft] WARN $msg")
     all
   }
 
@@ -80,19 +84,27 @@ object Recursion {
     require(bases.nonEmpty)
     val lim: Seq[Option[LetRecLimit]] =
       if (limits.isEmpty) Seq.fill(bases.size)(None) else limits
-    var cur = bases.map(_.distinct().localCheckpoint(true))
+    var cur = bases.map(_.distinct().localCheckpoint(false))
     val frozen = Array.fill(bases.size)(false)
     var i = 0
     while (i < maxIter) {
       val proposed = step(cur)
       require(proposed.size == cur.size, "step must return one plan per binding")
+      // LAZY checkpoints: materialization piggybacks on the one
+      // change-detection job below instead of costing a job per binding
       val next = proposed.zip(cur).zipWithIndex.map { case ((n, c), j) =>
-        if (frozen(j)) c else n.distinct().localCheckpoint(true)
+        if (frozen(j)) c else n.distinct().localCheckpoint(false)
       }
-      val changed = next.zip(cur).zipWithIndex.exists { case ((n, c), j) =>
-        // one job per binding: symmetric difference, then emptiness
-        !frozen(j) && !n.exceptAll(c).unionByName(c.exceptAll(n)).isEmpty
+      // ONE job per round: union every live binding's symmetric difference
+      // (normalized to a single column) and test emptiness — driver/job-launch
+      // latency dominates small fixpoints, so 2N emptiness jobs became the
+      // bottleneck, not the distributed work itself
+      val diffs = next.zip(cur).zipWithIndex.collect {
+        case ((n, c), j) if !frozen(j) && (n ne c) =>
+          n.exceptAll(c).select(lit(1).as("one"))
+            .unionByName(c.exceptAll(n).select(lit(1).as("one")))
       }
+      val changed = diffs.reduceOption(_ unionByName _).exists(!_.isEmpty)
       cur = next
       i += 1
       lim.zipWithIndex.foreach { case (l, j) =>
@@ -115,12 +127,12 @@ object Recursion {
       step: DataFrame => DataFrame,
       maxIter: Int = 100,
       requireConvergence: Boolean = false): DataFrame = {
-    var all = base.distinct().localCheckpoint(true)
+    var all = base.distinct().localCheckpoint(false)
     var i = 0
     while (i < maxIter) {
-      val delta = step(all).distinct().except(all).localCheckpoint(true)
+      val delta = step(all).distinct().except(all).localCheckpoint(false)
       if (delta.isEmpty) return all
-      all = all.union(delta).localCheckpoint(true)
+      all = all.union(delta).localCheckpoint(false)
       i += 1
     }
     val msg = s"Recursion.fixpointNonLinear: maxIter=$maxIter reached without convergence; " +
