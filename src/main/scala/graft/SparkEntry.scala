@@ -6,7 +6,7 @@ import graft.multimodal.MultimodalQueries
 import graft.operators.{AggregateQueries, RelationalQueries, SqlQueries, WindowQueries}
 import graft.similarity.SimilarityQueries
 import graft.sources.SourceQueries
-import graft.streaming.StreamingQueries
+import graft.streaming.{StreamExecQueries, StreamingQueries}
 import graft.text.TextQueries
 import graft.views.ViewQueries
 
@@ -23,7 +23,7 @@ object SparkEntry {
       AggregateQueries.defs ++
       FunctionQueries.defs ++ CollectorQueries.defs ++ PgFunctionQueries.defs ++
       TextQueries.defs ++ SimilarityQueries.defs ++
-      MultimodalQueries.defs ++ StreamingQueries.defs ++
+      MultimodalQueries.defs ++ StreamingQueries.defs ++ StreamExecQueries.defs ++
       ViewQueries.defs ++ SourceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

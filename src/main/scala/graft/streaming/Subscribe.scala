@@ -35,16 +35,22 @@ object Subscribe {
   }
 
   /** Tail `changelog` (a streaming DataFrame with a `diff` column), handing
-    * each stamped batch DataFrame to `consume` in timestamp order. */
-  def start(changelog: DataFrame, name: String)(
-      consume: (Long, DataFrame) => Unit): StreamingQuery =
-    changelog.writeStream
+    * each stamped batch DataFrame to `consume` in timestamp order.
+    * `trigger` defaults to continuous micro-batching (tail forever);
+    * pass `Trigger.AvailableNow()` for a bounded drain that self-terminates.
+    */
+  def start(changelog: DataFrame, name: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)(
+      consume: (Long, DataFrame) => Unit): StreamingQuery = {
+    val w = changelog.writeStream
       .queryName(name)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         consume(batchId, stamp(batch.toDF(), batchId))
       }
-      .start()
+    trigger.foreach(w.trigger)
+    w.start()
+  }
 
   /** Driver-collecting variant: rows of each batch are sorted by a stable
     * column order and appended to `sink` — the SUBSCRIBE cursor analog. */

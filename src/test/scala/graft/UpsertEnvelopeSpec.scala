@@ -42,4 +42,21 @@ class UpsertEnvelopeSpec extends SparkSpec {
     val input = Seq(("k", Option("v"), 1L), ("k", Option("v"), 2L)).toDS()
     assert(UpsertEnvelope.toChangelog(input).collect().toSeq == Seq(("k", "v", 1L)))
   }
+
+  test("stale offsets in later batches are skipped (offset watermark)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Option[String], Long)]
+    val query = UpsertEnvelope.toChangelog(input.toDS())
+      .writeStream.format("memory").queryName("upsert_stale").outputMode("append").start()
+    try {
+      input.addData(("a", Some("new"), 10L), ("b", None, 7L))
+      query.processAllAvailable()
+      // replayed/out-of-order deliveries: earlier offsets must not clobber
+      // newer state, and a stale insert must not resurrect a tombstoned key
+      input.addData(("a", Some("old"), 3L), ("b", Some("ghost"), 5L))
+      query.processAllAvailable()
+      val rows = spark.table("upsert_stale").as[(String, String, Long)].collect().toSet
+      assert(rows == Set(("a", "new", 1L)))
+    } finally query.stop()
+  }
 }
