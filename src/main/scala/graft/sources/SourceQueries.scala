@@ -60,6 +60,39 @@ object SourceQueries {
       Changelog.threshold(changelog)
         .select(from_json(col("v"), cdcRowSchema).as("r"))
         .select(col("r.user_id").as("user_id"), col("r.value").as("last_value"))
+    },
+
+    // Webhook push-source analog (reference src/adapter/src/webhook.rs):
+    // nation rows are re-encoded as pushed requests — body JSON + headers
+    // carrying an idempotency key and an HMAC signature. Keys < 5 are pushed
+    // TWICE (client retry: must dedup), keys >= 20 arrive with a tampered
+    // signature (must be rejected). If validation were skipped the tampered
+    // bodies would parse fine and surface as extra rows; if dedup broke the
+    // retries would double rows — either way the oracle mismatches.
+    Q("source_webhook_drop",
+      "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 20") { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val work = java.nio.file.Files.createTempDirectory("graft_webhook_").toString
+      val secret = "graft-webhook-secret"
+      val bodySchema = StructType(Seq(
+        StructField("n_nationkey", LongType), StructField("n_name", StringType)))
+
+      val base = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("k"),
+          to_json(struct(col("n_nationkey"), col("n_name"))).as("body"))
+      def requests(df: org.apache.spark.sql.DataFrame, goodSig: Boolean) =
+        df.withColumn("headers", map(
+          lit(WebhookSource.IdempotencyHeader), concat(lit("req-"), col("k")),
+          lit(WebhookSource.SignatureHeader),
+          if (goodSig) expr(s"hmac_sha256('$secret', body)") else lit("deadbeef")))
+          .select(col("headers"), col("body"))
+      requests(base.filter(col("k") < 20), goodSig = true)
+        .unionByName(requests(base.filter(col("k") < 5), goodSig = true)) // retries
+        .unionByName(requests(base.filter(col("k") >= 20), goodSig = false)) // tampered
+        .repartition(3).write.mode("overwrite").json(work)
+
+      val (accepted, _) = WebhookSource.ingest(s, work, bodySchema, secret)
+      graft.streaming.Changelog.toRows(accepted)
     }
   )
 }
