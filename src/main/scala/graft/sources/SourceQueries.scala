@@ -93,6 +93,24 @@ object SourceQueries {
 
       val (accepted, _) = WebhookSource.ingest(s, work, bodySchema, secret)
       graft.streaming.Changelog.toRows(accepted)
+    },
+
+    // Avro binary interchange (reference src/interchange/src/avro.rs:1-184):
+    // every events row is encoded as a standard Avro binary record (zigzag
+    // varints, union["null",T] nullables, IEEE-LE doubles — wire format
+    // pinned by AvroBinarySpec's golden bytes) and decoded back against the
+    // DDL writer schema; the oracle is the untouched table, so any
+    // asymmetry or value corruption in the codec mismatches.
+    Q("source_avro_decode",
+      "SELECT event_id, ts, user_id, event_type, value, props FROM events") { (s, dir) =>
+      AvroFunctions.register(s)
+      Tables.load(s, dir, "events")
+        .select(expr(
+          """avro_decode(
+            |  avro_encode(struct(event_id, ts, user_id, event_type, value, props)),
+            |  'event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING')""".stripMargin)
+          .as("r"))
+        .select(col("r.*"))
     }
   )
 }
