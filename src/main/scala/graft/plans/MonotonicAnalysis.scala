@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Attribute, UnaryMinus}
+
 
 import graft.streaming.Changelog
 
@@ -10,15 +10,19 @@ import graft.streaming.Changelog
   * ever grow, letting Reduce/TopK render without retraction machinery
   * (`MonotonicTop1/MonotonicTopK`, `src/compute-types/src/plan/top_k.rs:28-35`).
   *
-  * In our changelog model a plan is monotonic iff no operator can emit a
-  * negative `diff`: batch sources are insert-only by construction
-  * ([[Changelog.fromRows]] stamps diff=+1), and the only sign-flipping
-  * operator is [[Changelog.negate]] (`-diff`). The analysis therefore scans
-  * the analyzed plan for a negation of the diff column. Upsert envelopes
-  * emit retractions through typed Datasets (flatMapGroupsWithState), which
-  * this plan-level scan cannot see — callers must treat upsert-derived
-  * changelogs as non-monotonic (they are), per the API contract on
-  * [[graft.streaming.UpsertEnvelope]].
+  * In our changelog model a plan is monotonic iff no row can carry a
+  * negative `diff`. This is decided POSITIVELY by [[DiffProvenance]]: the
+  * diff attribute must trace back, untouched or through provably
+  * sign-preserving constructions, to the `+1` literal
+  * [[Changelog.fromRows]] stamps. Anything the analysis cannot recognize —
+  * an explicit negation, `diff * -1` hidden in SQL, an opaque typed
+  * operator (flatMapGroupsWithState, so upsert-envelope outputs), a
+  * changelog re-read from storage — is conservatively NON-monotonic.
+  * (The previous implementation scanned for a `UnaryMinus` over the diff
+  * column and assumed monotonic otherwise; a negation written any other way
+  * escaped the scan and would have sent a retracting plan down the
+  * append-only state path, whose `require(diff > 0)` kills the query at
+  * runtime.)
   *
   * Consumers use the flag to pick the cheap state shape: see
   * [[graft.streaming.HierarchicalMinMax.monotonicMinMaxStream]] — O(1)
@@ -26,9 +30,5 @@ import graft.streaming.Changelog
   */
 object MonotonicAnalysis {
 
-  def isMonotonic(df: DataFrame): Boolean =
-    !df.queryExecution.analyzed.exists(p => p.expressions.exists(_.exists {
-      case UnaryMinus(a: Attribute, _) => a.name == Changelog.DiffCol
-      case _ => false
-    }))
+  def isMonotonic(df: DataFrame): Boolean = DiffProvenance.nonNegative(df)
 }

@@ -1,6 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, UnaryMinus}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.functions._
 
 /** Changelog (diff-multiset) algebra.
@@ -26,8 +28,49 @@ object Changelog {
   def negate(df: DataFrame): DataFrame =
     df.withColumn(DiffCol, -col(DiffCol))
 
-  /** Multiset `Union` (relation.rs:292-297): multiplicities add. */
-  def unionAll(dfs: DataFrame*): DataFrame = dfs.reduce(_.unionByName(_))
+  /** Multiset `Union` (relation.rs:292-297): multiplicities add.
+    *
+    * Applies UNION CANCELLATION (reference `src/transform/src/union_cancel.rs`)
+    * first: a branch that is exactly the negation of another branch
+    * (canonicalized-plan equality under the Negate projection) annihilates
+    * with it — the pair contributes nothing to any row's net multiplicity, so
+    * both are dropped before Spark ever evaluates them. An all-cancelled
+    * union is the empty changelog. */
+  def unionAll(dfs: DataFrame*): DataFrame = {
+    val remaining = cancelPairs(dfs)
+    if (remaining.isEmpty) dfs.head.filter(lit(false))
+    else remaining.reduce(_.unionByName(_))
+  }
+
+  /** The canonical plan a branch adds (positively or negatively): Negate's
+    * `withColumn(diff, -diff)` projection is peeled so `x` and `negate(x)`
+    * share a base. */
+  private def signedBase(df: DataFrame): (LogicalPlan, Int) =
+    df.queryExecution.analyzed match {
+      case Project(list, child) if list.length == child.output.length &&
+        list.zip(child.output).forall {
+          case (a: Attribute, c) => a.exprId == c.exprId
+          case (Alias(UnaryMinus(a: Attribute, _), DiffCol), c) =>
+            a.exprId == c.exprId && c.name == DiffCol
+          case _ => false
+        } && list.exists {
+          case Alias(UnaryMinus(_, _), DiffCol) => true
+          case _ => false
+        } => (child.canonicalized, -1)
+      case p => (p.canonicalized, 1)
+    }
+
+  private def cancelPairs(dfs: Seq[DataFrame]): Seq[DataFrame] = {
+    val sigs = dfs.map(signedBase)
+    val cancelled = Array.fill(dfs.length)(false)
+    for (i <- dfs.indices; j <- dfs.indices
+        if i < j && !cancelled(i) && !cancelled(j) &&
+          sigs(i)._1 == sigs(j)._1 && sigs(i)._2 == -sigs(j)._2) {
+      cancelled(i) = true
+      cancelled(j) = true
+    }
+    dfs.indices.collect { case i if !cancelled(i) => dfs(i) }
+  }
 
   /** Sum multiplicities per distinct row; drop rows with net 0.
     * (The analog of differential dataflow's consolidation.) */
@@ -39,13 +82,26 @@ object Changelog {
   }
 
   /** `Threshold` (relation.rs:285-288): keep rows with positive net
-    * multiplicity (at their net multiplicity). */
+    * multiplicity.
+    *
+    * THRESHOLD ELISION (reference `src/transform/src/threshold_elision.rs`):
+    * when [[graft.plans.DiffProvenance]] proves every diff ≥ 0, no
+    * cancellation can occur, so the all-columns consolidation aggregation —
+    * a full shuffle — is dropped and only the zero-diff filter remains. The
+    * result is then the (unconsolidated) input multiset, which is the same
+    * changelog: multiplicities may be split across rows instead of summed,
+    * and every consumer of a changelog must be (and is) insensitive to that
+    * split. Callers needing the consolidated SHAPE use [[consolidate]]. */
   def threshold(df: DataFrame): DataFrame =
-    consolidate(df).filter(col(DiffCol) > 0L)
+    if (graft.plans.DiffProvenance.nonNegative(df)) df.filter(col(DiffCol) > 0L)
+    else consolidate(df).filter(col(DiffCol) > 0L)
 
-  /** Distinct over a changelog: net-positive rows at multiplicity 1. */
+  /** Distinct over a changelog: net-positive rows at multiplicity 1.
+    * Always consolidates — collapsing each row to multiplicity 1 is only
+    * correct on the consolidated shape (elided-threshold output may carry a
+    * row's multiplicity split across entries). */
   def distinctRows(df: DataFrame): DataFrame =
-    threshold(df).withColumn(DiffCol, lit(1L))
+    consolidate(df).filter(col(DiffCol) > 0L).withColumn(DiffCol, lit(1L))
 
   /** Collapse a changelog back to a plain relation by expanding positive
     * multiplicities (the reference's `RepeatRow` table function,

@@ -101,4 +101,72 @@ class OptimizerRulesSpec extends SparkSpec {
       Changelog.negate(Changelog.fromRows(n.filter(col("n_nationkey") < 5))))
     assert(!MonotonicAnalysis.isMonotonic(withRetractions))
   }
+
+  test("monotonic analysis is positive provenance: disguised negations do not pass") {
+    val n = Tables.load(spark, Sf, "nation")
+    val base = Changelog.fromRows(n)
+    // the old UnaryMinus scan classified all of these as monotonic
+    assert(!MonotonicAnalysis.isMonotonic(
+      base.withColumn(Changelog.DiffCol, col(Changelog.DiffCol) * -1)))
+    assert(!MonotonicAnalysis.isMonotonic(
+      base.withColumn(Changelog.DiffCol, col(Changelog.DiffCol) - 2)))
+    base.createOrReplaceTempView("mono_base")
+    assert(!MonotonicAnalysis.isMonotonic(
+      spark.sql("SELECT n_nationkey, n_name, n_regionkey, diff * -1 AS diff FROM mono_base")))
+    // ...while sign-preserving transforms still prove
+    assert(MonotonicAnalysis.isMonotonic(
+      base.withColumn(Changelog.DiffCol, col(Changelog.DiffCol) * 2)))
+    assert(MonotonicAnalysis.isMonotonic(
+      Changelog.consolidate(base.filter(col("n_nationkey") < 10))))
+  }
+
+  test("threshold elision: provably non-negative changelog skips consolidation") {
+    val n = Tables.load(spark, Sf, "nation")
+    val c = Tables.load(spark, Sf, "customer")
+    // a join of two insert-only changelogs with multiplied diffs — the
+    // incremental-join init-term shape — cannot go negative
+    val joined = Changelog.fromRows(c.select(col("c_custkey"), col("c_nationkey")))
+      .join(Changelog.fromRows(n).withColumnRenamed(Changelog.DiffCol, "diff_r"),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn(Changelog.DiffCol, col(Changelog.DiffCol) * col("diff_r"))
+      .drop("diff_r")
+    val elided = Changelog.threshold(joined)
+    assert(!optimizedHasAggregate(elided),
+      "threshold over a provably non-negative plan must not aggregate:\n" +
+        elided.queryExecution.optimizedPlan.treeString)
+
+    // with a negated branch mixed in, the full consolidation must return
+    val mixed = Changelog.threshold(Changelog.unionAll(
+      Changelog.fromRows(n),
+      Changelog.negate(Changelog.fromRows(n.filter(col("n_nationkey") < 5)))))
+    assert(optimizedHasAggregate(mixed))
+  }
+
+  test("union cancellation: x and negate(x) annihilate") {
+    val n = Tables.load(spark, Sf, "nation")
+    def pos = Changelog.fromRows(
+      Tables.load(spark, Sf, "nation").filter(col("n_nationkey") < 5))
+    val other = Changelog.fromRows(n.filter(col("n_nationkey") >= 20))
+
+    // the cancelled pair never reaches execution: no Union in the plan
+    val cancelled = Changelog.unionAll(pos, other, Changelog.negate(pos))
+    assert(!cancelled.queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Union]),
+      cancelled.queryExecution.optimizedPlan.treeString)
+    assert(cancelled.collect().toSet == other.collect().toSet)
+
+    // full annihilation -> the empty changelog, schema intact
+    val empty = Changelog.unionAll(pos, Changelog.negate(pos))
+    assert(empty.columns.toSeq == pos.columns.toSeq && empty.isEmpty)
+
+    // DIFFERENT branches must not cancel: the Union survives and the net
+    // multiset is exactly one retraction (nationkey 5)
+    val different = Changelog.unionAll(pos,
+      Changelog.negate(Changelog.fromRows(
+        Tables.load(spark, Sf, "nation").filter(col("n_nationkey") < 6))))
+    assert(different.queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Union]))
+    val net = Changelog.consolidate(different).collect()
+    assert(net.length == 1 && net.head.getAs[Long](Changelog.DiffCol) == -1L)
+  }
 }
