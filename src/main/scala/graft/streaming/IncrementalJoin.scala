@@ -60,10 +60,25 @@ object IncrementalJoin {
   def deltaN(
       states: Seq[DataFrame],
       deltas: Seq[DataFrame],
+      stepKeys: Seq[Seq[String]]): DataFrame =
+    deltaNWithUpdated(states,
+      states.zip(deltas).map { case (s, d) => Changelog.unionAll(s, d) },
+      deltas, stepKeys)
+
+  /** [[deltaN]] with caller-supplied post-batch states — the ARRANGEMENT
+    * SHARING hook (reference `join_implementation.rs`: per-input pipelines
+    * reuse one arrangement of each input across all N telescoping terms).
+    * Input j appears in up to N-1 terms; a caller that pins each
+    * `states(j)`/`updated(j)` once (e.g. [[graft.plans.Arrangement.arrangeBy]]
+    * on its join key) makes every term reuse that one shuffle+scan instead
+    * of re-reading the collection per term. */
+  def deltaNWithUpdated(
+      states: Seq[DataFrame],
+      updated: Seq[DataFrame],
+      deltas: Seq[DataFrame],
       stepKeys: Seq[Seq[String]]): DataFrame = {
     require(states.size >= 2 && states.size == deltas.size &&
-      stepKeys.size == states.size - 1)
-    val updated = states.zip(deltas).map { case (s, d) => Changelog.unionAll(s, d) }
+      updated.size == states.size && stepKeys.size == states.size - 1)
     val terms = states.indices.map { i =>
       val parts = states.indices.map { j =>
         if (j < i) updated(j) else if (j == i) deltas(i) else states(j)
@@ -74,4 +89,17 @@ object IncrementalJoin {
     }
     Changelog.unionAll(terms: _*)
   }
+
+  /** Join-plan chooser (reference `src/compute-types/src/plan/join.rs:46-51`
+    * + `src/transform/src/join_implementation.rs`): two inputs take the
+    * Linear plan (three delta terms, no shared-arrangement bookkeeping to
+    * amortize); three or more take the Delta chain, where per-input
+    * arrangement reuse pays for itself. */
+  def planDelta(
+      states: Seq[DataFrame],
+      deltas: Seq[DataFrame],
+      stepKeys: Seq[Seq[String]]): DataFrame =
+    if (states.size == 2)
+      delta(states(0), deltas(0), states(1), deltas(1), stepKeys.head)
+    else deltaN(states, deltas, stepKeys)
 }
