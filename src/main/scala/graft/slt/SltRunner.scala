@@ -100,6 +100,14 @@ object SltRunner {
         sql = """(?i)\bserial\b""".r.replaceAllIn(sql, "bigint")
       }
       sql = """(?i)::\s*(decimal|numeric)\b(?!\s*\()""".r.replaceAllIn(sql, "::DECIMAL(38,18)")
+      // pg array_agg semantics for SIMPLE arguments: keeps NULL elements
+      // (collect_list drops them — collect structs and re-project) and
+      // yields NULL, not {}, on empty input. Complex/ordered forms are left
+      // native (order-sensitive ones are documented dialect skips).
+      sql = """(?i)\barray_agg\s*\(\s*((?:[\w.]+|\d+|NULL)(?:\s*::\s*\w+)?)\s*\)""".r
+        .replaceAllIn(sql, m => scala.util.matching.Regex.quoteReplacement(
+          s"CASE WHEN count(1) = 0 THEN NULL ELSE " +
+            s"transform(collect_list(named_struct('v', ${m.group(1)})), s -> s.v) END"))
       sql = """(?i),\s*(?:CONSTRAINT\s+\w+\s+)?(?:PRIMARY\s+KEY|UNIQUE|CHECK)\s*\([^)]*\)""".r
         .replaceAllIn(sql, "")
       sql = """(?i),\s*FAMILY\s+[\w"]+\s*\([^)]*\)""".r.replaceAllIn(sql, "")
@@ -276,7 +284,14 @@ object SltRunner {
     * `t`: I (integer), R (real, compared at 6 decimals), T (text).
     * Booleans render pg-style (`true`/`false`) whatever the declared type —
     * the reference's runner does the same. */
-  private def canonCell(t: Char, raw: String): String = raw match {
+  private def canonCell(t: Char, raw0: String): String = {
+    // cockroach expected-output files mark literal spaces inside values
+    // with U+2420 (SYMBOL FOR SPACE) so they survive whitespace splitting
+    val raw = raw0.replace('␠', ' ')
+    canonCellClean(t, raw)
+  }
+
+  private def canonCellClean(t: Char, raw: String): String = raw match {
     case "NULL" => "NULL"
     case "(empty)" => ""
     case "true" | "false" => raw
@@ -395,6 +410,19 @@ object SltRunner {
 
   def runFile(spark: SparkSession, path: String): Report = {
     val crdb = path.contains("cockroach")
+    // pg reads "x" as an IDENTIFIER, not a string — align Spark's parser
+    // for the corpus run (restored afterwards; SLT SQL uses '' for strings)
+    val dqKey = "spark.sql.ansi.doubleQuotedIdentifiers"
+    val dqPrev = spark.conf.getOption(dqKey)
+    spark.conf.set(dqKey, "true")
+    try runFileInner(spark, path, crdb)
+    finally dqPrev match {
+      case Some(v) => spark.conf.set(dqKey, v)
+      case None => spark.conf.unset(dqKey)
+    }
+  }
+
+  private def runFileInner(spark: SparkSession, path: String, crdb: Boolean): Report = {
     val lines = Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8)
       .asScala.toArray
     val records = parse(lines, crdb)
@@ -426,6 +454,68 @@ object SltRunner {
     // Documented semantic differences between the pg dialect and Spark —
     // skipped (never passed) with the reason recorded here:
     val knownDialectDiffs: List[(String, Regex, String)] = List(
+      (".*",
+        // collect_list: the post-shim spelling of rewritten array_agg
+        """(?is)\b(string_agg|array_agg|collect_list)\s*\(.*\bfrom\s*\(\s*select\b.*\border\s+by\b""".r,
+        "pg collect aggregates honor the subquery's ORDER BY; Spark's " +
+          "collect order is undefined"),
+      ("like.slt",
+        """(?i)::\s*char\s*\(|\\\\""".r,
+        "pg bpchar pads to length (LIKE sees the padding) and LIKE treats " +
+          "backslash escapes differently"),
+      ("extract.slt",
+        """(?i)extract\s*\(\s*(dayofweek|dow)\b""".r,
+        "day-of-week numbering differs (crdb Monday-based; Spark Sunday=1)"),
+      ("extract.slt",
+        """(?i)extract\s*\(\s*\w+\s+from\s+'[^']*'\s*\)""".r,
+        "crdb implicitly casts bare string literals for extract; Spark raises"),
+      ("timestamp.slt",
+        """(?i)::\s*timestamp[^)]*\)\s*::\s*string|\bto_timestamp\s*\(""".r,
+        "interval rendering (54:00:00 vs INTERVAL DAY TO SECOND) and " +
+          "numeric-epoch to_timestamp differ"),
+      ("typing.slt",
+        """(?i)select\s+\*\s+from\s+[fd]\b""".r,
+        "tables f/d are populated through pg integer-division typing"),
+      ("interval.slt",
+        """(?i)interval_parsing|'-\d+\s+years?\s+\d+\s+months?|'\d+-\d+\s+\d|day\s+to\s+(minute|second)""".r,
+        "pg mixed-sign interval normalization and DAY TO x rendering differ"),
+      ("scalar_identity_folds.slt|builtin_function.slt",
+        """(?i)[lr]trim\s*\([^)]*,""".r,
+        "pg ltrim(str, chars) vs Spark ltrim(chars, str) argument order " +
+          "(and empty-charset trim is the pg identity)"),
+      ("builtin_function.slt",
+        """(?i)\b(round|ceil|ceiling)\s*\(\s*-?[0-9.]+\s*::\s*double""".r,
+        "double rounding mode (pg half-even) and negative-zero sign differ"),
+      ("builtin_function.slt",
+        """(?i)\blog\s*\(""".r,
+        "pg log() is log10; Spark log() is ln"),
+      ("builtin_function.slt",
+        """(?i)current_schema""".r,
+        "catalog namespace naming (public vs default)"),
+      ("hash.slt",
+        """'\\x[0-9a-fA-F]+'\s*::\s*binary""".r,
+        "pg bytea \\x hex literals; Spark casts the literal text's bytes"),
+      ("topk.slt",
+        """(?is)\(\s*select\s+\*\s+from\s+\w+\s+limit\s+\d+\s*\)""".r,
+        "an inner LIMIT without ORDER BY keeps engine-defined rows"),
+      (".*",
+        """(?i)\barray\s*\(\s*\(*\s*(select|values)\b""".r,
+        "pg ARRAY(subquery) constructor has no Spark analog"),
+      ("window.slt",
+        """\(\s*1\s*/\s*[ij]\s*\)""".r,
+        "pg integer division truncates; Spark '/' is fractional"),
+      ("zero.slt",
+        """(?i)-\s*0\.0|\bfrom\s+f\b""".r,
+        "IEEE negative-zero sign preservation differs (table f is the -0 fixture)"),
+      ("float.slt",
+        """(?i)\bf\s*=\s*0\b""".r,
+        "negative zero equals +0 but pg's fixture expects one row"),
+      ("target_names.slt",
+        """(?i)\bcos\s*\(""".r,
+        "pg float->int cast rounds; Spark truncates"),
+      ("propagate_input_ordering.slt",
+        """(?is)\bwith\b.*\border\s+by\b""".r,
+        "pg propagates a CTE's declared ordering to consumers; Spark does not"),
       ("float.slt|cast.slt|arithmetic.slt",
         """(?i)\d+\.\d*(\s*::\s*\w+)*\s*::\s*(smallint|bigint|integer|int)\b""".r,
         "pg ROUNDS fractional→int casts; Spark truncates"),
@@ -438,7 +528,7 @@ object SltRunner {
       (".*",
         """(?i)\b(isnull|notnull)\b""".r,
         "pg postfix IS NULL operators — Spark parses them as aliases"),
-      ("string.slt",
+      ("string.slt|builtin_function.slt",
         """(?i)substr(ing)?\s*\([^()]*,\s*(-\d|0\b|smicol|intcol|bigcol)""".r,
         "pg substr with start<=0 counts from before the string; Spark clamps"),
       ("string.slt",
@@ -453,7 +543,7 @@ object SltRunner {
       ("string.slt",
         """(?i)::\s*binary""".r,
         "pg renders bytea as \\x-hex text"),
-      ("string.slt",
+      ("string.slt|builtin_function.slt",
         """(?i)concat\s*\([^()]*(null|true|false|::\s*decimal)""".r,
         "pg concat skips NULLs and renders bool as t/f"),
       ("string.slt",
@@ -537,13 +627,13 @@ object SltRunner {
       ("funcs.slt",
         """(?i)\blog\s*\(""".r,
         "pg log() is base-10; Spark's log() is natural log"),
-      ("chr.slt",
+      ("chr.slt|builtin_function.slt",
         """(?i)\bchr\s*\(\s*\d{3,}""".r,
         "pg chr() is a Unicode codepoint; Spark's wraps at 256"),
-      ("encode.slt",
-        """(?i)\bencode\s*\([^)]*'(escape|base64|hex)'""".r,
+      ("encode.slt|builtin_function.slt",
+        """(?i)\b(en|de)code\s*\([^)]*'(escape|base64|hex)'""".r,
         "pg encode(bytea, format) vs Spark encode(str, charset)"),
-      ("regex.slt",
+      ("regex.slt|builtin_function.slt",
         """(?i)regexp_replace\s*\(""".r,
         "pg regexp_replace replaces first match unless 'g' flag (4th arg); " +
           "Spark always replaces all and has no flags arg"))
@@ -588,7 +678,13 @@ object SltRunner {
           case Some(t) => poisonedTables += t
           case None => poisoned = true
         }
-      case Statement(sql, _) if touchesPoisoned(sql) => skipped += 1
+      case Statement(sql, _) if touchesPoisoned(sql) =>
+        skipped += 1
+        // a skipped statement that WRITES a table (e.g. INSERT ... SELECT
+        // from a poisoned source) leaves its target stale too — without
+        // this, later reads of the target compare garbage instead of
+        // skipping
+        mutationTarget(sql).foreach(poisonedTables += _)
       case Statement(sql, expectError) =>
         try {
           splitStatements(sql).foreach(one => spark.sql(one).collect())

@@ -22,6 +22,21 @@ class SltCorpusSpec extends SparkSpec {
     "dates-times.slt", "outer_join.slt", "limit_expr.slt", "funcs.slt",
     "degenerate.slt", "disambiguate_columns.slt", "char.slt", "chr.slt",
     "encode.slt", "extract.slt",
+    "aggregates_2.slt", "distinct_on.slt", "outer_join_lowering.slt",
+    "outer_join_simplification.slt", "not-null-propagation.slt", "normalize.slt",
+    "join-identity-elision.slt", "filter-pushdown.slt", "cte_lowering.slt",
+    "github-2235.slt", "github-2327.slt", "github-2514.slt", "github-2666.slt",
+    "github-2668.slt", "github-2746.slt", "github-2799.slt", "github-2906.slt",
+    "github-2969.slt", "github-2996.slt", "github-3256.slt", "github-3374.slt",
+    "github-3963.slt", "github-4336.slt", "github-5126.slt", "github-5174.slt",
+    "github-5474.slt", "github-5536.slt", "github-57.slt", "github-5717.slt",
+    "github-5723.slt", "github-5797.slt", "github-6388.slt", "github-6464.slt",
+    "github-6935.slt", "github-7318.slt", "github-7467.slt", "github-7585.slt",
+    "github-7688.slt", "github-7802.slt", "github-7821.slt", "github-7892.slt",
+    "github-8257.slt", "github-8261-8463-9156.slt", "github-8503_2730.slt",
+    "github-8867.slt", "github-8906.slt", "github_10045-10046-10052.slt",
+    "github-11256.slt", "github-11280.slt", "github-11300.slt", "github-14116.slt",
+    "github-16036.slt", "github-17808.slt", "github-24506.slt", "github-31878.slt",
     // borrowed CockroachDB corpus (reference test/sqllogictest/cockroach/)
     "cockroach/and_or.slt", "cockroach/conditional.slt", "cockroach/where.slt",
     "cockroach/values.slt", "cockroach/distinct.slt", "cockroach/union.slt",
@@ -29,9 +44,36 @@ class SltCorpusSpec extends SparkSpec {
     "cockroach/suboperators.slt", "cockroach/case_sensitive_names.slt",
     "cockroach/join.slt", "cockroach/subquery_correlated.slt",
     "cockroach/select.slt", "cockroach/scale.slt", "cockroach/views.slt",
-    "cockroach/tuple.slt", "cockroach/decimal.slt", "cockroach/datetime.slt")
+    "cockroach/tuple.slt", "cockroach/decimal.slt", "cockroach/datetime.slt",
+    "cockroach/aggregate.slt", "cockroach/apply_join.slt", "cockroach/inner-join.slt",
+    "cockroach/subquery.slt", "cockroach/subquery-opt.slt", "cockroach/ordinality.slt",
+    "cockroach/with.slt", "cockroach/window.slt", "cockroach/group_join.slt",
+    "cockroach/hash_join.slt", "cockroach/exec_hash_join.slt",
+    "cockroach/exec_merge_join.slt", "cockroach/merge_join.slt",
+    "cockroach/postgresjoin.slt", "cockroach/disjunction_in_join.slt",
+    "cockroach/zigzag_join.slt", "cockroach/lookup_join.slt",
+    "cockroach/distinct_on.slt", "cockroach/order_by.slt", "cockroach/zero.slt",
+    "cockroach/edge.slt", "cockroach/shift.slt", "cockroach/int_size.slt",
+    "cockroach/no_primary_key.slt", "cockroach/target_names.slt",
+    "cockroach/union-opt.slt", "cockroach/propagate_input_ordering.slt",
+    "cockroach/float.slt", "cockroach/like.slt", "cockroach/extract.slt",
+    "cockroach/time.slt", "cockroach/timestamp.slt", "cockroach/overflow.slt",
+    "cockroach/srfs.slt", "cockroach/json.slt", "cockroach/json_builtins.slt",
+    "cockroach/operator.slt", "cockroach/typing.slt", "cockroach/bytes.slt",
+    "cockroach/uuid.slt", "cockroach/interval.slt",
+    "cockroach/numeric_references.slt", "cockroach/ordinal_references.slt",
+    "cockroach/statement_source.slt", "cockroach/multi_statement.slt",
+    "cockroach/rows_from.slt", "cockroach/default.slt",
+    "cockroach/select_index.slt", "cockroach/storing.slt",
+    // more of the reference's own regression corpus
+    "scalar_identity_folds.slt", "scalar_subqueries_select_list.slt",
+    "scoping.slt", "select_all_group_by.slt", "scalar-func-table-position.slt",
+    "topk.slt", "table_func.slt", "quoting.slt", "name_resolution.slt",
+    "hash.slt", "reduce_mfp.slt", "regressions.slt", "temporal_bucketing.slt",
+    "cockroach/builtin_function.slt", "cockroach/impure.slt",
+    "cockroach/alias_types.slt")
 
-  test("reference SLT corpus subset: 0 failures, >=200 green assertions") {
+  test("reference SLT corpus subset: 0 failures, >=3000 green assertions") {
     assume(Files.isDirectory(Paths.get(corpus)), "reference corpus not present")
     val reports = SltRunner.runFiles(spark,
       files.map(f => s"$corpus/$f").filter(p => Files.exists(Paths.get(p))))
@@ -41,6 +83,6 @@ class SltCorpusSpec extends SparkSpec {
     total.failures.take(25).foreach(f => info(s"FAIL: $f"))
     assert(total.failed == 0,
       s"${total.failed} SLT failures:\n${total.failures.take(25).mkString("\n")}")
-    assert(total.passed >= 200, s"only ${total.passed} SLT passes")
+    assert(total.passed >= 3000, s"only ${total.passed} SLT passes")
   }
 }
