@@ -111,6 +111,25 @@ object SourceQueries {
             |  'event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING')""".stripMargin)
           .as("r"))
         .select(col("r.*"))
+    },
+
+    // Protobuf interchange (reference src/interchange/src/protobuf.rs:1-240):
+    // orders rows round-trip through proto3 binary messages (wire format
+    // pinned by ProtobufBinarySpec's golden bytes, including the canonical
+    // 08 96 01 example). Orders columns are never proto3 defaults, so the
+    // default-omission semantics cannot mask value corruption here.
+    Q("source_protobuf_decode",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |  o_orderpriority FROM orders""".stripMargin) { (s, dir) =>
+      ProtobufFunctions.register(s)
+      Tables.load(s, dir, "orders")
+        .select(expr(
+          """protobuf_decode(
+            |  protobuf_encode(struct(o_orderkey, o_custkey, o_orderstatus,
+            |                         o_totalprice, o_orderdate, o_orderpriority)),
+            |  'o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate DATE, o_orderpriority STRING')""".stripMargin)
+          .as("r"))
+        .select(col("r.*"))
     }
   )
 }
