@@ -1,60 +1,101 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
-/** Multimodal column plumbing: media as opaque `binary` columns with typed
-  * metadata, decoded/feature-extracted per partition (SURVEY §7.2 M7).
+/** Multimodal column pipeline: media as opaque `binary` columns with typed
+  * metadata, decoded + feature-extracted per partition (SURVEY §7.2 M7).
   *
-  * The container has no image/audio codecs, so `decodeStub` is a clearly
-  * marked DETERMINISTIC FAKE — it derives "dimensions" from the byte length.
-  * Everything around it is the real Spark shape for this workload: binary
-  * payload column, typed `Dataset` with case-class encoders, iterator-based
-  * `mapPartitions` (one decoder instance per partition, zero driver
-  * involvement, scales with executor count), and a relational projection of
-  * the extracted features. Swapping `decodeStub` for a JNI/codec call is the
-  * only change needed for real media.
+  * Round 4 replaced the earlier declared `decodeStub` fake with REAL codecs
+  * (`MediaCodecs`): images are genuine PNG/BMP bytes decoded through
+  * `javax.imageio`, audio is genuine RIFF/WAVE PCM decoded through
+  * `javax.sound.sampled` — both JDK-built-in, no external deps. Payload
+  * synthesis is closed-form in `(doc_id, n_chars)` so every post-decode
+  * feature has an exact DuckDB oracle; the decode work itself (container
+  * sniffing, raster/PCM extraction, pixel statistics, thumbnail resample)
+  * is real byte-level computation.
+  *
+  * Scale shape: binary column + iterator-based `mapPartitions` (one decoder
+  * per partition, zero driver involvement) — the same plan that handles real
+  * crawled media at 100 TB; only the payload source changes.
   */
 object MultimodalQueries {
 
-  /** Binary payload + metadata, the on-wire shape of a media row. */
-  final case class MediaRecord(doc_id: Long, payload: Array[Byte], fmt: String)
-
-  /** Extracted features, the post-decode relational shape. */
-  final case class MediaFeatures(
-      doc_id: Long, n_bytes: Long, width: Int, height: Int, aspect: Double, fmt: String)
-
-  /** STUB decoder — deterministic fake standing in for a real image decode
-    * (no codec libs in this container). Pure function of the payload bytes. */
-  def decodeStub(r: MediaRecord): MediaFeatures = {
-    val n = r.payload.length.toLong
-    val width = 64 + (n % 512).toInt
-    val height = 64 + ((n * 7) % 512).toInt
-    MediaFeatures(r.doc_id, n, width, height, width.toDouble / height, r.fmt)
-  }
-
   val defs: Seq[Q] = Seq(
-    // documents.text re-encoded as a binary payload → per-partition decode →
-    // feature projection. Oracle reproduces the stub arithmetic in SQL.
-    Q("media_features",
-      """SELECT doc_id,
-        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
-        |  CAST(64 + strlen(text) % 512 AS INT) AS width,
-        |  CAST(64 + (strlen(text) * 7) % 512 AS INT) AS height,
-        |  CAST(64 + strlen(text) % 512 AS DOUBLE)
-        |    / (64 + (strlen(text) * 7) % 512) AS aspect,
-        |  'png' AS fmt
-        |FROM documents""".stripMargin) { (s, dir) =>
+    // documents → REAL PNG/BMP payloads (ImageIO encode) → REAL decode
+    // (ImageIO reader registry sniffs the container, raster is decoded,
+    // channel means + a 4×4 nearest-neighbor thumbnail resample computed
+    // from the decoded pixels). Lossless formats ⇒ the oracle mirrors the
+    // generator's closed form exactly.
+    Q("media_image_decode",
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    8 + CAST(n_chars % 24 AS INT) AS w,
+        |    8 + CAST((n_chars * 3) % 24 AS INT) AS h,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, d.fmt, d.w, d.h,
+        |    (d.doc_id*31 + 7*x.i + 13*y.i) % 256 AS r,
+        |    (d.doc_id*17 + 11*x.i + 5*y.i) % 256 AS g,
+        |    (d.doc_id*23 + 3*x.i + 19*y.i) % 256 AS b
+        |  FROM d,
+        |    LATERAL (SELECT unnest(range(d.w)) AS i) x,
+        |    LATERAL (SELECT unnest(range(d.h)) AS i) y),
+        |stats AS (
+        |  SELECT doc_id, fmt, w, h,
+        |    round(CAST(sum(r) AS DOUBLE) / (w*h), 6) AS mean_r,
+        |    round(CAST(sum(g) AS DOUBLE) / (w*h), 6) AS mean_g,
+        |    round(CAST(sum(b) AS DOUBLE) / (w*h), 6) AS mean_b
+        |  FROM px GROUP BY 1, 2, 3, 4),
+        |thumb AS (
+        |  SELECT d.doc_id, round(CAST(sum(
+        |      (d.doc_id*31 + 7*(i.i*d.w//4) + 13*(j.i*d.h//4)) % 256
+        |    + (d.doc_id*17 + 11*(i.i*d.w//4) + 5*(j.i*d.h//4)) % 256
+        |    + (d.doc_id*23 + 3*(i.i*d.w//4) + 19*(j.i*d.h//4)) % 256
+        |    ) AS DOUBLE) / 16, 6) AS thumb_mean
+        |  FROM d,
+        |    LATERAL (SELECT unnest(range(4)) AS i) i,
+        |    LATERAL (SELECT unnest(range(4)) AS i) j
+        |  GROUP BY 1)
+        |SELECT s.doc_id, s.fmt, s.w AS width, s.h AS height,
+        |  s.mean_r, s.mean_g, s.mean_b, t.thumb_mean
+        |FROM stats s JOIN thumb t USING (doc_id)""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val media = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
-          lit("png").as("fmt"))
-        .as[MediaRecord]
-      media.mapPartitions(_.map(decodeStub)).toDF()
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      // stage 1: binary payload column (real encoded media)
+      val media = docs.map { case (id, nc) => (id, MediaCodecs.encodeImage(id, nc)) }
+      // stage 2: per-partition decode → relational features
+      media.mapPartitions(_.flatMap { case (id, p) => MediaCodecs.decodeImage(id, p) })
+        .toDF()
     },
 
-    // REAL (non-stub) multimodal plumbing: binary payloads carrying actual
+    // documents → REAL WAV payloads (canonical RIFF/WAVE, 16-bit mono PCM)
+    // → REAL decode via AudioSystem (chunk walk, format extraction, PCM
+    // frame read) → amplitude features from the decoded samples.
+    Q("media_audio_decode",
+      """WITH d AS (
+        |  SELECT doc_id, 64 + CAST((doc_id*37) % 192 AS INT) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT d.doc_id, d.n, ((d.doc_id*131 + 197*t.i) % 4001) - 2000 AS smp
+        |  FROM d, LATERAL (SELECT unnest(range(d.n)) AS i) t)
+        |SELECT doc_id,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  round(n * 1000.0 / 8000, 6) AS duration_ms,
+        |  CAST(max(abs(smp)) AS INT) AS peak,
+        |  round(sqrt(CAST(sum(smp*smp) AS DOUBLE) / n), 6) AS rms
+        |FROM s GROUP BY doc_id, n""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = docs.map(id => (id, MediaCodecs.encodeWav(id)))
+      media.mapPartitions(_.flatMap { case (id, p) => MediaCodecs.decodeWav(id, p) })
+        .toDF()
+    },
+
+    // REAL byte-level plumbing kept from round 2: payloads carrying actual
     // magic bytes (PNG/JPEG/GIF), content-type sniffing on the prefix, and
     // fixed-size frame sampling (every 4th 128-byte frame) with per-frame
     // digests — the video-keyframe-extraction shape. All byte-level work

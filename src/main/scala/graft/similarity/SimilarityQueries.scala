@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
+import graft.plans.Recursion
 
 /** Embedding similarity + probabilistic near-dup operators (SURVEY §7.2 M7):
   * brute-force cosine top-k (the exact baseline), random-hyperplane LSH
@@ -38,6 +39,57 @@ object SimilarityQueries {
   /** Portable 60-bit hash of a string expression (Spark side). */
   private def h60(sqlExpr: String): String =
     s"CAST(conv(substr(md5($sqlExpr), 1, 15), 16, 10) AS BIGINT)"
+
+  /** 64 deterministic md5-derived pseudo-hyperplanes (dim 64), broadcast to
+    * every executor — shared by `ann_lsh_bucketed` and
+    * `dedup_embedding_cosine`. */
+  private def hyperplanes(s: SparkSession): DataFrame =
+    s.range(64).select(col("id").cast("long").as("j"),
+      expr("transform(sequence(0, 63), " +
+        s"d -> CAST(${h60("concat('hp', id, ':', d)")} % 1001 AS DOUBLE) / 500.0 - 1.0)").as("u"))
+
+  /** Banded hyperplane-LSH candidate pairs `(id_a, id_b)`, `id_a < id_b`:
+    * 64-bit sketch → 8 bands × 8 bits (256-bucket bands keep per-bucket
+    * populations bounded as the corpus grows) → pairs meet only inside a
+    * bucket, so the quadratic pair space never materializes. */
+  private def lshCandidates(s: SparkSession, e: DataFrame): DataFrame = {
+    val bits = e.crossJoin(broadcast(hyperplanes(s)))
+      .select(col("vec_id"), col("j"),
+        (round(dot("v", "u"), 6) >= 0).cast("long").as("bit"))
+    val buckets = bits
+      .withColumn("band", expr("j div 8"))
+      .groupBy(col("vec_id"), col("band"))
+      .agg(sum(expr("shiftleft(bit, CAST(j % 8 AS INT))")).as("bucket"))
+    val a = buckets.as("a"); val b = buckets.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+  }
+
+  /** The hyper/e/bits/buckets/cand oracle CTE chain mirroring
+    * [[lshCandidates]] on DuckDB (md5-portable hashes). */
+  private val lshOracleCtes: String =
+    """hyper AS (
+      |  SELECT j, list(u ORDER BY d) AS u FROM (
+      |    SELECT j, d,
+      |      (CAST('0x' || substr(md5('hp' || j || ':' || d), 1, 15) AS BIGINT)
+      |         % 1001) / 500.0 - 1.0 AS u
+      |    FROM range(64) t(j), range(64) s(d))
+      |  GROUP BY j),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |bits AS (
+      |  SELECT vec_id, j,
+      |    CASE WHEN round(list_dot_product(v, u), 6) >= 0 THEN 1 ELSE 0 END AS bit
+      |  FROM e, hyper),
+      |buckets AS (
+      |  SELECT vec_id, j // 8 AS band, sum(bit << (j % 8)) AS bucket
+      |  FROM bits GROUP BY vec_id, band),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM buckets a JOIN buckets b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
 
   val defs: Seq[Q] = Seq(
 
@@ -76,47 +128,14 @@ object SimilarityQueries {
     // pairs ≈ 1-(1-0.86^8)^8 ≈ 0.94. Bit decisions threshold the ROUNDED
     // dot product so both engines agree at FP noise level.
     Q("ann_lsh_bucketed",
-      """WITH hyper AS (
-        |  SELECT j, list(u ORDER BY d) AS u FROM (
-        |    SELECT j, d,
-        |      (CAST('0x' || substr(md5('hp' || j || ':' || d), 1, 15) AS BIGINT)
-        |         % 1001) / 500.0 - 1.0 AS u
-        |    FROM range(64) t(j), range(64) s(d))
-        |  GROUP BY j),
-        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |bits AS (
-        |  SELECT vec_id, j,
-        |    CASE WHEN round(list_dot_product(v, u), 6) >= 0 THEN 1 ELSE 0 END AS bit
-        |  FROM e, hyper),
-        |buckets AS (
-        |  SELECT vec_id, j // 8 AS band, sum(bit << (j % 8)) AS bucket
-        |  FROM bits GROUP BY vec_id, band),
-        |cand AS (
-        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM buckets a JOIN buckets b
-        |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      s"""WITH $lshOracleCtes
         |SELECT id_a, id_b, round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
         |FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
         |WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3""".stripMargin) { (s, dir) =>
       val e = emb(s, dir)
-      val hyper = s.range(64).select(col("id").cast("long").as("j"),
-        expr("transform(sequence(0, 63), " +
-          s"d -> CAST(${h60("concat('hp', id, ':', d)")} % 1001 AS DOUBLE) / 500.0 - 1.0)").as("u"))
-      val bits = e.crossJoin(broadcast(hyper))
-        .select(col("vec_id"), col("j"),
-          (round(dot("v", "u"), 6) >= 0).cast("long").as("bit"))
       // 8 bands × 8 bits: a pair is a candidate if it matches in ANY band
       // (standard LSH OR-construction — tune bits/bands for target recall).
-      val buckets = bits
-        .withColumn("band", expr("j div 8"))
-        .groupBy(col("vec_id"), col("band"))
-        .agg(sum(expr("shiftleft(bit, CAST(j % 8 AS INT))")).as("bucket"))
-      val a = buckets.as("a"); val b = buckets.as("b")
-      val cand = a.join(b,
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
-            && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-        .distinct()
+      val cand = lshCandidates(s, e)
       val ea = e.select(col("vec_id").as("id_a"), col("v").as("va"))
       val eb = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
       graft.functions.VectorFunctions.register(s)
@@ -208,6 +227,124 @@ object SimilarityQueries {
           expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
         .distinct()
         .filter(col("hamming") <= 12)
+    },
+
+    // IVF (inverted-file) ANN — the classic coarse-quantizer scale path
+    // next to hyperplane LSH: deterministic seed centroids (16 sampled data
+    // vectors = k-means with 0 Lloyd rounds; refinement is the same
+    // assignment job iterated), every vector assigned to its nearest
+    // centroid (argmax cosine via `max_by` — partial-aggregated, no window
+    // shuffle over the corpus), queries probe their nprobe=4 nearest lists,
+    // exact cosine only within probed lists, top-5. Candidate volume is
+    // nprobe/K of the corpus instead of all of it; centroids broadcast.
+    Q("ann_ivf_probed",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 6 = 3 AND vec_id < 96),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
+        |    FROM e, cents c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |probe AS (
+        |  SELECT q_id, cid FROM (
+        |    SELECT q.q_id, c.cid,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cid) AS rn
+        |    FROM q, cents c) WHERE rn <= 4),
+        |cand AS (
+        |  SELECT DISTINCT p.q_id, a.vec_id AS c_id
+        |  FROM probe p JOIN assign a ON a.cid = p.cid
+        |  WHERE a.vec_id <> p.q_id)
+        |SELECT q_id, c_id, cos_sim FROM (
+        |  SELECT cand.q_id, cand.c_id,
+        |    round(list_cosine_similarity(qe.v, ce.v), 6) AS cos_sim,
+        |    row_number() OVER (PARTITION BY cand.q_id
+        |      ORDER BY round(list_cosine_similarity(qe.v, ce.v), 6) DESC, cand.c_id) AS rn
+        |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id JOIN e ce ON ce.vec_id = cand.c_id)
+        |WHERE rn <= 5""".stripMargin) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") % 6 === 3 && col("vec_id") < 96)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      // assignment: argmax cosine with min-cid tiebreak, as ONE partial
+      // aggregation (max_by over a (cos, -cid) struct) — at 100 TB this is
+      // a map-side combine, not a corpus-wide window sort.
+      val assign = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          round(expr("cosine_similarity(v, cv)"), 6).as("cs"), col("cid"))
+        .groupBy(col("vec_id"))
+        .agg(expr("max_by(cid, struct(cs, -cid))").as("cid"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val probeW = Window.partitionBy(col("q_id"))
+        .orderBy(col("cs").desc, col("cid").asc)
+      val probe = q.crossJoin(broadcast(cents))
+        .select(col("q_id"), col("cid"),
+          round(expr("cosine_similarity(qv, cv)"), 6).as("cs"))
+        .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= 4)
+        .select(col("q_id"), col("cid"))
+      val cand = probe.join(assign, "cid")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("c_id"))
+        .distinct()
+      val scored = cand
+        .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+        .join(e.select(col("vec_id").as("c_id"), col("v").as("cv")), "c_id")
+        .select(col("q_id"), col("c_id"),
+          round(expr("cosine_similarity(qv, cv)"), 6).as("cos_sim"))
+      val topW = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("c_id").asc)
+      scored.withColumn("rn", row_number().over(topW)).filter(col("rn") <= 5)
+        .select(col("q_id"), col("c_id"), col("cos_sim"))
+    },
+
+    // Embedding-cosine near-dup: LSH candidates → cosine ≥ 0.35 pairs →
+    // CONNECTED COMPONENTS via the engine's own LetRec fixpoint operator
+    // (label = component minimum), i.e. the dedup pipeline composes with
+    // `Recursion.fixpoint` exactly as a reference user would write
+    // `WITH MUTUALLY RECURSIVE` over a near-dup edge view. Work is
+    // proportional to the candidate graph (near-dup groups are small), the
+    // corpus never materializes a quadratic pair space, and the oracle
+    // mirrors the fixpoint with a recursive CTE.
+    Q("dedup_embedding_cosine",
+      s"""WITH $lshOracleCtes,
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+        |  WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35),
+        |sym AS (SELECT id_a AS vid, id_b AS nb FROM pairs
+        |        UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  WITH RECURSIVE r(vid, l) AS (
+        |    SELECT vec_id, vec_id FROM e
+        |    UNION
+        |    SELECT s.vid, r.l FROM sym s JOIN r ON r.vid = s.nb)
+        |  SELECT * FROM r)
+        |SELECT vid AS vec_id, CAST(min(l) AS BIGINT) AS canon_id,
+        |  CAST(count(*) - 1 AS INT) AS n_linked
+        |FROM reach GROUP BY vid""".stripMargin) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+      val cand = lshCandidates(s, e)
+      val pairs = cand
+        .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+        .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+        .filter(round(expr("cosine_similarity(va, vb)"), 6) >= 0.35)
+        .select(col("id_a"), col("id_b"))
+      val sym = pairs.select(col("id_a").as("evid"), col("id_b").as("nb"))
+        .unionByName(pairs.select(col("id_b").as("evid"), col("id_a").as("nb")))
+        // the edge set is static across fixpoint rounds — materialize once
+        .localCheckpoint()
+      val base = e.select(col("vec_id").as("vid"), col("vec_id").as("l"))
+      val reach = Recursion.fixpoint(base, frontier =>
+        sym.join(frontier, col("nb") === col("vid"))
+          .select(col("evid").as("vid"), col("l")))
+      reach.groupBy(col("vid"))
+        .agg(min(col("l")).as("canon_id"),
+          (count(lit(1)) - 1).cast("int").as("n_linked"))
+        .select(col("vid").as("vec_id"), col("canon_id"), col("n_linked"))
     }
   )
 }
