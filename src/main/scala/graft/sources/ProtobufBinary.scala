@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *    complement (10-byte varint), per proto3 `int64`
   *  - wire 1 / 5: little-endian double / float
   *  - wire 2: length-delimited string/bytes
-  *  - timestamp → int64 micros; date → int32 days
+  *  - timestamp / timestamp_ntz → int64 micros; date → int32 days
   *
   * proto3 semantics are kept faithfully: DEFAULT values (0, "", false,
   * empty bytes) are omitted on encode and materialized on decode — a NULL
@@ -71,7 +71,8 @@ object ProtobufBinary {
   }
 
   private def wireType(dt: DataType): Int = dt match {
-    case LongType | IntegerType | BooleanType | TimestampType | DateType => 0
+    case LongType | IntegerType | BooleanType | TimestampType | TimestampNTZType |
+         DateType => 0
     case DoubleType => 1
     case FloatType => 5
     case StringType | BinaryType => 2
@@ -88,7 +89,7 @@ object ProtobufBinary {
       if (!row.isNullAt(i)) {
         val tag = ((i + 1).toLong << 3) | wireType(dt)
         dt match {
-          case LongType | TimestampType =>
+          case LongType | TimestampType | TimestampNTZType =>
             val v = row.getLong(i)
             if (v != 0L) { writeVarint(out, tag); writeVarint(out, v) }
           case IntegerType | DateType =>
@@ -141,7 +142,7 @@ object ProtobufBinary {
     var i = 0
     while (i < schema.length) { // proto3 defaults
       values(i) = schema(i).dataType match {
-        case LongType | TimestampType => 0L
+        case LongType | TimestampType | TimestampNTZType => 0L
         case IntegerType | DateType => 0
         case BooleanType => false
         case DoubleType => 0.0d
@@ -161,7 +162,7 @@ object ProtobufBinary {
       val idx = field - 1
       if (idx >= 0 && idx < schema.length && wireType(schema(idx).dataType) == wire) {
         schema(idx).dataType match {
-          case LongType | TimestampType => values(idx) = r.readVarint()
+          case LongType | TimestampType | TimestampNTZType => values(idx) = r.readVarint()
           case IntegerType | DateType => values(idx) = r.readVarint().toInt
           case BooleanType => values(idx) = r.readVarint() != 0L
           case DoubleType => values(idx) =

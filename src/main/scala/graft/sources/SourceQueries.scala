@@ -122,12 +122,17 @@ object SourceQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
         |  o_orderpriority FROM orders""".stripMargin) { (s, dir) =>
       ProtobufFunctions.register(s)
+      // o_orderdate is parquet timestamp[ms] without UTC adjustment, which
+      // Spark reads as TIMESTAMP_NTZ; cast to the session-zoned TIMESTAMP so
+      // the decoded schema matches the oracle's (same pattern as
+      // `source_avro_decode` and events.ts).
       Tables.load(s, dir, "orders")
         .select(expr(
           """protobuf_decode(
-            |  protobuf_encode(struct(o_orderkey, o_custkey, o_orderstatus,
-            |                         o_totalprice, o_orderdate, o_orderpriority)),
-            |  'o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate DATE, o_orderpriority STRING')""".stripMargin)
+            |  protobuf_encode(struct(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            |                         CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+            |                         o_orderpriority)),
+            |  'o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING')""".stripMargin)
           .as("r"))
         .select(col("r.*"))
     }

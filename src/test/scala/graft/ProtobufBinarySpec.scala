@@ -76,6 +76,26 @@ class ProtobufBinarySpec extends SparkSpec {
     }
   }
 
+  test("parquet-derived types round-trip (TIMESTAMP_NTZ from non-UTC parquet)") {
+    // The driver's orders table stores timestamp[ms] WITHOUT UTC adjustment,
+    // which Spark reads as TIMESTAMP_NTZ — a type the r3 codec crashed on.
+    // Round-trip the driver-realistic schema straight off the real parquet.
+    ProtobufFunctions.register(spark)
+    val orders = Tables.load(spark, Sf, "orders")
+    assert(orders.schema("o_orderdate").dataType == TimestampNTZType,
+      "precondition: o_orderdate must arrive as TIMESTAMP_NTZ")
+    val out = orders
+      .select(expr(
+        """protobuf_decode(
+          |  protobuf_encode(struct(o_orderkey, o_orderdate, o_orderpriority)),
+          |  'o_orderkey BIGINT, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING')""".stripMargin)
+        .as("r"))
+      .select(col("r.*"))
+    val expected = orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+    assert(out.exceptAll(expected).isEmpty && expected.exceptAll(out).isEmpty)
+    assert(out.count() == orders.count())
+  }
+
   test("SQL surface: protobuf_encode/decode round-trip under codegen") {
     ProtobufFunctions.register(spark)
     val df = Seq((5L, "x", 1.5d), (6L, "", 0.0d)).toDF("id", "name", "score")
