@@ -78,7 +78,11 @@ object DiffProvenance {
     case Literal(v: Byte, _) => v >= 0
     case a: Attribute => prove(child, a.exprId)
     case Alias(e2, _) => proveExpr(e2, child)
-    case c: Cast => proveExpr(c.child, child)
+    // Only sign-preserving (widening) casts keep provenance: a narrowing
+    // cast like `cast(bigintDiff as int)` wraps values above 2³¹ negative
+    // while the child still "proves" ≥ 0 — eliding a Threshold that in fact
+    // cancels. Conservative answer for everything else is false.
+    case c: Cast if widens(c.child.dataType, c.dataType) => proveExpr(c.child, child)
     case m: Multiply => proveExpr(m.left, child) && proveExpr(m.right, child)
     case ad: Add => proveExpr(ad.left, child) && proveExpr(ad.right, child)
     case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
@@ -89,6 +93,26 @@ object DiffProvenance {
         case m: Max => proveExpr(m.child, child)
         case _ => false
       }
+    case _ => false
+  }
+
+  import org.apache.spark.sql.types._
+  private val integralRank: Map[DataType, Int] =
+    Map(ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+
+  /** Can `to` represent every value of `from` without sign change?
+    * Integral widening is exact; integral→float/double and float→double may
+    * round but never flip sign, which is all non-negativity needs. */
+  private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (f, t) if f == t => true
+    case (f, t) if integralRank.contains(f) && integralRank.contains(t) =>
+      integralRank(f) <= integralRank(t)
+    case (f, FloatType | DoubleType) if integralRank.contains(f) => true
+    case (FloatType, DoubleType) => true
+    case (f, d: DecimalType) if integralRank.contains(f) =>
+      d.precision - d.scale >= 19 // room for any Long
+    case (f: DecimalType, t: DecimalType) =>
+      t.precision - t.scale >= f.precision - f.scale && t.scale >= f.scale
     case _ => false
   }
 }

@@ -108,8 +108,16 @@ object Changelog {
     * `src/expr/src/relation/func.rs:3611-3614`). */
   def toRows(df: DataFrame): DataFrame = {
     val cols = df.columns.filterNot(_ == DiffCol).map(col)
+    // array_repeat takes an Int count; a >2³¹ multiplicity would silently
+    // truncate under a bare cast, so raise instead (expanding 2 billion
+    // copies of one row is out of scope for RepeatRow either way).
+    val guarded = when(col(DiffCol) > Int.MaxValue.toLong,
+        raise_error(concat(
+          lit(s"Changelog.toRows: row multiplicity exceeds Int.MaxValue: "),
+          col(DiffCol))))
+      .otherwise(col(DiffCol)).cast("int")
     threshold(df)
-      .withColumn("__rep", explode(array_repeat(lit(1), col(DiffCol).cast("int"))))
+      .withColumn("__rep", explode(array_repeat(lit(1), guarded)))
       .select(cols.toIndexedSeq: _*)
   }
 }

@@ -33,6 +33,14 @@ class ChangelogSpec extends SparkSpec {
     assert(out.toSeq == Seq("a", "a", "b"))
   }
 
+  test("toRows raises on multiplicity above Int.MaxValue instead of truncating") {
+    val e = intercept[Exception] {
+      Changelog.toRows(chg("a" -> (Int.MaxValue.toLong + 1L))).count()
+    }
+    assert(e.getMessage.contains("multiplicity exceeds Int.MaxValue") ||
+      Option(e.getCause).exists(_.getMessage.contains("multiplicity exceeds Int.MaxValue")))
+  }
+
   test("union + negate + threshold implements EXCEPT ALL") {
     val a = Changelog.fromRows(Seq("x", "x", "y").toDF("k"))
     val b = Changelog.fromRows(Seq("x", "z").toDF("k"))

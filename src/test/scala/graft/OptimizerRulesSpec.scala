@@ -142,6 +142,25 @@ class OptimizerRulesSpec extends SparkSpec {
     assert(optimizedHasAggregate(mixed))
   }
 
+  test("diff provenance: narrowing casts do not prove non-negativity") {
+    val n = Tables.load(spark, Sf, "nation")
+    val base = Changelog.fromRows(n) // diff: Long, provably ≥ 0
+    // a narrowing cast can wrap a >2³¹ diff negative — must NOT prove,
+    // so the threshold keeps its consolidation aggregate
+    val narrowed = base.withColumn(Changelog.DiffCol,
+      col(Changelog.DiffCol).cast("int").cast("long"))
+    assert(!graft.plans.DiffProvenance.nonNegative(narrowed))
+    // threshold must take the consolidation path (ReduceElision may still
+    // soundly drop the aggregate later — nation's full key is in the
+    // grouping — so assert the ANALYZED plan, i.e. which path was chosen)
+    assert(Changelog.threshold(narrowed).queryExecution.analyzed
+      .exists(_.isInstanceOf[Aggregate]))
+    // widening casts are sign-preserving and still prove
+    val intDiff = n.withColumn(Changelog.DiffCol, lit(1)) // IntegerType literal
+    assert(graft.plans.DiffProvenance.nonNegative(
+      intDiff.withColumn(Changelog.DiffCol, col(Changelog.DiffCol).cast("long"))))
+  }
+
   test("union cancellation: x and negate(x) annihilate") {
     val n = Tables.load(spark, Sf, "nation")
     def pos = Changelog.fromRows(
