@@ -51,8 +51,8 @@ object GraftSession {
     val spark = SparkSession.builder()
       .master(master)
       .appName("graft")
-      // custom optimizer rules (SURVEY §7.2 M5): unique-key Reduce elision
-      .withExtensions(_.injectOptimizerRule(_ => graft.plans.ReduceElisionRule))
+      // custom optimizer rules + the SQL DDL surface (GraftExtensions)
+      .withExtensions(GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,65 @@
+package graft.sql
+
+import java.nio.file.Files
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{Changelog, Subscribe}
+import graft.views.ViewCatalog
+
+/** Per-session [[ViewCatalog]] registry backing the SQL DDL surface — the
+  * analog of the reference's adapter-side catalog, which owns every
+  * materialized view a session can name (reference
+  * `src/adapter/src/catalog.rs`, `doc/developer/life-of-a-query.md`).
+  *
+  * The persist base directory comes from `spark.graft.viewDir` when set
+  * (tests and Verify pin it for reproducibility); otherwise a fresh temp
+  * directory per session.
+  */
+object GraftSqlCatalog {
+  private val catalogs = TrieMap.empty[SparkSession, ViewCatalog]
+
+  def forSession(spark: SparkSession): ViewCatalog =
+    catalogs.getOrElseUpdate(spark, {
+      val dir = spark.conf.get("spark.graft.viewDir", "")
+      new ViewCatalog(spark,
+        if (dir.nonEmpty) dir
+        else Files.createTempDirectory("graft_views_").toString)
+    })
+}
+
+/** Batch SUBSCRIBE: the view's changelog reconstructed over its committed
+  * version timeline — snapshot at the AS OF version, then one consolidated
+  * diff batch per subsequent version, stamped `(mz_ts, mz_diff, row...)`
+  * exactly like the streaming [[Subscribe]] (reference
+  * `src/compute/src/sink/subscribe.rs`: SUBSCRIBE emits the as-of snapshot
+  * followed by updates in timestamp order). Versions are the view's logical
+  * timestamps, so the frame IS the reference semantics over that timeline;
+  * the continuously-running variant is [[Subscribe.start]].
+  */
+object SubscribeFrame {
+
+  private def stamp(chg: DataFrame, ts: Long): DataFrame = {
+    val rest = chg.columns.filterNot(_ == Changelog.DiffCol).map(col)
+    chg.select((lit(ts).as(Subscribe.TsCol) +:
+      col(Changelog.DiffCol).as(Subscribe.DiffCol) +: rest.toIndexedSeq): _*)
+  }
+
+  def apply(cat: ViewCatalog, name: String, asOf: Option[Long]): DataFrame = {
+    val cur = cat.currentVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"cannot SUBSCRIBE: no committed version of $name"))
+    val from = asOf.getOrElse(cur)
+    require(from >= 0 && from <= cur, s"AS OF $from outside [0, $cur] for $name")
+    val snapshot = stamp(Changelog.fromRows(cat.tableAt(name, from)), from)
+    // each version step is a consolidated delta: new minus old — the
+    // engine's own changelog algebra computes the retractions
+    val steps = ((from + 1) to cur).map { v =>
+      stamp(Changelog.consolidate(Changelog.unionAll(
+        Changelog.fromRows(cat.tableAt(name, v)),
+        Changelog.negate(Changelog.fromRows(cat.tableAt(name, v - 1))))), v)
+    }
+    (snapshot +: steps).reduce(_.unionByName(_))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.sql
+
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** SQL entry path for the view/source lifecycle — the statements the
+  * reference only accepts as SQL text (parser
+  * `src/sql-parser/src/parser.rs:140`, plan kinds `src/sql/src/plan.rs:134`,
+  * `doc/developer/life-of-a-query.md`):
+  *
+  *  - `CREATE [OR REPLACE] MATERIALIZED VIEW <name> AS <query>`
+  *  - `REFRESH MATERIALIZED VIEW <name>` (full recompute against live inputs)
+  *  - `DROP MATERIALIZED VIEW <name>`
+  *  - `SUBSCRIBE [TO] <name> [AS OF <version>]` — the changelog frame
+  *    ([[SubscribeFrame]]); the continuous tail is
+  *    [[graft.streaming.Subscribe.start]]
+  *  - `COPY <name|(query)> TO '<path>' [WITH (FORMAT <parquet|csv|json>)]`
+  *  - `<query> AS OF <version>` — every materialized-view reference in the
+  *    query resolves to its committed version `<version>` (versions are the
+  *    view's logical timestamps; with a single view — the common case — this
+  *    is exactly the reference's `AS OF` read)
+  *
+  * Spark-first: a [[ParserInterface]] wrapper injected via
+  * `SparkSessionExtensions.injectParser`. Statements matching the grammar
+  * above become [[org.apache.spark.sql.execution.command.LeafRunnableCommand]]s
+  * or plain logical plans; EVERYTHING else delegates verbatim to Spark's own
+  * parser, so the full SQL dialect (and the SLT corpus) is untouched.
+  * Hand-rolled anchored regexes rather than a grammar: six statement shapes
+  * do not warrant an ANTLR pass, and the reference hand-writes its parser
+  * for the same reason.
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case CreateMv(name, query) => CreateMaterializedViewCommand(name, query)
+    case RefreshMv(name) => RefreshMaterializedViewCommand(name)
+    case DropMv(name) => DropMaterializedViewCommand(name)
+    case SubscribeStmt(name, asOf) =>
+      SubscribeFrame(GraftSqlCatalog.forSession(session), name,
+        Option(asOf).map(_.toLong)).queryExecution.logical
+    case CopyStmt(query, view, path, format) =>
+      CopyToCommand(
+        if (view != null) Left(view) else Right(query),
+        path, if (format == null) "parquet" else format)
+    case AsOfSuffix(inner, version) if referencesView(inner) =>
+      rewriteAsOf(delegate.parsePlan(inner), version.toLong)
+    case other => delegate.parsePlan(other)
+  }
+
+  /** Cheap pre-check so `... AS OF n` text in unrelated SQL (an alias named
+    * `of`, string literals) never hijacks parsing: the stripped query must
+    * mention a view THIS session's catalog knows. */
+  private def referencesView(inner: String): Boolean = {
+    val cat = GraftSqlCatalog.forSession(session)
+    Identifier.findAllIn(inner).exists(cat.isDefined)
+  }
+
+  /** Swap every single-part relation naming a catalog view for that view's
+    * committed snapshot at `version`. */
+  private def rewriteAsOf(plan: LogicalPlan, version: Long): LogicalPlan = {
+    val cat = GraftSqlCatalog.forSession(session)
+    plan.transformUp {
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 1 &&
+          cat.isDefined(r.multipartIdentifier.head) =>
+        val name = r.multipartIdentifier.head
+        SubqueryAlias(name, cat.tableAt(name, version).queryExecution.analyzed)
+    }
+  }
+
+  // everything below: pure delegation
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+  private val Id = "([A-Za-z_][A-Za-z0-9_]*)"
+  val CreateMv: Regex =
+    s"(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?MATERIALIZED\\s+VIEW\\s+$Id\\s+AS\\s+(.+?)\\s*;?\\s*$$".r
+  val RefreshMv: Regex =
+    s"(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$Id\\s*;?\\s*$$".r
+  val DropMv: Regex =
+    s"(?is)^\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+$Id\\s*;?\\s*$$".r
+  val SubscribeStmt: Regex =
+    s"(?is)^\\s*SUBSCRIBE\\s+(?:TO\\s+)?$Id(?:\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$".r
+  val CopyStmt: Regex =
+    (s"(?is)^\\s*COPY\\s+(?:\\((.+)\\)|$Id)\\s+TO\\s+'([^']+)'" +
+      s"(?:\\s+WITH\\s*\\(\\s*FORMAT\\s*=?\\s*'?(\\w+)'?\\s*\\))?\\s*;?\\s*$$").r
+  val AsOfSuffix: Regex = "(?is)^(.*\\S)\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$".r
+  val Identifier: Regex = "[A-Za-z_][A-Za-z0-9_]*".r
+}

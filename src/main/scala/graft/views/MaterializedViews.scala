@@ -164,6 +164,10 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
     defs.put(name, query); ()
   }
 
+  /** Is `name` a view this catalog knows (registered or ever committed)? */
+  def isDefined(name: String): Boolean =
+    defs.contains(name) || currentVersion(name).isDefined
+
   /** Read the latest committed snapshot (a plain DataFrame — joins, aggs,
     * further views compose on top exactly like the reference's `Get`). */
   def table(name: String): DataFrame = {

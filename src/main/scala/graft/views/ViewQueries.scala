@@ -52,6 +52,26 @@ object ViewQueries {
       // Snapshot read of the refreshed view.
       cat.table("rev").select(col("o_orderpriority"), col("support"),
         col("sum_price").cast("double").as("sum_val"))
+    },
+
+    // The SQL entry path end-to-end (reference
+    // `doc/developer/life-of-a-query.md`): the whole lifecycle — create,
+    // full refresh, versioned AS OF read — is driven by SQL text through
+    // graft.sql.GraftSqlParser, no Scala API calls. AS OF 1 pins the
+    // post-refresh version, so a broken refresh or version bookkeeping
+    // mismatches the oracle.
+    Q("sql_surface_mv",
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql(
+        """CREATE MATERIALIZED VIEW sql_surface_rev AS
+          |SELECT o_orderstatus, count(*) AS cnt,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders GROUP BY o_orderstatus""".stripMargin)
+      s.sql("REFRESH MATERIALIZED VIEW sql_surface_rev")
+      s.sql("SELECT o_orderstatus, cnt, total FROM sql_surface_rev AS OF 1")
     }
   )
 }

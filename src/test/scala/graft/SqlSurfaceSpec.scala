@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sql.GraftSqlCatalog
+import graft.streaming.Subscribe
+
+/** The reference's SQL entry path, end-to-end through `spark.sql` text only:
+  * create → read → refresh → AS OF → SUBSCRIBE → COPY TO → drop
+  * (parser `src/sql-parser/src/parser.rs:140`,
+  * `doc/developer/life-of-a-query.md`). */
+class SqlSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("materialized view lifecycle driven purely by SQL text") {
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("id", "grp", "v").createOrReplaceTempView("sqlsurf_base")
+
+    // CREATE — runs the query, persists v0, readable as a plain table
+    val created = spark.sql(
+      """CREATE MATERIALIZED VIEW sqlsurf_mv AS
+        |SELECT grp, count(*) AS cnt, sum(v) AS total
+        |FROM sqlsurf_base GROUP BY grp""".stripMargin).collect()
+    assert(created.head.getString(0) == "sqlsurf_mv" && created.head.getLong(1) == 0L)
+    assert(spark.sql("SELECT grp, cnt, total FROM sqlsurf_mv ORDER BY grp")
+      .as[(String, Long, Double)].collect().toSeq ==
+      Seq(("a", 2L, 40.0), ("b", 1L, 20.0)))
+
+    // base changes; REFRESH recomputes against live inputs → v1
+    Seq((1L, "a", 10.0), (4L, "c", 5.0))
+      .toDF("id", "grp", "v").createOrReplaceTempView("sqlsurf_base")
+    val refreshed = spark.sql("REFRESH MATERIALIZED VIEW sqlsurf_mv").collect()
+    assert(refreshed.head.getLong(1) == 1L)
+    assert(spark.sql("SELECT grp, cnt FROM sqlsurf_mv ORDER BY grp")
+      .as[(String, Long)].collect().toSeq == Seq(("a", 1L), ("c", 1L)))
+
+    // AS OF reads the pinned earlier version
+    assert(spark.sql("SELECT grp, cnt, total FROM sqlsurf_mv ORDER BY grp AS OF 0")
+      .as[(String, Long, Double)].collect().toSeq ==
+      Seq(("a", 2L, 40.0), ("b", 1L, 20.0)))
+
+    // SUBSCRIBE AS OF 0: snapshot at ts=0, then the v0→v1 delta at ts=1
+    // with retractions (mz_diff = -1) for rows that changed or vanished
+    val tail = spark.sql("SUBSCRIBE sqlsurf_mv AS OF 0")
+      .select(col(Subscribe.TsCol), col(Subscribe.DiffCol), col("grp"), col("cnt"))
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(tail == Set(
+      (0L, 1L, "a", 2L), (0L, 1L, "b", 1L), // snapshot
+      (1L, -1L, "a", 2L), (1L, 1L, "a", 1L), // a: 2 -> 1
+      (1L, -1L, "b", 1L), (1L, 1L, "c", 1L))) // b gone, c new
+
+    // SUBSCRIBE with no AS OF = current snapshot only
+    val cur = spark.sql("SUBSCRIBE TO sqlsurf_mv")
+      .select(col(Subscribe.TsCol), col(Subscribe.DiffCol), col("grp"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(cur == Set((1L, 1L, "a"), (1L, 1L, "c")))
+
+    // COPY TO exports through the DataFrame writer
+    val out = java.nio.file.Files.createTempDirectory("graft_sqlcopy_").toString
+    spark.sql(s"COPY sqlsurf_mv TO '$out/mv' WITH (FORMAT parquet)")
+    assert(spark.read.parquet(s"$out/mv").count() == 2)
+    spark.sql(s"COPY (SELECT grp FROM sqlsurf_mv WHERE cnt = 1) TO '$out/q' WITH (FORMAT json)")
+    assert(spark.read.json(s"$out/q").count() == 2)
+
+    // DROP removes catalog entry and the SQL-visible name
+    spark.sql("DROP MATERIALIZED VIEW sqlsurf_mv")
+    assert(!GraftSqlCatalog.forSession(spark).isDefined("sqlsurf_mv"))
+    assert(intercept[Exception](spark.sql("SELECT * FROM sqlsurf_mv").collect())
+      .getMessage.toLowerCase.contains("sqlsurf_mv"))
+  }
+
+  test("non-DDL statements delegate verbatim to Spark's parser") {
+    assert(spark.sql("SELECT 1 + 1 AS x").as[Int].head() == 2)
+    // 'AS OF <n>' text that does not reference a catalog view is untouched
+    // (here: a column alias plus a LIMIT — parses through the delegate)
+    assert(spark.sql("SELECT 5 AS of_col").columns.toSeq == Seq("of_col"))
+    val e = intercept[Exception](spark.sql("SELECT * FROM nonexistent_tbl_xyz AS OF 3"))
+    assert(e.getMessage.nonEmpty) // delegate's parse/analysis error, not ours
+  }
+}
