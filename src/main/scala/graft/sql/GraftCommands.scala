@@ -13,7 +13,8 @@ import graft.sources.CopyTo
   * own command execution runs it — no custom strategy needed; the side
   * effects dispatch to [[graft.views.ViewCatalog]] / [[CopyTo]].
   */
-case class CreateMaterializedViewCommand(name: String, queryText: String)
+case class CreateMaterializedViewCommand(
+    name: String, queryText: String, replace: Boolean)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("view", StringType, nullable = false)(),
@@ -21,11 +22,17 @@ case class CreateMaterializedViewCommand(name: String, queryText: String)
 
   override def run(spark: SparkSession): Seq[Row] = {
     val cat = GraftSqlCatalog.forSession(spark)
+    // plain CREATE on an existing name errors, like the reference/standard
+    // SQL; only CREATE OR REPLACE overwrites
+    if (!replace && cat.isDefined(name))
+      throw new IllegalArgumentException(
+        s"materialized view $name already exists (use CREATE OR REPLACE)")
     // the DEFINITION is the SQL text — a refresh re-parses it against live
     // inputs, exactly like the reference re-rendering the dataflow
     val v = cat.createMaterializedView(name, s => s.sql(queryText))
-    // expose the committed snapshot to plain SQL reads of `name`
-    cat.table(name).createOrReplaceTempView(name)
+    // expose committed snapshots to plain SQL reads of `name`; the catalog
+    // re-registers on every commit so SQL readers never pin a stale version
+    cat.exposeAsTempView(name)
     Seq(Row(name, v))
   }
 }
@@ -38,7 +45,7 @@ case class RefreshMaterializedViewCommand(name: String) extends LeafRunnableComm
   override def run(spark: SparkSession): Seq[Row] = {
     val cat = GraftSqlCatalog.forSession(spark)
     val v = cat.refreshFull(name)
-    cat.table(name).createOrReplaceTempView(name)
+    cat.exposeAsTempView(name)
     Seq(Row(name, v))
   }
 }

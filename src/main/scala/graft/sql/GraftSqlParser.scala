@@ -42,7 +42,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case CreateMv(name, query) => CreateMaterializedViewCommand(name, query)
+    case CreateMv(orReplace, name, query) =>
+      CreateMaterializedViewCommand(name, query, replace = orReplace != null)
     case RefreshMv(name) => RefreshMaterializedViewCommand(name)
     case DropMv(name) => DropMaterializedViewCommand(name)
     case SubscribeStmt(name, asOf) =>
@@ -53,16 +54,27 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         if (view != null) Left(view) else Right(query),
         path, if (format == null) "parquet" else format)
     case AsOfSuffix(inner, version) if referencesView(inner) =>
-      rewriteAsOf(delegate.parsePlan(inner), version.toLong)
+      // The suffix rewrite must never hijack SQL that Spark itself accepts
+      // (`VERSION AS OF n` / `TIMESTAMP AS OF n` time travel, an alias named
+      // `of`): if the FULL text parses natively, the user wrote valid Spark
+      // SQL and gets exactly that. Only when the native parse rejects it is
+      // the trailing `AS OF <version>` ours to interpret.
+      try delegate.parsePlan(sqlText)
+      catch {
+        case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+          rewriteAsOf(delegate.parsePlan(inner), version.toLong)
+      }
     case other => delegate.parsePlan(other)
   }
 
   /** Cheap pre-check so `... AS OF n` text in unrelated SQL (an alias named
     * `of`, string literals) never hijacks parsing: the stripped query must
-    * mention a view THIS session's catalog knows. */
+    * mention a view THIS session's catalog knows. String-literal content is
+    * excluded from the scan — `'fed AS OF my_view'` names nothing. */
   private def referencesView(inner: String): Boolean = {
     val cat = GraftSqlCatalog.forSession(session)
-    Identifier.findAllIn(inner).exists(cat.isDefined)
+    val noLiterals = StringLiteral.replaceAllIn(inner, " ")
+    Identifier.findAllIn(noLiterals).exists(cat.isDefined)
   }
 
   /** Swap every single-part relation naming a catalog view for that view's
@@ -99,7 +111,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 object GraftSqlParser {
   private val Id = "([A-Za-z_][A-Za-z0-9_]*)"
   val CreateMv: Regex =
-    s"(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?MATERIALIZED\\s+VIEW\\s+$Id\\s+AS\\s+(.+?)\\s*;?\\s*$$".r
+    s"(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?MATERIALIZED\\s+VIEW\\s+$Id\\s+AS\\s+(.+?)\\s*;?\\s*$$".r
   val RefreshMv: Regex =
     s"(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$Id\\s*;?\\s*$$".r
   val DropMv: Regex =
@@ -111,4 +123,6 @@ object GraftSqlParser {
       s"(?:\\s+WITH\\s*\\(\\s*FORMAT\\s*=?\\s*'?(\\w+)'?\\s*\\))?\\s*;?\\s*$$").r
   val AsOfSuffix: Regex = "(?is)^(.*\\S)\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$".r
   val Identifier: Regex = "[A-Za-z_][A-Za-z0-9_]*".r
+  /** `'...'` with doubled-quote escapes, as Spark's lexer tokenizes them. */
+  val StringLiteral: Regex = "'(?:[^']|'')*'".r
 }

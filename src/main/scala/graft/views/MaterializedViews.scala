@@ -36,6 +36,10 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
 
   private val defs = TrieMap.empty[String, SparkSession => DataFrame]
   private val groupOf = TrieMap.empty[String, String] // member view -> group
+  // views exposed to plain SQL as temp views — re-registered on every commit
+  // so `spark.sql("select * from v")` always reads the latest version, even
+  // when the refresh came through the Scala API rather than SQL REFRESH
+  private val exposed = TrieMap.empty[String, Unit]
 
   private def viewDir(name: String): Path = Paths.get(baseDir, name)
   private def currentFile(name: String): Path = viewDir(name).resolve("_CURRENT")
@@ -118,6 +122,7 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
     Files.write(tmp, nextSeq.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, groupDir(group).resolve("_CURRENT"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    newVers.keys.foreach(syncTempView)
     true
   }
 
@@ -144,8 +149,20 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
     Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, currentFile(name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    syncTempView(name)
     next
   }
+
+  /** Make the view readable by plain `spark.sql` under its own name. The
+    * registration is refreshed inside EVERY commit path, so SQL readers
+    * resolve the latest committed version no matter which API refreshed it. */
+  def exposeAsTempView(name: String): Unit = {
+    exposed.put(name, ())
+    syncTempView(name)
+  }
+
+  private def syncTempView(name: String): Unit =
+    if (exposed.contains(name)) table(name).createOrReplaceTempView(name)
 
   /** CREATE MATERIALIZED VIEW name AS query — runs the query once and
     * persists version 0. Idempotent re-create overwrites the definition and
@@ -241,6 +258,7 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
 
   def dropView(name: String): Unit = {
     defs.remove(name)
+    exposed.remove(name)
     deleteRecursive(viewDir(name))
   }
 
