@@ -44,6 +44,7 @@ object Bench {
     // cores inflated one round's artifact 2×), and min-of-2 recovers the
     // un-contended cost without hiding real plan regressions.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // (name, min seconds, first error if ALL passes failed, count of failed passes)
     val results = SparkEntry.queries.toSeq.filter(q => nameFilter(q._1))
       .sortBy(_._1).map { case (name, fn) =>
       val timed = (1 to passes).map { _ =>
@@ -54,28 +55,40 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val ok = timed.filter(_._2.isEmpty)
-      if (ok.nonEmpty) (name, ok.map(_._1).min, None)
-      else (name, timed.map(_._1).min, timed.head._2)
+      val nFail = timed.count(_._2.nonEmpty)
+      if (ok.nonEmpty) (name, ok.map(_._1).min, None, nFail)
+      else (name, timed.map(_._1).min, timed.head._2, nFail)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def qmap(rs: Seq[(String, Double, Option[String], Int)]): String =
+      rs.map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e), _) => "\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":" + jstr(e) }
+    // A query that failed some-but-not-all passes is flaky, not clean: surface
+    // the pass-level failure count instead of letting min-of-passes hide it.
+    val flaky = results.collect { case (k, _, None, n) if n > 0 => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = results.filter(_._3.isEmpty).map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${results.count(_._3.isEmpty)},"n_err":${results.count(_._3.nonEmpty)},"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
-    // Single huge stdout lines get truncated by log capture — the file is the
-    // machine-readable artifact; the path is printed so the driver finds it.
+    def jsonFor(qs: Seq[(String, Double, Option[String], Int)], detail: String): String =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":${results.count(_._3.isEmpty)},"n_err":${results.count(_._3.nonEmpty)},"errors":$errs,"flaky":$flaky,"queries":${qmap(qs)},"sf":"$sfDir"$detail}"""
+    val full = jsonFor(results, "")
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")).toAbsolutePath
-    java.nio.file.Files.writeString(out, json)
+    java.nio.file.Files.writeString(out, full)
+    // The driver keeps only the last ~2000 chars of stdout; the full per-query
+    // map (~3.5 KB) overflowed that for three rounds and the line never parsed.
+    // Print the full line only when it fits; otherwise print a compact line
+    // holding the slowest queries (the ones worth grading) + the detail path.
+    val line =
+      if (full.length <= 1600) full
+      else jsonFor(results.sortBy(-_._2).take(30).sortBy(_._1), s""","detail":"$out"""")
     println(s"BENCH_JSON_PATH=$out")
-    println(json)
+    println(line)
     spark.stop()
   }
 }

@@ -19,15 +19,22 @@ import graft.views.ViewCatalog
   * directory per session.
   */
 object GraftSqlCatalog {
-  private val catalogs = TrieMap.empty[SparkSession, ViewCatalog]
+  // Keyed by (sharedState, configured viewDir) rather than SparkSession
+  // identity: cloned sessions (`newSession()`, the session clone foreachBatch
+  // hands out) share sharedState and inherit the session conf, so they
+  // resolve to the parent's catalog instead of silently minting a fresh one
+  // with an empty view list. The map is bounded by #SparkContexts × distinct
+  // viewDirs — session churn (clones, stop()) no longer accretes entries.
+  private val catalogs = TrieMap.empty[(AnyRef, String), ViewCatalog]
 
-  def forSession(spark: SparkSession): ViewCatalog =
-    catalogs.getOrElseUpdate(spark, {
-      val dir = spark.conf.get("spark.graft.viewDir", "")
+  def forSession(spark: SparkSession): ViewCatalog = {
+    val dir = spark.conf.get("spark.graft.viewDir", "")
+    catalogs.getOrElseUpdate((spark.sharedState, dir), {
       new ViewCatalog(spark,
         if (dir.nonEmpty) dir
         else Files.createTempDirectory("graft_views_").toString)
     })
+  }
 }
 
 /** Batch SUBSCRIBE: the view's changelog reconstructed over its committed

@@ -69,6 +69,30 @@ class SqlSurfaceSpec extends SparkSpec {
       .getMessage.toLowerCase.contains("sqlsurf_mv"))
   }
 
+  test("plain CREATE on an existing view errors; OR REPLACE overwrites") {
+    Seq((1, "x")).toDF("id", "s").createOrReplaceTempView("sqlsurf_dup_base")
+    spark.sql("CREATE MATERIALIZED VIEW sqlsurf_dup AS SELECT * FROM sqlsurf_dup_base")
+    val e = intercept[Exception](
+      spark.sql("CREATE MATERIALIZED VIEW sqlsurf_dup AS SELECT 1 AS one"))
+    assert(e.getMessage.contains("already exists"))
+    spark.sql("CREATE OR REPLACE MATERIALIZED VIEW sqlsurf_dup AS SELECT 2 AS two")
+    assert(spark.sql("SELECT * FROM sqlsurf_dup").columns.toSeq == Seq("two"))
+    spark.sql("DROP MATERIALIZED VIEW sqlsurf_dup")
+  }
+
+  test("cloned sessions resolve to the parent's catalog, not a fresh one") {
+    Seq((7, "z")).toDF("id", "s").createOrReplaceTempView("sqlsurf_clone_base")
+    spark.sql("CREATE MATERIALIZED VIEW sqlsurf_clone AS SELECT id, s FROM sqlsurf_clone_base")
+    // newSession() shares sharedState and inherits the conf: it must see the
+    // same ViewCatalog (the foreachBatch-cloned-session case from streaming)
+    val clone = spark.newSession()
+    val cat = GraftSqlCatalog.forSession(clone)
+    assert(cat eq GraftSqlCatalog.forSession(spark))
+    assert(cat.isDefined("sqlsurf_clone"))
+    assert(cat.table("sqlsurf_clone").count() == 1)
+    spark.sql("DROP MATERIALIZED VIEW sqlsurf_clone")
+  }
+
   test("non-DDL statements delegate verbatim to Spark's parser") {
     assert(spark.sql("SELECT 1 + 1 AS x").as[Int].head() == 2)
     // 'AS OF <n>' text that does not reference a catalog view is untouched
