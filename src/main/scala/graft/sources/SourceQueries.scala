@@ -135,6 +135,49 @@ object SourceQueries {
             |  'o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING')""".stripMargin)
           .as("r"))
         .select(col("r.*"))
+    },
+
+    // Confluent-style registry envelope (reference
+    // src/interchange/src/confluent.rs: magic 0x00 + 4-byte BE schema id +
+    // payload). Part rows are framed under three ids, like a topic whose
+    // writer schema evolved: id 1 = avro at the reader schema, id 2 =
+    // protobuf with an extra p_brand field the reader must skip, id 7 =
+    // never registered. The reader decodes all three streams with ONE
+    // registry_decode call; unknown ids surface via the error-as-data
+    // convention (null row + tagged err), mirroring fn_error_as_data.
+    Q("source_registry_decode",
+      """SELECT p_partkey AS k,
+        |  CASE WHEN p_partkey % 3 = 2 THEN NULL ELSE p_partkey END AS r_partkey,
+        |  CASE WHEN p_partkey % 3 = 2 THEN NULL ELSE p_name END AS r_name,
+        |  CASE WHEN p_partkey % 3 = 2 THEN NULL ELSE p_retailprice END AS r_price,
+        |  CASE WHEN p_partkey % 3 = 2 THEN 'unknown schema id 7' END AS err
+        |FROM part""".stripMargin) { (s, dir) =>
+      AvroFunctions.register(s)
+      ProtobufFunctions.register(s)
+      val readerDdl = "p_partkey BIGINT, p_name STRING, p_retailprice DOUBLE"
+      val writerV2Ddl = readerDdl + ", p_brand STRING"
+      val regFile = java.nio.file.Files.createTempFile("graft_registry_", ".tsv")
+      Confluent.writeRegistryFile(regFile.toString, Seq(
+        (1, "avro", readerDdl), (2, "protobuf", writerV2Ddl)))
+      ConfluentFunctions.register(s, Confluent.registryFromFile(regFile.toString))
+
+      Tables.load(s, dir, "part")
+        .select(col("p_partkey").as("k"),
+          expr(
+            """CASE
+              |  WHEN p_partkey % 3 = 1 THEN confluent_wrap(2,
+              |    protobuf_encode(struct(p_partkey, p_name, p_retailprice, p_brand)))
+              |  WHEN p_partkey % 3 = 2 THEN confluent_wrap(7,
+              |    avro_encode(struct(p_partkey, p_name, p_retailprice)))
+              |  ELSE confluent_wrap(1,
+              |    avro_encode(struct(p_partkey, p_name, p_retailprice)))
+              |END""".stripMargin).as("msg"))
+        .select(col("k"), expr(s"registry_decode(msg, '$readerDdl')").as("d"))
+        .select(col("k"),
+          col("d.r.p_partkey").as("r_partkey"),
+          col("d.r.p_name").as("r_name"),
+          col("d.r.p_retailprice").as("r_price"),
+          col("d.err").as("err"))
     }
   )
 }
