@@ -43,7 +43,7 @@ object Bench {
     // pass is vulnerable to transient sandbox load (a co-tenant stealing
     // cores inflated one round's artifact 2×), and min-of-2 recovers the
     // un-contended cost without hiding real plan regressions.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     // (name, min seconds, first error if ALL passes failed, count of failed passes)
     val results = SparkEntry.queries.toSeq.filter(q => nameFilter(q._1))
       .sortBy(_._1).map { case (name, fn) =>
@@ -74,8 +74,13 @@ object Bench {
     val flaky = results.collect { case (k, _, None, n) if n > 0 => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = results.filter(_._3.isEmpty).map(_._2).sum
+    // System load average over the bench window: lets a reader distinguish a
+    // plan regression from sandbox contention (co-tenant load inflated the
+    // r4/r6 artifacts; the same queries ran 4-7x faster on an idle box).
+    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
     def jsonFor(qs: Seq[(String, Double, Option[String], Int)], detail: String): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":${results.count(_._3.isEmpty)},"n_err":${results.count(_._3.nonEmpty)},"errors":$errs,"flaky":$flaky,"queries":${qmap(qs)},"sf":"$sfDir"$detail}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":${results.count(_._3.isEmpty)},"n_err":${results.count(_._3.nonEmpty)},"loadavg":${r3(load)},"errors":$errs,"flaky":$flaky,"queries":${qmap(qs)},"sf":"$sfDir"$detail}"""
     val full = jsonFor(results, "")
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")).toAbsolutePath

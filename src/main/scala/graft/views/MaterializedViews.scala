@@ -244,6 +244,12 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
     commitVersion(name, merged)
   }
 
+  /** Commit `df` as the next version of `name` without re-running the
+    * registered definition — the entry point for state-only maintenance
+    * paths ([[TemporalView.advance]]: the new state derives from the old
+    * state, not from the defining query). */
+  def commitState(name: String, df: DataFrame): Long = commitVersion(name, df)
+
   /** Drop all versions below the current one (the persist GC analog). */
   def vacuum(name: String): Unit = currentVersion(name).foreach { cur =>
     val dir = viewDir(name)

@@ -1,0 +1,81 @@
+package graft.views
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Temporal filters as *scheduled retractions* on a maintained view.
+  *
+  * The reference compiles a predicate `mz_now() <= <deadline expr>` out of
+  * the dataflow's row logic and into the timestamp domain
+  * (`MfpPlan::extract_temporal`, reference `src/expr/src/linear.rs:411-470`;
+  * `doc/user/content/transform-data/patterns/temporal-filters.md`): each row
+  * is emitted once at its insert time and once, negated, at its deadline, so
+  * advancing the view's logical clock retracts expired rows WITHOUT
+  * re-evaluating the defining query.
+  *
+  * Spark analog: the deadline expression is evaluated ONCE when a row enters
+  * the view state and persisted alongside it (`__expires_at`). Advancing the
+  * clock is then a state-only operation — survivors are
+  * `state WHERE __expires_at >= newClock`, committed as the next version;
+  * the rows that fall out appear as `(row, -1)` in the version-to-version
+  * changelog ([[graft.sql.SubscribeFrame]]), exactly the retraction the
+  * reference schedules. The base table is never rescanned, and an AS OF read
+  * of an earlier version still shows the expired rows (history is immutable
+  * until vacuum).
+  *
+  * At 100 TB: versions are written range-partitioned on `__expires_at`
+  * ([[DataFrame.repartitionByRange]]), so parquet min/max file stats let the
+  * `advance` filter skip every file whose rows all survive — the scan cost
+  * tracks the expiring fraction of state, not the state size. (Deadlines are
+  * computed from event time, so the range partitioning is also how the
+  * reference's timely frontier batches retractions by timestamp.)
+  */
+final class TemporalView(
+    cat: ViewCatalog,
+    val name: String,
+    source: SparkSession => DataFrame,
+    deadline: Column) {
+
+  import TemporalView.ExpiresCol
+
+  @volatile private var lastClock: Option[java.sql.Timestamp] = None
+
+  private def alive(df: DataFrame, clock: java.sql.Timestamp): DataFrame =
+    df.filter(col(ExpiresCol) >= lit(clock))
+
+  private def ranged(df: DataFrame): DataFrame =
+    df.repartitionByRange(col(ExpiresCol))
+
+  /** CREATE at logical time `clock` (format `yyyy-MM-dd HH:mm:ss`): evaluate
+    * the defining query once, stamp each row's deadline, keep rows alive at
+    * `clock`, commit as version 0. */
+  def create(spark: SparkSession, clock: String): Long = {
+    val c = java.sql.Timestamp.valueOf(clock)
+    lastClock = Some(c)
+    cat.registerDefinition(name,
+      s => alive(source(s).withColumn(ExpiresCol, deadline), c))
+    cat.commitState(name,
+      ranged(alive(source(spark).withColumn(ExpiresCol, deadline), c)))
+  }
+
+  /** Advance the view's logical clock: rows whose deadline fell inside
+    * `[oldClock, newClock)` leave the state and show up as `diff = -1` in the
+    * subscribe changelog between the two committed versions. State-only — the
+    * defining query does not re-run. */
+  def advance(clock: String): Long = {
+    val c = java.sql.Timestamp.valueOf(clock)
+    require(lastClock.forall(_.before(c)),
+      s"temporal clock must advance monotonically: $lastClock -> $c")
+    lastClock = Some(c)
+    cat.commitState(name, ranged(alive(cat.table(name), c)))
+  }
+
+  /** Latest committed snapshot without the bookkeeping column. */
+  def snapshot(): DataFrame = cat.table(name).drop(ExpiresCol)
+}
+
+object TemporalView {
+  /** Persisted deadline column — evaluated once at row entry, the analog of
+    * the retraction timestamp `extract_temporal` schedules. */
+  val ExpiresCol = "__expires_at"
+}

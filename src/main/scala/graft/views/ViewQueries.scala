@@ -54,6 +54,41 @@ object ViewQueries {
         col("sum_price").cast("double").as("sum_val"))
     },
 
+    // Temporal filter as scheduled retractions on a maintained view
+    // (MfpPlan::extract_temporal, reference src/expr/src/linear.rs:411-470):
+    // the view keeps events while `mz_now() <= ts + INTERVAL 2 DAY`; each
+    // clock advance retracts exactly the rows whose deadline passed, visible
+    // as mz_diff = -1 in the subscribe frame, while AS OF 0 still reads the
+    // original snapshot. The oracle recomputes snapshot + per-step expiry
+    // sets from scratch.
+    Q("temporal_mv_retraction",
+      """WITH base AS (
+        |  SELECT event_id, user_id, ts + INTERVAL 2 DAY AS dl
+        |  FROM events WHERE user_id < 20)
+        |SELECT CAST(0 AS BIGINT) AS mz_ts, CAST(1 AS BIGINT) AS mz_diff,
+        |  event_id, user_id
+        |FROM base WHERE dl >= TIMESTAMP '2024-01-05 00:00:00'
+        |UNION ALL
+        |SELECT 1, -1, event_id, user_id FROM base
+        |WHERE dl >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND dl < TIMESTAMP '2024-01-15 00:00:00'
+        |UNION ALL
+        |SELECT 2, -1, event_id, user_id FROM base
+        |WHERE dl >= TIMESTAMP '2024-01-15 00:00:00'
+        |  AND dl < TIMESTAMP '2024-01-25 00:00:00'""".stripMargin) { (s, dir) =>
+      val cat = new ViewCatalog(s, Files.createTempDirectory("graft-ttl-q").toString)
+      val tv = new TemporalView(cat, "ttl_events",
+        sess => Tables.load(sess, dir, "events")
+          .filter(col("user_id") < 20)
+          .select(col("event_id"), col("user_id"), col("ts")),
+        col("ts") + expr("INTERVAL 2 DAYS"))
+      tv.create(s, "2024-01-05 00:00:00")
+      tv.advance("2024-01-15 00:00:00")
+      tv.advance("2024-01-25 00:00:00")
+      graft.sql.SubscribeFrame(cat, "ttl_events", Some(0L))
+        .select(col("mz_ts"), col("mz_diff"), col("event_id"), col("user_id"))
+    },
+
     // The SQL entry path end-to-end (reference
     // `doc/developer/life-of-a-query.md`): the whole lifecycle — create,
     // full refresh, versioned AS OF read — is driven by SQL text through
