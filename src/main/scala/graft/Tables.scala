@@ -54,6 +54,11 @@ object GraftSession {
       // custom optimizer rules + the SQL DDL surface (GraftExtensions)
       .withExtensions(GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
+      // fresh warehouse per JVM: managed-table locations from a crashed run
+      // otherwise collide with a new session's empty in-memory catalog
+      // (CREATE TABLE → LOCATION_ALREADY_EXISTS in the SLT corpus)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh_").toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -383,6 +383,24 @@ object SltRunner {
 
   /** Split one expected line into `n` cells (cockroach row-per-line mode):
     * try single-space tokens, then 2+-space alignment, else whole line. */
+  /** True iff the query text has an ORDER BY outside every parenthesis and
+    * string literal — the only position where SQL defines output order. */
+  private[slt] def hasTopLevelOrderBy(sql: String): Boolean = {
+    val top = new StringBuilder
+    var depth = 0
+    var inStr = false
+    sql.foreach { c =>
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true; ()
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ => if (depth == 0) top.append(c)
+      }
+    }
+    "(?i)\\border\\s+by\\b".r.findFirstIn(top.toString).isDefined
+  }
+
   private def splitExpected(line: String, n: Int): Option[List[String]] = {
     if (n == 1) return Some(List(line.trim))
     val t1 = line.trim.split("\\s+").toList
@@ -435,6 +453,10 @@ object SltRunner {
       val cn = e.getClass.getName.toLowerCase
       val msg = Option(e.getMessage).getOrElse("")
       cn.contains("parse") || cn.contains("analysis") || cn.contains("nosuch") ||
+        // parser/analyzer recursion depth on pathological inputs (the
+        // reference tests its own recursion_limit here) — an engine limit,
+        // not a wrong answer
+        cn.contains("stackoverflow") ||
         msg.contains("COLLATION") ||
         // ANSI overflow: the reference auto-widens sum(int8) to numeric
         cn.contains("arithmetic") ||
@@ -636,7 +658,37 @@ object SltRunner {
       ("regex.slt|builtin_function.slt",
         """(?i)regexp_replace\s*\(""".r,
         "pg regexp_replace replaces first match unless 'g' flag (4th arg); " +
-          "Spark always replaces all and has no flags arg"))
+          "Spark always replaces all and has no flags arg"),
+      ("types.slt",
+        """(?i)::\s*binary""".r,
+        "pg renders bytea as its text form; Spark renders binary bytes"),
+      ("types.slt",
+        """(?i)'[-\d]+ \d+ [\d:.]+'\s*::\s*interval""".r,
+        "pg sql-standard shorthand interval input text Spark rejects"),
+      ("arrays.slt",
+        """(?is)^(?!.*\border\s+by\b).*\bcollect_list\b""".r,
+        "array_agg without ORDER BY: pg returns insertion order; Spark's " +
+          "collect order after shuffle is undefined"),
+      ("window_funcs.slt",
+        """(?is)over\s*\(\s*partition\s+by\s+null\s+order\s+by\s+\d""".r,
+        "window ORDER BY over a constant: every row ties; row numbering is " +
+          "engine-arbitrary"),
+      ("window_funcs.slt",
+        """(?is)\blag\(sum\(a\)\)\s*over\s*\(order\s+by\s+sum\(a\)[^)]*\)""".r,
+        "lag over a window ORDER BY with ties (sum(a) repeats): which tied " +
+          "row precedes is engine-defined, so the lag value differs"),
+      ("window_funcs.slt",
+        """(?is)\blag\(x\)\s*over\s*\(\s*order\s+by\s+x\b""".r,
+        "lag/first/last_value over ORDER BY x on t7, which holds duplicate " +
+          "x values: which tied row precedes is engine-defined"),
+      ("window_funcs.slt",
+        """(?is)partition\s+by\s+\d+\s*\*\s*\w+\s*/""".r,
+        "pg / on integers is integer division; Spark's yields double, " +
+          "changing the computed partition keys"),
+      ("slt.slt",
+        """chr\(10\)""".r,
+        "embedded newlines inside result values are line-split by the SLT " +
+          "text format; the runner compares per line"))
     def isKnownDiff(sql: String): Boolean =
       knownDialectDiffs.exists { case (filePat, re, _) =>
         name.matches(filePat) && re.findFirstIn(sql).isDefined
@@ -740,11 +792,13 @@ object SltRunner {
                   val actCanon = rows.toList.map(r =>
                     types.indices.toList.map(j =>
                       canonCell(types(j), renderActual(types(j), r.get(j)))))
-                  // without an ORDER BY the row order is unspecified in any
-                  // engine — compare as multisets even in nosort mode
+                  // without a TOP-LEVEL ORDER BY the output row order is
+                  // unspecified in any engine (an ORDER BY inside OVER(...)
+                  // or a subquery orders nothing observable) — compare as
+                  // multisets even in nosort mode
                   val effSort =
-                    if (q.sortMode == "nosort" &&
-                      !q.sql.toLowerCase.contains("order by")) "rowsort"
+                    if (q.sortMode == "nosort" && !hasTopLevelOrderBy(q.sql))
+                      "rowsort"
                     else q.sortMode
                   def prep(v: List[List[String]]): List[String] = effSort match {
                     case "rowsort" => v.map(_.mkString("|")).sorted

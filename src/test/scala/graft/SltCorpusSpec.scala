@@ -71,9 +71,28 @@ class SltCorpusSpec extends SparkSpec {
     "topk.slt", "table_func.slt", "quoting.slt", "name_resolution.slt",
     "hash.slt", "reduce_mfp.slt", "regressions.slt", "temporal_bucketing.slt",
     "cockroach/builtin_function.slt", "cockroach/impure.slt",
-    "cockroach/alias_types.slt")
+    "cockroach/alias_types.slt",
+    // round 7: type/array/list/map/record families, window corpus, temporal
+    // + as-of + mz-lifecycle files, and more cockroach coverage
+    "jsonb.slt", "types.slt", "collate.slt", "arrays.slt", "array_subquery.slt",
+    "list.slt", "list_subquery.slt", "map.slt", "record.slt", "window_funcs.slt",
+    "tpch_select.slt", "error_semantics.slt", "func_aliases.slt",
+    "uniqueness_propagation_filter.slt", "with_mutually_recursive.slt",
+    "temporal.slt", "operator.slt", "uuid.slt", "timestamptz.slt",
+    "timezone.slt", "range.slt", "unsigned_int.slt", "array_fill.slt",
+    "int2vector.slt", "slt.slt", "recursion_limit.slt", "indexes.slt",
+    "updates.slt", "id.slt", "group_size_hints.slt", "session-window-wmr.slt",
+    "freshmart.slt", "subscribe_outputs.slt", "as_of.slt", "mztimestamp.slt",
+    "pretty.slt",
+    "cockroach/bit.slt", "cockroach/inet.slt", "cockroach/errors.slt",
+    "cockroach/format.slt", "cockroach/fuzzystrmatch.slt",
+    "cockroach/pg_builtins.slt", "cockroach/pgcrypto_builtins.slt",
+    "cockroach/orms.slt", "cockroach/delete.slt", "cockroach/update_from.slt",
+    "cockroach/returning.slt", "cockroach/custom_escape_character.slt",
+    "cockroach/composite_types.slt", "cockroach/void.slt",
+    "cockroach/record.slt", "cockroach/tuple_local.slt")
 
-  test("reference SLT corpus subset: 0 failures, >=3000 green assertions") {
+  test("reference SLT corpus subset: 0 failures, >=4300 green assertions") {
     assume(Files.isDirectory(Paths.get(corpus)), "reference corpus not present")
     val reports = SltRunner.runFiles(spark,
       files.map(f => s"$corpus/$f").filter(p => Files.exists(Paths.get(p))))
@@ -83,6 +102,6 @@ class SltCorpusSpec extends SparkSpec {
     total.failures.take(25).foreach(f => info(s"FAIL: $f"))
     assert(total.failed == 0,
       s"${total.failed} SLT failures:\n${total.failures.take(25).mkString("\n")}")
-    assert(total.passed >= 3000, s"only ${total.passed} SLT passes")
+    assert(total.passed >= 4300, s"only ${total.passed} SLT passes")
   }
 }
