@@ -80,16 +80,33 @@ object Recursion {
       step: Seq[DataFrame] => Seq[DataFrame],
       limits: Seq[Option[LetRecLimit]] = Nil,
       maxIter: Int = 100,
-      requireConvergence: Boolean = false): Seq[DataFrame] = {
+      requireConvergence: Boolean = false,
+      stepsPerCheck: Int = 1): Seq[DataFrame] = {
     require(bases.nonEmpty)
+    require(stepsPerCheck >= 1)
+    // `stepsPerCheck > 1` batches K step applications into ONE materialized
+    // round (the intermediate plans compose lazily — no extra jobs), so a
+    // fixpoint needing R rounds costs ~R/K driver round-trips. The endpoint
+    // convergence test (X^{t+K} == X^t) implies a fixpoint only for
+    // INFLATIONARY iterate sequences (each binding grows over rounds, the
+    // LetRec-over-sets common case); a non-monotone step could cycle with
+    // period dividing K undetected. Per-binding limits count rounds, which
+    // batching would miscount — mutually exclusive by construction.
+    require(stepsPerCheck == 1 || limits.forall(_.isEmpty),
+      "stepsPerCheck > 1 cannot honor per-binding LetRec limits")
     val lim: Seq[Option[LetRecLimit]] =
       if (limits.isEmpty) Seq.fill(bases.size)(None) else limits
     var cur = bases.map(_.distinct().localCheckpoint(false))
     val frozen = Array.fill(bases.size)(false)
     var i = 0
     while (i < maxIter) {
-      val proposed = step(cur)
+      var proposed = step(cur)
       require(proposed.size == cur.size, "step must return one plan per binding")
+      var k = 1
+      while (k < stepsPerCheck && i + k < maxIter) {
+        proposed = step(proposed)
+        k += 1
+      }
       // LAZY checkpoints: materialization piggybacks on the one
       // change-detection job below instead of costing a job per binding
       val next = proposed.zip(cur).zipWithIndex.map { case ((n, c), j) =>
@@ -106,7 +123,7 @@ object Recursion {
       }
       val changed = diffs.reduceOption(_ unionByName _).exists(!_.isEmpty)
       cur = next
-      i += 1
+      i += k
       lim.zipWithIndex.foreach { case (l, j) =>
         if (l.exists(_.maxIters <= i)) frozen(j) = true
       }
