@@ -36,6 +36,12 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
 
   private val defs = TrieMap.empty[String, SparkSession => DataFrame]
   private val groupOf = TrieMap.empty[String, String] // member view -> group
+  // one global clock + commit log per catalog: every commit (grouped or not)
+  // is stamped in ONE serialization order, so readers can pin a timestamp
+  // and see a consistent cut across INDEPENDENT views (the timestamp-oracle
+  // analog; groups alone only order their own members)
+  private val oracle = new TimestampOracle(baseDir)
+  private val timeline = new CommitTimeline(baseDir)
   // views exposed to plain SQL as temp views — re-registered on every commit
   // so `spark.sql("select * from v")` always reads the latest version, even
   // when the refresh came through the Scala API rather than SQL REFRESH
@@ -122,6 +128,7 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
     Files.write(tmp, nextSeq.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, groupDir(group).resolve("_CURRENT"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    timeline.record(oracle.writeTs(), newVers)
     newVers.keys.foreach(syncTempView)
     true
   }
@@ -149,6 +156,7 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
     Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, currentFile(name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    timeline.record(oracle.writeTs(), Map(name -> next))
     syncTempView(name)
     next
   }
@@ -249,6 +257,25 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
     * paths ([[TemporalView.advance]]: the new state derives from the old
     * state, not from the defining query). */
   def commitState(name: String, df: DataFrame): Long = commitVersion(name, df)
+
+  // ---- linearized reads across independent views ---------------------------
+
+  /** Highest global timestamp a reader may pin: every commit at or below it
+    * is durable. Pin ONCE, then read several views through [[tableAtTime]] —
+    * the result is a consistent cut across views that share no commit group
+    * (the reference's `TimestampOracle::read_ts`,
+    * `src/timestamp-oracle/src/lib.rs:46`). */
+  def globalReadTs(): Long = oracle.readTs()
+
+  /** Read `name` as of global time `ts`: the snapshot its latest commit at
+    * or before `ts` produced, regardless of how many commits it has had
+    * since. History persists until [[vacuum]]. */
+  def tableAtTime(name: String, ts: Long): DataFrame =
+    timeline.versionAt(name, ts) match {
+      case Some(v) => tableAt(name, v)
+      case None => throw new IllegalArgumentException(
+        s"$name had no committed version at global time $ts")
+    }
 
   /** Drop all versions below the current one (the persist GC analog). */
   def vacuum(name: String): Unit = currentVersion(name).foreach { cur =>

@@ -54,6 +54,35 @@ object ViewQueries {
         col("sum_price").cast("double").as("sum_val"))
     },
 
+    // Cross-view timestamp oracle (reference
+    // src/timestamp-oracle/src/lib.rs:46): two INDEPENDENT views (no shared
+    // commit group) commit in one global serialization order; a reader pins
+    // globalReadTs() once and reads both — the cut shows va's pre-refresh
+    // version even though a newer one exists, alongside vb. The oracle
+    // recomputes the cut from scratch.
+    Q("mv_consistent_cut",
+      """SELECT 'va' AS src, o_orderpriority AS k, count(*) AS cnt
+        |FROM orders WHERE o_totalprice >= 100000 GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'vb' AS src, o_orderstatus AS k, count(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val cat = new ViewCatalog(s, Files.createTempDirectory("graft-cut-q").toString)
+      var floor = 100000
+      cat.createMaterializedView("va", sess =>
+        Tables.load(sess, dir, "orders")
+          .filter(col("o_totalprice") >= floor)
+          .groupBy(col("o_orderpriority").as("k")).agg(count(lit(1)).as("cnt")))
+      cat.createMaterializedView("vb", sess =>
+        Tables.load(sess, dir, "orders")
+          .groupBy(col("o_orderstatus").as("k")).agg(count(lit(1)).as("cnt")))
+      val t = cat.globalReadTs()
+      floor = 50000
+      cat.refreshFull("va") // newer va exists; the pinned cut must not see it
+      cat.tableAtTime("va", t).select(lit("va").as("src"), col("k"), col("cnt"))
+        .unionByName(cat.tableAtTime("vb", t)
+          .select(lit("vb").as("src"), col("k"), col("cnt")))
+    },
+
     // Temporal filter as scheduled retractions on a maintained view
     // (MfpPlan::extract_temporal, reference src/expr/src/linear.rs:411-470):
     // the view keeps events while `mz_now() <= ts + INTERVAL 2 DAY`; each
