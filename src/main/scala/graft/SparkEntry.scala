@@ -5,7 +5,7 @@ import graft.functions.{CollectorQueries, FunctionQueries, PgFunctionQueries}
 import graft.multimodal.MultimodalQueries
 import graft.operators.{AggregateQueries, RelationalQueries, SqlQueries, WindowQueries}
 import graft.similarity.SimilarityQueries
-import graft.sources.SourceQueries
+import graft.sources.{SinkQueries, SourceQueries}
 import graft.streaming.{StreamExecQueries, StreamingQueries}
 import graft.text.TextQueries
 import graft.views.ViewQueries
@@ -24,7 +24,7 @@ object SparkEntry {
       FunctionQueries.defs ++ CollectorQueries.defs ++ PgFunctionQueries.defs ++
       TextQueries.defs ++ SimilarityQueries.defs ++
       MultimodalQueries.defs ++ StreamingQueries.defs ++ StreamExecQueries.defs ++
-      ViewQueries.defs ++ SourceQueries.defs
+      ViewQueries.defs ++ SourceQueries.defs ++ SinkQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,62 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Driver-checked queries for the Iceberg-style table sink (reference
+  * `src/storage/src/sink/iceberg.rs`): the full commit lifecycle — create,
+  * idempotent append (a replayed batchId in the measured path must be a
+  * no-op), merge-on-read upsert — and bounds-based file pruning, each
+  * verified against a DuckDB oracle computing the same final state
+  * relationally from the raw table.
+  */
+object SinkQueries {
+
+  val defs: Seq[Q] = Seq(
+
+    // create → append(batch 1) → replay of batch 1 (dropped by the resume
+    // upper) → equality-delete upsert; the read is the merged state.
+    Q("sink_iceberg_upsert_read",
+      """SELECT o_orderkey AS k, o_orderpriority AS pri,
+        |  CASE WHEN o_orderkey % 10 = 3 THEN -o_totalprice ELSE o_totalprice END AS price
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val t = new IcebergTable(s,
+        Files.createTempDirectory("graft-iceq").resolve("t").toString)
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("pri"),
+          col("o_totalprice").as("price"))
+      t.create(orders.filter(col("k") % 2 === 0))
+      t.append(orders.filter(col("k") % 2 === 1), batchId = 1L)
+      assert(t.append(orders.filter(col("k") % 2 === 1), batchId = 1L).isEmpty,
+        "replayed batch must be dropped by the resume upper")
+      t.upsertByKey(
+        orders.filter(col("k") % 10 === 3).withColumn("price", -col("price")),
+        Seq("k"))
+      t.read()
+    },
+
+    // Bounds-recorded write (range-partitioned so file bounds are tight),
+    // then a pruned range scan: files outside the year are never opened;
+    // the aggregate must still equal the full-table filter.
+    Q("sink_iceberg_prune",
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <= TIMESTAMP '1996-12-31 23:59:59'""".stripMargin) { (s, dir) =>
+      val t = new IcebergTable(s,
+        Files.createTempDirectory("graft-icep").resolve("t").toString)
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"))
+      t.create(li.repartitionByRange(16, col("l_shipdate")),
+        statsCols = Seq("l_shipdate"))
+      val (df, scanned, total) = t.scanPruned(
+        "l_shipdate", Some("1996-01-01 00:00:00"), Some("1996-12-31 23:59:59"))
+      assert(scanned < total, s"pruning must skip files ($scanned of $total scanned)")
+      df.agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+    })
+}

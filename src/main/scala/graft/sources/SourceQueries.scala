@@ -34,6 +34,25 @@ object SourceQueries {
       LoadGenerator.auctionsBatch(s, 1000)
     },
 
+    // The same generator driven purely through the SQL entry path (reference
+    // CREATE SOURCE, `src/sql/src/plan.rs:134`): CREATE SOURCE registers the
+    // collection, plain SQL aggregates it. IF NOT EXISTS keeps repeated
+    // passes in one session idempotent.
+    Q("sql_surface_source",
+      """SELECT item, count(*) AS n,
+        |  CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS amt
+        |FROM (
+        |  SELECT (['book','car','gem','art','toy','wine','coin','map'])[
+        |      CAST(CAST('0x' || substr(md5('itm' || id), 1, 15) AS BIGINT) % 8 AS INT) + 1] AS item,
+        |    (CAST('0x' || substr(md5('amt' || id), 1, 15) AS BIGINT) % 100000) / 100.0 AS amount
+        |  FROM range(15000) t(id))
+        |GROUP BY item""".stripMargin) { (s, _) =>
+      s.sql("CREATE SOURCE IF NOT EXISTS auction_sql_src FROM LOAD GENERATOR AUCTION (UP TO 15000)")
+      s.sql("""SELECT item, count(*) AS n,
+        |  CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS amt
+        |FROM auction_sql_src GROUP BY item""".stripMargin)
+    },
+
     Q("cdc_debezium_upsert",
       """SELECT user_id, last_value FROM (
         |  SELECT user_id, value AS last_value,

@@ -61,6 +61,84 @@ case class DropMaterializedViewCommand(name: String) extends LeafRunnableCommand
   }
 }
 
+/** `CREATE SOURCE <name> FROM LOAD GENERATOR <kind> (UP TO n)` /
+  * `FROM FILE '<path>' FORMAT <fmt>` (reference CREATE SOURCE plan kind,
+  * `src/sql/src/plan.rs:134`; load generators
+  * `src/storage-types/src/sources/load_generator.rs`). The source becomes a
+  * named relation (temp view over a lazy reader/generator DataFrame), so
+  * downstream SQL — including CREATE MATERIALIZED VIEW — composes on it
+  * exactly like the reference's source collections. */
+case class CreateSourceCommand(
+    name: String, ifNotExists: Boolean,
+    spec: Either[(String, Option[Long]), (String, String)])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("source", StringType, nullable = false)(),
+    AttributeReference("type", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val registry = GraftSqlCatalog.sourcesFor(spark)
+    if (registry.contains(name)) {
+      if (ifNotExists) return Seq(Row(name, registry(name)))
+      throw new IllegalArgumentException(
+        s"source $name already exists (use IF NOT EXISTS)")
+    }
+    val (df, kind) = spec match {
+      case Left(("AUCTION", upTo)) =>
+        (graft.sources.LoadGenerator.auctionsBatch(spark, upTo.getOrElse(1000L)),
+          "load-generator auction")
+      case Left(("COUNTER", upTo)) =>
+        (spark.range(upTo.getOrElse(1000L)).toDF("counter"), "load-generator counter")
+      case Left((other, _)) =>
+        throw new IllegalArgumentException(s"unknown load generator $other")
+      case Right((path, "parquet")) => (spark.read.parquet(path), "file parquet")
+      case Right((path, "csv")) =>
+        (spark.read.option("header", "true").option("inferSchema", "true").csv(path),
+          "file csv")
+      case Right((path, "json")) => (spark.read.json(path), "file json")
+      case Right((_, other)) =>
+        throw new IllegalArgumentException(s"unsupported FORMAT $other")
+    }
+    df.createOrReplaceTempView(name)
+    registry.put(name, kind)
+    Seq(Row(name, kind))
+  }
+}
+
+case class DropSourceCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("source", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val registry = GraftSqlCatalog.sourcesFor(spark)
+    if (registry.remove(name).isEmpty)
+      throw new IllegalArgumentException(s"source not found: $name")
+    spark.catalog.dropTempView(name)
+    Seq(Row(name))
+  }
+}
+
+case class ShowSourcesCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("type", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlCatalog.sourcesFor(spark).toSeq.sortBy(_._1)
+      .map { case (n, k) => Row(n, k) }
+}
+
+case class ShowMaterializedViewsCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = true)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftSqlCatalog.forSession(spark)
+    cat.viewNames.map(n => Row(n, cat.currentVersion(n).map(Long.box).orNull))
+  }
+}
+
 /** `COPY <view|(query)> TO '<path>' [WITH (FORMAT ...)]` — one-shot export
   * through the DataFrame writer (distributed; no driver collect). */
 case class CopyToCommand(source: Either[String, String], path: String, format: String)

@@ -35,6 +35,13 @@ object GraftSqlCatalog {
         else Files.createTempDirectory("graft_views_").toString)
     })
   }
+
+  // sources created via CREATE SOURCE, for SHOW SOURCES / duplicate checks —
+  // keyed like the view catalogs so session clones share the registry
+  private val sources = TrieMap.empty[AnyRef, TrieMap[String, String]]
+
+  def sourcesFor(spark: SparkSession): TrieMap[String, String] =
+    sources.getOrElseUpdate(spark.sharedState, TrieMap.empty)
 }
 
 /** Batch SUBSCRIBE: the view's changelog reconstructed over its committed

@@ -53,6 +53,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       CopyToCommand(
         if (view != null) Left(view) else Right(query),
         path, if (format == null) "parquet" else format)
+    case CreateSourceLoadGen(ifNotExists, name, kind, upTo) =>
+      CreateSourceCommand(name, ifNotExists != null,
+        Left((kind.toUpperCase, Option(upTo).map(_.toLong))))
+    case CreateSourceFile(ifNotExists, name, path, format) =>
+      CreateSourceCommand(name, ifNotExists != null,
+        Right((path, format.toLowerCase)))
+    case DropSource(name) => DropSourceCommand(name)
+    case ShowSources() => ShowSourcesCommand()
+    case ShowMvs() => ShowMaterializedViewsCommand()
     case AsOfSuffix(inner, version) if referencesView(inner) =>
       // The suffix rewrite must never hijack SQL that Spark itself accepts
       // (`VERSION AS OF n` / `TIMESTAMP AS OF n` time travel, an alias named
@@ -122,6 +131,18 @@ object GraftSqlParser {
     (s"(?is)^\\s*COPY\\s+(?:\\((.+)\\)|$Id)\\s+TO\\s+'([^']+)'" +
       s"(?:\\s+WITH\\s*\\(\\s*FORMAT\\s*=?\\s*'?(\\w+)'?\\s*\\))?\\s*;?\\s*$$").r
   val AsOfSuffix: Regex = "(?is)^(.*\\S)\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$".r
+  // CREATE SOURCE (reference `src/sql-parser/src/parser.rs` CREATE SOURCE;
+  // load generators `src/storage-types/src/sources/load_generator.rs`)
+  val CreateSourceLoadGen: Regex =
+    (s"(?is)^\\s*CREATE\\s+SOURCE\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?$Id\\s+FROM\\s+" +
+      s"LOAD\\s+GENERATOR\\s+(AUCTION|COUNTER)" +
+      s"(?:\\s*\\(\\s*UP\\s+TO\\s+(\\d+)\\s*\\))?\\s*;?\\s*$$").r
+  val CreateSourceFile: Regex =
+    (s"(?is)^\\s*CREATE\\s+SOURCE\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?$Id\\s+FROM\\s+" +
+      s"FILE\\s+'([^']+)'\\s+FORMAT\\s+(PARQUET|CSV|JSON)\\s*;?\\s*$$").r
+  val DropSource: Regex = s"(?is)^\\s*DROP\\s+SOURCE\\s+$Id\\s*;?\\s*$$".r
+  val ShowSources: Regex = "(?is)^\\s*SHOW\\s+SOURCES\\s*;?\\s*$".r
+  val ShowMvs: Regex = "(?is)^\\s*SHOW\\s+MATERIALIZED\\s+VIEWS\\s*;?\\s*$".r
   val Identifier: Regex = "[A-Za-z_][A-Za-z0-9_]*".r
   /** `'...'` with doubled-quote escapes, as Spark's lexer tokenizes them. */
   val StringLiteral: Regex = "'(?:[^']|'')*'".r

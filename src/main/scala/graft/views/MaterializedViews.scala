@@ -193,6 +193,9 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
   def isDefined(name: String): Boolean =
     defs.contains(name) || currentVersion(name).isDefined
 
+  /** Every view with a registered definition (SHOW MATERIALIZED VIEWS). */
+  def viewNames: Seq[String] = defs.keys.toSeq.sorted
+
   /** Read the latest committed snapshot (a plain DataFrame — joins, aggs,
     * further views compose on top exactly like the reference's `Get`). */
   def table(name: String): DataFrame = {

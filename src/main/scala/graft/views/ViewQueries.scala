@@ -129,8 +129,10 @@ object ViewQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
       Tables.register(s, dir)
+      // OR REPLACE: the bench times each query over several passes in one
+      // session; plain CREATE on the existing name would (correctly) throw
       s.sql(
-        """CREATE MATERIALIZED VIEW sql_surface_rev AS
+        """CREATE OR REPLACE MATERIALIZED VIEW sql_surface_rev AS
           |SELECT o_orderstatus, count(*) AS cnt,
           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
           |FROM orders GROUP BY o_orderstatus""".stripMargin)

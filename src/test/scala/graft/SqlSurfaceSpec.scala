@@ -101,4 +101,49 @@ class SqlSurfaceSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql("SELECT * FROM nonexistent_tbl_xyz AS OF 3"))
     assert(e.getMessage.nonEmpty) // delegate's parse/analysis error, not ours
   }
+
+  test("CREATE SOURCE: load generators and files become named relations") {
+    // counter generator with a bound
+    spark.sql("CREATE SOURCE sqlsurf_ctr FROM LOAD GENERATOR COUNTER (UP TO 5)")
+    assert(spark.sql("SELECT sum(counter) FROM sqlsurf_ctr").as[Long].head() == 10L)
+    // auction generator matches the Scala API's output exactly
+    spark.sql("CREATE SOURCE sqlsurf_auc FROM LOAD GENERATOR AUCTION (UP TO 100)")
+    assert(spark.sql("SELECT count(DISTINCT item) FROM sqlsurf_auc").as[Long].head() == 8L)
+    // file source: csv with header
+    val dir = java.nio.file.Files.createTempDirectory("graft-src-csv").toString + "/f"
+    Seq((1, "x"), (2, "y")).toDF("id", "tag").write.option("header", "true").csv(dir)
+    spark.sql(s"CREATE SOURCE sqlsurf_csv FROM FILE '$dir' FORMAT CSV")
+    assert(spark.sql("SELECT count(*) FROM sqlsurf_csv").as[Long].head() == 2L)
+    // duplicate create errors; IF NOT EXISTS is a no-op
+    val e = intercept[IllegalArgumentException](
+      spark.sql("CREATE SOURCE sqlsurf_ctr FROM LOAD GENERATOR COUNTER (UP TO 9)"))
+    assert(e.getMessage.contains("already exists"))
+    spark.sql("CREATE SOURCE IF NOT EXISTS sqlsurf_ctr FROM LOAD GENERATOR COUNTER (UP TO 9)")
+    assert(spark.sql("SELECT count(*) FROM sqlsurf_ctr").as[Long].head() == 5L)
+    // SHOW SOURCES lists them; DROP removes name + registry entry
+    val shown = spark.sql("SHOW SOURCES").as[(String, String)].collect().toMap
+    assert(shown.contains("sqlsurf_ctr") && shown("sqlsurf_auc").contains("auction"))
+    spark.sql("DROP SOURCE sqlsurf_csv")
+    assert(!spark.sql("SHOW SOURCES").as[(String, String)].collect().toMap.contains("sqlsurf_csv"))
+    intercept[Exception](spark.sql("SELECT * FROM sqlsurf_csv").collect())
+  }
+
+  test("SHOW MATERIALIZED VIEWS lists catalog views with current versions") {
+    Seq((1L, "a")).toDF("id", "grp").createOrReplaceTempView("sqlsurf_show_base")
+    spark.sql(
+      "CREATE OR REPLACE MATERIALIZED VIEW sqlsurf_show_mv AS SELECT * FROM sqlsurf_show_base")
+    val rows = spark.sql("SHOW MATERIALIZED VIEWS").collect()
+      .map(r => r.getString(0) -> r.get(1)).toMap
+    assert(rows.contains("sqlsurf_show_mv"))
+    assert(rows("sqlsurf_show_mv").asInstanceOf[Long] >= 0L)
+  }
+
+  test("a MATERIALIZED VIEW composes on a CREATE SOURCE relation") {
+    spark.sql("CREATE SOURCE IF NOT EXISTS sqlsurf_auc2 FROM LOAD GENERATOR AUCTION (UP TO 200)")
+    spark.sql(
+      """CREATE OR REPLACE MATERIALIZED VIEW sqlsurf_auc_mv AS
+        |SELECT item, count(*) AS n FROM sqlsurf_auc2 GROUP BY item""".stripMargin)
+    val total = spark.sql("SELECT sum(n) FROM sqlsurf_auc_mv").as[Long].head()
+    assert(total == 200L)
+  }
 }
