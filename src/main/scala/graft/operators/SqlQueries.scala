@@ -121,10 +121,11 @@ object SqlQueries {
             Seq(0L).toDF("n").unionByName(o.select((col("n") + 1).as("n"))).filter(col("n") <= 8),
             e.select((col("n") + 1).as("n")).filter(col("n") <= 8))
         },
-        // inflationary bindings (both only grow) → batch 5 rounds per
-        // materialized convergence check: ~5x fewer driver round-trips,
-        // which dominate a 9-round fixpoint over 9 rows
-        stepsPerCheck = 5)
+        // inflationary bindings (both only grow) → batch 10 rounds per
+        // materialized convergence check: the 9-round fixpoint over 9 rows
+        // converges in TWO driver round-trips (changed, then stable), and
+        // driver/job latency — not data — is the entire cost here
+        stepsPerCheck = 10)
       evens.select(lit("even").as("side"), col("n"))
         .unionByName(odds.select(lit("odd").as("side"), col("n")))
     },
