@@ -90,9 +90,39 @@ class SltCorpusSpec extends SparkSpec {
     "cockroach/orms.slt", "cockroach/delete.slt", "cockroach/update_from.slt",
     "cockroach/returning.slt", "cockroach/custom_escape_character.slt",
     "cockroach/composite_types.slt", "cockroach/void.slt",
-    "cockroach/record.slt", "cockroach/tuple_local.slt")
+    "cockroach/record.slt", "cockroach/tuple_local.slt",
+    // round 7: the reference's transform/ golden-query corpus (the data
+    // assertions; EXPLAIN output is skipped as engine-specific), the
+    // postgres-derived files, attribute derivation files, and more
+    // top-level + cockroach coverage
+    "transform/aggregation_nullability.slt", "transform/case_literal.slt",
+    "transform/coalesce_case.slt", "transform/column_knowledge.slt",
+    "transform/demand.slt", "transform/equivalence_propagation.slt",
+    "transform/fold_constants.slt", "transform/generate_series_collapse.slt",
+    "transform/join_fusion.slt", "transform/literal_lifting.slt",
+    "transform/monotonic.slt", "transform/non_null_requirements.slt",
+    "transform/normalize_lets.slt", "transform/predicate_pushdown.slt",
+    "transform/predicate_reduction.slt", "transform/projection_lifting.slt",
+    "transform/reduce_elision.slt", "transform/reduce_fusion.slt",
+    "transform/reduction_pushdown.slt", "transform/redundant_join.slt",
+    "transform/relation_cse.slt", "transform/scalar_cse.slt",
+    "transform/threshold_elision.slt", "transform/topk.slt",
+    "transform/union.slt", "transform/union_cancel.slt",
+    "postgres/join-lateral.slt", "postgres/jsonb.slt", "postgres/regex.slt",
+    "postgres/strings.slt",
+    "attributes/mir_arity.slt", "attributes/mir_column_types.slt",
+    "attributes/mir_unique_keys.slt",
+    "variadic_outer_join.slt", "try_parse_monotonic_iso8601_timestamp.slt",
+    "table.slt", "returning.slt", "recursive_type_unioning.slt",
+    "planning_errors.slt", "parse_ident.slt", "oid.slt",
+    "cockroach/tsvector.slt", "cockroach/truncate.slt", "cockroach/sqlsmith.slt",
+    "cockroach/select_search_path.slt", "cockroach/rename_table.slt",
+    "cockroach/rename_column.slt", "cockroach/pgoidtype.slt",
+    "cockroach/namespace.slt", "cockroach/function_lookup.slt",
+    "cockroach/drop_view.slt", "cockroach/drop_table.slt",
+    "cockroach/collatedstring.slt", "cockroach/as_of.slt")
 
-  test("reference SLT corpus subset: 0 failures, >=4300 green assertions") {
+  test("reference SLT corpus subset: 0 failures, >=4900 green assertions") {
     assume(Files.isDirectory(Paths.get(corpus)), "reference corpus not present")
     val reports = SltRunner.runFiles(spark,
       files.map(f => s"$corpus/$f").filter(p => Files.exists(Paths.get(p))))
@@ -102,6 +132,6 @@ class SltCorpusSpec extends SparkSpec {
     total.failures.take(25).foreach(f => info(s"FAIL: $f"))
     assert(total.failed == 0,
       s"${total.failed} SLT failures:\n${total.failures.take(25).mkString("\n")}")
-    assert(total.passed >= 4300, s"only ${total.passed} SLT passes")
+    assert(total.passed >= 4900, s"only ${total.passed} SLT passes")
   }
 }
