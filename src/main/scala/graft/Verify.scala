@@ -16,6 +16,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // fresh warehouse per run: bucketed managed tables from a crashed run
+      // must not collide (LOCATION_ALREADY_EXISTS)
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft_wh_v_").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -68,6 +68,29 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
     },
+    // Co-located join via bucketing (SURVEY §2.1 ArrangeBy / prompt:
+    // "co-located joins via bucketing"): both sides are persisted bucketed
+    // on the join key, so the join itself plans with ZERO exchanges — the
+    // write-time arrangement is reused (CoLocatedJoinSpec asserts the plan;
+    // this row proves the values).
+    Q("join_bucketed_colocated",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      graft.plans.CoLocatedJoin.bucketize(
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        "buck_orders", "o_orderkey", 16)
+      graft.plans.CoLocatedJoin.bucketize(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+        "buck_lineitem", "o_orderkey", 16)
+      graft.plans.CoLocatedJoin.join(s, "buck_orders", "buck_lineitem", "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+    },
     Q("q1_agg",
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

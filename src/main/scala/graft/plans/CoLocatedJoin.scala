@@ -1,0 +1,36 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Co-located (exchange-free) joins via bucketing — the Spark analog of the
+  * reference keeping both join inputs arranged by the same key so the join
+  * streams arrangement against arrangement with no data movement
+  * (`ArrangeBy` + `JoinImplementation`, reference
+  * `src/expr/src/relation.rs:303-308`, `src/compute/src/render/join/`).
+  *
+  * A bucketed table IS a persisted arrangement: rows are hash-partitioned
+  * into a fixed bucket count by the key at WRITE time, so any number of
+  * subsequent joins/aggregations on that key read co-partitioned splits and
+  * skip their shuffle entirely. At 100 TB this converts every fact-to-fact
+  * join on the bucketed key from a full network shuffle of both sides into
+  * a local zip of bucket files — the single largest cost a repeated
+  * analytical workload can shed, paid once at ingest.
+  *
+  * `sortBy` on the same key additionally persists the within-bucket order,
+  * so sort-merge joins skip their per-task sort.
+  */
+object CoLocatedJoin {
+
+  /** Persist `df` as a bucketed+sorted managed table: the write-time
+    * arrangement. Same `buckets` count on both sides of a future join is
+    * required for the exchange to be elided. */
+  def bucketize(df: DataFrame, name: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(name)
+
+  /** Equi-join of two tables previously [[bucketize]]d on `key`: planned
+    * with zero Exchange on either side (asserted by CoLocatedJoinSpec). */
+  def join(spark: SparkSession, left: String, right: String, key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+}

@@ -317,6 +317,24 @@ object IcebergTable {
   val SeqCol = "__graft_seq"
   val DelSeqCol = "__graft_del_seq"
 
+  /** Continuous ingestion into the table — the reference sink's dataflow
+    * tail (iceberg.rs "commit to iceberg" operator): every micro-batch
+    * becomes one snapshot commit keyed by its batchId, so a replayed batch
+    * after restart is dropped by the resume upper and the table observes
+    * each batch exactly once. `keys` non-empty switches the commit to
+    * merge-on-read upserts (the reference's DiffPair upsert path). */
+  def startStream(df: DataFrame, table: IcebergTable, checkpoint: String,
+      keys: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (keys.isEmpty) table.append(batch, batchId = id)
+        else table.upsertByKey(batch, keys, batchId = id)
+        ()
+      }
+      .start()
+
   /** Min/max bounds of one column in one file (Iceberg manifest
     * `lower_bounds`/`upper_bounds`), serialized as strings of the column's
     * Spark-SQL cast — re-parsed with the column type at prune time. */

@@ -140,6 +140,30 @@ class IcebergTableSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingestion commits one snapshot per micro-batch, exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = freshDir()
+    val t = new IcebergTable(spark, dir)
+    t.create(Seq.empty[(Long, String)].toDF("id", "tag"))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = IcebergTable.startStream(input.toDF().toDF("id", "tag"), t,
+      Files.createTempDirectory("graft-ice-ckpt").toString)
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+      assert(t.read().count() == 3)
+      // one snapshot per non-empty micro-batch, after the create
+      assert(t.metadata.snapshots.size >= 3)
+      // a replayed batchId (restart replay) is dropped by the resume upper
+      val resume = t.metadata.resumeUpper
+      assert(t.append(Seq((9L, "dup")).toDF("id", "tag"), batchId = resume).isEmpty)
+      assert(t.read().count() == 3)
+    } finally q.stop()
+  }
+
   test("vacuum drops directories no longer referenced by the live manifest") {
     val dir = freshDir()
     val t = new IcebergTable(spark, dir)
