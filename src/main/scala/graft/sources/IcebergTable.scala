@@ -112,6 +112,27 @@ final class IcebergTable(spark: SparkSession, tablePath: String) {
     else commit(df, m.statsCols, "overwrite", Some(df.select(keys.map(col): _*)), batchId, m)
   }
 
+  /** One commit applying a general change set: `newRows` are inserted (and
+    * replace any older rows sharing their `keys`), `deletedKeys` (a
+    * keys-only DataFrame) are removed outright. This is the shape a
+    * continuously-maintained sink emits per view refresh — work ∝ delta,
+    * never a table rewrite (reference iceberg.rs: the DeltaWriter's
+    * data-file + position-delete pair per batch). */
+  def applyChangeSet(newRows: DataFrame, deletedKeys: DataFrame, keys: Seq[String],
+      batchId: Long = -1L): Option[Long] = {
+    require(keys.nonEmpty, "applyChangeSet needs key columns")
+    val m = metadata
+    requireSameSchema(newRows, m)
+    require(deletedKeys.columns.toSeq == keys,
+      s"deletedKeys must have exactly the key columns $keys, got ${deletedKeys.columns.toSeq}")
+    if (batchId >= 0 && batchId <= m.resumeUpper) None
+    else {
+      val allDeleteKeys = newRows.select(keys.map(col): _*)
+        .unionByName(deletedKeys).distinct()
+      commit(newRows, m.statsCols, "overwrite", Some(allDeleteKeys), batchId, m)
+    }
+  }
+
   /** Rewrite the merged current state as one fresh snapshot with no delete
     * files — Iceberg's data-compaction maintenance action. */
   def compact(): Long = {

@@ -38,6 +38,33 @@ object SinkQueries {
       t.read()
     },
 
+    // CREATE SINK end-to-end through SQL (reference Plan::CreateSink +
+    // iceberg.rs): the MV's snapshot seeds the table, a base change +
+    // REFRESH flows through the commit hook as an incremental change set,
+    // and the final table state must equal the view recomputed from
+    // scratch — which is exactly what the oracle does.
+    Q("sink_view_maintained",
+      """SELECT o_orderstatus AS st, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_totalprice >= 50000 GROUP BY o_orderstatus""".stripMargin) {
+      (s, dir) =>
+      graft.Tables.register(s, dir)
+      s.sql("""CREATE OR REPLACE TEMP VIEW sink_base AS
+        |SELECT * FROM orders WHERE o_totalprice >= 100000""".stripMargin)
+      s.sql("""CREATE OR REPLACE MATERIALIZED VIEW sink_mv AS
+        |SELECT o_orderstatus AS st, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM sink_base GROUP BY o_orderstatus""".stripMargin)
+      val path = Files.createTempDirectory("graft-snk").resolve("t").toString
+      s.sql(s"CREATE SINK sink_ice FROM sink_mv INTO ICEBERG '$path' KEY (st)")
+      // widen the base: every group's aggregates change through the sink
+      s.sql("""CREATE OR REPLACE TEMP VIEW sink_base AS
+        |SELECT * FROM orders WHERE o_totalprice >= 50000""".stripMargin)
+      s.sql("REFRESH MATERIALIZED VIEW sink_mv")
+      s.sql("DROP SINK sink_ice") // keep repeated passes in one session clean
+      new IcebergTable(s, path).read()
+    },
+
     // Bounds-recorded write (range-partitioned so file bounds are tight),
     // then a pruned range scan: files outside the year are never opened;
     // the aggregate must still equal the full-table filter.

@@ -139,6 +139,80 @@ case class ShowMaterializedViewsCommand() extends LeafRunnableCommand {
   }
 }
 
+/** `CREATE SINK <name> FROM <view> INTO ICEBERG '<path>' KEY (k, ...)` —
+  * a continuously-maintained sink (reference `Plan::CreateSink`,
+  * `src/storage/src/sink/iceberg.rs`): the view's CURRENT snapshot seeds
+  * the table, and every subsequent commit of the view applies only the
+  * delta — changed/new rows as a merge-on-read upsert, vanished keys as
+  * equality deletes — in one idempotent Iceberg commit keyed by the view
+  * version (a replayed refresh is dropped by the resume upper). The KEY
+  * must uniquely identify view rows (the reference's sink key). Work per
+  * refresh ∝ |delta|, never a table rewrite. */
+case class CreateSinkCommand(name: String, view: String, path: String, keys: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("sink", StringType, nullable = false)(),
+    AttributeReference("path", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftSqlCatalog.forSession(spark)
+    val sinks = GraftSqlCatalog.sinksFor(spark)
+    if (sinks.contains(name))
+      throw new IllegalArgumentException(s"sink $name already exists")
+    if (cat.currentVersion(view).isEmpty)
+      throw new IllegalArgumentException(
+        s"cannot CREATE SINK: no committed version of $view")
+    val snapshot = cat.table(view)
+    val missing = keys.filterNot(snapshot.columns.contains)
+    require(missing.isEmpty, s"KEY columns not in $view: ${missing.mkString(", ")}")
+    val table = new graft.sources.IcebergTable(spark, path)
+    table.create(snapshot, statsCols = keys)
+    cat.addCommitHook(view, s"sink:$name", { (snap, version) =>
+      import org.apache.spark.sql.functions.col
+      // version 0 only occurs if the view was dropped and re-created from
+      // scratch while the sink stayed attached: reseed from the snapshot
+      val (newRows, goneKeys) =
+        if (version == 0) (snap, snap.select(keys.map(col): _*).limit(0))
+        else {
+          val prior = cat.tableAt(view, version - 1)
+          (snap.exceptAll(prior),
+            prior.select(keys.map(col): _*).exceptAll(snap.select(keys.map(col): _*)))
+        }
+      new graft.sources.IcebergTable(spark, path)
+        .applyChangeSet(newRows, goneKeys, keys, batchId = version)
+      ()
+    })
+    sinks.put(name, (view, path, keys))
+    Seq(Row(name, path))
+  }
+}
+
+case class DropSinkCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("sink", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val sinks = GraftSqlCatalog.sinksFor(spark)
+    sinks.remove(name) match {
+      case Some((view, _, _)) =>
+        GraftSqlCatalog.forSession(spark).removeCommitHook(view, s"sink:$name")
+        Seq(Row(name))
+      case None => throw new IllegalArgumentException(s"sink not found: $name")
+    }
+  }
+}
+
+case class ShowSinksCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("from", StringType, nullable = false)(),
+    AttributeReference("path", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlCatalog.sinksFor(spark).toSeq.sortBy(_._1)
+      .map { case (n, (v, p, _)) => Row(n, v, p) }
+}
+
 /** `COPY <view|(query)> TO '<path>' [WITH (FORMAT ...)]` — one-shot export
   * through the DataFrame writer (distributed; no driver collect). */
 case class CopyToCommand(source: Either[String, String], path: String, format: String)

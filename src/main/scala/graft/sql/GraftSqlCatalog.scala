@@ -42,6 +42,12 @@ object GraftSqlCatalog {
 
   def sourcesFor(spark: SparkSession): TrieMap[String, String] =
     sources.getOrElseUpdate(spark.sharedState, TrieMap.empty)
+
+  /** Sinks created via CREATE SINK: name -> (source view, path, key cols). */
+  private val sinks = TrieMap.empty[AnyRef, TrieMap[String, (String, String, Seq[String])]]
+
+  def sinksFor(spark: SparkSession): TrieMap[String, (String, String, Seq[String])] =
+    sinks.getOrElseUpdate(spark.sharedState, TrieMap.empty)
 }
 
 /** Batch SUBSCRIBE: the view's changelog reconstructed over its committed

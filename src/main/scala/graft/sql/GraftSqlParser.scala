@@ -62,6 +62,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case DropSource(name) => DropSourceCommand(name)
     case ShowSources() => ShowSourcesCommand()
     case ShowMvs() => ShowMaterializedViewsCommand()
+    case CreateSink(name, view, path, keyList) =>
+      CreateSinkCommand(name, view, path,
+        Option(keyList).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
+    case DropSink(name) => DropSinkCommand(name)
+    case ShowSinks() => ShowSinksCommand()
     case AsOfSuffix(inner, version) if referencesView(inner) =>
       // The suffix rewrite must never hijack SQL that Spark itself accepts
       // (`VERSION AS OF n` / `TIMESTAMP AS OF n` time travel, an alias named
@@ -141,6 +146,13 @@ object GraftSqlParser {
     (s"(?is)^\\s*CREATE\\s+SOURCE\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?$Id\\s+FROM\\s+" +
       s"FILE\\s+'([^']+)'\\s+FORMAT\\s+(PARQUET|CSV|JSON)\\s*;?\\s*$$").r
   val DropSource: Regex = s"(?is)^\\s*DROP\\s+SOURCE\\s+$Id\\s*;?\\s*$$".r
+  // CREATE SINK (reference `Plan::CreateSink`, `src/sql/src/plan.rs`;
+  // Iceberg sink kind `src/storage-types/src/sinks.rs:137`)
+  val CreateSink: Regex =
+    (s"(?is)^\\s*CREATE\\s+SINK\\s+$Id\\s+FROM\\s+$Id\\s+INTO\\s+ICEBERG\\s+" +
+      s"'([^']+)'\\s+KEY\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_,\\s]*)\\)\\s*;?\\s*$$").r
+  val DropSink: Regex = s"(?is)^\\s*DROP\\s+SINK\\s+$Id\\s*;?\\s*$$".r
+  val ShowSinks: Regex = "(?is)^\\s*SHOW\\s+SINKS\\s*;?\\s*$".r
   val ShowSources: Regex = "(?is)^\\s*SHOW\\s+SOURCES\\s*;?\\s*$".r
   val ShowMvs: Regex = "(?is)^\\s*SHOW\\s+MATERIALIZED\\s+VIEWS\\s*;?\\s*$".r
   val Identifier: Regex = "[A-Za-z_][A-Za-z0-9_]*".r

@@ -46,6 +46,11 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
   // so `spark.sql("select * from v")` always reads the latest version, even
   // when the refresh came through the Scala API rather than SQL REFRESH
   private val exposed = TrieMap.empty[String, Unit]
+  // post-commit hooks (continuous sinks): view -> hookId -> callback run
+  // with (new snapshot, committed version) after every pointer flip — the
+  // analog of a sink dataflow reading the view's persist collection
+  private val commitHooks =
+    TrieMap.empty[String, TrieMap[String, (DataFrame, Long) => Unit]]
 
   private def viewDir(name: String): Path = Paths.get(baseDir, name)
   private def currentFile(name: String): Path = viewDir(name).resolve("_CURRENT")
@@ -130,6 +135,7 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     timeline.record(oracle.writeTs(), newVers)
     newVers.keys.foreach(syncTempView)
+    newVers.foreach { case (n, v) => runCommitHooks(n, v) }
     true
   }
 
@@ -158,8 +164,21 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
       StandardCopyOption.REPLACE_EXISTING)
     timeline.record(oracle.writeTs(), Map(name -> next))
     syncTempView(name)
+    runCommitHooks(name, next)
     next
   }
+
+  /** Register a post-commit hook under `hookId` (idempotent re-register
+    * replaces). The hook runs synchronously inside every commit of `name` —
+    * a hook failure fails the refresh, keeping view and sink atomic. */
+  def addCommitHook(name: String, hookId: String, f: (DataFrame, Long) => Unit): Unit =
+    commitHooks.getOrElseUpdate(name, TrieMap.empty).put(hookId, f)
+
+  def removeCommitHook(name: String, hookId: String): Unit =
+    commitHooks.get(name).foreach(_.remove(hookId))
+
+  private def runCommitHooks(name: String, version: Long): Unit =
+    commitHooks.get(name).foreach(_.values.foreach(f => f(tableAt(name, version), version)))
 
   /** Make the view readable by plain `spark.sql` under its own name. The
     * registration is refreshed inside EVERY commit path, so SQL readers

@@ -138,6 +138,35 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(rows("sqlsurf_show_mv").asInstanceOf[Long] >= 0L)
   }
 
+  test("CREATE SINK maintains an Iceberg table across view refreshes") {
+    import graft.sources.IcebergTable
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "grp", "v").createOrReplaceTempView("snk_base")
+    spark.sql(
+      """CREATE OR REPLACE MATERIALIZED VIEW snk_mv AS
+        |SELECT grp, sum(v) AS total FROM snk_base GROUP BY grp""".stripMargin)
+    val path = java.nio.file.Files.createTempDirectory("graft-snk-spec").resolve("t").toString
+    spark.sql(s"CREATE SINK snk_ice FROM snk_mv INTO ICEBERG '$path' KEY (grp)")
+    val t = new IcebergTable(spark, path)
+    assert(t.read().as[(String, Double)].collect().toSet ==
+      Set(("a", 10.0), ("b", 20.0), ("c", 30.0)))
+
+    // b changes, c vanishes, d appears → one incremental change-set commit
+    Seq((1L, "a", 10.0), (2L, "b", 25.0), (4L, "d", 40.0))
+      .toDF("id", "grp", "v").createOrReplaceTempView("snk_base")
+    spark.sql("REFRESH MATERIALIZED VIEW snk_mv")
+    assert(t.read().as[(String, Double)].collect().toSet ==
+      Set(("a", 10.0), ("b", 25.0), ("d", 40.0)))
+    assert(t.metadata.snapshots.size == 2) // seed + one delta commit
+
+    // SHOW SINKS lists it; DROP SINK detaches the hook
+    val shown = spark.sql("SHOW SINKS").collect().map(_.getString(0)).toSet
+    assert(shown.contains("snk_ice"))
+    spark.sql("DROP SINK snk_ice")
+    spark.sql("REFRESH MATERIALIZED VIEW snk_mv")
+    assert(t.metadata.snapshots.size == 2) // no further commits
+  }
+
   test("a MATERIALIZED VIEW composes on a CREATE SOURCE relation") {
     spark.sql("CREATE SOURCE IF NOT EXISTS sqlsurf_auc2 FROM LOAD GENERATOR AUCTION (UP TO 200)")
     spark.sql(
