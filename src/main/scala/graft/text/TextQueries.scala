@@ -180,6 +180,62 @@ object TextQueries {
       docs(s, dir)
         .select(col("doc_id"),
           md5(regexp_replace(lower(col("text")), " +", " ")).as("fp"))
+    },
+
+    // PII redaction: regex masking of emails/phones — the scrubbing pass
+    // every training-data pipeline runs before tokenization. The synthetic
+    // corpus carries no PII, so deterministic contact strings are injected
+    // per doc first; the operator is the two-pattern replace chain (all
+    // codegen'd regexp_replace — at 100 TB this is a map-only stage, no
+    // shuffle). Counts prove every occurrence was found; the md5 proves the
+    // redacted text is byte-identical to the oracle's.
+    Q("text_redact",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(pii, '[a-z0-9._]+@[a-z0-9.-]+[a-z]', 0)) AS INT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(pii, '\+1-555-[0-9]{4}', 0)) AS INT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(pii,
+        |    '[a-z0-9._]+@[a-z0-9.-]+[a-z]', '<EMAIL>', 'g'),
+        |    '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_fp
+        |FROM (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or +1-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii
+        |  FROM documents)""".stripMargin) { (s, dir) =>
+      val pii = concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      docs(s, dir)
+        .withColumn("pii", pii)
+        .select(
+          col("doc_id"),
+          size(expr("regexp_extract_all(pii, '[a-z0-9._]+@[a-z0-9.-]+[a-z]', 0)"))
+            .as("n_emails"),
+          size(expr("regexp_extract_all(pii, '\\\\+1-555-[0-9]{4}', 0)")).as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("pii"),
+            "[a-z0-9._]+@[a-z0-9.-]+[a-z]", "<EMAIL>"),
+            "\\+1-555-[0-9]{4}", "<PHONE>")).as("redacted_fp"))
+    },
+
+    // Corpus vocabulary: collection frequency + document frequency per term
+    // (the df side of tf-idf and the raw material for vocab pruning). One
+    // explode + one aggregation — shuffles on the term key; top-k bounded
+    // output. Ties broken by term so the LIMIT cut is deterministic.
+    Q("text_vocab_idf",
+      """SELECT term, cf, df FROM (
+        |  SELECT t AS term, count(*) AS cf, count(DISTINCT doc_id) AS df
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |        FROM documents)
+        |  WHERE t <> ''
+        |  GROUP BY t)
+        |ORDER BY cf DESC, term LIMIT 50""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("cf").desc, col("term"))
+        .limit(50)
     }
   )
 }
