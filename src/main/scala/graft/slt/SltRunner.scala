@@ -185,11 +185,20 @@ object SltRunner {
     m.findFirstMatchIn(sql).map(_.group(1).toLowerCase)
   }
 
+  /** ALTERs that change a relation's DATA (not just metadata): the skip
+    * must poison the target like a skipped UPDATE, or later reads compare
+    * stale contents (e.g. the reference's APPLY REPLACEMENT). */
+  private val DataAlter =
+    """(?is)^\s*ALTER\s+(?:MATERIALIZED\s+)?(?:TABLE|VIEW)\s+["`]?(\w+)["`]?\s+(?:APPLY|ADD|DROP|RENAME|ALTER)\b.*""".r
+
   private def classify(sqlRaw: String, crdb: Boolean): Record = {
     val up = sqlRaw.trim.toUpperCase
     if (up.startsWith("UPDATE ") || up.startsWith("DELETE "))
       Unsupported("update/delete unsupported on Spark v1 tables", mutating = true,
         target = mutationTarget(sqlRaw))
+    else if (DataAlter.findFirstMatchIn(sqlRaw).isDefined)
+      Unsupported("data-changing ALTER has no Spark analog", mutating = true,
+        target = DataAlter.findFirstMatchIn(sqlRaw).map(_.group(1).toLowerCase))
     else if (skipPrefixes.exists(up.startsWith))
       Unsupported(s"no Spark analog: ${up.takeWhile(_ != ' ')}", mutating = false,
         sql = sqlRaw)
@@ -702,6 +711,14 @@ object SltRunner {
     val poisonedTables = mutable.Set.empty[String]
     val viewDefs = mutable.Map.empty[String, String]
     val preparedDefs = mutable.Map.empty[String, String]
+    // materialized views created by this file, in creation order: mz MVs are
+    // continuously maintained (reads always fresh), so the runner
+    // re-materializes them through the engine's own REFRESH path before any
+    // query that could observe them — same freshness guarantee, real
+    // incremental-view machinery underneath
+    val mvDefs = mutable.LinkedHashSet.empty[String]
+    val MvCreate =
+      """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?(\w+)(.*)""".r
     def refsWord(sql: String, w: String): Boolean =
       s"(?i)\\b$w\\b".r.findFirstIn(sql).isDefined
     def touchesPoisoned(sql: String, depth: Int = 0): Boolean =
@@ -709,6 +726,13 @@ object SltRunner {
         (depth < 5 && viewDefs.exists { case (v, d) =>
           refsWord(sql, v) && touchesPoisoned(d, depth + 1)
         })
+    def refreshMvsFor(sql: String): Unit =
+      if (mvDefs.exists(mv => refsWord(sql, mv)))
+        // refresh ALL in creation order so chained MVs observe fresh inputs
+        mvDefs.foreach { mv =>
+          try spark.sql(s"REFRESH MATERIALIZED VIEW $mv").collect()
+          catch { case _: Throwable => () } // e.g. base dropped; query decides
+        }
 
     records.foreach {
       case _ if poisoned => skipped += 1
@@ -740,9 +764,22 @@ object SltRunner {
       case Statement(sql, expectError) =>
         try {
           splitStatements(sql).foreach(one => spark.sql(one).collect())
-          """(?is)CREATE\s+OR\s+REPLACE\s+TEMPORARY\s+VIEW\s+["`]?(\w+)(.*)""".r
+          """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?(\w+)(.*)""".r
             .findFirstMatchIn(sql)
             .foreach(m => viewDefs(m.group(1).toLowerCase) = m.group(2))
+          MvCreate.findFirstMatchIn(sql).foreach { m =>
+            mvDefs += m.group(1).toLowerCase
+            // poison propagates through MV definitions like plain views; a
+            // SUCCESSFUL (re)create rewrites the view's full state, so any
+            // prior poison on the name is cleared
+            viewDefs(m.group(1).toLowerCase) = m.group(2)
+            poisonedTables -= m.group(1).toLowerCase
+          }
+          """(?i)^\s*DROP\s+MATERIALIZED\s+VIEW\s+["`]?(\w+)""".r
+            .findFirstMatchIn(sql).foreach { m =>
+              mvDefs -= m.group(1).toLowerCase
+              viewDefs -= m.group(1).toLowerCase
+            }
           // fresh DROP/CREATE resets the table's poison
           """(?i)^\s*(?:DROP|CREATE)\s+TABLE\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?["`]?(\w+)""".r
             .findFirstMatchIn(sql)
@@ -755,6 +792,11 @@ object SltRunner {
             else {
               // a failed INSERT leaves PARTIAL table state
               mutationTarget(sql).foreach(poisonedTables += _)
+              // a failed/unparseable CREATE [OR REPLACE] [MATERIALIZED] VIEW
+              // leaves the OLD view state behind — reads of the name would
+              // compare stale values, so poison it like a skipped mutation
+              """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(?:MATERIALIZED\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?(\w+)""".r
+                .findFirstMatchIn(sql).foreach(m => poisonedTables += m.group(1).toLowerCase)
               if (isDialectError(e) || isKnownDiff(sql)) skipped += 1
               else { failed += 1; failures += s"$name stmt: ${sql.take(100)} → ${e.toString.take(150)}" }
             }
@@ -765,6 +807,7 @@ object SltRunner {
         skipped += 1
       case q: Query =>
         try {
+          refreshMvsFor(q.sql)
           val df = spark.sql(q.sql)
           val rows = df.collect()
           if (q.expectError) { skipped += 1 } // accepted-but-reference-rejects
@@ -830,7 +873,11 @@ object SltRunner {
   def runFiles(spark: SparkSession, paths: Seq[String]): Seq[Report] =
     paths.map { p =>
       val r = runFile(spark, p)
-      // drop everything the file created
+      // drop everything the file created — including catalog materialized
+      // views (MV names recur across corpus files; a stale definition would
+      // turn the next file's plain CREATE into a duplicate error)
+      val cat = graft.sql.GraftSqlCatalog.forSession(spark)
+      cat.viewNames.foreach(n => try cat.dropView(n) catch { case _: Throwable => () })
       spark.catalog.listTables().collect().foreach { t =>
         if (t.isTemporary) spark.catalog.dropTempView(t.name)
         else spark.sql(s"DROP TABLE IF EXISTS `${t.name}`")

@@ -146,11 +146,10 @@ final class IcebergTable(spark: SparkSession, tablePath: String) {
     val live = metadata.entries.map(e => Paths.get(e.path).getParent.normalize).toSet
     val dataRoot = root.resolve("data")
     if (Files.exists(dataRoot)) {
-      val dirs = Files.list(dataRoot).iterator()
-      while (dirs.hasNext) {
-        val d = dirs.next().normalize
-        if (!live.contains(d)) deleteRecursively(d)
-      }
+      val listing = Files.list(dataRoot)
+      try listing.iterator().forEachRemaining { d =>
+        if (!live.contains(d.normalize)) deleteRecursively(d)
+      } finally listing.close()
     }
   }
 
@@ -324,8 +323,9 @@ final class IcebergTable(spark: SparkSession, tablePath: String) {
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
-      val it = Files.list(p).iterator()
-      while (it.hasNext) deleteRecursively(it.next())
+      val listing = Files.list(p)
+      try listing.iterator().forEachRemaining(deleteRecursively)
+      finally listing.close()
     }
     Files.deleteIfExists(p)
   }

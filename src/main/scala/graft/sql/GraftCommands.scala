@@ -14,14 +14,18 @@ import graft.sources.CopyTo
   * effects dispatch to [[graft.views.ViewCatalog]] / [[CopyTo]].
   */
 case class CreateMaterializedViewCommand(
-    name: String, queryText: String, replace: Boolean)
+    name: String, queryText: String, replace: Boolean, ifNotExists: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("view", StringType, nullable = false)(),
     AttributeReference("version", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
+    require(!(replace && ifNotExists),
+      "OR REPLACE and IF NOT EXISTS are mutually exclusive (as in the reference)")
     val cat = GraftSqlCatalog.forSession(spark)
+    if (ifNotExists && cat.isDefined(name))
+      return Seq(Row(name, cat.currentVersion(name).getOrElse(-1L)))
     // plain CREATE on an existing name errors, like the reference/standard
     // SQL; only CREATE OR REPLACE overwrites
     if (!replace && cat.isDefined(name))

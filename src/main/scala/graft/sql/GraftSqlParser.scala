@@ -42,8 +42,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case CreateMv(orReplace, name, query) =>
-      CreateMaterializedViewCommand(name, query, replace = orReplace != null)
+    case CreateMv(orReplace, ifNotExists, name, query) =>
+      CreateMaterializedViewCommand(name, query,
+        replace = orReplace != null, ifNotExists = ifNotExists != null)
     case RefreshMv(name) => RefreshMaterializedViewCommand(name)
     case DropMv(name) => DropMaterializedViewCommand(name)
     case SubscribeStmt(name, asOf) =>
@@ -125,7 +126,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 object GraftSqlParser {
   private val Id = "([A-Za-z_][A-Za-z0-9_]*)"
   val CreateMv: Regex =
-    s"(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?MATERIALIZED\\s+VIEW\\s+$Id\\s+AS\\s+(.+?)\\s*;?\\s*$$".r
+    (s"(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?MATERIALIZED\\s+VIEW\\s+" +
+      s"(?:(IF\\s+NOT\\s+EXISTS)\\s+)?$Id\\s+AS\\s+(.+?)\\s*;?\\s*$$").r
   val RefreshMv: Regex =
     s"(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$Id\\s*;?\\s*$$".r
   val DropMv: Regex =

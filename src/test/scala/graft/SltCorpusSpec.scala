@@ -120,9 +120,14 @@ class SltCorpusSpec extends SparkSpec {
     "cockroach/rename_column.slt", "cockroach/pgoidtype.slt",
     "cockroach/namespace.slt", "cockroach/function_lookup.slt",
     "cockroach/drop_view.slt", "cockroach/drop_table.slt",
-    "cockroach/collatedstring.slt", "cockroach/as_of.slt")
+    "cockroach/collatedstring.slt", "cockroach/as_of.slt",
+    // the MV lifecycle files: the runner re-materializes file-created MVs
+    // through REFRESH before reads (mz MVs are continuously maintained, so
+    // freshness-on-read IS the reference semantics)
+    "materialized_views.slt", "replacement-materialized-views.slt",
+    "tpch_create_materialized_view.slt", "cockroach/materialized_view.slt")
 
-  test("reference SLT corpus subset: 0 failures, >=4900 green assertions") {
+  test("reference SLT corpus subset: 0 failures, >=5000 green assertions") {
     assume(Files.isDirectory(Paths.get(corpus)), "reference corpus not present")
     val reports = SltRunner.runFiles(spark,
       files.map(f => s"$corpus/$f").filter(p => Files.exists(Paths.get(p))))
@@ -132,6 +137,6 @@ class SltCorpusSpec extends SparkSpec {
     total.failures.take(25).foreach(f => info(s"FAIL: $f"))
     assert(total.failed == 0,
       s"${total.failed} SLT failures:\n${total.failures.take(25).mkString("\n")}")
-    assert(total.passed >= 4900, s"only ${total.passed} SLT passes")
+    assert(total.passed >= 5000, s"only ${total.passed} SLT passes")
   }
 }

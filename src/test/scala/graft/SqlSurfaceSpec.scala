@@ -77,6 +77,9 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(e.getMessage.contains("already exists"))
     spark.sql("CREATE OR REPLACE MATERIALIZED VIEW sqlsurf_dup AS SELECT 2 AS two")
     assert(spark.sql("SELECT * FROM sqlsurf_dup").columns.toSeq == Seq("two"))
+    // IF NOT EXISTS on an existing name is a no-op, not an overwrite
+    spark.sql("CREATE MATERIALIZED VIEW IF NOT EXISTS sqlsurf_dup AS SELECT 3 AS three")
+    assert(spark.sql("SELECT * FROM sqlsurf_dup").columns.toSeq == Seq("two"))
     spark.sql("DROP MATERIALIZED VIEW sqlsurf_dup")
   }
 
