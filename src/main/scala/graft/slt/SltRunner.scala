@@ -39,6 +39,11 @@ object SltRunner {
       sql: String, types: String, sortMode: String, hasColnames: Boolean,
       expectError: Boolean, expected: List[String]) extends Record
   private case object Halt extends Record
+  /** The reference runner's `copy <table> <tsv>` directive
+    * (`src/sqllogictest/src/parser.rs:165`, runner.rs `Record::Copy`): load
+    * a pg-COPY-text TSV (tab-separated, `\N` = NULL) into an existing
+    * table. Paths are relative to the reference repo root. */
+  private final case class CopyLoad(table: String, tsvPath: String) extends Record
   private final case class Unsupported(
       reason: String, mutating: Boolean, target: Option[String] = None,
       sql: String = "") extends Record
@@ -199,6 +204,13 @@ object SltRunner {
     else if (DataAlter.findFirstMatchIn(sqlRaw).isDefined)
       Unsupported("data-changing ALTER has no Spark analog", mutating = true,
         target = DataAlter.findFirstMatchIn(sqlRaw).map(_.group(1).toLowerCase))
+    else if (up.startsWith("COPY ") &&
+        """(?is)^\s*COPY\s+["`]?\w+["`]?\s+FROM\b""".r.findFirstIn(sqlRaw).isDefined)
+      // COPY <t> FROM loads data: skipping it leaves t EMPTY, not merely
+      // stale — reads must be poisoned, exactly like a skipped INSERT
+      Unsupported("COPY FROM data load", mutating = true,
+        target = """(?is)^\s*COPY\s+["`]?(\w+)""".r.findFirstMatchIn(sqlRaw)
+          .map(_.group(1).toLowerCase))
     else if (skipPrefixes.exists(up.startsWith))
       Unsupported(s"no Spark analog: ${up.takeWhile(_ != ' ')}", mutating = false,
         sql = sqlRaw)
@@ -237,6 +249,12 @@ object SltRunner {
         i += 1
       }
       else if (line.startsWith("mode ") || line.startsWith("hash-threshold")) i += 1
+      else if (line.startsWith("copy ")) {
+        val parts = line.split("\\s+")
+        if (parts.length >= 3) emit(CopyLoad(parts(1), parts(2))) else emit(
+          Unsupported("malformed copy directive", mutating = false))
+        i += 1
+      }
       else if (line.startsWith("simple")) {
         // `simple conn=...` block: SQL, ----, raw output, blank. Not SQL we run.
         i += 1
@@ -485,6 +503,21 @@ object SltRunner {
     // Documented semantic differences between the pg dialect and Spark —
     // skipped (never passed) with the reason recorded here:
     val knownDialectDiffs: List[(String, Regex, String)] = List(
+      ("float4.slt|float8.slt",
+        """(?i)::\s*(?:int|bigint|smallint)\b\s+AS\s+int""".r,
+        "pg rounds float->int half-to-even (banker's); Spark rounds half " +
+          "away from zero"),
+      ("union.slt",
+        """(?i)CAST\s*\(\s*\w+\s+AS\s+char\s*\(|char_tbl""".r,
+        "pg bpchar pads to declared length and set ops compare padded; " +
+          "Spark CHAR read/comparison semantics differ"),
+      ("timestamp.slt",
+        """(?i)'[^']*\bBC'""".r,
+        "pg supports BC-era timestamps; Spark's timestamp range starts at " +
+          "0001-01-01 AD"),
+      ("literal_constraints.slt",
+        """(?i)::\s*int\b""".r,
+        "pg rounds numeric->int half-up; Spark truncates toward zero"),
       (".*",
         // collect_list: the post-shim spelling of rewritten array_agg
         """(?is)\b(string_agg|array_agg|collect_list)\s*\(.*\bfrom\s*\(\s*select\b.*\border\s+by\b""".r,
@@ -753,6 +786,33 @@ object SltRunner {
         if (mutating) target match {
           case Some(t) => poisonedTables += t
           case None => poisoned = true
+        }
+      case CopyLoad(table, tsv) =>
+        // load the TSV through a typed cast of a string DataFrame — one
+        // distributed insert, the pg COPY-FROM-STDIN analog
+        try {
+          val refRoot = path.substring(0, path.indexOf("/test/sqllogictest"))
+          val schema = spark.table(table).schema
+          val strSchema = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+            org.apache.spark.sql.types.StructField(f.name,
+              org.apache.spark.sql.types.StringType)))
+          val rows = Files.readAllLines(
+              Paths.get(refRoot).resolve(tsv), StandardCharsets.UTF_8).asScala
+            .filter(_.nonEmpty)
+            .map { l =>
+              val cells = l.split("\t", -1).padTo(schema.length, "\\N").take(schema.length)
+              org.apache.spark.sql.Row.fromSeq(
+                cells.map(c => if (c == "\\N") null else c))
+            }.toSeq
+          spark.createDataFrame(rows.asJava, strSchema)
+            .select(schema.fields.toIndexedSeq.map(f =>
+              org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
+            .write.insertInto(table)
+          passed += 1
+        } catch {
+          case _: Throwable =>
+            skipped += 1
+            poisonedTables += table.toLowerCase // un-loaded table is empty, not absent
         }
       case Statement(sql, _) if touchesPoisoned(sql) =>
         skipped += 1

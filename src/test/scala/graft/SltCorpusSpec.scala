@@ -125,9 +125,14 @@ class SltCorpusSpec extends SparkSpec {
     // through REFRESH before reads (mz MVs are continuously maintained, so
     // freshness-on-read IS the reference semantics)
     "materialized_views.slt", "replacement-materialized-views.slt",
-    "tpch_create_materialized_view.slt", "cockroach/materialized_view.slt")
+    "tpch_create_materialized_view.slt", "cockroach/materialized_view.slt",
+    // the pg-regression-derived files lit up by the `copy` TSV-load
+    // directive (tenk1/onek data) + documented cast/char dialect skips
+    "postgres/float4.slt", "postgres/float8.slt", "postgres/union.slt",
+    "postgres/subselect.slt", "postgres/timestamp.slt", "postgres/rowtypes.slt",
+    "transform/literal_constraints.slt")
 
-  test("reference SLT corpus subset: 0 failures, >=5000 green assertions") {
+  test("reference SLT corpus subset: 0 failures, >=5200 green assertions") {
     assume(Files.isDirectory(Paths.get(corpus)), "reference corpus not present")
     val reports = SltRunner.runFiles(spark,
       files.map(f => s"$corpus/$f").filter(p => Files.exists(Paths.get(p))))
@@ -137,6 +142,6 @@ class SltCorpusSpec extends SparkSpec {
     total.failures.take(25).foreach(f => info(s"FAIL: $f"))
     assert(total.failed == 0,
       s"${total.failed} SLT failures:\n${total.failures.take(25).mkString("\n")}")
-    assert(total.passed >= 5000, s"only ${total.passed} SLT passes")
+    assert(total.passed >= 5200, s"only ${total.passed} SLT passes")
   }
 }
