@@ -518,6 +518,31 @@ object SltRunner {
       ("literal_constraints.slt",
         """(?i)::\s*int\b""".r,
         "pg rounds numeric->int half-up; Spark truncates toward zero"),
+      ("numeric.slt",
+        """(?i)'-?NaN'\s*::""".r,
+        "pg numeric admits NaN; Spark DecimalType has no NaN value"),
+      ("numeric.slt",
+        """(?i)\d\.\d+\s*::\s*(?:int|bigint|smallint)\b""".r,
+        "pg rounds numeric->int half-up; Spark truncates toward zero"),
+      ("numeric.slt",
+        """(?i)^\s*select\s+'[0-9.e+-]+'\s*::\s*decimal\s*\(\s*38\s*,\s*18\s*\)\s*;?\s*$""".r,
+        "bare ::numeric displays at rescale-0; the shim's DECIMAL(38,18) " +
+          "rewrite keeps the fraction (and Spark decimals have no -0)"),
+      ("numeric.slt",
+        """3\.40282347E\+38""".r,
+        "extreme float32 rendering differs (plain vs scientific notation)"),
+      ("type-promotion.slt",
+        """'\d{4} \d{2}-\d{2}'""".r,
+        "pg accepts 'YYYY MM-DD' date/timestamp literals; Spark does not"),
+      ("type-promotion.slt",
+        """(?i)'\d+'\s*::\s*(?:\w+\s*::\s*)?interval|interval\s*::""".r,
+        "pg parses a bare number as seconds in interval casts; Spark yields NULL"),
+      ("type-promotion.slt",
+        """(?i)concat\s*\(\s*(?:true|false)\s*\)""".r,
+        "pg renders bool-to-text as t/f; Spark as true/false"),
+      ("type-promotion.slt",
+        """(?i)\bt3\s*\)\s*UNION\b""".r,
+        "pg bpchar padding makes char and varchar spellings distinct in set ops"),
       (".*",
         // collect_list: the post-shim spelling of rewritten array_agg
         """(?is)\b(string_agg|array_agg|collect_list)\s*\(.*\bfrom\s*\(\s*select\b.*\border\s+by\b""".r,
@@ -550,7 +575,7 @@ object SltRunner {
       ("builtin_function.slt",
         """(?i)\b(round|ceil|ceiling)\s*\(\s*-?[0-9.]+\s*::\s*double""".r,
         "double rounding mode (pg half-even) and negative-zero sign differ"),
-      ("builtin_function.slt",
+      ("builtin_function.slt|numeric.slt",
         """(?i)\blog\s*\(""".r,
         "pg log() is log10; Spark log() is ln"),
       ("builtin_function.slt",

@@ -130,9 +130,12 @@ class SltCorpusSpec extends SparkSpec {
     // directive (tenk1/onek data) + documented cast/char dialect skips
     "postgres/float4.slt", "postgres/float8.slt", "postgres/union.slt",
     "postgres/subselect.slt", "postgres/timestamp.slt", "postgres/rowtypes.slt",
-    "transform/literal_constraints.slt")
+    "transform/literal_constraints.slt",
+    // the numeric and type-promotion families (pg NaN-in-numeric,
+    // half-up int rounding, bool/char rendering → documented skips)
+    "numeric.slt", "type-promotion.slt")
 
-  test("reference SLT corpus subset: 0 failures, >=5200 green assertions") {
+  test("reference SLT corpus subset: 0 failures, >=5600 green assertions") {
     assume(Files.isDirectory(Paths.get(corpus)), "reference corpus not present")
     val reports = SltRunner.runFiles(spark,
       files.map(f => s"$corpus/$f").filter(p => Files.exists(Paths.get(p))))
@@ -142,6 +145,6 @@ class SltCorpusSpec extends SparkSpec {
     total.failures.take(25).foreach(f => info(s"FAIL: $f"))
     assert(total.failed == 0,
       s"${total.failed} SLT failures:\n${total.failures.take(25).mkString("\n")}")
-    assert(total.passed >= 5200, s"only ${total.passed} SLT passes")
+    assert(total.passed >= 5600, s"only ${total.passed} SLT passes")
   }
 }
