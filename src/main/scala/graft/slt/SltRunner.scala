@@ -512,9 +512,13 @@ object SltRunner {
         "pg bpchar pads to declared length and set ops compare padded; " +
           "Spark CHAR read/comparison semantics differ"),
       ("timestamp.slt",
-        """(?i)'[^']*\bBC'""".r,
-        "pg supports BC-era timestamps; Spark's timestamp range starts at " +
-          "0001-01-01 AD"),
+        """(?i)'[^']*[0-9 ](?:BC|AD)\s*'""".r,
+        "pg supports BC-era and explicit-era timestamp literals; Spark's " +
+          "timestamp range starts at 0001-01-01 with no era suffix"),
+      ("timestamp.slt",
+        """(?i)'[^']*\w+/\w+'\s*::\s*timestamp\b""".r,
+        "mz drops the zone when casting a zoned literal to timestamp " +
+          "(wall time); Spark converts through the session zone"),
       ("literal_constraints.slt",
         """(?i)::\s*int\b""".r,
         "pg rounds numeric->int half-up; Spark truncates toward zero"),
@@ -581,7 +585,7 @@ object SltRunner {
       ("builtin_function.slt",
         """(?i)current_schema""".r,
         "catalog namespace naming (public vs default)"),
-      ("hash.slt",
+      ("hash.slt|bytea.slt",
         """'\\x[0-9a-fA-F]+'\s*::\s*binary""".r,
         "pg bytea \\x hex literals; Spark casts the literal text's bytes"),
       ("topk.slt",

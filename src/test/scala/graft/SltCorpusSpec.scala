@@ -133,9 +133,10 @@ class SltCorpusSpec extends SparkSpec {
     "transform/literal_constraints.slt",
     // the numeric and type-promotion families (pg NaN-in-numeric,
     // half-up int rounding, bool/char rendering → documented skips)
-    "numeric.slt", "type-promotion.slt")
+    "numeric.slt", "type-promotion.slt", "timestamp.slt", "bytea.slt",
+    "insert-into-select-source-error.slt", "id_length.slt")
 
-  test("reference SLT corpus subset: 0 failures, >=5600 green assertions") {
+  test("reference SLT corpus subset: 0 failures, >=5700 green assertions") {
     assume(Files.isDirectory(Paths.get(corpus)), "reference corpus not present")
     val reports = SltRunner.runFiles(spark,
       files.map(f => s"$corpus/$f").filter(p => Files.exists(Paths.get(p))))
@@ -145,6 +146,6 @@ class SltCorpusSpec extends SparkSpec {
     total.failures.take(25).foreach(f => info(s"FAIL: $f"))
     assert(total.failed == 0,
       s"${total.failed} SLT failures:\n${total.failures.take(25).mkString("\n")}")
-    assert(total.passed >= 5600, s"only ${total.passed} SLT passes")
+    assert(total.passed >= 5700, s"only ${total.passed} SLT passes")
   }
 }
