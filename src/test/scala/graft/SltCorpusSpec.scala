@@ -134,7 +134,8 @@ class SltCorpusSpec extends SparkSpec {
     // the numeric and type-promotion families (pg NaN-in-numeric,
     // half-up int rounding, bool/char rendering → documented skips)
     "numeric.slt", "type-promotion.slt", "timestamp.slt", "bytea.slt",
-    "insert-into-select-source-error.slt", "id_length.slt")
+    "insert-into-select-source-error.slt", "id_length.slt",
+    "chbench.slt", "ldbc_bi.slt", "ldbc_bi_eager.slt")
 
   test("reference SLT corpus subset: 0 failures, >=5700 green assertions") {
     assume(Files.isDirectory(Paths.get(corpus)), "reference corpus not present")
