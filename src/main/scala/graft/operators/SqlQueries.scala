@@ -107,6 +107,23 @@ object SqlQueries {
     // evens/odds defined in terms of each other, iterated jointly to the
     // fixed point by Recursion.mutualFixpoint. Oracle states the closed
     // form.
+    // The same LetRec machinery reached purely through SQL text — the
+    // reference's WITH MUTUALLY RECURSIVE statement (plan_mutually_recursive,
+    // src/sql/src/plan/query.rs; graft.sql.MutualRecursionSql). The oracle
+    // states the fixpoint's closed form.
+    Q("sql_surface_wmr",
+      "SELECT CAST(sum(n) AS BIGINT) AS total FROM generate_series(1, 100) t(n)") {
+      (s, _) =>
+      s.sql(
+        """WITH MUTUALLY RECURSIVE
+          |  t (n int) AS (
+          |    VALUES (1)
+          |    UNION ALL
+          |    SELECT n+1 FROM t WHERE n < 100
+          |  )
+          |SELECT CAST(sum(n) AS BIGINT) AS total FROM t""".stripMargin)
+    },
+
     Q("letrec_mutual",
       """SELECT 'even' AS side, n FROM (SELECT unnest(generate_series(0, 8, 2)) AS n)
         |UNION ALL

@@ -229,6 +229,25 @@ object SltRunner {
       }
       sb.mkString("\n")
     }
+    // a non-error query's SQL is terminated by the ---- separator, NOT by
+    // blank lines — multi-paragraph SQL (the advent-of-code WMR corpus) is
+    // one record. Only used when the separator provably follows.
+    def collectSqlUntilSeparator(): String = {
+      val sb = mutable.ListBuffer.empty[String]
+      while (i < lines.length && lines(i).trim != "----") { sb += lines(i); i += 1 }
+      sb.mkString("\n").trim
+    }
+    def separatorAhead(from: Int): Boolean = {
+      var j = from
+      while (j < lines.length) {
+        if (lines(j).trim == "----") return true
+        // a new record directive before any ---- means this query has none
+        val t = lines(j).trim
+        if (t.startsWith("statement") || t.startsWith("query") || t == "halt") return false
+        j += 1
+      }
+      false
+    }
     // We emulate Materialize: a record guarded `onlyif <other-engine>` or
     // `skipif materialize` does not apply to us and must be skipped, not run
     // (the guarded expectations encode the OTHER engine's semantics).
@@ -287,7 +306,9 @@ object SltRunner {
             else if (opts.contains("valuesort")) "valuesort"
             else "nosort"
           i += 1
-          val sql = collectSql(_.trim == "----")
+          val sql =
+            if (separatorAhead(i)) collectSqlUntilSeparator()
+            else collectSql(_.trim == "----")
           val expected = mutable.ListBuffer.empty[String]
           if (i < lines.length && lines(i).trim == "----") {
             i += 1

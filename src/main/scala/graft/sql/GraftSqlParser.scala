@@ -63,6 +63,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case DropSource(name) => DropSourceCommand(name)
     case ShowSources() => ShowSourcesCommand()
     case ShowMvs() => ShowMaterializedViewsCommand()
+    case wmr if MutualRecursionSql.matches(wmr) =>
+      // evaluated eagerly like SubscribeFrame: the fixpoint runs now; the
+      // ANALYZED body plan is returned (the binding temp views are already
+      // dropped, so the unresolved form would no longer resolve)
+      MutualRecursionSql.run(session, wmr).queryExecution.analyzed
     case CreateSink(name, view, path, keyList) =>
       CreateSinkCommand(name, view, path,
         Option(keyList).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))

@@ -135,9 +135,34 @@ class SltCorpusSpec extends SparkSpec {
     // half-up int rounding, bool/char rendering → documented skips)
     "numeric.slt", "type-promotion.slt", "timestamp.slt", "bytea.slt",
     "insert-into-select-source-error.slt", "id_length.slt",
-    "chbench.slt", "ldbc_bi.slt", "ldbc_bi_eager.slt")
+    "chbench.slt", "ldbc_bi.slt", "ldbc_bi_eager.slt",
+    // the advent-of-code WMR corpus: multi-binding WITH MUTUALLY RECURSIVE
+    // puzzles, now executable through graft.sql.MutualRecursionSql
+    "advent-of-code/2023/aoc_1202.slt",
+    "advent-of-code/2023/aoc_1203.slt",
+    "advent-of-code/2023/aoc_1204.slt",
+    "advent-of-code/2023/aoc_1205.slt",
+    "advent-of-code/2023/aoc_1207.slt",
+    "advent-of-code/2023/aoc_1208.slt",
+    "advent-of-code/2023/aoc_1209.slt",
+    "advent-of-code/2023/aoc_1210.slt",
+    "advent-of-code/2023/aoc_1211.slt",
+    "advent-of-code/2023/aoc_1212.slt",
+    "advent-of-code/2023/aoc_1213.slt",
+    "advent-of-code/2023/aoc_1214.slt",
+    "advent-of-code/2023/aoc_1215.slt",
+    "advent-of-code/2023/aoc_1216.slt",
+    "advent-of-code/2023/aoc_1217.slt",
+    "advent-of-code/2023/aoc_1218.slt",
+    "advent-of-code/2023/aoc_1219.slt",
+    "advent-of-code/2023/aoc_1220.slt",
+    "advent-of-code/2023/aoc_1221.slt",
+    "advent-of-code/2023/aoc_1222.slt",
+    "advent-of-code/2023/aoc_1223.slt",
+    "advent-of-code/2023/aoc_1224.slt",
+    "advent-of-code/2023/aoc_1225.slt")
 
-  test("reference SLT corpus subset: 0 failures, >=5700 green assertions") {
+  test("reference SLT corpus subset: 0 failures, >=5800 green assertions") {
     assume(Files.isDirectory(Paths.get(corpus)), "reference corpus not present")
     val reports = SltRunner.runFiles(spark,
       files.map(f => s"$corpus/$f").filter(p => Files.exists(Paths.get(p))))
@@ -147,6 +172,6 @@ class SltCorpusSpec extends SparkSpec {
     total.failures.take(25).foreach(f => info(s"FAIL: $f"))
     assert(total.failed == 0,
       s"${total.failed} SLT failures:\n${total.failures.take(25).mkString("\n")}")
-    assert(total.passed >= 5700, s"only ${total.passed} SLT passes")
+    assert(total.passed >= 5800, s"only ${total.passed} SLT passes")
   }
 }
