@@ -112,14 +112,14 @@ object SqlQueries {
     // src/sql/src/plan/query.rs; graft.sql.MutualRecursionSql). The oracle
     // states the fixpoint's closed form.
     Q("sql_surface_wmr",
-      "SELECT CAST(sum(n) AS BIGINT) AS total FROM generate_series(1, 100) t(n)") {
+      "SELECT CAST(sum(n) AS BIGINT) AS total FROM generate_series(1, 24) t(n)") {
       (s, _) =>
       s.sql(
         """WITH MUTUALLY RECURSIVE
           |  t (n int) AS (
           |    VALUES (1)
           |    UNION ALL
-          |    SELECT n+1 FROM t WHERE n < 100
+          |    SELECT n+1 FROM t WHERE n < 24
           |  )
           |SELECT CAST(sum(n) AS BIGINT) AS total FROM t""".stripMargin)
     },

@@ -59,37 +59,54 @@ object MutualRecursionSql {
         .createOrReplaceTempView(b.name)
     }
     val maxIter = wmr.limit.getOrElse(DefaultMaxIter)
-    var cur: Map[String, DataFrame] = Map.empty
-    var converged = false
-    var i = 0
-    while (i < maxIter && !converged) {
-      var changed = false
-      wmr.bindings.foreach { b =>
-        // sequential update: this evaluation sees bindings already updated
-        // in THIS round through their refreshed temp views. The result is
-        // coerced to the DECLARED column names and types (the reference
-        // plans each binding against its declared signature).
+    // One round: sequential re-evaluation of every binding — each sees
+    // bindings already updated in THIS round through their refreshed temp
+    // views (lazily; plans nest within the batch). Results are coerced to
+    // the DECLARED column names and types (the reference plans each binding
+    // against its signature).
+    def round(): Map[String, DataFrame] =
+      wmr.bindings.map { b =>
         val raw = spark.sql(b.query)
         val schema = schemas(b.name)
         require(raw.columns.length == schema.length,
           s"binding ${b.name} declares ${schema.length} columns, query returns ${raw.columns.length}")
-        val next = raw.select(raw.columns.toIndexedSeq.zip(schema.fields).map {
+        val coerced = raw.select(raw.columns.toIndexedSeq.zip(schema.fields).map {
           case (c, f) =>
             org.apache.spark.sql.functions.col(s"`$c`").cast(f.dataType).as(f.name)
         }: _*).localCheckpoint(false)
-        val same = cur.get(b.name) match {
-          case Some(prev) =>
-            next.exceptAll(prev).isEmpty && prev.exceptAll(next).isEmpty
-          case None => false
-        }
-        if (!same) {
-          changed = true
-          cur += b.name -> next
-          next.createOrReplaceTempView(b.name)
+        coerced.createOrReplaceTempView(b.name)
+        b.name -> coerced
+      }.toMap
+    // Driver round-trips, not data, dominate small fixpoints — so batch K
+    // lazy rounds per materialized check. The check compares the batch's
+    // LAST TWO consecutive rounds: X^{k} == X^{k-1} is the exact fixpoint
+    // condition (no inflationary assumption needed — a fixpoint reached
+    // mid-batch stays fixed, so the boundary check still sees it), at the
+    // cost of up to K-1 extra lazy rounds of plan building. One job per
+    // batch: the lazy checkpoints of every round materialize inside it.
+    val batchK = 8
+    var cur: Map[String, DataFrame] = Map.empty
+    var converged = false
+    var i = 0
+    while (i < maxIter && !converged) {
+      val k = math.min(batchK, maxIter - i)
+      var prevRound = cur
+      var lastRound = cur
+      (1 to k).foreach { _ =>
+        prevRound = lastRound
+        lastRound = round()
+      }
+      val one = org.apache.spark.sql.functions.lit(1).as("one")
+      val diffs = wmr.bindings.flatMap { b =>
+        prevRound.get(b.name).map { prev =>
+          lastRound(b.name).exceptAll(prev).select(one)
+            .unionByName(prev.exceptAll(lastRound(b.name)).select(one))
         }
       }
-      converged = !changed
-      i += 1
+      converged = diffs.size == wmr.bindings.size &&
+        diffs.reduce(_ unionByName _).isEmpty
+      cur = lastRound
+      i += k
     }
     if (!converged) {
       if (wmr.errorAtLimit || wmr.limit.isEmpty)
