@@ -136,6 +136,11 @@ class SltCorpusSpec extends SparkSpec {
     "numeric.slt", "type-promotion.slt", "timestamp.slt", "bytea.slt",
     "insert-into-select-source-error.slt", "id_length.slt",
     "chbench.slt", "ldbc_bi.slt", "ldbc_bi_eager.slt",
+    "vars.slt", "webhook.slt", "rename.slt", "unstable.slt",
+    "cluster_features.slt", "timedomain.slt", "cockroach/set.slt",
+    "cockroach/notice.slt", "cockroach/savepoints.slt",
+    "cockroach/hidden_columns.slt", "cockroach/partitioning.slt",
+    "cockroach/create_statements.slt",
     // the advent-of-code WMR corpus: multi-binding WITH MUTUALLY RECURSIVE
     // puzzles, now executable through graft.sql.MutualRecursionSql
     "advent-of-code/2023/aoc_1202.slt",
