@@ -82,11 +82,13 @@ final class IcebergTable(spark: SparkSession, tablePath: String) {
   // ---- commits -------------------------------------------------------------
 
   /** Create the table: snapshot 0 holds `df`. `statsCols` are the columns
-    * whose per-file bounds every subsequent commit records. */
-  def create(df: DataFrame, statsCols: Seq[String] = Nil): Long = {
+    * whose per-file bounds every subsequent commit records. `batchId >= 0`
+    * records the seed position in the resume upper (a continuously-
+    * maintained sink seeds from a view version and resumes from there). */
+  def create(df: DataFrame, statsCols: Seq[String] = Nil, batchId: Long = -1L): Long = {
     require(currentVersion.isEmpty, s"table already exists at $tablePath")
     Files.createDirectories(metaDir)
-    commit(df, statsCols = statsCols, op = "append", deletes = None, batchId = -1L,
+    commit(df, statsCols = statsCols, op = "append", deletes = None, batchId = batchId,
       base = TableMetadata(df.schema.json, statsCols, -1L, -1L, Nil)).get
   }
 

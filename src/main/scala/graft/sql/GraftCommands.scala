@@ -146,12 +146,14 @@ case class ShowMaterializedViewsCommand() extends LeafRunnableCommand {
 /** `CREATE SINK <name> FROM <view> INTO ICEBERG '<path>' KEY (k, ...)` —
   * a continuously-maintained sink (reference `Plan::CreateSink`,
   * `src/storage/src/sink/iceberg.rs`): the view's CURRENT snapshot seeds
-  * the table, and every subsequent commit of the view applies only the
-  * delta — changed/new rows as a merge-on-read upsert, vanished keys as
-  * equality deletes — in one idempotent Iceberg commit keyed by the view
-  * version (a replayed refresh is dropped by the resume upper). The KEY
-  * must uniquely identify view rows (the reference's sink key). Work per
-  * refresh ∝ |delta|, never a table rewrite. */
+  * the table (recording the seeded view version as the sink's resume
+  * upper), and every subsequent commit of the view feeds the post-commit
+  * hook its STORED delta changelog — applied as a merge-on-read upsert plus
+  * equality deletes in one idempotent Iceberg commit keyed by the view
+  * version ([[graft.sources.IcebergViewSink]]). Work per refresh ∝ |delta|:
+  * the hook never diffs snapshots, and a hook failure self-heals on the
+  * next refresh by catching up from the sink's own recorded resume
+  * position. The KEY must uniquely identify view rows. */
 case class CreateSinkCommand(name: String, view: String, path: String, keys: Seq[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
@@ -163,28 +165,16 @@ case class CreateSinkCommand(name: String, view: String, path: String, keys: Seq
     val sinks = GraftSqlCatalog.sinksFor(spark)
     if (sinks.contains(name))
       throw new IllegalArgumentException(s"sink $name already exists")
-    if (cat.currentVersion(view).isEmpty)
+    val seedVersion = cat.currentVersion(view).getOrElse(
       throw new IllegalArgumentException(
-        s"cannot CREATE SINK: no committed version of $view")
+        s"cannot CREATE SINK: no committed version of $view"))
     val snapshot = cat.table(view)
     val missing = keys.filterNot(snapshot.columns.contains)
     require(missing.isEmpty, s"KEY columns not in $view: ${missing.mkString(", ")}")
-    val table = new graft.sources.IcebergTable(spark, path)
-    table.create(snapshot, statsCols = keys)
-    cat.addCommitHook(view, s"sink:$name", { (snap, version) =>
-      import org.apache.spark.sql.functions.col
-      // version 0 only occurs if the view was dropped and re-created from
-      // scratch while the sink stayed attached: reseed from the snapshot
-      val (newRows, goneKeys) =
-        if (version == 0) (snap, snap.select(keys.map(col): _*).limit(0))
-        else {
-          val prior = cat.tableAt(view, version - 1)
-          (snap.exceptAll(prior),
-            prior.select(keys.map(col): _*).exceptAll(snap.select(keys.map(col): _*)))
-        }
-      new graft.sources.IcebergTable(spark, path)
-        .applyChangeSet(newRows, goneKeys, keys, batchId = version)
-      ()
+    new graft.sources.IcebergTable(spark, path)
+      .create(snapshot, statsCols = keys, batchId = seedVersion)
+    cat.addCommitHook(view, s"sink:$name", { (delta, _, version) =>
+      graft.sources.IcebergViewSink.applyCommit(spark, cat, view, path, keys, delta, version)
     })
     sinks.put(name, (view, path, keys))
     Seq(Row(name, path))

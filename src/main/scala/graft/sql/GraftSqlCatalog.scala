@@ -50,15 +50,19 @@ object GraftSqlCatalog {
     sinks.getOrElseUpdate(spark.sharedState, TrieMap.empty)
 }
 
-/** Batch SUBSCRIBE: the view's changelog reconstructed over its committed
-  * version timeline — snapshot at the AS OF version, then one consolidated
-  * diff batch per subsequent version, stamped `(mz_ts, mz_diff, row...)`
-  * exactly like the streaming [[Subscribe]] (reference
-  * `src/compute/src/sink/subscribe.rs`: SUBSCRIBE emits the as-of snapshot
-  * followed by updates in timestamp order). Versions are the view's logical
-  * timestamps, so the frame IS the reference semantics over that timeline;
-  * the continuously-running variant is [[Subscribe.start]].
-  */
+/** Batch SUBSCRIBE: the view's changelog over its committed version
+  * timeline — snapshot at the AS OF version, then the STORED commit delta
+  * of each subsequent version ([[ViewCatalog.deltaAt]]), stamped
+  * `(mz_ts, mz_diff, row...)` exactly like the streaming [[Subscribe]]
+  * (reference `src/compute/src/sink/subscribe.rs`: SUBSCRIBE emits the
+  * as-of snapshot followed by updates in timestamp order). Versions are the
+  * view's logical timestamps, so the frame IS the reference semantics over
+  * that timeline; the continuously-running variant is [[Subscribe.start]].
+  *
+  * Cost: one snapshot read (the as-of base) + one delta-sized read per
+  * version step — the commits already persisted their consolidated
+  * changelogs, so a long history never re-reads or re-diffs full
+  * snapshots. */
 object SubscribeFrame {
 
   private def stamp(chg: DataFrame, ts: Long): DataFrame = {
@@ -73,13 +77,7 @@ object SubscribeFrame {
     val from = asOf.getOrElse(cur)
     require(from >= 0 && from <= cur, s"AS OF $from outside [0, $cur] for $name")
     val snapshot = stamp(Changelog.fromRows(cat.tableAt(name, from)), from)
-    // each version step is a consolidated delta: new minus old — the
-    // engine's own changelog algebra computes the retractions
-    val steps = ((from + 1) to cur).map { v =>
-      stamp(Changelog.consolidate(Changelog.unionAll(
-        Changelog.fromRows(cat.tableAt(name, v)),
-        Changelog.negate(Changelog.fromRows(cat.tableAt(name, v - 1))))), v)
-    }
+    val steps = ((from + 1) to cur).map(v => stamp(cat.deltaAt(name, v), v))
     (snapshot +: steps).reduce(_.unionByName(_))
   }
 }

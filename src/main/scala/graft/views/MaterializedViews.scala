@@ -46,13 +46,18 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
   // so `spark.sql("select * from v")` always reads the latest version, even
   // when the refresh came through the Scala API rather than SQL REFRESH
   private val exposed = TrieMap.empty[String, Unit]
-  // post-commit hooks (continuous sinks): view -> hookId -> callback run
-  // with (new snapshot, committed version) after every pointer flip — the
-  // analog of a sink dataflow reading the view's persist collection
+  // post-commit hooks (continuous sinks): view -> hookId -> callback run with
+  // (delta changelog, new snapshot, committed version) after every pointer
+  // flip — the analog of a sink dataflow reading the view's persist
+  // CHANGELOG, not re-diffing its snapshots. A hook that throws leaves the
+  // view commit durable (the flip already happened); consumers self-heal by
+  // resuming from their own recorded position via [[deltaAt]].
   private val commitHooks =
-    TrieMap.empty[String, TrieMap[String, (DataFrame, Long) => Unit]]
+    TrieMap.empty[String, TrieMap[String, (DataFrame, DataFrame, Long) => Unit]]
 
   private def viewDir(name: String): Path = Paths.get(baseDir, name)
+  private def deltaDir(name: String, v: Long): Path =
+    viewDir(name).resolve(s"delta=$v")
   private def currentFile(name: String): Path = viewDir(name).resolve("_CURRENT")
   private def groupDir(group: String): Path = Paths.get(baseDir, s"$group.group")
 
@@ -109,8 +114,12 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
     * double-apply. `batchId = -1` always applies (non-batch maintenance).
     *
     * Members not in `dfs` keep their current versions in the new manifest.
+    * `deltas` optionally supplies a member's commit changelog (see
+    * [[commitState]]); members without one get the generic diff fallback
+    * inside [[persistDelta]].
     */
-  def commitGroup(group: String, batchId: Long, dfs: Map[String, DataFrame]): Boolean = {
+  def commitGroup(group: String, batchId: Long, dfs: Map[String, DataFrame],
+      deltas: Map[String, DataFrame => DataFrame] = Map.empty): Boolean = {
     val curSeq = currentGroupSeq(group)
     val (curBatch, curVers) =
       curSeq.map(s => groupManifest(group, s)).getOrElse((-1L, Map.empty[String, Long]))
@@ -119,6 +128,7 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
     val newVers = dfs.map { case (n, df) =>
       val next = curVers.get(n).fold(0L)(_ + 1)
       df.write.mode("overwrite").parquet(viewDir(n).resolve(s"v=$next").toString)
+      persistDelta(n, next, deltas.get(n))
       n -> next
     }
     val nextSeq = curSeq.fold(0L)(_ + 1)
@@ -154,10 +164,12 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
   }
 
   /** Write `df` as the next version and atomically flip the pointer. */
-  private def commitVersion(name: String, df: DataFrame): Long = {
+  private def commitVersion(name: String, df: DataFrame,
+      knownDelta: Option[DataFrame => DataFrame] = None): Long = {
     val next = currentVersion(name).fold(0L)(_ + 1)
     val dest = viewDir(name).resolve(s"v=$next")
     df.write.mode("overwrite").parquet(dest.toString)
+    persistDelta(name, next, knownDelta)
     val tmp = viewDir(name).resolve(s"_CURRENT.tmp.$next")
     Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, currentFile(name), StandardCopyOption.ATOMIC_MOVE,
@@ -168,17 +180,64 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
     next
   }
 
+  /** Persist the commit's consolidated changelog beside the version dir
+    * (`delta=<n>`) — the persist-collection analog: every consumer of the
+    * view's history (commit hooks, [[graft.sql.SubscribeFrame]]) reads the
+    * stored delta instead of re-diffing snapshots (reference
+    * `src/compute/src/sink/materialized_view.rs`: the sink writes the
+    * changelog; snapshots are the derived artifact).
+    *
+    * `known` is the delta the commit path already computed (incremental
+    * refresh, temporal advance) as a function of the durably-written new
+    * snapshot; without one the generic `new ∖ old ∪ -(old ∖ new)` changelog
+    * diff runs — acceptable only on the full-refresh path, which is already
+    * O(|view|). Version 0 needs no file ([[deltaAt]] derives it from the
+    * snapshot), and changelog-VALUED collections (maintained-join internals,
+    * whose rows already carry a `diff` column) are skipped: their persisted
+    * form is itself the delta algebra, and a second diff column would
+    * collide. */
+  private def persistDelta(name: String, version: Long,
+      known: Option[DataFrame => DataFrame]): Unit = {
+    val newSnap = spark.read.parquet(viewDir(name).resolve(s"v=$version").toString)
+    if (version > 0 && !newSnap.columns.contains(Changelog.DiffCol)) {
+      val delta = known.map(_(newSnap)).getOrElse(
+        Changelog.consolidate(Changelog.unionAll(
+          Changelog.fromRows(newSnap),
+          Changelog.negate(Changelog.fromRows(tableAt(name, version - 1))))))
+      delta.write.mode("overwrite").parquet(deltaDir(name, version).toString)
+    }
+  }
+
+  /** The stored commit changelog `version-1 → version` — `(row..., diff)`.
+    * Version 0 is the snapshot itself at diff +1. Falls back to the snapshot
+    * diff for changelog-valued collections and pre-delta history. Delta dirs
+    * survive [[vacuum]] (they are the history SUBSCRIBE serves). */
+  def deltaAt(name: String, version: Long): DataFrame = {
+    val d = deltaDir(name, version)
+    if (Files.exists(d)) spark.read.parquet(d.toString)
+    else if (version == 0L) Changelog.fromRows(tableAt(name, 0L))
+    else Changelog.consolidate(Changelog.unionAll(
+      Changelog.fromRows(tableAt(name, version)),
+      Changelog.negate(Changelog.fromRows(tableAt(name, version - 1)))))
+  }
+
   /** Register a post-commit hook under `hookId` (idempotent re-register
-    * replaces). The hook runs synchronously inside every commit of `name` —
-    * a hook failure fails the refresh, keeping view and sink atomic. */
-  def addCommitHook(name: String, hookId: String, f: (DataFrame, Long) => Unit): Unit =
+    * replaces). The hook runs synchronously after every pointer flip of
+    * `name`, receiving `(delta changelog, new snapshot, version)` — the
+    * delta is the STORED commit changelog ([[deltaAt]]), so a sink's work is
+    * ∝ |delta| regardless of view size. The flip precedes the hook, so a
+    * throwing hook leaves the view commit durable; hook consumers must
+    * record their own resume position and catch up from stored deltas. */
+  def addCommitHook(name: String, hookId: String,
+      f: (DataFrame, DataFrame, Long) => Unit): Unit =
     commitHooks.getOrElseUpdate(name, TrieMap.empty).put(hookId, f)
 
   def removeCommitHook(name: String, hookId: String): Unit =
     commitHooks.get(name).foreach(_.remove(hookId))
 
   private def runCommitHooks(name: String, version: Long): Unit =
-    commitHooks.get(name).foreach(_.values.foreach(f => f(tableAt(name, version), version)))
+    commitHooks.get(name).foreach(_.values.foreach(f =>
+      f(deltaAt(name, version), tableAt(name, version), version)))
 
   /** Make the view readable by plain `spark.sql` under its own name. The
     * registration is refreshed inside EVERY commit path, so SQL readers
@@ -192,9 +251,13 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
     if (exposed.contains(name)) table(name).createOrReplaceTempView(name)
 
   /** CREATE MATERIALIZED VIEW name AS query — runs the query once and
-    * persists version 0. Idempotent re-create overwrites the definition and
-    * writes a fresh version. */
+    * persists version 0. Re-creating an existing name (CREATE OR REPLACE)
+    * starts a NEW incarnation: the reference drops and re-creates the
+    * dataflow, so the old history — possibly of a different schema — is
+    * removed rather than extended. Attached commit hooks survive and
+    * observe the reseed as a version-0 commit. */
   def createMaterializedView(name: String, query: SparkSession => DataFrame): Long = {
+    if (currentVersion(name).isDefined) deleteRecursive(viewDir(name))
     defs.put(name, query)
     commitVersion(name, query(spark))
   }
@@ -266,19 +329,34 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
     val partial = delta.groupBy(keyCols.map(col).toIndexedSeq: _*)
       .agg(sum(d).as("support"),
         sumColToValue.map { case (s, v) => sum(col(v) * d).as(s) }.toSeq: _*)
-    val merged = table(name).unionByName(partial)
+    val old = table(name) // pinned pre-flip: still the prior version inside commit
+    val merged = old.unionByName(partial)
       .groupBy(keyCols.map(col).toIndexedSeq: _*)
       .agg(sum(col("support")).as("support"),
         sumColToValue.keys.map(s => sum(col(s)).as(s)).toSeq: _*)
       .filter(col("support") > 0)
-    commitVersion(name, merged)
+    // the engine KNOWS which state rows changed: exactly the delta's keys.
+    // The stored commit changelog is retract(old row) + insert(new row) per
+    // changed key — two semi-join-pruned scans whose OUTPUT is ∝ |delta
+    // keys|, never the full-snapshot diff (`exceptAll`) the fallback pays.
+    val changedKeys = delta.select(keyCols.map(col).toIndexedSeq: _*).distinct()
+    commitVersion(name, merged, Some { newSnap =>
+      Changelog.consolidate(Changelog.unionAll(
+        Changelog.fromRows(newSnap.join(changedKeys, keyCols, "left_semi")),
+        Changelog.negate(Changelog.fromRows(old.join(changedKeys, keyCols, "left_semi")))))
+    })
   }
 
   /** Commit `df` as the next version of `name` without re-running the
     * registered definition — the entry point for state-only maintenance
     * paths ([[TemporalView.advance]]: the new state derives from the old
-    * state, not from the defining query). */
-  def commitState(name: String, df: DataFrame): Long = commitVersion(name, df)
+    * state, not from the defining query). `knownDelta`, when the caller
+    * already knows the commit's changelog (a temporal advance knows its
+    * retraction set exactly), is persisted as-is instead of the generic
+    * snapshot diff; it receives the durably-written new snapshot. */
+  def commitState(name: String, df: DataFrame,
+      knownDelta: Option[DataFrame => DataFrame] = None): Long =
+    commitVersion(name, df, knownDelta)
 
   // ---- linearized reads across independent views ---------------------------
 

@@ -3,6 +3,8 @@ package graft.views
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.streaming.Changelog
+
 /** Temporal filters as *scheduled retractions* on a maintained view.
   *
   * The reference compiles a predicate `mz_now() <= <deadline expr>` out of
@@ -67,7 +69,14 @@ final class TemporalView(
     require(lastClock.forall(_.before(c)),
       s"temporal clock must advance monotonically: $lastClock -> $c")
     lastClock = Some(c)
-    cat.commitState(name, ranged(alive(cat.table(name), c)))
+    val old = cat.table(name) // pinned: pointer flips only inside commitState
+    // the advance KNOWS its commit changelog exactly — the scheduled
+    // retractions are the rows whose deadline fell before the new clock; the
+    // range partitioning on __expires_at makes this filter a file-pruned
+    // scan of just the expiring tail, and the stored delta is ∝ |expired|
+    cat.commitState(name, ranged(alive(old, c)),
+      Some(_ => Changelog.negate(Changelog.fromRows(
+        old.filter(col(ExpiresCol) < lit(c))))))
   }
 
   /** Latest committed snapshot without the bookkeeping column. */
