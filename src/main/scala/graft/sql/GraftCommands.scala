@@ -31,12 +31,50 @@ case class CreateMaterializedViewCommand(
     if (!replace && cat.isDefined(name))
       throw new IllegalArgumentException(
         s"materialized view $name already exists (use CREATE OR REPLACE)")
-    // the DEFINITION is the SQL text — a refresh re-parses it against live
-    // inputs, exactly like the reference re-rendering the dataflow
-    val v = cat.createMaterializedView(name, s => s.sql(queryText))
+    // mz_now() temporal filter? Extract it from the parsed plan
+    // (MfpPlan::extract_temporal) and compile to a TemporalView whose
+    // commits schedule retractions instead of re-filtering on read.
+    val parsed = spark.sessionState.sqlParser.parsePlan(queryText)
+    val v = TemporalSql.extract(parsed) match {
+      case Some(stamped) =>
+        // CREATE OR REPLACE starts a new incarnation (as in the plain path)
+        if (cat.currentVersion(name).isDefined) cat.dropView(name)
+        val tv = graft.views.TemporalView.stamped(cat, name,
+          s => TemporalSql.toDf(s, stamped))
+        val ver = tv.create(spark, TemporalSql.currentClock(spark))
+        GraftSqlCatalog.temporalsFor(spark).put(name, tv)
+        ver
+      case None =>
+        GraftSqlCatalog.temporalsFor(spark).remove(name)
+        // the DEFINITION is the SQL text — a refresh re-parses it against
+        // live inputs, exactly like the reference re-rendering the dataflow
+        cat.createMaterializedView(name, s => s.sql(queryText))
+    }
     // expose committed snapshots to plain SQL reads of `name`; the catalog
     // re-registers on every commit so SQL readers never pin a stale version
     cat.exposeAsTempView(name)
+    Seq(Row(name, v))
+  }
+}
+
+/** `ADVANCE MATERIALIZED VIEW <name> [TO TIMESTAMP '<ts>']` — move a
+  * temporal view's logical clock forward: rows whose `mz_now()` deadline
+  * fell inside the interval are retracted as a state-only commit (never a
+  * re-evaluation of the defining query). Without TO TIMESTAMP the clock
+  * comes from `spark.graft.mz_now` / the wall clock, the reference's
+  * "mz_now() keeps ticking" behavior under explicit control. */
+case class AdvanceMaterializedViewCommand(name: String, toTs: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("view", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val tv = GraftSqlCatalog.temporalsFor(spark).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"$name is not a temporal materialized view (no mz_now() predicate)"))
+    val v = tv.advance(toTs.getOrElse(TemporalSql.currentClock(spark)))
+    GraftSqlCatalog.forSession(spark).exposeAsTempView(name)
     Seq(Row(name, v))
   }
 }
@@ -60,6 +98,7 @@ case class DropMaterializedViewCommand(name: String) extends LeafRunnableCommand
 
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSqlCatalog.forSession(spark).dropView(name)
+    GraftSqlCatalog.temporalsFor(spark).remove(name)
     spark.catalog.dropTempView(name)
     Seq(Row(name))
   }
@@ -205,6 +244,76 @@ case class ShowSinksCommand() extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] =
     GraftSqlCatalog.sinksFor(spark).toSeq.sortBy(_._1)
       .map { case (n, (v, p, _)) => Row(n, v, p) }
+}
+
+/** `CREATE INDEX <idx> ON <rel> (<key>) [WITH (BUCKETS n)]` — the
+  * reference's core performance idiom (`src/sql-parser/src/parser.rs`
+  * CREATE INDEX; `doc/developer/arrangements.md`): arrange a collection by
+  * a key so joins and lookups on that key need no data movement.
+  *
+  * Spark analog: the relation is materialized ONCE as a bucketed+sorted
+  * managed table ([[graft.plans.CoLocatedJoin.bucketize]] — the persisted
+  * arrangement) under the index name, and the relation name is rebound to
+  * read it, so every subsequent query on `rel` scans the arrangement and
+  * equi-joins between two relations indexed on the same key (same bucket
+  * count) plan with ZERO Exchange on either side. The build is one-time
+  * ingest work (IF NOT EXISTS + a session registry make re-creation a
+  * no-op); like the reference, the payoff is every later join skipping its
+  * shuffle. The index is a snapshot arrangement — rebuild after base
+  * changes (the reference maintains its arrangements continuously; that
+  * path here is the maintained-view machinery, not CREATE INDEX). */
+case class CreateIndexCommand(idx: String, rel: String, key: String,
+    buckets: Int, ifNotExists: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("index", StringType, nullable = false)(),
+    AttributeReference("on", StringType, nullable = false)(),
+    AttributeReference("key", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val reg = GraftSqlCatalog.indexesFor(spark)
+    if (reg.contains(idx)) {
+      if (!ifNotExists)
+        throw new IllegalArgumentException(s"index $idx already exists")
+      // keep the relation bound to the arrangement (a temp-view re-register
+      // may have shadowed it since)
+      spark.table(idx).createOrReplaceTempView(rel)
+      return Seq(Row(idx, rel, key))
+    }
+    val df = spark.table(rel)
+    require(df.columns.contains(key), s"index key $key not in $rel")
+    graft.plans.CoLocatedJoin.bucketize(df, idx, key, buckets)
+    spark.table(idx).createOrReplaceTempView(rel)
+    reg.put(idx, (rel, key, buckets))
+    Seq(Row(idx, rel, key))
+  }
+}
+
+case class DropIndexCommand(idx: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("index", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val reg = GraftSqlCatalog.indexesFor(spark)
+    reg.remove(idx) match {
+      case Some((rel, _, _)) =>
+        spark.catalog.dropTempView(rel)
+        spark.sql(s"DROP TABLE IF EXISTS $idx")
+        Seq(Row(idx))
+      case None => throw new IllegalArgumentException(s"index not found: $idx")
+    }
+  }
+}
+
+case class ShowIndexesCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("on", StringType, nullable = false)(),
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("buckets", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlCatalog.indexesFor(spark).toSeq.sortBy(_._1)
+      .map { case (n, (r, k, b)) => Row(n, r, k, b.toLong) }
 }
 
 /** `COPY <view|(query)> TO '<path>' [WITH (FORMAT ...)]` — one-shot export

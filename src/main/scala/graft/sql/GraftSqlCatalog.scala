@@ -48,6 +48,19 @@ object GraftSqlCatalog {
 
   def sinksFor(spark: SparkSession): TrieMap[String, (String, String, Seq[String])] =
     sinks.getOrElseUpdate(spark.sharedState, TrieMap.empty)
+
+  /** Temporal materialized views (created via a `mz_now()` predicate in
+    * CREATE MATERIALIZED VIEW); ADVANCE resolves its target here. */
+  private val temporals = TrieMap.empty[AnyRef, TrieMap[String, graft.views.TemporalView]]
+
+  def temporalsFor(spark: SparkSession): TrieMap[String, graft.views.TemporalView] =
+    temporals.getOrElseUpdate(spark.sharedState, TrieMap.empty)
+
+  /** Indexes created via CREATE INDEX: name -> (relation, key, buckets). */
+  private val indexes = TrieMap.empty[AnyRef, TrieMap[String, (String, String, Int)]]
+
+  def indexesFor(spark: SparkSession): TrieMap[String, (String, String, Int)] =
+    indexes.getOrElseUpdate(spark.sharedState, TrieMap.empty)
 }
 
 /** Batch SUBSCRIBE: the view's changelog over its committed version

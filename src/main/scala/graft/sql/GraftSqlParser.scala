@@ -46,6 +46,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       CreateMaterializedViewCommand(name, query,
         replace = orReplace != null, ifNotExists = ifNotExists != null)
     case RefreshMv(name) => RefreshMaterializedViewCommand(name)
+    case AdvanceMv(name, toTs) => AdvanceMaterializedViewCommand(name, Option(toTs))
     case DropMv(name) => DropMaterializedViewCommand(name)
     case SubscribeStmt(name, asOf) =>
       SubscribeFrame(GraftSqlCatalog.forSession(session), name,
@@ -73,6 +74,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         Option(keyList).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
     case DropSink(name) => DropSinkCommand(name)
     case ShowSinks() => ShowSinksCommand()
+    case CreateIndex(ifNotExists, idx, rel, key, buckets) =>
+      CreateIndexCommand(idx, rel, key,
+        Option(buckets).map(_.toInt).getOrElse(16), ifNotExists != null)
+    case DropIndex(idx) => DropIndexCommand(idx)
+    case ShowIndexes() => ShowIndexesCommand()
     case AsOfSuffix(inner, version) if referencesView(inner) =>
       // The suffix rewrite must never hijack SQL that Spark itself accepts
       // (`VERSION AS OF n` / `TIMESTAMP AS OF n` time travel, an alias named
@@ -135,6 +141,10 @@ object GraftSqlParser {
       s"(?:(IF\\s+NOT\\s+EXISTS)\\s+)?$Id\\s+AS\\s+(.+?)\\s*;?\\s*$$").r
   val RefreshMv: Regex =
     s"(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$Id\\s*;?\\s*$$".r
+  // ADVANCE moves a temporal view's mz_now() clock (scheduled retractions)
+  val AdvanceMv: Regex =
+    (s"(?is)^\\s*ADVANCE\\s+MATERIALIZED\\s+VIEW\\s+$Id" +
+      s"(?:\\s+TO\\s+TIMESTAMP\\s+'([^']+)')?\\s*;?\\s*$$").r
   val DropMv: Regex =
     s"(?is)^\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+$Id\\s*;?\\s*$$".r
   val SubscribeStmt: Regex =
@@ -159,6 +169,13 @@ object GraftSqlParser {
     (s"(?is)^\\s*CREATE\\s+SINK\\s+$Id\\s+FROM\\s+$Id\\s+INTO\\s+ICEBERG\\s+" +
       s"'([^']+)'\\s+KEY\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_,\\s]*)\\)\\s*;?\\s*$$").r
   val DropSink: Regex = s"(?is)^\\s*DROP\\s+SINK\\s+$Id\\s*;?\\s*$$".r
+  // CREATE INDEX (reference `src/sql-parser/src/parser.rs` CREATE INDEX;
+  // arrangements `doc/developer/arrangements.md`)
+  val CreateIndex: Regex =
+    (s"(?is)^\\s*CREATE\\s+INDEX\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?$Id\\s+ON\\s+$Id" +
+      s"\\s*\\(\\s*$Id\\s*\\)(?:\\s+WITH\\s*\\(\\s*BUCKETS\\s+(\\d+)\\s*\\))?\\s*;?\\s*$$").r
+  val DropIndex: Regex = s"(?is)^\\s*DROP\\s+INDEX\\s+$Id\\s*;?\\s*$$".r
+  val ShowIndexes: Regex = "(?is)^\\s*SHOW\\s+INDEXES\\s*;?\\s*$".r
   val ShowSinks: Regex = "(?is)^\\s*SHOW\\s+SINKS\\s*;?\\s*$".r
   val ShowSources: Regex = "(?is)^\\s*SHOW\\s+SOURCES\\s*;?\\s*$".r
   val ShowMvs: Regex = "(?is)^\\s*SHOW\\s+MATERIALIZED\\s+VIEWS\\s*;?\\s*$".r

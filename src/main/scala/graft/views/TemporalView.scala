@@ -87,4 +87,12 @@ object TemporalView {
   /** Persisted deadline column — evaluated once at row entry, the analog of
     * the retraction timestamp `extract_temporal` schedules. */
   val ExpiresCol = "__expires_at"
+
+  /** A temporal view whose source ALREADY carries the stamped [[ExpiresCol]]
+    * deadline column — the SQL extraction path
+    * ([[graft.sql.TemporalSql.extract]]) projects the deadline during plan
+    * surgery, so the deadline "expression" here is just the column itself. */
+  def stamped(cat: ViewCatalog, name: String,
+      source: SparkSession => DataFrame): TemporalView =
+    new TemporalView(cat, name, source, col(ExpiresCol))
 }

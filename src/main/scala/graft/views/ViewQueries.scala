@@ -118,6 +118,37 @@ object ViewQueries {
         .select(col("mz_ts"), col("mz_diff"), col("event_id"), col("user_id"))
     },
 
+    // mz_now() temporal filter driven PURELY through SQL text (reference
+    // user surface doc/user/content/transform-data/patterns/temporal-filters.md;
+    // MfpPlan::extract_temporal src/expr/src/linear.rs:411-470): the CREATE
+    // statement's `mz_now() <= ts + INTERVAL 2 DAY` predicate compiles to a
+    // TemporalView, ADVANCE retracts expired rows as a state-only commit,
+    // and SUBSCRIBE shows them at mz_diff = -1. The oracle recomputes the
+    // snapshot + expiry set from scratch.
+    Q("sql_surface_temporal",
+      """WITH base AS (
+        |  SELECT event_id, user_id, ts + INTERVAL 2 DAY AS dl
+        |  FROM events WHERE user_id < 20)
+        |SELECT CAST(0 AS BIGINT) AS mz_ts, CAST(1 AS BIGINT) AS mz_diff,
+        |  event_id, user_id
+        |FROM base WHERE dl >= TIMESTAMP '2024-01-05 00:00:00'
+        |UNION ALL
+        |SELECT 1, -1, event_id, user_id FROM base
+        |WHERE dl >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND dl < TIMESTAMP '2024-01-15 00:00:00'""".stripMargin) { (s, dir) =>
+      graft.Tables.register(s, dir)
+      s.conf.set("spark.graft.mz_now", "2024-01-05 00:00:00")
+      try {
+        s.sql(
+          """CREATE OR REPLACE MATERIALIZED VIEW ttl_sql AS
+            |SELECT event_id, user_id, ts FROM events
+            |WHERE user_id < 20 AND mz_now() <= ts + INTERVAL 2 DAY""".stripMargin)
+        s.sql("ADVANCE MATERIALIZED VIEW ttl_sql TO TIMESTAMP '2024-01-15 00:00:00'")
+        s.sql("SUBSCRIBE ttl_sql AS OF 0")
+          .select(col("mz_ts"), col("mz_diff"), col("event_id"), col("user_id"))
+      } finally s.conf.unset("spark.graft.mz_now")
+    },
+
     // The SQL entry path end-to-end (reference
     // `doc/developer/life-of-a-query.md`): the whole lifecycle — create,
     // full refresh, versioned AS OF read — is driven by SQL text through

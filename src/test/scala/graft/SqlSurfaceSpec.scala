@@ -178,4 +178,71 @@ class SqlSurfaceSpec extends SparkSpec {
     val total = spark.sql("SELECT sum(n) FROM sqlsurf_auc_mv").as[Long].head()
     assert(total == 200L)
   }
+
+  test("CREATE INDEX arranges the relation; indexed joins plan exchange-free") {
+    Tables.load(spark, Sf, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .createOrReplaceTempView("sqlidx_orders")
+    Tables.load(spark, Sf, "lineitem")
+      .selectExpr("l_orderkey AS o_orderkey", "l_quantity")
+      .createOrReplaceTempView("sqlidx_lineitem")
+    spark.sql("CREATE INDEX IF NOT EXISTS sqlidx_o ON sqlidx_orders (o_orderkey) WITH (BUCKETS 8)")
+    spark.sql("CREATE INDEX IF NOT EXISTS sqlidx_l ON sqlidx_lineitem (o_orderkey) WITH (BUCKETS 8)")
+    // SHOW INDEXES lists both
+    val shown = spark.sql("SHOW INDEXES").collect().map(_.getString(0)).toSet
+    assert(Set("sqlidx_o", "sqlidx_l").subsetOf(shown))
+    // a plain SQL join on the indexed relations: zero shuffle exchanges
+    val joined = spark.sql(
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM sqlidx_orders JOIN sqlidx_lineitem USING (o_orderkey)
+        |GROUP BY o_orderpriority""".stripMargin)
+    joined.collect() // finalize the adaptive plan
+    val finalPlan = joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = finalPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.isEmpty,
+      s"expected exchange-free indexed join, found:\n$finalPlan")
+    // re-create IF NOT EXISTS is a no-op; plain re-create errors
+    spark.sql("CREATE INDEX IF NOT EXISTS sqlidx_o ON sqlidx_orders (o_orderkey) WITH (BUCKETS 8)")
+    val e = intercept[Exception](
+      spark.sql("CREATE INDEX sqlidx_o ON sqlidx_orders (o_orderkey)"))
+    assert(e.getMessage.contains("already exists"))
+    spark.sql("DROP INDEX sqlidx_o")
+    spark.sql("DROP INDEX sqlidx_l")
+  }
+
+  test("mz_now() temporal filter in CREATE MATERIALIZED VIEW + ADVANCE") {
+    Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-10 00:00:00"),
+        (3L, "2024-01-20 00:00:00"))
+      .toDF("id", "ts_s").selectExpr("id", "CAST(ts_s AS TIMESTAMP) AS ts")
+      .createOrReplaceTempView("sqlsurf_ttl_base")
+    spark.conf.set("spark.graft.mz_now", "2024-01-02 00:00:00")
+    try {
+      spark.sql(
+        """CREATE OR REPLACE MATERIALIZED VIEW sqlsurf_ttl AS
+          |SELECT id, ts FROM sqlsurf_ttl_base
+          |WHERE id < 100 AND mz_now() <= ts + INTERVAL 2 DAY""".stripMargin)
+      // pinned clock 01-02: all three rows' deadlines (ts + 2d) are >= clock
+      assert(spark.sql("SELECT id FROM sqlsurf_ttl").as[Long].collect().toSet
+        == Set(1L, 2L, 3L))
+      // advance past id=1's deadline (01-03): exactly that row retracts
+      spark.sql("ADVANCE MATERIALIZED VIEW sqlsurf_ttl TO TIMESTAMP '2024-01-05 00:00:00'")
+      assert(spark.sql("SELECT id FROM sqlsurf_ttl").as[Long].collect().toSet
+        == Set(2L, 3L))
+      // the retraction is visible in the SUBSCRIBE changelog as mz_diff = -1
+      val frame = spark.sql("SUBSCRIBE sqlsurf_ttl AS OF 0")
+      val retracted = frame.filter(col("mz_diff") === -1L).select("id").as[Long].collect()
+      assert(retracted.toSeq == Seq(1L))
+      // strict/lower-bound mz_now() shapes are rejected, not mis-compiled
+      val e = intercept[Exception](spark.sql(
+        """CREATE OR REPLACE MATERIALIZED VIEW sqlsurf_ttl_bad AS
+          |SELECT id FROM sqlsurf_ttl_base WHERE mz_now() >= ts""".stripMargin))
+      assert(e.getMessage.contains("mz_now"))
+      spark.sql("DROP MATERIALIZED VIEW sqlsurf_ttl")
+    } finally spark.conf.unset("spark.graft.mz_now")
+  }
 }
