@@ -48,10 +48,7 @@ object IcebergViewSink {
         if (resumeUpper == version - 1) delta
         else Changelog.consolidate(Changelog.unionAll(
           ((math.max(resumeUpper, -1L) + 1) to version).map(v => cat.deltaAt(view, v)): _*))
-      val inserts = eff.filter(col(Changelog.DiffCol) > 0).drop(Changelog.DiffCol)
-      val goneKeys = eff.filter(col(Changelog.DiffCol) < 0)
-        .select(keys.map(col): _*).distinct()
-        .join(inserts.select(keys.map(col): _*), keys, "left_anti")
+      val (inserts, goneKeys) = SinkEnvelopes.changes(eff, keys)
       table.applyChangeSet(inserts, goneKeys, keys, batchId = version)
       ()
     }

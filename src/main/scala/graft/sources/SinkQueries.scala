@@ -65,6 +65,47 @@ object SinkQueries {
       new IcebergTable(s, path).read()
     },
 
+    // Sink envelope emission round-trip (reference
+    // src/interchange/src/envelopes.rs + src/storage/src/sink/kafka.rs over
+    // the file transport): an MV feeds CREATE SINK ... ENVELOPE UPSERT
+    // FORMAT AVRO; the seed batch and the refresh delta batch are framed
+    // key/value messages (Confluent header + Avro payload, NULL value =
+    // tombstone). The engine then decodes ITS OWN frames back through
+    // registry_decode and applies compacted-topic semantics (latest frame
+    // per key wins, tombstones delete) — the result must equal the view
+    // recomputed from scratch, which is what the oracle does.
+    Q("sink_envelope_roundtrip",
+      """SELECT o_orderstatus AS st, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_totalprice >= 50000 GROUP BY o_orderstatus""".stripMargin) {
+      (s, dir) =>
+      graft.Tables.register(s, dir)
+      s.sql("""CREATE OR REPLACE TEMP VIEW envsink_base AS
+        |SELECT * FROM orders WHERE o_totalprice >= 100000""".stripMargin)
+      s.sql("""CREATE OR REPLACE MATERIALIZED VIEW envsink_mv AS
+        |SELECT o_orderstatus AS st, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM envsink_base GROUP BY o_orderstatus""".stripMargin)
+      val path = Files.createTempDirectory("graft-envsnk").resolve("t").toString
+      s.sql(s"CREATE SINK envsink_s FROM envsink_mv INTO FILE '$path' " +
+        "KEY (st) ENVELOPE UPSERT FORMAT AVRO")
+      // widen the base: every group's aggregates change through the sink
+      s.sql("""CREATE OR REPLACE TEMP VIEW envsink_base AS
+        |SELECT * FROM orders WHERE o_totalprice >= 50000""".stripMargin)
+      s.sql("REFRESH MATERIALIZED VIEW envsink_mv")
+      s.sql("DROP SINK envsink_s") // keep repeated passes in one session clean
+      // replay the emitted frames through the engine's own decoder
+      ConfluentFunctions.register(s,
+        Confluent.registryFromFile(s"$path/_registry.tsv"))
+      FileEnvelopeSink.readFrames(s, path)
+        .groupBy(col("key"))
+        .agg(expr("max_by(struct(value), batch)").getField("value").as("value"))
+        .filter(col("value").isNotNull) // tombstoned keys stay deleted
+        .select(expr("registry_decode(value, 'st STRING, cnt BIGINT, total DOUBLE')")
+          .as("d"))
+        .select(col("d.r.*"))
+    },
+
     // Bounds-recorded write (range-partitioned so file bounds are tight),
     // then a pruned range scan: files outside the year are never opened;
     // the aggregate must still equal the full-table filter.

@@ -113,7 +113,8 @@ case class DropMaterializedViewCommand(name: String) extends LeafRunnableCommand
   * exactly like the reference's source collections. */
 case class CreateSourceCommand(
     name: String, ifNotExists: Boolean,
-    spec: Either[(String, Option[Long]), (String, String)])
+    spec: Either[(String, Option[Long]), (String, String)],
+    columns: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("source", StringType, nullable = false)(),
@@ -136,8 +137,14 @@ case class CreateSourceCommand(
         throw new IllegalArgumentException(s"unknown load generator $other")
       case Right((path, "parquet")) => (spark.read.parquet(path), "file parquet")
       case Right((path, "csv")) =>
-        (spark.read.option("header", "true").option("inferSchema", "true").csv(path),
-          "file csv")
+        // a declared column list (the reference always has one) reads with
+        // that schema — one pass, no type drift; only infer when absent
+        // (an extra full scan at create time, the documented fallback)
+        val r = spark.read.option("header", "true")
+        (columns match {
+          case Some(ddl) => r.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl)).csv(path)
+          case None => r.option("inferSchema", "true").csv(path)
+        }, "file csv")
       case Right((path, "json")) => (spark.read.json(path), "file json")
       case Right((_, other)) =>
         throw new IllegalArgumentException(s"unsupported FORMAT $other")
@@ -214,6 +221,47 @@ case class CreateSinkCommand(name: String, view: String, path: String, keys: Seq
       .create(snapshot, statsCols = keys, batchId = seedVersion)
     cat.addCommitHook(view, s"sink:$name", { (delta, _, version) =>
       graft.sources.IcebergViewSink.applyCommit(spark, cat, view, path, keys, delta, version)
+    })
+    sinks.put(name, (view, path, keys))
+    Seq(Row(name, path))
+  }
+}
+
+/** `CREATE SINK <name> FROM <view> INTO FILE '<path>' KEY (k, ...)
+  * ENVELOPE UPSERT FORMAT AVRO | ENVELOPE DEBEZIUM FORMAT JSON` — the
+  * envelope-emitting sink (reference `src/interchange/src/envelopes.rs`,
+  * `src/storage/src/sink/kafka.rs`, over the file transport): every view
+  * commit's stored delta becomes one batch of framed key/value messages
+  * ([[graft.sources.SinkEnvelopes]]), decodable by this engine's own
+  * `registry_decode` (UPSERT/AVRO) or Debezium CDC source (DEBEZIUM/JSON).
+  * Replay and failure recovery follow the sink's own resume position
+  * ([[graft.sources.FileEnvelopeSink]]). */
+case class CreateEnvelopeSinkCommand(name: String, view: String, path: String,
+    keys: Seq[String], envelope: String, format: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("sink", StringType, nullable = false)(),
+    AttributeReference("path", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val env = envelope.toUpperCase
+    val fmt = format.toUpperCase
+    require((env, fmt) == ("UPSERT", "AVRO") || (env, fmt) == ("DEBEZIUM", "JSON"),
+      s"supported combinations: ENVELOPE UPSERT FORMAT AVRO, " +
+        s"ENVELOPE DEBEZIUM FORMAT JSON (got ENVELOPE $env FORMAT $fmt)")
+    val cat = GraftSqlCatalog.forSession(spark)
+    val sinks = GraftSqlCatalog.sinksFor(spark)
+    if (sinks.contains(name))
+      throw new IllegalArgumentException(s"sink $name already exists")
+    val seedVersion = cat.currentVersion(view).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot CREATE SINK: no committed version of $view"))
+    val snapshot = cat.table(view)
+    val missing = keys.filterNot(snapshot.columns.contains)
+    require(missing.isEmpty, s"KEY columns not in $view: ${missing.mkString(", ")}")
+    graft.sources.FileEnvelopeSink.create(spark, snapshot, path, keys, env, seedVersion)
+    cat.addCommitHook(view, s"sink:$name", { (delta, _, version) =>
+      graft.sources.FileEnvelopeSink.applyCommit(
+        spark, cat, view, path, keys, env, delta, version)
     })
     sinks.put(name, (view, path, keys))
     Seq(Row(name, path))
@@ -314,6 +362,73 @@ case class ShowIndexesCommand() extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] =
     GraftSqlCatalog.indexesFor(spark).toSeq.sortBy(_._1)
       .map { case (n, (r, k, b)) => Row(n, r, k, b.toLong) }
+}
+
+/** `SUBSCRIBE [TO] <view> WITH (SNAPSHOT | PROGRESS, ...)` — start a
+  * CONTINUOUS subscription (reference `src/compute/src/sink/subscribe.rs`;
+  * cursor FETCH semantics `doc/user/content/sql/subscribe.md`): a commit
+  * hook stamps every subsequent commit's stored delta into the cursor's
+  * queue; `FETCH <view>` drains it; `CLOSE <view>` ends the subscription.
+  * The batch frame over the version timeline stays `SUBSCRIBE v [AS OF n]`
+  * (no WITH clause). */
+case class SubscribeContinuousCommand(view: String, snapshot: Boolean, progress: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("subscription", StringType, nullable = false)(),
+    AttributeReference("at_version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftSqlCatalog.forSession(spark)
+    val subs = GraftSqlCatalog.subscriptionsFor(spark)
+    if (subs.contains(view))
+      throw new IllegalArgumentException(
+        s"subscription on $view already open (CLOSE $view first)")
+    val version = cat.currentVersion(view).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot SUBSCRIBE: no committed version of $view"))
+    val snap = cat.table(view)
+    val cursor = new SubscriptionCursor(view, snap.schema, progress)
+    if (snapshot)
+      cursor.enqueue(graft.streaming.Changelog.fromRows(snap), version)
+    else if (progress) // no snapshot requested: still announce the frontier
+      cursor.enqueue(snap.limit(0).withColumn(
+        graft.streaming.Changelog.DiffCol,
+        org.apache.spark.sql.functions.lit(1L)), version)
+    subs.put(view, cursor)
+    cat.addCommitHook(view, s"subscribe:$view", { (delta, _, v) =>
+      cursor.enqueue(delta, v)
+    })
+    Seq(Row(view, version))
+  }
+}
+
+/** `FETCH [ALL] <view>` — drain everything the subscription delivered since
+  * the last FETCH, in timestamp order. The output schema is the cursor's
+  * stamped row shape, resolved at parse time. */
+case class FetchSubscriptionCommand(view: String,
+    rowSchema: org.apache.spark.sql.types.StructType) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(rowSchema)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cursor = GraftSqlCatalog.subscriptionsFor(spark).getOrElse(view,
+      throw new IllegalArgumentException(s"no open subscription on $view"))
+    cursor.drain()
+  }
+}
+
+case class CloseSubscriptionCommand(view: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("subscription", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlCatalog.subscriptionsFor(spark).remove(view) match {
+      case Some(_) =>
+        GraftSqlCatalog.forSession(spark).removeCommitHook(view, s"subscribe:$view")
+        Seq(Row(view))
+      case None => throw new IllegalArgumentException(s"no open subscription on $view")
+    }
+  }
 }
 
 /** `COPY <view|(query)> TO '<path>' [WITH (FORMAT ...)]` — one-shot export

@@ -61,6 +61,12 @@ object GraftSqlCatalog {
 
   def indexesFor(spark: SparkSession): TrieMap[String, (String, String, Int)] =
     indexes.getOrElseUpdate(spark.sharedState, TrieMap.empty)
+
+  /** Continuous subscriptions (SUBSCRIBE ... WITH (...)): view -> cursor. */
+  private val subscriptions = TrieMap.empty[AnyRef, TrieMap[String, SubscriptionCursor]]
+
+  def subscriptionsFor(spark: SparkSession): TrieMap[String, SubscriptionCursor] =
+    subscriptions.getOrElseUpdate(spark.sharedState, TrieMap.empty)
 }
 
 /** Batch SUBSCRIBE: the view's changelog over its committed version

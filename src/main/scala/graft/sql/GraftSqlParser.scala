@@ -48,6 +48,18 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case RefreshMv(name) => RefreshMaterializedViewCommand(name)
     case AdvanceMv(name, toTs) => AdvanceMaterializedViewCommand(name, Option(toTs))
     case DropMv(name) => DropMaterializedViewCommand(name)
+    case SubscribeWith(name, opts) =>
+      val options = opts.split(",").map(_.trim.toUpperCase).filter(_.nonEmpty).toSet
+      val unknown = options -- Set("SNAPSHOT", "PROGRESS")
+      if (unknown.nonEmpty) throw new IllegalArgumentException(
+        s"unknown SUBSCRIBE option(s): ${unknown.mkString(", ")} (SNAPSHOT, PROGRESS)")
+      SubscribeContinuousCommand(name,
+        snapshot = options.contains("SNAPSHOT"), progress = options.contains("PROGRESS"))
+    case FetchStmt(name) =>
+      val cursor = GraftSqlCatalog.subscriptionsFor(session).getOrElse(name,
+        throw new IllegalArgumentException(s"no open subscription on $name"))
+      FetchSubscriptionCommand(name, cursor.rowSchema)
+    case CloseStmt(name) => CloseSubscriptionCommand(name)
     case SubscribeStmt(name, asOf) =>
       SubscribeFrame(GraftSqlCatalog.forSession(session), name,
         Option(asOf).map(_.toLong)).queryExecution.logical
@@ -58,9 +70,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case CreateSourceLoadGen(ifNotExists, name, kind, upTo) =>
       CreateSourceCommand(name, ifNotExists != null,
         Left((kind.toUpperCase, Option(upTo).map(_.toLong))))
-    case CreateSourceFile(ifNotExists, name, path, format) =>
+    case CreateSourceFile(ifNotExists, name, columns, path, format) =>
       CreateSourceCommand(name, ifNotExists != null,
-        Right((path, format.toLowerCase)))
+        Right((path, format.toLowerCase)), Option(columns).map(_.trim))
     case DropSource(name) => DropSourceCommand(name)
     case ShowSources() => ShowSourcesCommand()
     case ShowMvs() => ShowMaterializedViewsCommand()
@@ -72,6 +84,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case CreateSink(name, view, path, keyList) =>
       CreateSinkCommand(name, view, path,
         Option(keyList).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
+    case CreateSinkEnvelope(name, view, path, keyList, envelope, format) =>
+      CreateEnvelopeSinkCommand(name, view, path,
+        Option(keyList).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
+        envelope, format)
     case DropSink(name) => DropSinkCommand(name)
     case ShowSinks() => ShowSinksCommand()
     case CreateIndex(ifNotExists, idx, rel, key, buckets) =>
@@ -149,6 +165,13 @@ object GraftSqlParser {
     s"(?is)^\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+$Id\\s*;?\\s*$$".r
   val SubscribeStmt: Regex =
     s"(?is)^\\s*SUBSCRIBE\\s+(?:TO\\s+)?$Id(?:\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$".r
+  // continuous subscription cursor: SUBSCRIBE v WITH (SNAPSHOT, PROGRESS)
+  val SubscribeWith: Regex =
+    (s"(?is)^\\s*SUBSCRIBE\\s+(?:TO\\s+)?$Id\\s+WITH\\s*" +
+      s"\\(\\s*([A-Za-z_,\\s]*)\\)\\s*;?\\s*$$").r
+  val FetchStmt: Regex =
+    s"(?is)^\\s*FETCH\\s+(?:ALL\\s+)?$Id\\s*;?\\s*$$".r
+  val CloseStmt: Regex = s"(?is)^\\s*CLOSE\\s+$Id\\s*;?\\s*$$".r
   val CopyStmt: Regex =
     (s"(?is)^\\s*COPY\\s+(?:\\((.+)\\)|$Id)\\s+TO\\s+'([^']+)'" +
       s"(?:\\s+WITH\\s*\\(\\s*FORMAT\\s*=?\\s*'?(\\w+)'?\\s*\\))?\\s*;?\\s*$$").r
@@ -160,7 +183,8 @@ object GraftSqlParser {
       s"LOAD\\s+GENERATOR\\s+(AUCTION|COUNTER)" +
       s"(?:\\s*\\(\\s*UP\\s+TO\\s+(\\d+)\\s*\\))?\\s*;?\\s*$$").r
   val CreateSourceFile: Regex =
-    (s"(?is)^\\s*CREATE\\s+SOURCE\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?$Id\\s+FROM\\s+" +
+    (s"(?is)^\\s*CREATE\\s+SOURCE\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?$Id" +
+      s"(?:\\s*\\(([^)]+)\\))?\\s+FROM\\s+" +
       s"FILE\\s+'([^']+)'\\s+FORMAT\\s+(PARQUET|CSV|JSON)\\s*;?\\s*$$").r
   val DropSource: Regex = s"(?is)^\\s*DROP\\s+SOURCE\\s+$Id\\s*;?\\s*$$".r
   // CREATE SINK (reference `Plan::CreateSink`, `src/sql/src/plan.rs`;
@@ -168,6 +192,12 @@ object GraftSqlParser {
   val CreateSink: Regex =
     (s"(?is)^\\s*CREATE\\s+SINK\\s+$Id\\s+FROM\\s+$Id\\s+INTO\\s+ICEBERG\\s+" +
       s"'([^']+)'\\s+KEY\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_,\\s]*)\\)\\s*;?\\s*$$").r
+  // envelope-emitting sink over the file transport (reference
+  // `src/interchange/src/envelopes.rs`, `src/storage/src/sink/kafka.rs`)
+  val CreateSinkEnvelope: Regex =
+    (s"(?is)^\\s*CREATE\\s+SINK\\s+$Id\\s+FROM\\s+$Id\\s+INTO\\s+FILE\\s+" +
+      s"'([^']+)'\\s+KEY\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_,\\s]*)\\)\\s+" +
+      s"ENVELOPE\\s+(UPSERT|DEBEZIUM)\\s+FORMAT\\s+(AVRO|JSON)\\s*;?\\s*$$").r
   val DropSink: Regex = s"(?is)^\\s*DROP\\s+SINK\\s+$Id\\s*;?\\s*$$".r
   // CREATE INDEX (reference `src/sql-parser/src/parser.rs` CREATE INDEX;
   // arrangements `doc/developer/arrangements.md`)

@@ -58,6 +58,17 @@ object MutualRecursionSql {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemas(b.name))
         .createOrReplaceTempView(b.name)
     }
+    // bindings are lexically scoped in the reference: whatever happens below
+    // (non-convergence throw, analysis error in a binding or the body), the
+    // binding temp views must not leak into the session namespace. A
+    // pre-existing same-name temp view is shadowed-then-dropped — documented
+    // limitation.
+    try runBody(spark, wmr, schemas)
+    finally wmr.bindings.foreach(b => spark.catalog.dropTempView(b.name))
+  }
+
+  private def runBody(spark: SparkSession, wmr: Wmr,
+      schemas: Map[String, org.apache.spark.sql.types.StructType]): DataFrame = {
     val maxIter = wmr.limit.getOrElse(DefaultMaxIter)
     // One round: sequential re-evaluation of every binding — each sees
     // bindings already updated in THIS round through their refreshed temp
@@ -117,10 +128,6 @@ object MutualRecursionSql {
     }
     val out = spark.sql(wmr.body)
     out.queryExecution.analyzed // force resolution against the binding views
-    // bindings are lexically scoped in the reference; drop the temp views so
-    // they don't leak into the session namespace (a pre-existing temp view
-    // of the same name is shadowed-then-dropped — documented limitation)
-    wmr.bindings.foreach(b => spark.catalog.dropTempView(b.name))
     out
   }
 

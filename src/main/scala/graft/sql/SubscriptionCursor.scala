@@ -1,0 +1,71 @@
+package graft.sql
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+
+import graft.streaming.{Changelog, Subscribe}
+
+/** Continuous SUBSCRIBE as a cursor (reference
+  * `src/compute/src/sink/subscribe.rs` + the pgwire FETCH loop,
+  * `doc/user/content/sql/subscribe.md`): a subscription on a materialized
+  * view is a post-commit hook that stamps each commit's STORED delta
+  * changelog `(mz_ts, mz_diff, row...)` and appends it to a driver-side
+  * queue; `FETCH` drains whatever arrived since the last call, in timestamp
+  * order. WITH (SNAPSHOT) seeds the queue with the view's contents at
+  * subscribe time; WITH (PROGRESS) interleaves `mz_progressed = true` rows
+  * — "no further updates with ts < this will appear" — after every commit,
+  * the reference's progress message.
+  *
+  * Driver-side by design: this is the cursor a HUMAN tails (the reference
+  * serves it over pgwire); the distributed path for machine consumers is
+  * [[graft.streaming.Subscribe.start]], which hands whole DataFrames to the
+  * consumer without collecting. Each enqueue is one collect of a
+  * delta-sized frame.
+  */
+final class SubscriptionCursor(
+    val view: String,
+    val viewSchema: StructType,
+    val withProgress: Boolean) {
+
+  private val queue = new ConcurrentLinkedQueue[Row]
+
+  val rowSchema: StructType = {
+    val head = Seq(
+      StructField(Subscribe.TsCol, LongType, nullable = false),
+      StructField(Subscribe.DiffCol, LongType, nullable = true))
+    val prog = if (withProgress)
+      Seq(StructField("mz_progressed", BooleanType, nullable = false)) else Nil
+    StructType(head ++ prog ++ viewSchema.fields)
+  }
+
+  private def dataRow(ts: Long, diff: Long, cols: Seq[Any]): Row =
+    Row.fromSeq(
+      if (withProgress) Seq(ts, diff, false) ++ cols
+      else Seq(ts, diff) ++ cols)
+
+  private def progressRow(ts: Long): Row =
+    Row.fromSeq(Seq(ts, null, true) ++ viewSchema.fields.map(_ => null))
+
+  /** Stamp + enqueue one commit's changelog (or the snapshot as all-inserts
+    * at the subscribe version). One delta-sized collect, column-aligned to
+    * the view schema. */
+  def enqueue(changelog: DataFrame, version: Long): Unit = {
+    val cols = viewSchema.fieldNames.map(col).toIndexedSeq
+    changelog.select(col(Changelog.DiffCol) +: cols: _*).collect().foreach { r =>
+      queue.add(dataRow(version, r.getLong(0), r.toSeq.tail))
+    }
+    if (withProgress) queue.add(progressRow(version))
+    ()
+  }
+
+  /** Everything delivered since the last drain, in arrival order. */
+  def drain(): Seq[Row] = {
+    val out = Seq.newBuilder[Row]
+    var r = queue.poll()
+    while (r != null) { out += r; r = queue.poll() }
+    out.result()
+  }
+}

@@ -68,9 +68,12 @@ object StreamExecQueries {
   private def upsertInput(s: SparkSession, dir: String, value: Column,
       chunks: Int): DataFrame = {
     val perKey = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    // test-input prep, not operator cost: the one global window assigns
-    // replay chunks; the operator under test never sees it
-    val replayOrder = Window.orderBy(col("_3"), col("_1"))
+    // replay-chunk assignment is PER-KEY (partitioned window + ceil over the
+    // key's offset range): each key's offsets ascend with its chunk number,
+    // which is all replay order needs — no global single-partition sort in
+    // the fixture prep (the old Window.orderBy-with-no-partition here was
+    // the source of the bench tail's "No Partition Defined" warnings)
+    val perKeyAll = Window.partitionBy(col("_1"))
     // a deterministic user subset: the row verifies the STREAMING PATH
     // (micro-batch replay, state, sink commits) — volume adds nothing here
     // and the batch analogs already run the operators at full scale
@@ -78,7 +81,10 @@ object StreamExecQueries {
       .filter(col("user_id") % 5 === 0)
       .select(col("user_id").as("_1"), value.as("_2"),
         row_number().over(perKey).cast("long").as("_3"))
-      .withColumn("__chunk", ntile(chunks).over(replayOrder))
+      .withColumn("__n", count(lit(1)).over(perKeyAll))
+      .withColumn("__chunk",
+        ceil(col("_3") * chunks / col("__n")).cast("int"))
+      .drop("__n")
   }
 
   /** A child session for the streaming part: shares the SparkContext but

@@ -215,6 +215,36 @@ class SqlSurfaceSpec extends SparkSpec {
     spark.sql("DROP INDEX sqlidx_l")
   }
 
+  test("continuous SUBSCRIBE ... WITH (SNAPSHOT, PROGRESS) + FETCH + CLOSE") {
+    Seq((1L, "a", 10.0), (2L, "b", 20.0))
+      .toDF("id", "grp", "v").createOrReplaceTempView("sqlsub_base")
+    spark.sql(
+      """CREATE OR REPLACE MATERIALIZED VIEW sqlsub_mv AS
+        |SELECT grp, sum(v) AS total FROM sqlsub_base GROUP BY grp""".stripMargin)
+    spark.sql("SUBSCRIBE sqlsub_mv WITH (SNAPSHOT, PROGRESS)")
+    // first FETCH: the snapshot at the subscribe version + a progress row
+    val first = spark.sql("FETCH sqlsub_mv").collect()
+    assert(first.count(r => !r.isNullAt(2) && r.getBoolean(2)) == 1) // progress
+    assert(first.filter(r => !r.getBoolean(2)).map(r =>
+      (r.getString(3), r.getDouble(4))).toSet == Set(("a", 10.0), ("b", 20.0)))
+    // a refresh delivers ONLY the delta, stamped with the new version
+    Seq((1L, "a", 10.0), (2L, "b", 25.0), (3L, "c", 7.0))
+      .toDF("id", "grp", "v").createOrReplaceTempView("sqlsub_base")
+    spark.sql("REFRESH MATERIALIZED VIEW sqlsub_mv")
+    val second = spark.sql("FETCH sqlsub_mv").collect()
+    val data = second.filter(r => !r.getBoolean(2))
+      .map(r => (r.getLong(1), r.getString(3), r.getDouble(4))).toSet
+    assert(data == Set((-1L, "b", 20.0), (1L, "b", 25.0), (1L, "c", 7.0)),
+      s"delta must be retract(b,20) + insert(b,25) + insert(c,7), got $data")
+    assert(second.exists(r => !r.isNullAt(2) && r.getBoolean(2)))
+    // an empty FETCH drains nothing; CLOSE ends the subscription
+    assert(spark.sql("FETCH sqlsub_mv").collect().isEmpty)
+    spark.sql("CLOSE sqlsub_mv")
+    val e = intercept[Exception](spark.sql("FETCH sqlsub_mv"))
+    assert(e.getMessage.contains("no open subscription"))
+    spark.sql("DROP MATERIALIZED VIEW sqlsub_mv")
+  }
+
   test("mz_now() temporal filter in CREATE MATERIALIZED VIEW + ADVANCE") {
     Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-10 00:00:00"),
         (3L, "2024-01-20 00:00:00"))
