@@ -15,5 +15,14 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.ReduceElisionRule)
     e.injectParser((session, delegate) => new graft.sql.GraftSqlParser(session, delegate))
+    // generate_series in both scalar position (SELECT generate_series(..))
+    // and FROM position — the reference's core table function
+    e.injectFunction(graft.functions.SeriesFunctions.scalarFunction)
+    e.injectTableFunction(graft.functions.SeriesFunctions.tableFunction)
+    // pg-semantic array accessors: 1-based NULL-safe subscript, NOT
+    // DISTINCT FROM removal, NULL-when-absent position
+    graft.functions.PgArrayFunctions.functions.foreach(e.injectFunction)
+    // pg text/format functions: quote_ident, pg_size_pretty
+    graft.functions.PgTextFunctions.functions.foreach(e.injectFunction)
   }
 }

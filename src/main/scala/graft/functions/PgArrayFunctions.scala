@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, NullType}
+
+/** pg-semantic array accessors (reference `src/expr/src/scalar/func.rs`
+  * array_index / array_remove / array_position; pg array semantics):
+  *
+  *  - `pg_subscript(arr, i)` — 1-based subscript returning NULL for a NULL,
+  *    zero, negative, or out-of-bounds index (pg `arr[i]`; Spark's native
+  *    `[]` is 0-based and ANSI-errors out of bounds). The SLT shim rewrites
+  *    pg subscript syntax to this function.
+  *  - `array_remove(arr, e)` — removes elements NOT DISTINCT FROM `e`
+  *    (so `array_remove(a, NULL)` strips NULLs, which Spark's builtin
+  *    returns NULL for), keeping all others including NULLs.
+  *  - `array_position(arr, e)` — NULL (not 0) when the element is absent.
+  *
+  * All are pure Catalyst expression trees (If/ElementAt/ArrayFilter) —
+  * codegen'd, no UDFs. Registered via SparkSessionExtensions, overriding
+  * the Spark builtins of the same name where one exists.
+  */
+object PgArrayFunctions {
+
+  private def info(name: String) = new ExpressionInfo(getClass.getName, name)
+
+  private def pgSubscript(args: Seq[Expression]): Expression = args match {
+    case Seq(arr, idx) =>
+      val i = Cast(idx, IntegerType)
+      // the integral check makes fractional subscripts (`arr[3.5]`) NULL —
+      // a bare int cast would truncate and silently hit the wrong element
+      If(
+        And(
+          And(GreaterThanOrEqual(i, Literal(1)), LessThanOrEqual(i, Size(arr))),
+          EqualTo(Cast(idx, DoubleType), Cast(i, DoubleType))),
+        ElementAt(arr, i, None, failOnError = false),
+        Literal.create(null, NullType))
+    case other => throw new IllegalArgumentException(
+      s"pg_subscript expects (array, index), got ${other.length} args")
+  }
+
+  private def arrayRemove(args: Seq[Expression]): Expression = args match {
+    case Seq(arr, elem) =>
+      val x = UnresolvedNamedLambdaVariable(Seq("graft_ar_x"))
+      ArrayFilter(arr, LambdaFunction(Not(EqualNullSafe(x, elem)), Seq(x)))
+    case other => throw new IllegalArgumentException(
+      s"array_remove expects (array, element), got ${other.length} args")
+  }
+
+  private def arrayPosition(args: Seq[Expression]): Expression = args match {
+    case Seq(arr, elem) =>
+      val p = ArrayPosition(arr, elem)
+      If(EqualTo(p, Literal(0L)), Literal.create(null, NullType), p)
+    case Seq(arr, elem, from) =>
+      // pg 3-arg form: first match at-or-after `from` (a sub-1 start scans
+      // the whole array, matching the reference corpus expectations)
+      val start = Greatest(Seq(Cast(from, IntegerType), Literal(1)))
+      val p = ArrayPosition(Slice(arr, start, Size(arr)), elem)
+      If(
+        EqualTo(p, Literal(0L)),
+        Literal.create(null, NullType),
+        Add(p, Cast(Subtract(start, Literal(1)), org.apache.spark.sql.types.LongType)))
+    case other => throw new IllegalArgumentException(
+      s"array_position expects (array, element[, start]), got ${other.length} args")
+  }
+
+  /** (identifier, info, builder) triples for SparkSessionExtensions. */
+  def functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier("pg_subscript"), info("pg_subscript"), pgSubscript _),
+      (FunctionIdentifier("array_remove"), info("array_remove"), arrayRemove _),
+      (FunctionIdentifier("array_position"), info("array_position"), arrayPosition _))
+}

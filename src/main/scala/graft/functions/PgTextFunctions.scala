@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, DecimalType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** pg text/formatting functions the reference exposes (both are ordinary
+  * function-registry builders, so the analyzer type-coerces the trees):
+  *
+  *  - `quote_ident(s)` — pg quoting rules as the reference implements them
+  *    (`src/sql-parser/src/ast/defs/name.rs` `can_be_printed_bare`): bare iff
+  *    the string matches `[a-z_][a-z0-9_]*` AND is not a keyword the
+  *    reference's parser would mis-reparse (always/sometimes-reserved,
+  *    query-body starters, and the special-cased AS/ANY/ALL/SOME/DISTINCT/
+  *    LIST/PREPARE/WHEN/INTO/IF — `src/sql-lexer/src/keywords.rs:64-155`);
+  *    otherwise wrapped in double quotes with embedded quotes doubled.
+  *  - `pg_size_pretty(n)` — bytes/kB/MB/GB/TB/PB with half-up rounding at
+  *    each 10240-per-unit threshold (pg dbsize.c). Computed in
+  *    DECIMAL(38,1): the corpus distinguishes `10239 PB` from `10240 PB` at
+  *    magnitudes where double arithmetic collapses the boundary.
+  */
+object PgTextFunctions {
+
+  private def info(name: String) = new ExpressionInfo(getClass.getName, name)
+
+  /** Keywords the reference quotes even when all-lowercase-bare. */
+  private val quotedKeywords: Seq[String] = Seq(
+    // is_always_reserved
+    "with", "select", "from", "where", "group", "having", "qualify",
+    "window", "order", "limit", "offset", "fetch", "options", "returning",
+    "union", "except", "intersect",
+    // is_reserved_in_scalar_expression
+    "true", "false", "null", "array", "case", "cast", "not",
+    // is_reserved_in_table_alias
+    "on", "join", "inner", "cross", "full", "left", "right", "natural",
+    "using", "set", "outer",
+    // is_reserved_in_column_alias
+    "year", "month", "day", "hour", "minute", "second",
+    // begins_query_body
+    "values", "show", "table",
+    // AstDisplay round-trip hazards special-cased in can_be_printed_bare
+    "as", "any", "all", "some", "distinct", "list", "prepare", "when",
+    "into", "if")
+
+  private def quoteIdent(args: Seq[Expression]): Expression = args match {
+    case Seq(s) =>
+      val bare = And(
+        RLike(s, Literal("^[a-z_][a-z0-9_]*$")),
+        Not(In(s, quotedKeywords.map(Literal(_)))))
+      val quoted = Concat(Seq(
+        Literal("\""),
+        StringReplace(s, Literal("\""), Literal("\"\"")),
+        Literal("\"")))
+      If(bare, s, quoted)
+    case other => throw new IllegalArgumentException(
+      s"quote_ident expects one argument, got ${other.length}")
+  }
+
+  private def pgSizePretty(args: Seq[Expression]): Expression = args match {
+    case Seq(x) =>
+      // pg dbsize.c shifts PROGRESSIVELY, flooring at every level
+      // (`size >>= 9` then `>>= 10` per unit), and only the final halving
+      // rounds (`half_rounded`). Direct division disagrees at the unit
+      // boundaries — `10240*2^50 - 1` is 10239 PB in pg, not 10240.
+      val a = Abs(Cast(x, DecimalType(38, 1)), failOnError = false)
+      val sign = If(LessThan(x, Literal(0)), Literal("-"), Literal(""))
+      // pg renders numerics minimally ("10", "10.5") — strip the trailing
+      // zeros/point a DECIMAL(38,18) cast would otherwise print
+      def minimal(e: Expression): Expression =
+        RegExpReplace(
+          RegExpReplace(e, Literal("(\\.\\d*?)0+$"), Literal("$1")),
+          Literal("\\.$"), Literal(""))
+      def floorDiv(e: Expression, d: Long): Expression =
+        Floor(Divide(e, Literal(d)))
+      val v1 = floorDiv(a, 512L)
+      val v2 = floorDiv(v1, 1024L)
+      val v3 = floorDiv(v2, 1024L)
+      val v4 = floorDiv(v3, 1024L)
+      val v5 = floorDiv(v4, 1024L)
+      val limit = Literal(20479) // 10*1024*2 - 1
+      def unit(v: Expression, label: String): Expression =
+        Concat(Seq(sign,
+          Cast(Cast(floorDiv(Add(v, Literal(1)), 2L), LongType), StringType),
+          Literal(" " + label)))
+      CaseWhen(
+        Seq(
+          (LessThan(a, Literal(10240)),
+            Concat(Seq(minimal(Cast(x, StringType)), Literal(" bytes")))),
+          (LessThan(v1, limit), unit(v1, "kB")),
+          (LessThan(v2, limit), unit(v2, "MB")),
+          (LessThan(v3, limit), unit(v3, "GB")),
+          (LessThan(v4, limit), unit(v4, "TB"))),
+        Some(unit(v5, "PB")))
+    case other => throw new IllegalArgumentException(
+      s"pg_size_pretty expects one argument, got ${other.length}")
+  }
+
+  /** UTF-8-safe truncation to pg's NAMEDATALEN-1 = 63 bytes: never splits a
+    * multi-byte character (a codepoint straddling the limit is dropped). */
+  def truncName(u: UTF8String): UTF8String = {
+    val b = u.getBytes
+    if (b.length <= 63) u
+    else {
+      var end = 63
+      while (end > 0 && (b(end) & 0xC0) == 0x80) end -= 1
+      UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, 0, end))
+    }
+  }
+
+  /** (identifier, info, builder) triples for SparkSessionExtensions. */
+  def functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier("quote_ident"), info("quote_ident"), quoteIdent _),
+      (FunctionIdentifier("pg_size_pretty"), info("pg_size_pretty"), pgSizePretty _),
+      (FunctionIdentifier("pg_name"), info("pg_name"),
+        (args: Seq[Expression]) => PgNameCast(Cast(args.head, StringType))))
+}
+
+/** pg `name` type semantics for the SLT shim's `::name` rewrite: a string
+  * truncated to 63 BYTES at a character boundary (pg truncate_identifier;
+  * the reference's `name` is pg-compatible). CodegenFallback: this exists
+  * for the dialect-compat surface, never a hot data path. */
+case class PgNameCast(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(s: Any): Any =
+    PgTextFunctions.truncName(s.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): PgNameCast =
+    copy(child = newChild)
+}

@@ -22,6 +22,20 @@ import org.apache.spark.sql.SparkSession
   */
 object SltRunner {
 
+  /** Skip census: reason -> count, accumulated across every run in this JVM
+    * (the corpus spec prints the top entries). The census is what keeps the
+    * "skipped" number honest — each conversion round starts by reading it. */
+  val census = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
+  private def tally(reason: String): Unit = {
+    census.merge(reason, 1, (a, b) => a + b)
+    ()
+  }
+  def censusTop(n: Int): Seq[(String, Int)] = {
+    import scala.jdk.CollectionConverters._
+    census.asScala.toSeq.map { case (k, v) => (k, v.intValue) }
+      .sortBy(-_._2).take(n)
+  }
+
   final case class Report(
       file: String,
       passed: Int,
@@ -68,6 +82,9 @@ object SltRunner {
     // pg `float` (no precision) is float8 — Spark's bare `float` is float4
     ("""(?i)\bfloat\b""".r, "double"),
     ("""(?i)\btext\b""".r, "string"),
+    // pg `name` (63-byte identifier type) only in cast position — the bare
+    // word is a common column name and must not be rewritten
+    ("""(?i)::\s*name\b""".r, "::string"),
     ("""(?i)\bbytea\b""".r, "binary"))
 
   /** Apply `f` to each maximal run of SQL OUTSIDE single-quoted string
@@ -96,7 +113,229 @@ object SltRunner {
     * 64-bit there, and DDL carries constraints Spark has no syntax for
     * (PRIMARY KEY, UNIQUE, CHECK, FAMILY) — metadata-only for a logic test,
     * so they are stripped. */
-  private def shim(sql0: String, crdb: Boolean): String = {
+  /** pg array syntax → Spark, via one quote-aware scanner with a bracket
+    * stack:
+    *  - `ARRAY[a, b, ...]` constructors → `array(a, b)` (nested constructors
+    *    and brackets inside the elements keep their own state);
+    *  - subscripts `x[i]` / `f(..)[i]` / `(subq)[i]` →
+    *    `pg_subscript(operand, i)` — pg subscripts are 1-based and yield
+    *    NULL out of bounds, Spark's native `[]` is 0-based and ANSI-errors.
+    *    String-keyed (map) access, empty brackets (`::int[]` types), and
+    *    `a:b` slices are left native/as-is. */
+  private[slt] def rewriteArrayLiterals(sql: String): String = {
+    if (!sql.contains('[')) return sql
+    val sb = new StringBuilder(sql.length)
+    // 1 = ARRAY-literal bracket, 2 = rewritten subscript, 0 = native bracket
+    val stack = mutable.Stack.empty[Int]
+    var inQ = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQ) { sb += c; if (c == '\'') inQ = false; i += 1 }
+      else if (c == '\'') { sb += c; inQ = true; i += 1 }
+      else if (sql.regionMatches(true, i, "ARRAY[", 0, 6) &&
+          (i == 0 || !isWordChar(sql.charAt(i - 1)))) {
+        sb ++= "array("; stack.push(1); i += 6
+      } else if (c == '[') {
+        val opStart = subscriptOperandStart(sb)
+        if (opStart >= 0 && subscriptableIndex(sql, i)) {
+          sb.insert(opStart, "pg_subscript(")
+          sb ++= ", "
+          stack.push(2)
+        } else { sb += '['; stack.push(0) }
+        i += 1
+      } else if (c == ']') {
+        sb ++= (if (stack.nonEmpty && stack.pop() != 0) ")" else "]"); i += 1
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Start offset in `sb` of the operand a following subscript applies to:
+    * a trailing identifier (qualified ok), or a balanced `(...)` / `[...]`
+    * group plus any function name before it. -1 when the tail is not an
+    * operand (or is a type name, where `[` is pg array-type syntax). */
+  private def subscriptOperandStart(sb: StringBuilder): Int = {
+    var j = sb.length - 1
+    while (j >= 0 && sb.charAt(j) == ' ') j -= 1
+    if (j < 0) return -1
+    val c = sb.charAt(j)
+    if (c == ')' || c == ']') {
+      val close = c; val open = if (c == ')') '(' else '['
+      var bal = 0
+      var done = false
+      while (j >= 0 && !done) {
+        val ch = sb.charAt(j)
+        if (ch == close) bal += 1
+        else if (ch == open) { bal -= 1; if (bal == 0) done = true }
+        if (!done) j -= 1
+      }
+      if (!done) return -1
+      j -= 1 // char before the opener
+      while (j >= 0 && (isWordChar(sb.charAt(j)) || sb.charAt(j) == '.')) j -= 1
+      j + 1
+    } else if (isWordChar(c)) {
+      val end = j
+      while (j >= 0 && (isWordChar(sb.charAt(j)) || sb.charAt(j) == '.')) j -= 1
+      val ident = sb.substring(j + 1, end + 1).toUpperCase
+      val typeNames = Set("INT", "INTEGER", "BIGINT", "SMALLINT", "INT2",
+        "INT4", "INT8", "TEXT", "STRING", "CHAR", "VARCHAR", "DECIMAL",
+        "NUMERIC", "FLOAT", "FLOAT4", "FLOAT8", "REAL", "DOUBLE", "BOOL",
+        "BOOLEAN", "TIMESTAMP", "TIMESTAMPTZ", "DATE", "INTERVAL", "BYTEA",
+        "UUID", "JSONB", "OID")
+      if (typeNames.contains(ident) || ident.isEmpty ||
+          Character.isDigit(ident.charAt(0))) -1
+      else j + 1
+    } else -1
+  }
+
+  /** Is the bracket at `open` a usable subscript index: non-empty, not a
+    * string key (map access stays native), no top-level `:` slice? */
+  private def subscriptableIndex(sql: String, open: Int): Boolean = {
+    var depth = 0
+    var j = open
+    var inQ = false
+    var firstContent = ' '
+    var colon = false
+    var any = false
+    while (j < sql.length) {
+      val c = sql.charAt(j)
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '[' | '(' => depth += 1
+        case ']' | ')' =>
+          depth -= 1
+          if (depth == 0) return any && firstContent != '\'' && !colon
+        case '\'' =>
+          inQ = true
+          if (!any) { any = true; firstContent = '\'' }
+        case ':' => if (depth == 1) colon = true
+        case other =>
+          if (other != ' ' && !any) { any = true; firstContent = other }
+      }
+      j += 1
+    }
+    false
+  }
+
+  /** pg binds JOIN tighter than the FROM-list comma, so
+    * `FROM a JOIN b USING (k), c JOIN d USING (k)` is `(a⋈b) × (c⋈d)`;
+    * Spark parses comma and JOIN left-associatively at EQUAL precedence,
+    * silently attaching the second JOIN to the whole preceding tree — a
+    * wrong-answer generator, not a parse error. Wrap each comma-separated
+    * FROM item that contains a top-level JOIN in parentheses so Spark
+    * groups like pg. LATERAL items are left untouched (parenthesizing
+    * changes their scoping). */
+  private[slt] def parenthesizeCommaJoins(sql: String): String = {
+    if (!sql.contains(',') || """(?i)\bjoin\b""".r.findFirstIn(sql).isEmpty)
+      return sql
+    val terminators = List("WHERE", "GROUP", "HAVING", "WINDOW", "ORDER",
+      "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT", "FETCH", "FOR")
+    def atWord(s: String, i: Int, w: String): Boolean =
+      s.regionMatches(true, i, w, 0, w.length) &&
+        (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+        (i + w.length >= s.length || !isWordChar(s.charAt(i + w.length)))
+    val sb = new StringBuilder(sql.length)
+    var i = 0
+    var inQ = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQ) { sb += c; if (c == '\'') inQ = false; i += 1 }
+      else if (c == '\'') { sb += c; inQ = true; i += 1 }
+      else if (atWord(sql, i, "FROM")) {
+        sb ++= sql.substring(i, i + 4)
+        i += 4
+        // capture this FROM clause: ends at a same-depth terminator keyword,
+        // an unbalanced ')', or end of string
+        val start = i
+        var depth = 0
+        var j = i
+        var q2 = false
+        var end = -1
+        while (j < sql.length && end < 0) {
+          val ch = sql.charAt(j)
+          if (q2) { if (ch == '\'') q2 = false; j += 1 }
+          else ch match {
+            case '\'' => q2 = true; j += 1
+            case '(' => depth += 1; j += 1
+            case ')' => if (depth == 0) end = j else { depth -= 1; j += 1 }
+            case _ =>
+              if (depth == 0 && terminators.exists(atWord(sql, j, _))) end = j
+              else j += 1
+          }
+        }
+        if (end < 0) end = sql.length
+        val clause = sql.substring(start, end)
+        val items = splitTopLevel(clause, ',')
+        val out =
+          if (items.length < 2) parenthesizeCommaJoins(clause)
+          else items.map { it0 =>
+            val it = parenthesizeCommaJoins(it0) // subqueries inside the item
+            if (hasTopLevelWord(it, "JOIN") && !hasTopLevelWord(it, "LATERAL"))
+              s" (${it.trim})"
+            else it
+          }.mkString(",")
+        sb ++= out
+        i = end
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** `expr::name` → `pg_name(expr)` — pg's 63-byte identifier type has no
+    * Spark analog; [[graft.functions.PgNameCast]] truncates like the type
+    * does. Falls back to a plain `::string` cast when the operand can't be
+    * delimited (chained casts etc.). */
+  private[slt] def rewriteNameCasts(sql: String): String = {
+    if ("""(?i)::\s*name\b""".r.findFirstIn(sql).isEmpty) return sql
+    val sb = new StringBuilder(sql.length)
+    var i = 0
+    var inQ = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQ) { sb += c; if (c == '\'') inQ = false; i += 1 }
+      else if (c == '\'') { sb += c; inQ = true; i += 1 }
+      else if (c == ':' && i + 1 < sql.length && sql.charAt(i + 1) == ':') {
+        var j = i + 2
+        while (j < sql.length && sql.charAt(j) == ' ') j += 1
+        if (sql.regionMatches(true, j, "name", 0, 4) &&
+            (j + 4 >= sql.length || !isWordChar(sql.charAt(j + 4)))) {
+          val start = castOperandStart(sb)
+          if (start >= 0) { sb.insert(start, "pg_name("); sb ++= ")" }
+          else sb ++= "::string"
+          i = j + 4
+        } else { sb ++= "::"; i += 2 }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Operand start for a `::` cast suffix: a trailing string literal
+    * (doubled-quote escapes handled), or the subscript-operand cases. */
+  private def castOperandStart(sb: StringBuilder): Int = {
+    var j = sb.length - 1
+    while (j >= 0 && sb.charAt(j) == ' ') j -= 1
+    if (j < 0) return -1
+    if (sb.charAt(j) == '\'') {
+      j -= 1
+      var open = -1
+      while (j >= 0 && open < 0) {
+        if (sb.charAt(j) == '\'') {
+          if (j > 0 && sb.charAt(j - 1) == '\'') j -= 2 // '' escape
+          else open = j
+        } else j -= 1
+      }
+      open
+    } else subscriptOperandStart(sb)
+  }
+
+  private def shim(sql0raw: String, crdb: Boolean): String = {
+    // the reference parses CREATE UNIQUE INDEX for pg compat but registers
+    // nothing (its corpus re-creates the same name repeatedly and expects
+    // DROP INDEX on it to say "unknown catalog item") — match that: no-op
+    if ("""(?is)^\s*CREATE\s+UNIQUE\s+INDEX\b""".r.findFirstIn(sql0raw).isDefined)
+      return "SELECT 1"
+    val sql0 = rewriteNameCasts(parenthesizeCommaJoins(rewriteArrayLiterals(sql0raw)))
     val rewritten = mapOutsideLiterals(sql0) { seg0 =>
       var sql = seg0
       typeRewrites.foreach { case (re, to) => sql = re.replaceAllIn(sql, to) }
@@ -124,8 +363,19 @@ object SltRunner {
       sql = sql.replaceAll("(?i)DROP\\s+MATERIALIZED\\s+VIEW\\s+", "DROP VIEW ")
       sql
     }
-    addNullsOrdering(rewritten)
+    addNullsOrdering(rewritten) match {
+      // pg/crdb multi-table DROP: Spark drops one table per statement —
+      // split (execution runs each via splitStatements)
+      case MultiDropTable(ife, list) =>
+        list.split(",").map(_.trim).filter(_.nonEmpty)
+          .map(n => s"DROP TABLE ${Option(ife).map(_ => "IF EXISTS ").getOrElse("")}$n")
+          .mkString("; ")
+      case s => s
+    }
   }
+
+  private val MultiDropTable =
+    """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)+)\s*;?\s*$""".r
 
   private def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
 
@@ -184,10 +434,177 @@ object SltRunner {
     (out.toString, s.substring(i))
   }
 
+  /** pg COPY text-format escapes (`\N` for NULL is handled by the caller):
+    * `\\`, `\t`, `\n`, `\r`, `\b`, `\f`, `\v`; a backslash before any other
+    * character yields that character, per the COPY spec. Without this, a
+    * TSV using escapes loads the literal backslash sequence and later
+    * comparisons fail spuriously. */
+  private def unescapeCopyText(c: String): String =
+    if (!c.contains('\\')) c
+    else {
+      val sb = new StringBuilder(c.length)
+      var i = 0
+      while (i < c.length) {
+        val ch = c.charAt(i)
+        if (ch == '\\' && i + 1 < c.length) {
+          i += 1
+          sb += (c.charAt(i) match {
+            case 't' => '\t'
+            case 'n' => '\n'
+            case 'r' => '\r'
+            case 'b' => '\b'
+            case 'f' => '\f'
+            case 'v' => '\u000B'
+            case other => other // includes literal backslash
+          })
+        } else sb += ch
+        i += 1
+      }
+      sb.toString
+    }
+
   /** Table targeted by a mutating statement, for state-poison tracking. */
   private def mutationTarget(sql: String): Option[String] = {
     val m = """(?i)^\s*(?:UPDATE\s+|DELETE\s+FROM\s+|INSERT\s+INTO\s+)["`]?(\w+)""".r
     m.findFirstMatchIn(sql).map(_.group(1).toLowerCase)
+  }
+
+  // ---- UPDATE/DELETE emulation --------------------------------------------
+  //
+  // Spark v1 tables have no UPDATE/DELETE. The SLT corpus's mutations are
+  // snapshot-rewrite semantics over small fixture tables, so the pg
+  // statement maps exactly onto: evaluate the post-mutation contents as ONE
+  // SELECT over the old table (UPDATE = per-column CASE WHEN predicate THEN
+  // new-value ELSE old, all SET expressions reading the OLD row, as pg
+  // does; DELETE = keep rows where the predicate is not satisfied — 3VL
+  // NULL keeps the row), collect, and overwrite the table. The collect is
+  // the SLT runner's own scale class (it collects every query's results
+  // anyway); the ENGINE's mutation path for real data is the changelog /
+  // Iceberg machinery, not this.
+
+  private val UpdateRe =
+    """(?is)^\s*UPDATE\s+["`]?(\w+)["`]?\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$""".r
+  private val DeleteRe =
+    """(?is)^\s*DELETE\s+FROM\s+["`]?(\w+)["`]?(?:\s+WHERE\s+(.*?))?\s*;?\s*$""".r
+
+  /** Is `word` present OUTSIDE parens and quotes? (UPDATE ... FROM detection:
+    * a FROM inside a SET subquery is fine; a top-level one is the pg
+    * join-update form the emulation does not cover.) */
+  private def hasTopLevelWord(s: String, word: String): Boolean = {
+    var depth = 0
+    var inQ = false
+    var i = 0
+    val w = word.toUpperCase
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false; i += 1 }
+      else c match {
+        case '\'' => inQ = true; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ =>
+          if (depth == 0 && s.regionMatches(true, i, w, 0, w.length) &&
+              (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+              (i + w.length >= s.length || !isWordChar(s.charAt(i + w.length))))
+            return true
+          i += 1
+      }
+    }
+    false
+  }
+
+  /** Split on a separator at paren/quote depth zero. */
+  private def splitTopLevel(s: String, sep: Char): List[String] = {
+    val out = mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQ = false
+    s.foreach { c =>
+      if (inQ) { cur += c; if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => cur += c; inQ = true
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case x if x == sep && depth == 0 => out += cur.toString; cur.clear()
+        case x => cur += x
+      }
+    }
+    out += cur.toString
+    out.toList
+  }
+
+  /** Execute an emulated UPDATE/DELETE; false when `sql` is not one. Throws
+    * IllegalArgumentException("UNSUPPORTED ...") for shapes the emulation
+    * does not cover (UPDATE ... FROM, DELETE ... USING, RETURNING) — the
+    * caller's dialect-skip path handles those exactly like before. */
+  private def applyMutation(spark: SparkSession, sql: String): Boolean = sql match {
+    case UpdateRe(table, setList, where) =>
+      if ("""(?i)\bRETURNING\b""".r.findFirstIn(sql).isDefined)
+        throw new IllegalArgumentException("UNSUPPORTED mutation shape: RETURNING")
+      if (hasTopLevelWord(setList, "FROM") ||
+          Option(where).exists(hasTopLevelWord(_, "FROM")))
+        throw new IllegalArgumentException("UNSUPPORTED mutation shape: UPDATE ... FROM")
+      val schema = spark.table(table).schema
+      val assigns = splitTopLevel(setList, ',').map { a =>
+        val eq = {
+          // first top-level '=' splits column from expression
+          var depth = 0; var inQ = false; var idx = -1; var i = 0
+          while (i < a.length && idx < 0) {
+            val c = a.charAt(i)
+            if (inQ) { if (c == '\'') inQ = false }
+            else c match {
+              case '\'' => inQ = true
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case '=' if depth == 0 => idx = i
+              case _ =>
+            }
+            i += 1
+          }
+          idx
+        }
+        require(eq > 0, s"cannot parse SET assignment: $a")
+        (a.substring(0, eq).trim.stripPrefix("\"").stripSuffix("\"")
+          .stripPrefix("`").stripSuffix("`").toLowerCase,
+          a.substring(eq + 1).trim)
+      }.toMap
+      val unknown = assigns.keySet -- schema.fieldNames.map(_.toLowerCase).toSet
+      if (unknown.nonEmpty)
+        throw new IllegalArgumentException(s"UPDATE: unknown column(s) ${unknown.mkString(", ")}")
+      val cols = schema.fields.map { f =>
+        assigns.get(f.name.toLowerCase) match {
+          case Some(e) =>
+            val cast = s"CAST(($e) AS ${f.dataType.sql})"
+            Option(where) match {
+              case Some(w) => s"CASE WHEN ($w) THEN $cast ELSE `${f.name}` END AS `${f.name}`"
+              case None => s"$cast AS `${f.name}`"
+            }
+          case None => s"`${f.name}`"
+        }
+      }
+      rewriteTable(spark, table, s"SELECT ${cols.mkString(", ")} FROM `$table`")
+      true
+    case DeleteRe(table, where) =>
+      if ("""(?i)\b(USING|RETURNING)\b""".r.findFirstIn(
+          Option(where).getOrElse("")).isDefined)
+        throw new IllegalArgumentException("UNSUPPORTED mutation shape: USING/RETURNING")
+      val sel = Option(where) match {
+        case Some(w) => s"SELECT * FROM `$table` WHERE NOT coalesce(($w), false)"
+        case None => s"SELECT * FROM `$table` WHERE false"
+      }
+      rewriteTable(spark, table, sel)
+      true
+    case _ => false
+  }
+
+  /** Evaluate `select` (over the table's CURRENT contents), then overwrite
+    * the table with the result — collect-then-write avoids the
+    * self-read-overwrite restriction; fixture tables are driver-sized. */
+  private def rewriteTable(spark: SparkSession, table: String, select: String): Unit = {
+    val schema = spark.table(table).schema
+    val rows = spark.sql(select).collect().toSeq
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").insertInto(table)
   }
 
   /** ALTERs that change a relation's DATA (not just metadata): the skip
@@ -198,10 +615,10 @@ object SltRunner {
 
   private def classify(sqlRaw: String, crdb: Boolean): Record = {
     val up = sqlRaw.trim.toUpperCase
-    if (up.startsWith("UPDATE ") || up.startsWith("DELETE "))
-      Unsupported("update/delete unsupported on Spark v1 tables", mutating = true,
-        target = mutationTarget(sqlRaw))
-    else if (DataAlter.findFirstMatchIn(sqlRaw).isDefined)
+    // UPDATE/DELETE run through the emulation in applyMutation (Spark v1
+    // tables have no native UPDATE/DELETE); unsupported shapes fall back to
+    // a dialect skip that poisons the target, as before
+    if (DataAlter.findFirstMatchIn(sqlRaw).isDefined)
       Unsupported("data-changing ALTER has no Spark analog", mutating = true,
         target = DataAlter.findFirstMatchIn(sqlRaw).map(_.group(1).toLowerCase))
     else if (up.startsWith("COPY ") &&
@@ -514,16 +931,25 @@ object SltRunner {
         (e.getCause != null && isDialectError(e.getCause))
     }
 
-    // star expansion order for USING joins is dialect-defined (pg puts the
-    // using column first); values then disagree positionally
+    // star expansion order for USING/NATURAL joins is dialect-defined (pg
+    // puts the join columns first and merges them); values then disagree
+    // positionally
     def dialectDefinedShape(sql: String): Boolean = {
       val u = sql.toUpperCase
-      u.contains("SELECT *") && u.contains("USING")
+      u.contains("SELECT *") && (u.contains("USING") || u.contains("NATURAL"))
     }
 
     // Documented semantic differences between the pg dialect and Spark —
     // skipped (never passed) with the reason recorded here:
     val knownDialectDiffs: List[(String, Regex, String)] = List(
+      (".*",
+        """(?is)^\s*SELECT\s+(?:(?!\bFROM\b).)*generate_series\s*\((?:(?!\bFROM\b).)*generate_series\s*\(""".r,
+        "pg zips multiple SRFs in one select list in lockstep (pg 10 " +
+          "ExpandSRF); Spark cross-products independent generators"),
+      ("arrays.slt",
+        """(?i)array\s*\(.*::\s*string""".r,
+        "pg renders array::text as {..} with per-element quoting; Spark " +
+          "casts arrays to [..] rendering"),
       ("float4.slt|float8.slt",
         """(?i)::\s*(?:int|bigint|smallint)\b\s+AS\s+int""".r,
         "pg rounds float->int half-to-even (banker's); Spark rounds half " +
@@ -781,10 +1207,12 @@ object SltRunner {
         """chr\(10\)""".r,
         "embedded newlines inside result values are line-split by the SLT " +
           "text format; the runner compares per line"))
-    def isKnownDiff(sql: String): Boolean =
-      knownDialectDiffs.exists { case (filePat, re, _) =>
-        name.matches(filePat) && re.findFirstIn(sql).isDefined
+    def knownDiffReason(sql: String): Option[String] =
+      knownDialectDiffs.collectFirst {
+        case (filePat, re, reason)
+          if name.matches(filePat) && re.findFirstIn(sql).isDefined => reason
       }
+    def isKnownDiff(sql: String): Boolean = knownDiffReason(sql).isDefined
 
     // State poisoning is per TABLE: a skipped UPDATE/DELETE or a failed
     // INSERT leaves that table's contents wrong (not absent), so any later
@@ -818,10 +1246,11 @@ object SltRunner {
         }
 
     records.foreach {
-      case _ if poisoned => skipped += 1
+      case _ if poisoned => skipped += 1; tally("whole file poisoned by earlier skip")
       case Halt => ()
-      case Unsupported(_, mutating, target, usql) =>
+      case Unsupported(reason, mutating, target, usql) =>
         skipped += 1
+        tally(s"unsupported record: $reason")
         val up = usql.trim.toUpperCase
         if (up.startsWith("PREPARE")) {
           """(?is)^\s*PREPARE\s+(\w+)\s+AS\s+(.*)$""".r.findFirstMatchIn(usql)
@@ -852,7 +1281,7 @@ object SltRunner {
             .map { l =>
               val cells = l.split("\t", -1).padTo(schema.length, "\\N").take(schema.length)
               org.apache.spark.sql.Row.fromSeq(
-                cells.map(c => if (c == "\\N") null else c))
+                cells.map(c => if (c == "\\N") null else unescapeCopyText(c)))
             }.toSeq
           spark.createDataFrame(rows.asJava, strSchema)
             .select(schema.fields.toIndexedSeq.map(f =>
@@ -860,12 +1289,14 @@ object SltRunner {
             .write.insertInto(table)
           passed += 1
         } catch {
-          case _: Throwable =>
+          case e: Throwable =>
             skipped += 1
+            tally(s"copy TSV load failed: ${e.getClass.getSimpleName}")
             poisonedTables += table.toLowerCase // un-loaded table is empty, not absent
         }
       case Statement(sql, _) if touchesPoisoned(sql) =>
         skipped += 1
+        tally("statement touches poisoned table")
         // a skipped statement that WRITES a table (e.g. INSERT ... SELECT
         // from a poisoned source) leaves its target stale too — without
         // this, later reads of the target compare garbage instead of
@@ -873,7 +1304,9 @@ object SltRunner {
         mutationTarget(sql).foreach(poisonedTables += _)
       case Statement(sql, expectError) =>
         try {
-          splitStatements(sql).foreach(one => spark.sql(one).collect())
+          splitStatements(sql).foreach { one =>
+            if (!applyMutation(spark, one)) { spark.sql(one).collect(); () }
+          }
           """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?(\w+)(.*)""".r
             .findFirstMatchIn(sql)
             .foreach(m => viewDefs(m.group(1).toLowerCase) = m.group(2))
@@ -894,7 +1327,10 @@ object SltRunner {
           """(?i)^\s*(?:DROP|CREATE)\s+TABLE\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?["`]?(\w+)""".r
             .findFirstMatchIn(sql)
             .foreach(m => poisonedTables -= m.group(1).toLowerCase)
-          if (expectError) skipped += 1 // we accept what the reference rejects: dialect looseness
+          if (expectError) { // we accept what the reference rejects: dialect looseness
+            skipped += 1
+            tally("statement error expected but we accept it")
+          }
           else passed += 1
         } catch {
           case e: Throwable =>
@@ -907,20 +1343,33 @@ object SltRunner {
               // compare stale values, so poison it like a skipped mutation
               """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(?:MATERIALIZED\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?(\w+)""".r
                 .findFirstMatchIn(sql).foreach(m => poisonedTables += m.group(1).toLowerCase)
-              if (isDialectError(e) || isKnownDiff(sql)) skipped += 1
+              if (isDialectError(e) || isKnownDiff(sql)) {
+                skipped += 1
+                tally(knownDiffReason(sql).map(r => s"known diff: $r").getOrElse(
+                  s"statement dialect error: ${e.getClass.getSimpleName}"))
+              }
               else { failed += 1; failures += s"$name stmt: ${sql.take(100)} → ${e.toString.take(150)}" }
             }
         }
-      case q: Query if touchesPoisoned(q.sql) => skipped += 1
+      case q: Query if touchesPoisoned(q.sql) =>
+        skipped += 1
+        tally("query touches poisoned table")
       case q: Query if skipPrefixes.exists(q.sql.trim.toUpperCase.startsWith) ||
           dialectDefinedShape(q.sql) || isKnownDiff(q.sql) =>
         skipped += 1
+        tally(knownDiffReason(q.sql).map(r => s"known diff: $r").getOrElse(
+          if (dialectDefinedShape(q.sql)) "SELECT * ... USING star-order shape"
+          else s"query starts with unsupported prefix: " +
+            q.sql.trim.toUpperCase.takeWhile(_ != ' ')))
       case q: Query =>
         try {
           refreshMvsFor(q.sql)
           val df = spark.sql(q.sql)
           val rows = df.collect()
-          if (q.expectError) { skipped += 1 } // accepted-but-reference-rejects
+          if (q.expectError) { // accepted-but-reference-rejects
+            skipped += 1
+            tally("query error expected but we accept it")
+          }
           else {
             // pad declared types if the query yields more columns
             val types =
@@ -931,14 +1380,19 @@ object SltRunner {
             if (q.hasColnames && expectedLines.nonEmpty)
               expectedLines = expectedLines.tail // names are presentation-level
             // hash-form results ("N values hashing to ...") → skip
-            if (expectedLines.exists(_.contains("values hashing to"))) skipped += 1
+            if (expectedLines.exists(_.contains("values hashing to"))) {
+              skipped += 1
+              tally("hash-form expected result")
+            }
             else {
               val expCells: Option[List[List[String]]] =
                 expectedLines.foldLeft(Option(List.empty[List[String]])) {
                   (acc, l) => acc.flatMap(a => splitExpected(l, types.length).map(a :+ _))
                 }
               expCells match {
-                case None => skipped += 1 // unsplittable alignment
+                case None =>
+                  skipped += 1 // unsplittable alignment
+                  tally("unsplittable expected-cell alignment")
                 case Some(exp) =>
                   val expCanon = exp.map(cells =>
                     cells.zipWithIndex.map { case (c, j) => canonCell(types(j), c) })
@@ -971,12 +1425,20 @@ object SltRunner {
         } catch {
           case e: Throwable =>
             if (q.expectError) passed += 1
-            else if (isDialectError(e)) skipped += 1
+            else if (isDialectError(e)) {
+              skipped += 1
+              tally(s"query dialect error: ${e.getClass.getSimpleName}: " +
+                Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(60))
+            }
             else { failed += 1; failures += s"$name query: ${q.sql.take(100)} → ${e.toString.take(150)}" }
         }
     }
     Report(name, passed, failed, skipped, failures.toList)
   }
+
+  private[slt] def testShim(sql: String, crdb: Boolean): String = shim(sql, crdb)
+  private[slt] def testApplyMutation(spark: SparkSession, sql: String): Boolean =
+    applyMutation(spark, sql)
 
   /** Run several files in one session; tables/views are dropped between
     * files (fresh logical namespace per file). */
@@ -988,6 +1450,9 @@ object SltRunner {
       // turn the next file's plain CREATE into a duplicate error)
       val cat = graft.sql.GraftSqlCatalog.forSession(spark)
       cat.viewNames.foreach(n => try cat.dropView(n) catch { case _: Throwable => () })
+      // stale index-registry entries would turn the next file's CREATE
+      // INDEX into a duplicate error
+      graft.sql.GraftSqlCatalog.indexesFor(spark).clear()
       spark.catalog.listTables().collect().foreach { t =>
         if (t.isTemporary) spark.catalog.dropTempView(t.name)
         else spark.sql(s"DROP TABLE IF EXISTS `${t.name}`")

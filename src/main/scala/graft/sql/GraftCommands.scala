@@ -320,12 +320,18 @@ case class CreateIndexCommand(idx: String, rel: String, key: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val reg = GraftSqlCatalog.indexesFor(spark)
     if (reg.contains(idx)) {
-      if (!ifNotExists)
-        throw new IllegalArgumentException(s"index $idx already exists")
-      // keep the relation bound to the arrangement (a temp-view re-register
-      // may have shadowed it since)
-      spark.table(idx).createOrReplaceTempView(rel)
-      return Seq(Row(idx, rel, key))
+      // a registry entry whose arrangement table is gone is stale (the base
+      // or the arrangement was dropped out from under it) — rebuild instead
+      // of erroring, mirroring the reference's drop-cascades-to-indexes
+      if (spark.catalog.tableExists(idx)) {
+        if (!ifNotExists)
+          throw new IllegalArgumentException(s"index $idx already exists")
+        // keep the relation bound to the arrangement (a temp-view
+        // re-register may have shadowed it since)
+        spark.table(idx).createOrReplaceTempView(rel)
+        return Seq(Row(idx, rel, key))
+      }
+      reg.remove(idx)
     }
     val df = spark.table(rel)
     require(df.columns.contains(key), s"index key $key not in $rel")
@@ -336,7 +342,8 @@ case class CreateIndexCommand(idx: String, rel: String, key: String,
   }
 }
 
-case class DropIndexCommand(idx: String) extends LeafRunnableCommand {
+case class DropIndexCommand(idx: String, ifExists: Boolean = false)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("index", StringType, nullable = false)())
 
@@ -347,6 +354,7 @@ case class DropIndexCommand(idx: String) extends LeafRunnableCommand {
         spark.catalog.dropTempView(rel)
         spark.sql(s"DROP TABLE IF EXISTS $idx")
         Seq(Row(idx))
+      case None if ifExists => Seq.empty
       case None => throw new IllegalArgumentException(s"index not found: $idx")
     }
   }

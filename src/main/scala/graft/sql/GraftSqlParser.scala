@@ -93,7 +93,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case CreateIndex(ifNotExists, idx, rel, key, buckets) =>
       CreateIndexCommand(idx, rel, key,
         Option(buckets).map(_.toInt).getOrElse(16), ifNotExists != null)
-    case DropIndex(idx) => DropIndexCommand(idx)
+    case DropIndex(ifExists, idx) => DropIndexCommand(idx, ifExists != null)
     case ShowIndexes() => ShowIndexesCommand()
     case AsOfSuffix(inner, version) if referencesView(inner) =>
       // The suffix rewrite must never hijack SQL that Spark itself accepts
@@ -204,7 +204,11 @@ object GraftSqlParser {
   val CreateIndex: Regex =
     (s"(?is)^\\s*CREATE\\s+INDEX\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?$Id\\s+ON\\s+$Id" +
       s"\\s*\\(\\s*$Id\\s*\\)(?:\\s+WITH\\s*\\(\\s*BUCKETS\\s+(\\d+)\\s*\\))?\\s*;?\\s*$$").r
-  val DropIndex: Regex = s"(?is)^\\s*DROP\\s+INDEX\\s+$Id\\s*;?\\s*$$".r
+  // accepts the pg/crdb variants: IF EXISTS, a `table@index` target, and a
+  // trailing CASCADE/RESTRICT (single-target only; lists stay unsupported)
+  val DropIndex: Regex =
+    (s"(?is)^\\s*DROP\\s+INDEX\\s+(IF\\s+EXISTS\\s+)?(?:[A-Za-z_][A-Za-z0-9_]*\\s*@\\s*)?$Id" +
+      "(?:\\s+(?:CASCADE|RESTRICT))?\\s*;?\\s*$").r
   val ShowIndexes: Regex = "(?is)^\\s*SHOW\\s+INDEXES\\s*;?\\s*$".r
   val ShowSinks: Regex = "(?is)^\\s*SHOW\\s+SINKS\\s*;?\\s*$".r
   val ShowSources: Regex = "(?is)^\\s*SHOW\\s+SOURCES\\s*;?\\s*$".r

@@ -236,6 +236,59 @@ object TextQueries {
         .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
         .orderBy(col("cf").desc, col("term"))
         .limit(50)
+    },
+
+    // Test-set decontamination: flag training docs sharing any word-level
+    // 13-gram with the eval/benchmark set (the standard n-gram overlap
+    // check run before training; the probe set here is the deterministic
+    // doc_id%97 slice so the oracle can reproduce it). 100 TB shape: grams
+    // are generated per-partition (transform over the token array — no
+    // explode until after the doc-level window), the join shuffles on the
+    // gram key, and the eval side is DISTINCT'd first — small enough to
+    // broadcast in a real run. No pair enumeration, no cartesian.
+    Q("text_decontaminate",
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(ws[i:i+12], ' ') AS g
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 12)) AS i
+        |        FROM w WHERE len(ws) >= 13)),
+        |eval AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+        |hits AS (
+        |  SELECT DISTINCT gr.doc_id, gr.g
+        |  FROM grams gr JOIN eval USING (g)
+        |  WHERE gr.doc_id % 97 <> 0)
+        |SELECT doc_id, count(*) AS overlap
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val grams = docs(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+        .where(size(col("ws")) >= 13)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 12), i -> concat_ws(' ', slice(ws, i, 13)))"))
+          .as("g"))
+      val eval = grams.where(col("doc_id") % 97 === 0).select("g").distinct()
+      grams.where(col("doc_id") % 97 =!= 0)
+        .join(eval, "g")
+        .select("doc_id", "g").distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("overlap"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic (hash-gated) sampling: the subsampling a trillion-token
+    // pipeline actually wants — reproducible across retries and executors,
+    // no rand() state, stratum-reportable. Knuth multiplicative hash on the
+    // doc key; map-only predicate (zero shuffle beyond the small per-lang
+    // report), so at 100 TB it composes with any downstream op for free.
+    Q("sample_deterministic",
+      """SELECT lang,
+        |       count(*) FILTER (WHERE (doc_id * 2654435761) % 10 < 2) AS sampled,
+        |       count(*) AS total
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          count(when((col("doc_id") * lit(2654435761L)) % 10 < 2, 1)).as("sampled"),
+          count(lit(1)).as("total"))
+        .orderBy("lang")
     }
   )
 }

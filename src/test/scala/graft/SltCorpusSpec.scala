@@ -165,18 +165,28 @@ class SltCorpusSpec extends SparkSpec {
     "advent-of-code/2023/aoc_1222.slt",
     "advent-of-code/2023/aoc_1223.slt",
     "advent-of-code/2023/aoc_1224.slt",
-    "advent-of-code/2023/aoc_1225.slt")
+    "advent-of-code/2023/aoc_1225.slt",
+    // round 8: files lit up by this round's surface — pg array subscripts /
+    // ARRAY literals, UPDATE/DELETE emulation, CREATE INDEX SQL,
+    // quote_ident/pg_size_pretty, pgcrypto over the existing digest/hmac
+    "pgcrypto.slt", "pg_size_pretty.slt", "quote_ident.slt", "name.slt",
+    "character_sets.slt", "simple_multiline.slt", "cardinality.slt",
+    "keys.slt", "cursor.slt",
+    "tpch_create_index.slt", "cockroach/create_index.slt",
+    "cockroach/drop_index.slt", "cockroach/postgres_jsonb.slt")
 
-  test("reference SLT corpus subset: 0 failures, >=5800 green assertions") {
+  test("reference SLT corpus subset: 0 failures, >=6200 green assertions") {
     assume(Files.isDirectory(Paths.get(corpus)), "reference corpus not present")
     val reports = SltRunner.runFiles(spark,
       files.map(f => s"$corpus/$f").filter(p => Files.exists(Paths.get(p))))
     reports.foreach(r =>
       info(f"${r.file}%-16s pass=${r.passed}%4d fail=${r.failed}%3d skip=${r.skipped}%4d"))
     val total = reports.reduce(_ + _)
+    info(s"== census: top skip reasons (of ${total.skipped} skips) ==")
+    SltRunner.censusTop(30).foreach { case (r, n) => info(f"$n%6d  $r") }
     total.failures.take(25).foreach(f => info(s"FAIL: $f"))
     assert(total.failed == 0,
       s"${total.failed} SLT failures:\n${total.failures.take(25).mkString("\n")}")
-    assert(total.passed >= 5800, s"only ${total.passed} SLT passes")
+    assert(total.passed >= 6200, s"only ${total.passed} SLT passes")
   }
 }
