@@ -42,6 +42,13 @@ object SeriesFunctions {
       Generate(Explode(seriesArray(args)), unrequiredChildIndex = Nil, outer = false,
         qualifier = None, generatorOutput = Nil, child = OneRowRelation()))
 
+  /** The un-exploded array form, for the SLT shim's multi-SRF lockstep
+    * rewrite (`inline(arrays_zip(graft_series_array(..), ..))` — pg zips
+    * SRFs in one select list, padding the shorter with NULLs, which is
+    * exactly arrays_zip's semantics). */
+  def arrayFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_series_array"), info, seriesArray _)
+
   // silence the unused warning if FunctionRegistry ends up unreferenced
   locally { val _ = FunctionRegistry }
 }

@@ -329,13 +329,102 @@ object SltRunner {
     } else subscriptOperandStart(sb)
   }
 
+  /** pg zips multiple set-returning functions in ONE select list in
+    * lockstep, padding shorter ones with NULLs (pg 10 ExpandSRF; the
+    * reference implements the same, `src/sql/src/plan/expr.rs` table
+    * function lowering). Spark would cross-product independent generators —
+    * wrong VALUES, not an error — so `SELECT g1(..), g2(..) ...` rewrites
+    * to `inline(arrays_zip(series1, series2))` via a LATERAL VIEW, whose
+    * zip-and-NULL-pad is exactly the pg semantics. Only the top-level
+    * select list with >=2 bare `generate_series(..)` items (optional
+    * aliases) is rewritten. */
+  private[slt] def rewriteSrfZip(sql: String): String = {
+    val SelectRe = """(?is)^(\s*SELECT\s+)(.*)$""".r
+    sql match {
+      case SelectRe(head, rest) if !rest.trim.toUpperCase.startsWith("DISTINCT") =>
+        // select list = up to the first top-level clause keyword
+        val clauseKws = List("FROM", "WHERE", "GROUP", "HAVING", "WINDOW",
+          "ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT")
+        var depth = 0; var inQ = false; var i = 0; var listEnd = -1
+        while (i < rest.length && listEnd < 0) {
+          val c = rest.charAt(i)
+          if (inQ) { if (c == '\'') inQ = false; i += 1 }
+          else c match {
+            case '\'' => inQ = true; i += 1
+            case '(' => depth += 1; i += 1
+            case ')' => depth -= 1; i += 1
+            case _ =>
+              if (depth == 0 && clauseKws.exists(k =>
+                  rest.regionMatches(true, i, k, 0, k.length) &&
+                    (i == 0 || !isWordChar(rest.charAt(i - 1))) &&
+                    (i + k.length >= rest.length || !isWordChar(rest.charAt(i + k.length)))))
+                listEnd = i
+              else i += 1
+          }
+        }
+        val selectList = if (listEnd < 0) rest else rest.substring(0, listEnd)
+        val after = if (listEnd < 0) "" else rest.substring(listEnd)
+        val items = splitTopLevel(selectList, ',')
+        val SrfItem = """(?is)^\s*generate_series\s*\((.*)\)\s*(?:AS\s+)?([A-Za-z_]\w*)?\s*$""".r
+        val srfIdx = items.zipWithIndex.collect {
+          case (SrfItem(_, _), idx) => idx
+        }
+        if (srfIdx.length < 2) return sql
+        var n = 0
+        val newItems = items.map {
+          case SrfItem(args, alias) =>
+            val col = s"__z.c$n" + Option(alias).map(a => s" AS $a").getOrElse("")
+            n += 1
+            col
+          case other => other
+        }
+        val arrays = items.collect { case SrfItem(args, _) => s"graft_series_array($args)" }
+        val lateral = s" LATERAL VIEW inline(arrays_zip(${arrays.mkString(", ")})) __z AS " +
+          (0 until n).map(i => s"c$i").mkString(", ")
+        val upAfter = after.trim.toUpperCase
+        val rebuilt =
+          if (upAfter.startsWith("FROM")) {
+            // append the lateral view at the end of the FROM clause (before
+            // the next top-level clause keyword after it, or at the end)
+            val fromBody = after.substring(after.toUpperCase.indexOf("FROM") + 4)
+            var d = 0; var q = false; var j = 0; var end = -1
+            val terms = clauseKws.filterNot(_ == "FROM")
+            while (j < fromBody.length && end < 0) {
+              val c = fromBody.charAt(j)
+              if (q) { if (c == '\'') q = false; j += 1 }
+              else c match {
+                case '\'' => q = true; j += 1
+                case '(' => d += 1; j += 1
+                case ')' => d -= 1; j += 1
+                case _ =>
+                  if (d == 0 && terms.exists(k =>
+                      fromBody.regionMatches(true, j, k, 0, k.length) &&
+                        (j == 0 || !isWordChar(fromBody.charAt(j - 1))) &&
+                        (j + k.length >= fromBody.length || !isWordChar(fromBody.charAt(j + k.length)))))
+                    end = j
+                  else j += 1
+              }
+            }
+            val cut = if (end < 0) fromBody.length else end
+            head + newItems.mkString(",") + " FROM" + fromBody.substring(0, cut) +
+              lateral + " " + fromBody.substring(cut)
+          } else {
+            head + newItems.mkString(",") +
+              s" FROM (SELECT 1) __one$lateral " + after
+          }
+        rebuilt
+      case _ => sql
+    }
+  }
+
   private def shim(sql0raw: String, crdb: Boolean): String = {
     // the reference parses CREATE UNIQUE INDEX for pg compat but registers
     // nothing (its corpus re-creates the same name repeatedly and expects
     // DROP INDEX on it to say "unknown catalog item") — match that: no-op
     if ("""(?is)^\s*CREATE\s+UNIQUE\s+INDEX\b""".r.findFirstIn(sql0raw).isDefined)
       return "SELECT 1"
-    val sql0 = rewriteNameCasts(parenthesizeCommaJoins(rewriteArrayLiterals(sql0raw)))
+    val sql0 = rewriteSrfZip(
+      rewriteNameCasts(parenthesizeCommaJoins(rewriteArrayLiterals(sql0raw))))
     val rewritten = mapOutsideLiterals(sql0) { seg0 =>
       var sql = seg0
       typeRewrites.foreach { case (re, to) => sql = re.replaceAllIn(sql, to) }
@@ -942,10 +1031,6 @@ object SltRunner {
     // Documented semantic differences between the pg dialect and Spark —
     // skipped (never passed) with the reason recorded here:
     val knownDialectDiffs: List[(String, Regex, String)] = List(
-      (".*",
-        """(?is)^\s*SELECT\s+(?:(?!\bFROM\b).)*generate_series\s*\((?:(?!\bFROM\b).)*generate_series\s*\(""".r,
-        "pg zips multiple SRFs in one select list in lockstep (pg 10 " +
-          "ExpandSRF); Spark cross-products independent generators"),
       ("arrays.slt",
         """(?i)array\s*\(.*::\s*string""".r,
         "pg renders array::text as {..} with per-element quoting; Spark " +

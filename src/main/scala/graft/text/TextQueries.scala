@@ -273,6 +273,33 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Paragraph-level exact dedup (the C4 recipe: dedup at paragraph, not
+    // document, granularity — boilerplate repeats across pages whose full
+    // texts differ). Output: paragraphs appearing in >1 distinct document,
+    // with occurrence stats. 100 TB shape: explode to paragraphs, one
+    // shuffle on the paragraph hash, aggregate — no pairwise comparison;
+    // the hash key, not the text, is what a production run would shuffle
+    // (text kept here so the oracle comparison is self-evident).
+    Q("dedup_paragraph",
+      """SELECT par, count(*) AS occurrences, count(DISTINCT doc_id) AS docs
+        |FROM (
+        |  SELECT doc_id, trim(p) AS par
+        |  FROM (SELECT doc_id, unnest(string_split(text, '.')) AS p FROM documents)
+        |  WHERE length(trim(p)) >= 30)
+        |GROUP BY par
+        |HAVING count(DISTINCT doc_id) > 1
+        |ORDER BY occurrences DESC, par LIMIT 40""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), "\\.")).as("p"))
+        .select(col("doc_id"), trim(col("p")).as("par"))
+        .where(length(col("par")) >= 30)
+        .groupBy(col("par"))
+        .agg(count(lit(1)).as("occurrences"), countDistinct(col("doc_id")).as("docs"))
+        .where(col("docs") > 1)
+        .orderBy(col("occurrences").desc, col("par"))
+        .limit(40)
+    },
+
     // Deterministic (hash-gated) sampling: the subsampling a trillion-token
     // pipeline actually wants — reproducible across retries and executors,
     // no rand() state, stratum-reportable. Knuth multiplicative hash on the

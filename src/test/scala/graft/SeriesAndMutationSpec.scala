@@ -44,6 +44,27 @@ class SeriesAndMutationSpec extends SparkSpec {
     assert(s("SELECT a[1:2]").contains("a[1:2]"))
   }
 
+  test("SLT shim: multiple SRFs in one select list zip in lockstep") {
+    def s(q: String) = graft.slt.SltTestHooks.shimFor(q, crdb = false)
+    // the rewrite itself
+    assert(s("SELECT generate_series(1, 2), generate_series(3, 4)")
+      .contains("arrays_zip(graft_series_array(1, 2), graft_series_array(3, 4))"))
+    def pairs(q: String): Seq[(Any, Any)] =
+      spark.sql(s(q)).collect().toSeq.map(r =>
+        (Option(r.get(0)).map(_.toString).orNull, Option(r.get(1)).map(_.toString).orNull))
+    // execution: lockstep, not cross product
+    assert(pairs("SELECT generate_series(1, 2), generate_series(3, 4)")
+      == Seq(("1", "3"), ("2", "4")))
+    // unequal lengths pad with NULL (pg)
+    assert(pairs("SELECT generate_series(1, 3), generate_series(1, 2)")
+      == Seq(("1", "1"), ("2", "2"), ("3", null)))
+    // aliases + ORDER BY survive
+    assert(pairs("SELECT generate_series(1,2) x, generate_series(1,2) ORDER BY 1 NULLS LAST")
+      == Seq(("1", "1"), ("2", "2")))
+    // single SRF stays the plain generator (flatMap over input rows)
+    assert(s("SELECT x, generate_series(1, 3) FROM t").contains("generate_series(1, 3)"))
+  }
+
   test("SLT shim: comma-separated FROM items with JOINs get pg grouping") {
     val q = graft.slt.SltTestHooks.shimFor(
       "SELECT a3.f1 FROM t2 AS a1 JOIN t1 AS a2 USING (f1), t2 AS a3 JOIN t1 AS a4 USING (f1)",
