@@ -25,5 +25,10 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.PgArrayFunctions.functions.foreach(e.injectFunction)
     // pg text/format functions: quote_ident, pg_size_pretty
     graft.functions.PgTextFunctions.functions.foreach(e.injectFunction)
+    // jsonb family: canonical pg rendering, accessors, containment,
+    // builders, and the element/key table functions
+    graft.functions.JsonbFunctions.functions.foreach(e.injectFunction)
+    graft.functions.JsonbFunctions.scalarSrfs.foreach(e.injectFunction)
+    graft.functions.JsonbFunctions.tableFunctions.foreach(e.injectTableFunction)
   }
 }

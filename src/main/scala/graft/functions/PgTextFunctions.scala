@@ -109,11 +109,20 @@ object PgTextFunctions {
     }
   }
 
+  /** pg `oid` is a wrapping uint32; rendered as STRING so downstream
+    * surfaces (to_jsonb quotes oids, text comparisons) match the
+    * reference. `'-1'::oid` → "4294967295". */
+  private def pgOid(args: Seq[Expression]): Expression = {
+    val asLong = Cast(Cast(args.head, DecimalType(20, 0)), LongType)
+    Cast(Pmod(asLong, Literal(4294967296L)), StringType)
+  }
+
   /** (identifier, info, builder) triples for SparkSessionExtensions. */
   def functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("quote_ident"), info("quote_ident"), quoteIdent _),
       (FunctionIdentifier("pg_size_pretty"), info("pg_size_pretty"), pgSizePretty _),
+      (FunctionIdentifier("pg_oid"), info("pg_oid"), pgOid _),
       (FunctionIdentifier("pg_name"), info("pg_name"),
         (args: Seq[Expression]) => PgNameCast(Cast(args.head, StringType))))
 }

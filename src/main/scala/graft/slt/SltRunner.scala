@@ -26,14 +26,17 @@ object SltRunner {
     * (the corpus spec prints the top entries). The census is what keeps the
     * "skipped" number honest — each conversion round starts by reading it. */
   val census = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
-  private def tally(reason: String): Unit = {
+  private val censusSample = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def tally(reason: String, sample: String = ""): Unit = {
     census.merge(reason, 1, (a, b) => a + b)
+    if (sample.nonEmpty) censusSample.putIfAbsent(reason, sample.replaceAll("\\s+", " ").take(140))
     ()
   }
-  def censusTop(n: Int): Seq[(String, Int)] = {
+  def censusTop(n: Int): Seq[(String, Int, String)] = {
     import scala.jdk.CollectionConverters._
-    census.asScala.toSeq.map { case (k, v) => (k, v.intValue) }
-      .sortBy(-_._2).take(n)
+    census.asScala.toSeq.map { case (k, v) =>
+      (k, v.intValue, Option(censusSample.get(k)).getOrElse(""))
+    }.sortBy(-_._2).take(n)
   }
 
   final case class Report(
@@ -85,6 +88,15 @@ object SltRunner {
     // pg `name` (63-byte identifier type) only in cast position — the bare
     // word is a common column name and must not be rewritten
     ("""(?i)::\s*name\b""".r, "::string"),
+    // jsonb columns are canonical-json TEXT in this engine (the `::jsonb`
+    // casts were already rewritten to jsonb_canon calls by the pre-pass;
+    // the `_` in jsonb_* function names protects them from this \b match)
+    ("""(?i)\bjsonb\b""".r, "string"),
+    ("""(?i)\bjson\b""".r, "string"),
+    ("""(?i)\bbool\b""".r, "boolean"),
+    // oid → string: its jsonb/text renderings quote it like an identifier,
+    // and equality/joins on it are string-compatible
+    ("""(?i)::\s*oid\b""".r, "::string"),
     ("""(?i)\bbytea\b""".r, "binary"))
 
   /** Apply `f` to each maximal run of SQL OUTSIDE single-quoted string
@@ -282,12 +294,17 @@ object SltRunner {
     sb.toString
   }
 
-  /** `expr::name` → `pg_name(expr)` — pg's 63-byte identifier type has no
-    * Spark analog; [[graft.functions.PgNameCast]] truncates like the type
-    * does. Falls back to a plain `::string` cast when the operand can't be
-    * delimited (chained casts etc.). */
+  /** Function-backed type casts: `expr::name` → `pg_name(expr)` (pg's
+    * 63-byte identifier type truncates) and `expr::jsonb` / `expr::json` →
+    * `jsonb_canon(expr)` (pg jsonb canonicalizes — sorted keys, numeric
+    * normalization — on cast). Falls back to a plain `::string` cast when
+    * the operand can't be delimited (chained casts etc.). */
+  private val castFnTypes: Seq[(String, String)] =
+    Seq("jsonb" -> "jsonb_canon", "json" -> "jsonb_canon", "name" -> "pg_name",
+      "oid" -> "pg_oid")
+
   private[slt] def rewriteNameCasts(sql: String): String = {
-    if ("""(?i)::\s*name\b""".r.findFirstIn(sql).isEmpty) return sql
+    if ("""(?i)::\s*(name|jsonb?|oid)\b""".r.findFirstIn(sql).isEmpty) return sql
     val sb = new StringBuilder(sql.length)
     var i = 0
     var inQ = false
@@ -298,16 +315,173 @@ object SltRunner {
       else if (c == ':' && i + 1 < sql.length && sql.charAt(i + 1) == ':') {
         var j = i + 2
         while (j < sql.length && sql.charAt(j) == ' ') j += 1
-        if (sql.regionMatches(true, j, "name", 0, 4) &&
-            (j + 4 >= sql.length || !isWordChar(sql.charAt(j + 4)))) {
-          val start = castOperandStart(sb)
-          if (start >= 0) { sb.insert(start, "pg_name("); sb ++= ")" }
-          else sb ++= "::string"
-          i = j + 4
-        } else { sb ++= "::"; i += 2 }
+        castFnTypes.find { case (t, _) =>
+          sql.regionMatches(true, j, t, 0, t.length) &&
+            (j + t.length >= sql.length || !isWordChar(sql.charAt(j + t.length)))
+        } match {
+          case Some((t, fn)) =>
+            val start = castOperandStart(sb)
+            if (start >= 0) { sb.insert(start, s"$fn("); sb ++= ")" }
+            else sb ++= "::string"
+            i = j + t.length
+          case None => sb ++= "::"; i += 2
+        }
       } else { sb += c; i += 1 }
     }
     sb.toString
+  }
+
+  /** pg jsonb operators → the engine's jsonb function family. A
+    * left-to-right scanner: the LEFT operand is delimited by walking the
+    * emitted buffer backwards (literal / identifier / call / balanced
+    * group, like subscripts), the RIGHT operand by walking forward over a
+    * literal/number/identifier/call plus any `::type[]` suffix (consumed —
+    * pg-array path literals are parsed by the function itself, and the
+    * operand's own `::jsonb` casts were already rewritten to calls). */
+  private val jsonbOps: Seq[(String, String, Boolean)] = Seq(
+    // (operator, function, swapArgs)
+    ("->>", "jsonb_get_text", false),
+    ("->", "jsonb_get", false),
+    ("#>>", "jsonb_get_path_text", false),
+    ("#>", "jsonb_get_path", false),
+    ("@>", "jsonb_contains", false),
+    ("<@", "jsonb_contains", true),
+    ("?", "jsonb_exists", false),
+    // `||` / `-` only when a side is visibly jsonb (a jsonb_* call) —
+    // string concat / arithmetic otherwise
+    ("||", "jsonb_concat", false),
+    ("-", "jsonb_delete", false))
+
+  private[slt] def rewriteJsonbOps(sql: String): String = {
+    if (!sql.contains("->") && !sql.contains("#>") && !sql.contains("@>") &&
+        !sql.contains("<@") && !sql.contains("?") && !sql.contains("||") &&
+        !sql.contains("-")) return sql
+    val sb = new StringBuilder(sql.length)
+    var i = 0
+    var inQ = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQ) { sb += c; if (c == '\'') inQ = false; i += 1 }
+      else if (c == '\'') { sb += c; inQ = true; i += 1 }
+      else {
+        jsonbOps.find { case (op, _, _) => sql.regionMatches(false, i, op, 0, op.length) } match {
+          case Some((op, fn, swap)) =>
+            val lStart = castOperandStart(sb)
+            val rEnd = if (lStart < 0) -1 else forwardOperandEnd(sql, i + op.length)
+            val lText = if (lStart < 0) "" else sb.substring(lStart)
+            val rText =
+              if (rEnd < 0) ""
+              else stripCastSuffix(sql.substring(i + op.length, rEnd).trim)
+            val jsonbSide =
+              if (op == "-") lText.trim.startsWith("jsonb_")
+              else lText.trim.startsWith("jsonb_") || rText.trim.startsWith("jsonb_")
+            val bothArrays = lText.trim.startsWith("array(") && rText.trim.startsWith("array(")
+            if (lStart < 0 || rEnd < 0 || ((op == "||" || op == "-") && !jsonbSide)) {
+              sb ++= op; i += op.length
+            } else if ((op == "@>" || op == "<@") && bothArrays) {
+              // pg ARRAY containment (strict equality; NULL matches nothing)
+              val (big, small) = if (op == "@>") (lText, rText) else (rText, lText)
+              sb.setLength(lStart)
+              sb ++= s"coalesce(forall($small, graft_ac -> array_contains($big, graft_ac)), false)"
+              i = rEnd
+            } else {
+              sb.setLength(lStart)
+              sb ++= (if (swap) s"$fn($rText, $lText)" else s"$fn($lText, $rText)")
+              i = rEnd
+            }
+          case None => sb += c; i += 1
+        }
+      }
+    }
+    sb.toString
+  }
+
+  /** Drop a trailing `::type`/`::type[]` suffix from a forward operand (the
+    * jsonb functions interpret the raw literal themselves). Inner casts
+    * were already converted to calls by rewriteNameCasts. */
+  private def stripCastSuffix(s: String): String =
+    """(?is)^(.*?)(?:\s*::\s*[A-Za-z_]\w*(?:\s*\[\s*\])?)+\s*$""".r
+      .findFirstMatchIn(s).map(_.group(1)).getOrElse(s)
+
+  /** End (exclusive) of the operand starting at/after `from`: optional
+    * minus, then a quoted literal / parenthesized group / identifier
+    * (qualified, with optional call parens), then any `::type` / `[..]` /
+    * `(..)` suffixes. -1 when nothing operand-like is found. */
+  private def forwardOperandEnd(sql: String, from: Int): Int = {
+    var i = from
+    while (i < sql.length && sql.charAt(i) == ' ') i += 1
+    if (i >= sql.length) return -1
+    if (sql.charAt(i) == '-') i += 1
+    while (i < sql.length && sql.charAt(i) == ' ') i += 1
+    if (i >= sql.length) return -1
+    val c = sql.charAt(i)
+    def balanced(open: Char, close: Char, start: Int): Int = {
+      var depth = 0
+      var j = start
+      var q = false
+      while (j < sql.length) {
+        val ch = sql.charAt(j)
+        if (q) { if (ch == '\'') q = false }
+        else if (ch == '\'') q = true
+        else if (ch == open) depth += 1
+        else if (ch == close) { depth -= 1; if (depth == 0) return j + 1 }
+        j += 1
+      }
+      -1
+    }
+    var end =
+      if (c == '\'') {
+        var j = i + 1
+        var stop = -1
+        while (j < sql.length && stop < 0) {
+          if (sql.charAt(j) == '\'') {
+            if (j + 1 < sql.length && sql.charAt(j + 1) == '\'') j += 2
+            else stop = j + 1
+          } else j += 1
+        }
+        stop
+      } else if (c == '(') balanced('(', ')', i)
+      else if (Character.isDigit(c)) {
+        var j = i
+        while (j < sql.length && (Character.isDigit(sql.charAt(j)) || sql.charAt(j) == '.')) j += 1
+        j
+      } else if (isWordChar(c)) {
+        var j = i
+        while (j < sql.length && (isWordChar(sql.charAt(j)) || sql.charAt(j) == '.')) j += 1
+        // a call: identifier immediately followed by (
+        var k = j
+        while (k < sql.length && sql.charAt(k) == ' ') k += 1
+        if (k < sql.length && sql.charAt(k) == '(') balanced('(', ')', k) else j
+      } else -1
+    if (end < 0) return -1
+    // suffixes: ::type (with optional []), subscripts
+    var done = false
+    while (!done && end < sql.length) {
+      var j = end
+      while (j < sql.length && sql.charAt(j) == ' ') j += 1
+      if (j + 1 < sql.length && sql.charAt(j) == ':' && sql.charAt(j + 1) == ':') {
+        j += 2
+        while (j < sql.length && sql.charAt(j) == ' ') j += 1
+        if (j < sql.length && isWordChar(sql.charAt(j))) {
+          while (j < sql.length && isWordChar(sql.charAt(j))) j += 1
+          // optional [] / (n) suffix of the type
+          var k = j
+          while (k < sql.length && sql.charAt(k) == ' ') k += 1
+          if (k < sql.length && sql.charAt(k) == '[') {
+            val b = balanced('[', ']', k)
+            if (b > 0) j = b
+          } else if (k < sql.length && sql.charAt(k) == '(') {
+            val b = balanced('(', ')', k)
+            if (b > 0) j = b
+          }
+          end = j
+        } else done = true
+      } else if (j < sql.length && sql.charAt(j) == '[') {
+        val b = balanced('[', ']', j)
+        if (b > 0) end = b else done = true
+      } else done = true
+    }
+    end
   }
 
   /** Operand start for a `::` cast suffix: a trailing string literal
@@ -365,20 +539,28 @@ object SltRunner {
         val selectList = if (listEnd < 0) rest else rest.substring(0, listEnd)
         val after = if (listEnd < 0) "" else rest.substring(listEnd)
         val items = splitTopLevel(selectList, ',')
-        val SrfItem = """(?is)^\s*generate_series\s*\((.*)\)\s*(?:AS\s+)?([A-Za-z_]\w*)?\s*$""".r
+        val SrfItem =
+          """(?is)^\s*(generate_series|jsonb_array_elements_text|jsonb_array_elements|jsonb_object_keys)\s*\((.*)\)\s*(?:AS\s+)?([A-Za-z_]\w*)?\s*$""".r
+        val arrayFnOf = Map(
+          "generate_series" -> "graft_series_array",
+          "jsonb_array_elements" -> "graft_jsonb_arr_elements",
+          "jsonb_array_elements_text" -> "graft_jsonb_arr_elements_text",
+          "jsonb_object_keys" -> "graft_jsonb_arr_keys")
         val srfIdx = items.zipWithIndex.collect {
-          case (SrfItem(_, _), idx) => idx
+          case (SrfItem(_, _, _), idx) => idx
         }
         if (srfIdx.length < 2) return sql
         var n = 0
         val newItems = items.map {
-          case SrfItem(args, alias) =>
+          case SrfItem(_, _, alias) =>
             val col = s"__z.c$n" + Option(alias).map(a => s" AS $a").getOrElse("")
             n += 1
             col
           case other => other
         }
-        val arrays = items.collect { case SrfItem(args, _) => s"graft_series_array($args)" }
+        val arrays = items.collect {
+          case SrfItem(fn, args, _) => s"${arrayFnOf(fn.toLowerCase)}($args)"
+        }
         val lateral = s" LATERAL VIEW inline(arrays_zip(${arrays.mkString(", ")})) __z AS " +
           (0 until n).map(i => s"c$i").mkString(", ")
         val upAfter = after.trim.toUpperCase
@@ -417,14 +599,39 @@ object SltRunner {
     }
   }
 
+  /** pg `'...±TZ'::timestamp` DROPS the zone offset; Spark converts to the
+    * session zone. Strip the offset from zone-suffixed literals cast to a
+    * zoneless timestamp so both read the local clock fields. */
+  /** pg `date 'a' - date 'b'` is INTEGER days; Spark's date difference is
+    * an interval. Rewrite the literal form to datediff. */
+  private val DateLiteralDiff =
+    """(?i)\bdate\s*('[^']*')\s*-\s*date\s*('[^']*')""".r
+
+  private val TsOffsetCast =
+    """(?i)('\d{4}-\d{2}-\d{2}[ T][0-9:.]+)[+-]\d{2}(?::\d{2})?'(\s*::\s*timestamp\b(?!\s*tz))""".r
+
   private def shim(sql0raw: String, crdb: Boolean): String = {
     // the reference parses CREATE UNIQUE INDEX for pg compat but registers
     // nothing (its corpus re-creates the same name repeatedly and expects
     // DROP INDEX on it to say "unknown catalog item") — match that: no-op
     if ("""(?is)^\s*CREATE\s+UNIQUE\s+INDEX\b""".r.findFirstIn(sql0raw).isDefined)
       return "SELECT 1"
-    val sql0 = rewriteSrfZip(
-      rewriteNameCasts(parenthesizeCommaJoins(rewriteArrayLiterals(sql0raw))))
+    // CREATE TABLE: tag jsonb columns with a COMMENT marker so INSERT
+    // canonicalization (pg canonicalizes on ingest) can find them later.
+    // Applied per ';'-statement — records often prefix a DROP — and only
+    // to the CREATE TABLE statement so casts elsewhere stay untouched.
+    val sqlTagged =
+      if ("""(?is)\bCREATE\s+TABLE\b""".r.findFirstIn(sql0raw).isEmpty) sql0raw
+      else sql0raw.split(";", -1).map { st =>
+        if ("""(?is)^\s*CREATE\s+TABLE\b""".r.findFirstIn(st).isDefined)
+          """(?i)\bjsonb?\b""".r.replaceAllIn(st, "string COMMENT 'graft_jsonb'")
+        else st
+      }.mkString(";")
+    val sql0 = rewriteSrfZip(rewriteJsonbOps(rewriteNameCasts(
+      parenthesizeCommaJoins(rewriteArrayLiterals(
+        DateLiteralDiff.replaceAllIn(
+          TsOffsetCast.replaceAllIn(sqlTagged, "$1'$2"),
+          m => s"datediff(date ${m.group(1)}, date ${m.group(2)})"))))))
     val rewritten = mapOutsideLiterals(sql0) { seg0 =>
       var sql = seg0
       typeRewrites.foreach { case (re, to) => sql = re.replaceAllIn(sql, to) }
@@ -551,6 +758,45 @@ object SltRunner {
       }
       sb.toString
     }
+
+  /** pg canonicalizes jsonb on ingest; Spark string columns store raw
+    * text. Wrap VALUES cells targeting tagged-jsonb columns (COMMENT
+    * marker from the CREATE TABLE shim) in jsonb_canon so later reads
+    * render pg-canonical. */
+  private def canonJsonbInsert(spark: SparkSession, sql: String): String = {
+    val InsertRe =
+      """(?is)^\s*INSERT\s+INTO\s+["`]?(\w+)["`]?\s*(\([^)]*\))?\s*VALUES\s*(.*?);?\s*$""".r
+    sql match {
+      case InsertRe(table, colList, valuesText) =>
+        val schema =
+          try spark.table(table).schema
+          catch { case _: Throwable => return sql }
+        val flagged = schema.fields
+          .filter(_.getComment().contains("graft_jsonb")).map(_.name.toLowerCase).toSet
+        if (flagged.isEmpty) return sql
+        val ordered: Seq[String] = Option(colList) match {
+          case Some(cl) => cl.stripPrefix("(").stripSuffix(")").split(",")
+            .map(_.trim.stripPrefix("\"").stripSuffix("\"").toLowerCase).toSeq
+          case None => schema.fields.map(_.name.toLowerCase).toSeq
+        }
+        val idx = ordered.zipWithIndex.collect {
+          case (n, i) if flagged.contains(n) => i
+        }.toSet
+        if (idx.isEmpty) return sql
+        val rows = splitTopLevel(valuesText, ',').map { r0 =>
+          val r = r0.trim
+          if (!r.startsWith("(") || !r.endsWith(")")) r0
+          else {
+            val cells = splitTopLevel(r.substring(1, r.length - 1), ',')
+            "(" + cells.zipWithIndex.map { case (c, i) =>
+              if (idx.contains(i)) s" jsonb_canon($c)" else c
+            }.mkString(",") + ")"
+          }
+        }
+        s"INSERT INTO $table ${Option(colList).getOrElse("")} VALUES ${rows.mkString(", ")}"
+      case _ => sql
+    }
+  }
 
   /** Table targeted by a mutating statement, for state-poison tracking. */
   private def mutationTarget(sql: String): Option[String] = {
@@ -1031,6 +1277,30 @@ object SltRunner {
     // Documented semantic differences between the pg dialect and Spark —
     // skipped (never passed) with the reason recorded here:
     val knownDialectDiffs: List[(String, Regex, String)] = List(
+      ("jsonb.slt|json.slt|json_builtins.slt|postgres_jsonb.slt",
+        """(?i)'NaN'\s*::\s*DECIMAL""".r,
+        "pg numeric NaN has no Spark decimal analog"),
+      ("jsonb.slt|json.slt|json_builtins.slt",
+        """(?i)'[\d:.]+'\s*::\s*interval""".r,
+        "pg HH:MM:SS interval literals don't parse as Spark intervals"),
+      ("boolean.slt",
+        """(?i)FROM\s+bools_text""".r,
+        "pg accepts unique prefixes (t/tr/f/fal/...) in boolean casts; " +
+          "Spark only full words"),
+      ("join.slt",
+        """(?i)a\s*\*\s*b\s*/\s*2""".r,
+        "pg integer division truncates; Spark / on ints yields double"),
+      ("json.slt",
+        """(?i)\bj\s*-\s*1\b""".r,
+        "jsonb delete on an untyped string column is textually " +
+          "indistinguishable from arithmetic"),
+      ("json.slt",
+        """(?i)array\s*\(\s*jsonb_canon""".r,
+        "pg array-of-jsonb rendering double-quotes elements"),
+      ("jsonb.slt|json.slt|json_builtins.slt|postgres_jsonb.slt",
+        """'\\[a-zA-Z0-9]""".r,
+        "Spark unescapes backslash sequences in string literals; pg " +
+          "standard_conforming_strings keeps them"),
       ("arrays.slt",
         """(?i)array\s*\(.*::\s*string""".r,
         "pg renders array::text as {..} with per-element quoting; Spark " +
@@ -1335,7 +1605,7 @@ object SltRunner {
       case Halt => ()
       case Unsupported(reason, mutating, target, usql) =>
         skipped += 1
-        tally(s"unsupported record: $reason")
+        tally(s"unsupported record: $reason", usql)
         val up = usql.trim.toUpperCase
         if (up.startsWith("PREPARE")) {
           """(?is)^\s*PREPARE\s+(\w+)\s+AS\s+(.*)$""".r.findFirstMatchIn(usql)
@@ -1389,7 +1659,8 @@ object SltRunner {
         mutationTarget(sql).foreach(poisonedTables += _)
       case Statement(sql, expectError) =>
         try {
-          splitStatements(sql).foreach { one =>
+          splitStatements(sql).foreach { one0 =>
+            val one = canonJsonbInsert(spark, one0)
             if (!applyMutation(spark, one)) { spark.sql(one).collect(); () }
           }
           """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?(\w+)(.*)""".r
@@ -1431,7 +1702,7 @@ object SltRunner {
               if (isDialectError(e) || isKnownDiff(sql)) {
                 skipped += 1
                 tally(knownDiffReason(sql).map(r => s"known diff: $r").getOrElse(
-                  s"statement dialect error: ${e.getClass.getSimpleName}"))
+                  s"statement dialect error: ${e.getClass.getSimpleName}"), sql)
               }
               else { failed += 1; failures += s"$name stmt: ${sql.take(100)} → ${e.toString.take(150)}" }
             }
@@ -1445,7 +1716,7 @@ object SltRunner {
         tally(knownDiffReason(q.sql).map(r => s"known diff: $r").getOrElse(
           if (dialectDefinedShape(q.sql)) "SELECT * ... USING star-order shape"
           else s"query starts with unsupported prefix: " +
-            q.sql.trim.toUpperCase.takeWhile(_ != ' ')))
+            q.sql.trim.toUpperCase.takeWhile(_ != ' ')), q.sql)
       case q: Query =>
         try {
           refreshMvsFor(q.sql)
@@ -1513,7 +1784,7 @@ object SltRunner {
             else if (isDialectError(e)) {
               skipped += 1
               tally(s"query dialect error: ${e.getClass.getSimpleName}: " +
-                Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(60))
+                Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(60), q.sql)
             }
             else { failed += 1; failures += s"$name query: ${q.sql.take(100)} → ${e.toString.take(150)}" }
         }

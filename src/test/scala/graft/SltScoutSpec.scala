@@ -21,6 +21,9 @@ class SltScoutSpec extends SparkSpec {
       info(f"${r.file}%-24s pass=${r.passed}%4d fail=${r.failed}%3d skip=${r.skipped}%4d")
       r.failures.take(10).foreach(f => info(s"  FAIL: ${f.take(220)}"))
     }
+    SltRunner.censusTop(40).foreach { case (reason, n, sample) =>
+      info(f"$n%5d  $reason${if (sample.nonEmpty) s"  e.g. $sample" else ""}")
+    }
     assert(reports.map(_.failed).sum == 0)
   }
 }
