@@ -20,6 +20,41 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, NullType}
   * codegen'd, no UDFs. Registered via SparkSessionExtensions, overriding
   * the Spark builtins of the same name where one exists.
   */
+/** pg array_upper/array_lower/array_length with real multi-dimension
+  * support: dim k descends k-1 levels into nested arrays (pg arrays are
+  * rectangular, so the first element's size is the dimension's extent).
+  * NULL for empty arrays, out-of-range dims, or non-array levels — exactly
+  * pg. CodegenFallback: dialect-compat surface. */
+case class PgArrayDim(left: Expression, right: Expression, kind: String)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: org.apache.spark.sql.types.DataType = IntegerType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(arr: Any, dim: Any): Any = {
+    val d = dim.asInstanceOf[Int]
+    if (d < 1) return null
+    var cur = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var dt = left.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    var level = 1
+    while (level < d) {
+      if (cur.numElements == 0) return null
+      dt.elementType match {
+        case inner: org.apache.spark.sql.types.ArrayType =>
+          if (cur.isNullAt(0)) return null
+          cur = cur.getArray(0)
+          dt = inner
+          level += 1
+        case _ => return null
+      }
+    }
+    if (cur.numElements == 0) null
+    else if (kind == "lower") 1
+    else cur.numElements
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PgArrayDim =
+    copy(left = l, right = r)
+}
+
 object PgArrayFunctions {
 
   private def info(name: String) = new ExpressionInfo(getClass.getName, name)
@@ -64,10 +99,22 @@ object PgArrayFunctions {
       s"array_position expects (array, element[, start]), got ${other.length} args")
   }
 
+  private def arrayDim(args: Seq[Expression], kind: String): Expression = args match {
+    case Seq(arr, dim) => PgArrayDim(arr, Cast(dim, IntegerType), kind)
+    case other => throw new IllegalArgumentException(
+      s"array_$kind expects (array, dim), got ${other.length} args")
+  }
+
   /** (identifier, info, builder) triples for SparkSessionExtensions. */
   def functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("pg_subscript"), info("pg_subscript"), pgSubscript _),
       (FunctionIdentifier("array_remove"), info("array_remove"), arrayRemove _),
-      (FunctionIdentifier("array_position"), info("array_position"), arrayPosition _))
+      (FunctionIdentifier("array_position"), info("array_position"), arrayPosition _),
+      (FunctionIdentifier("array_upper"), info("array_upper"),
+        (a: Seq[Expression]) => arrayDim(a, "upper")),
+      (FunctionIdentifier("array_lower"), info("array_lower"),
+        (a: Seq[Expression]) => arrayDim(a, "lower")),
+      (FunctionIdentifier("array_length"), info("array_length"),
+        (a: Seq[Expression]) => arrayDim(a, "length")))
 }

@@ -123,8 +123,31 @@ object PgTextFunctions {
       (FunctionIdentifier("quote_ident"), info("quote_ident"), quoteIdent _),
       (FunctionIdentifier("pg_size_pretty"), info("pg_size_pretty"), pgSizePretty _),
       (FunctionIdentifier("pg_oid"), info("pg_oid"), pgOid _),
+      (FunctionIdentifier("pg_time"), info("pg_time"),
+        (args: Seq[Expression]) => PgTimeCast(Cast(args.head, StringType))),
       (FunctionIdentifier("pg_name"), info("pg_name"),
         (args: Seq[Expression]) => PgNameCast(Cast(args.head, StringType))))
+}
+
+/** pg `time` for the SLT shim: normalized "HH:MM:SS[.fff]" text, so string
+  * comparison and sorting match time order ("1:2:3.7890" → "01:02:03.789").
+  * CodegenFallback: dialect-compat surface only. */
+case class PgTimeCast(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(s: Any): Any = {
+    val m = """^\s*(\d{1,2}):(\d{1,2})(?::(\d{1,2})(\.\d+)?)?\s*$""".r
+    s.toString match {
+      case m(h, mi, sec, frac) =>
+        val base = f"${h.toInt}%02d:${mi.toInt}%02d:${Option(sec).map(_.toInt).getOrElse(0)}%02d"
+        val f2 = Option(frac).map(_.replaceAll("0+$", "")).filter(_ != ".").getOrElse("")
+        UTF8String.fromString(base + f2)
+      case other =>
+        throw new IllegalArgumentException(s"UNSUPPORTED time literal: $other")
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): PgTimeCast =
+    copy(child = newChild)
 }
 
 /** pg `name` type semantics for the SLT shim's `::name` rewrite: a string

@@ -94,6 +94,9 @@ object SltRunner {
     ("""(?i)\bjsonb\b""".r, "string"),
     ("""(?i)\bjson\b""".r, "string"),
     ("""(?i)\bbool\b""".r, "boolean"),
+    // pg array-type suffix `type[]` → Spark array<type> (cast position)
+    ("""(?i)::\s*(string|int|integer|bigint|smallint|real|double|boolean|date|timestamp)\s*\[\s*\]""".r,
+      "::array<$1>"),
     // oid → string: its jsonb/text renderings quote it like an identifier,
     // and equality/joins on it are string-compatible
     ("""(?i)::\s*oid\b""".r, "::string"),
@@ -301,10 +304,10 @@ object SltRunner {
     * the operand can't be delimited (chained casts etc.). */
   private val castFnTypes: Seq[(String, String)] =
     Seq("jsonb" -> "jsonb_canon", "json" -> "jsonb_canon", "name" -> "pg_name",
-      "oid" -> "pg_oid")
+      "oid" -> "pg_oid", "time" -> "pg_time")
 
   private[slt] def rewriteNameCasts(sql: String): String = {
-    if ("""(?i)::\s*(name|jsonb?|oid)\b""".r.findFirstIn(sql).isEmpty) return sql
+    if ("""(?i)::\s*(name|jsonb?|oid|time)\b(?!stamp)""".r.findFirstIn(sql).isEmpty) return sql
     val sb = new StringBuilder(sql.length)
     var i = 0
     var inQ = false
@@ -607,6 +610,8 @@ object SltRunner {
   private val DateLiteralDiff =
     """(?i)\bdate\s*('[^']*')\s*-\s*date\s*('[^']*')""".r
 
+  private val TimeLiteral = """(?i)\bTIME\s+('[^']*')""".r
+
   private val TsOffsetCast =
     """(?i)('\d{4}-\d{2}-\d{2}[ T][0-9:.]+)[+-]\d{2}(?::\d{2})?'(\s*::\s*timestamp\b(?!\s*tz))""".r
 
@@ -623,14 +628,15 @@ object SltRunner {
     val sqlTagged =
       if ("""(?is)\bCREATE\s+TABLE\b""".r.findFirstIn(sql0raw).isEmpty) sql0raw
       else sql0raw.split(";", -1).map { st =>
-        if ("""(?is)^\s*CREATE\s+TABLE\b""".r.findFirstIn(st).isDefined)
-          """(?i)\bjsonb?\b""".r.replaceAllIn(st, "string COMMENT 'graft_jsonb'")
-        else st
+        if ("""(?is)^\s*CREATE\s+TABLE\b""".r.findFirstIn(st).isDefined) {
+          val j = """(?i)\bjsonb?\b""".r.replaceAllIn(st, "string COMMENT 'graft_jsonb'")
+          """(?i)\btime\b(?!stamp)""".r.replaceAllIn(j, "string")
+        } else st
       }.mkString(";")
     val sql0 = rewriteSrfZip(rewriteJsonbOps(rewriteNameCasts(
       parenthesizeCommaJoins(rewriteArrayLiterals(
         DateLiteralDiff.replaceAllIn(
-          TsOffsetCast.replaceAllIn(sqlTagged, "$1'$2"),
+          TsOffsetCast.replaceAllIn(TimeLiteral.replaceAllIn(sqlTagged, "pg_time($1)"), "$1'$2"),
           m => s"datediff(date ${m.group(1)}, date ${m.group(2)})"))))))
     val rewritten = mapOutsideLiterals(sql0) { seg0 =>
       var sql = seg0
@@ -707,7 +713,10 @@ object SltRunner {
       else out.append(it).append(" NULLS LAST")
       item.clear()
     }
-    val terminators = List("LIMIT", "OFFSET", "FETCH", "UNION", "EXCEPT", "INTERSECT")
+    // ROWS/RANGE/GROUPS end the last item of a window ORDER BY — without
+    // them the NULLS default lands AFTER the frame clause and breaks it
+    val terminators = List("LIMIT", "OFFSET", "FETCH", "UNION", "EXCEPT",
+      "INTERSECT", "ROWS", "RANGE", "GROUPS")
     while (i < s.length && !done) {
       val c = s(i)
       if (inQ) { item.append(c); if (c == '\'') inQ = false; i += 1 }
@@ -1283,6 +1292,28 @@ object SltRunner {
       ("jsonb.slt|json.slt|json_builtins.slt",
         """(?i)'[\d:.]+'\s*::\s*interval""".r,
         "pg HH:MM:SS interval literals don't parse as Spark intervals"),
+      ("type-promotion.slt",
+        """(?i)'\d{4} \d{2}-\d{2}[^']*'\s*::\s*timestamp""".r,
+        "pg's timestamp parser accepts 'YYYY MM-DD' mixed separators; " +
+          "Spark's does not"),
+      ("dates-times.slt|type-promotion.slt",
+        """(?i)pg_time\([^)]*\)\s*::\s*interval""".r,
+        "pg time-to-interval cast has no analog on the string time " +
+          "representation"),
+      ("time.slt",
+        """(?i)(date_trunc\s*\(\s*'[^']*'\s*,\s*pg_time|'\s*::\s*interval\b)""".r,
+        "date_trunc / interval arithmetic on pg `time` has no analog on " +
+          "the normalized-string time representation"),
+      ("arrays.slt",
+        """(?i)array\(NULL\)\s*::\s*array""".r,
+        "pg array comparison orders NULL elements LAST (greater); Spark's " +
+          "array ordering puts them first"),
+      ("arrays.slt",
+        """(?i)(\|\|\s*NULL\s*::\s*array|NULL\s*::\s*array<INT>\s*\|\|)""".r,
+        "pg array concat treats a NULL operand as empty; Spark returns NULL"),
+      ("arrays.slt",
+        """(?i)array\(NULL::array<BIGINT>""".r,
+        "pg flattens/drops NULL sub-arrays in nested array constructors"),
       ("boolean.slt",
         """(?i)FROM\s+bools_text""".r,
         "pg accepts unique prefixes (t/tr/f/fal/...) in boolean casts; " +

@@ -39,7 +39,7 @@ class SeriesAndMutationSpec extends SparkSpec {
     // chained subscripts nest
     assert(s("SELECT x[1][2]").contains("pg_subscript(pg_subscript(x, 1), 2)"))
     // type names, string keys, slices, empty brackets stay native
-    assert(s("SELECT x::int[]").contains("int[]"))
+    assert(s("SELECT x::int[]").contains("::array<int>"))
     assert(s("SELECT m['k']").contains("m['k']"))
     assert(s("SELECT a[1:2]").contains("a[1:2]"))
   }
