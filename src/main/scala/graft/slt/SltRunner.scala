@@ -646,6 +646,10 @@ object SltRunner {
         sql = """(?i)\bserial\b""".r.replaceAllIn(sql, "bigint")
       }
       sql = """(?i)::\s*(decimal|numeric)\b(?!\s*\()""".r.replaceAllIn(sql, "::DECIMAL(38,18)")
+      // mz group-size query hints are semantically no-ops — strip them
+      // (reference doc/user/content/transform-data/optimization.md)
+      sql = """(?i)\bOPTIONS\s*\(\s*(?:EXPECTED|AGGREGATE|DISTINCT|LIMIT)\s[^)]*\)""".r
+        .replaceAllIn(sql, " ")
       // pg array_agg semantics for SIMPLE arguments: keeps NULL elements
       // (collect_list drops them — collect structs and re-project) and
       // yields NULL, not {}, on empty input. Complex/ordered forms are left
