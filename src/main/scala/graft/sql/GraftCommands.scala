@@ -319,13 +319,20 @@ case class CreateIndexCommand(idx: String, rel: String, key: String,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val reg = GraftSqlCatalog.indexesFor(spark)
-    if (reg.contains(idx)) {
+    reg.get(idx).foreach { e =>
       // a registry entry whose arrangement table is gone is stale (the base
       // or the arrangement was dropped out from under it) — rebuild instead
       // of erroring, mirroring the reference's drop-cascades-to-indexes
       if (spark.catalog.tableExists(idx)) {
         if (!ifNotExists)
           throw new IllegalArgumentException(s"index $idx already exists")
+        // IF NOT EXISTS is a no-op only for the SAME definition: rebinding
+        // this statement's relation to an arrangement built over a different
+        // (rel, key, buckets) would silently serve the old index's data
+        if ((e.rel, e.key, e.buckets) != ((rel, key, buckets)))
+          throw new IllegalArgumentException(
+            s"index $idx already exists with a different definition " +
+            s"(ON ${e.rel} (${e.key}) WITH (BUCKETS ${e.buckets}))")
         // keep the relation bound to the arrangement (a temp-view
         // re-register may have shadowed it since)
         spark.table(idx).createOrReplaceTempView(rel)
@@ -333,11 +340,27 @@ case class CreateIndexCommand(idx: String, rel: String, key: String,
       }
       reg.remove(idx)
     }
+    val wasTempView = spark.catalog.tableExists(rel) &&
+      spark.catalog.getTable(rel).isTemporary
     val df = spark.table(rel)
+    val prior = if (wasTempView) Some(df) else None
     require(df.columns.contains(key), s"index key $key not in $rel")
     graft.plans.CoLocatedJoin.bucketize(df, idx, key, buckets)
     spark.table(idx).createOrReplaceTempView(rel)
-    reg.put(idx, (rel, key, buckets))
+    reg.put(idx, GraftSqlCatalog.IndexEntry(rel, key, buckets, prior))
+    // an index over a MAINTAINED view stays fresh: every commit of the view
+    // rebuilds the arrangement from the new snapshot and re-binds the name
+    // (the reference maintains arrangements continuously inside the dataflow,
+    // doc/developer/arrangements.md; here the rebuild rides the commit hook,
+    // after syncTempView has re-pointed the name at the raw snapshot)
+    val cat = GraftSqlCatalog.forSession(spark)
+    if (cat.isDefined(rel)) {
+      cat.setViewBinder(rel, () => spark.table(idx).createOrReplaceTempView(rel))
+      cat.addCommitHook(rel, s"graft.index.$idx", (_, snap, _) => {
+        graft.plans.CoLocatedJoin.bucketize(snap, idx, key, buckets)
+        spark.table(idx).createOrReplaceTempView(rel)
+      })
+    }
     Seq(Row(idx, rel, key))
   }
 }
@@ -350,8 +373,20 @@ case class DropIndexCommand(idx: String, ifExists: Boolean = false)
   override def run(spark: SparkSession): Seq[Row] = {
     val reg = GraftSqlCatalog.indexesFor(spark)
     reg.remove(idx) match {
-      case Some((rel, _, _)) =>
-        spark.catalog.dropTempView(rel)
+      case Some(e) =>
+        val cat = GraftSqlCatalog.forSession(spark)
+        cat.removeCommitHook(e.rel, s"graft.index.$idx")
+        cat.clearViewBinder(e.rel)
+        // dropping an index never removes the relation (reference semantics):
+        // a maintained view re-binds to its live snapshot; a plain temp view
+        // gets its captured pre-index plan back; a catalog table only needs
+        // the shadowing temp view gone to resolve again
+        if (cat.isDefined(e.rel) && cat.currentVersion(e.rel).isDefined)
+          cat.table(e.rel).createOrReplaceTempView(e.rel)
+        else e.prior match {
+          case Some(df) => df.createOrReplaceTempView(e.rel)
+          case None => spark.catalog.dropTempView(e.rel); ()
+        }
         spark.sql(s"DROP TABLE IF EXISTS $idx")
         Seq(Row(idx))
       case None if ifExists => Seq.empty
@@ -369,7 +404,7 @@ case class ShowIndexesCommand() extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] =
     GraftSqlCatalog.indexesFor(spark).toSeq.sortBy(_._1)
-      .map { case (n, (r, k, b)) => Row(n, r, k, b.toLong) }
+      .map { case (n, e) => Row(n, e.rel, e.key, e.buckets.toLong) }
 }
 
 /** `SUBSCRIBE [TO] <view> WITH (SNAPSHOT | PROGRESS, ...)` — start a

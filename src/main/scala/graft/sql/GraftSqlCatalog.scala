@@ -56,10 +56,18 @@ object GraftSqlCatalog {
   def temporalsFor(spark: SparkSession): TrieMap[String, graft.views.TemporalView] =
     temporals.getOrElseUpdate(spark.sharedState, TrieMap.empty)
 
-  /** Indexes created via CREATE INDEX: name -> (relation, key, buckets). */
-  private val indexes = TrieMap.empty[AnyRef, TrieMap[String, (String, String, Int)]]
+  /** One CREATE INDEX registration. `prior` is the binding the indexed
+    * relation name had BEFORE the index shadowed it with the arrangement
+    * (None when the name resolved through the permanent catalog, where
+    * dropping the shadowing temp view restores resolution) — DROP INDEX
+    * re-installs it, because in the reference dropping an index never
+    * removes the relation it was built over. */
+  final case class IndexEntry(rel: String, key: String, buckets: Int,
+      prior: Option[DataFrame])
 
-  def indexesFor(spark: SparkSession): TrieMap[String, (String, String, Int)] =
+  private val indexes = TrieMap.empty[AnyRef, TrieMap[String, IndexEntry]]
+
+  def indexesFor(spark: SparkSession): TrieMap[String, IndexEntry] =
     indexes.getOrElseUpdate(spark.sharedState, TrieMap.empty)
 
   /** Continuous subscriptions (SUBSCRIBE ... WITH (...)): view -> cursor. */

@@ -247,8 +247,25 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
     syncTempView(name)
   }
 
+  // a view whose SQL name is bound by something other than the raw snapshot
+  // (CREATE INDEX binds the bucketed arrangement) installs a binder; every
+  // sync path routes through it so a later exposeAsTempView/commit cannot
+  // silently re-point the name at the un-arranged snapshot
+  private val binders = TrieMap.empty[String, () => Unit]
+
+  def setViewBinder(name: String, f: () => Unit): Unit = {
+    binders.put(name, f); ()
+  }
+
+  def clearViewBinder(name: String): Unit = {
+    binders.remove(name); ()
+  }
+
   private def syncTempView(name: String): Unit =
-    if (exposed.contains(name)) table(name).createOrReplaceTempView(name)
+    if (exposed.contains(name)) binders.get(name) match {
+      case Some(bind) => bind()
+      case None => table(name).createOrReplaceTempView(name)
+    }
 
   /** CREATE MATERIALIZED VIEW name AS query — runs the query once and
     * persists version 0. Re-creating an existing name (CREATE OR REPLACE)

@@ -213,6 +213,51 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(e.getMessage.contains("already exists"))
     spark.sql("DROP INDEX sqlidx_o")
     spark.sql("DROP INDEX sqlidx_l")
+    // DROP INDEX restores the pre-index binding: the relation still answers
+    val after = spark.sql("SELECT count(*) FROM sqlidx_orders").as[Long].head()
+    assert(after > 0L, "relation must survive DROP INDEX")
+  }
+
+  test("CREATE INDEX IF NOT EXISTS rejects a conflicting redefinition") {
+    Seq((1L, "x"), (2L, "y")).toDF("k", "s").createOrReplaceTempView("sqlidx_a")
+    Seq((1L, 10.0)).toDF("k", "v").createOrReplaceTempView("sqlidx_b")
+    spark.sql("CREATE INDEX IF NOT EXISTS sqlidx_conf ON sqlidx_a (k) WITH (BUCKETS 4)")
+    // same definition: no-op
+    spark.sql("CREATE INDEX IF NOT EXISTS sqlidx_conf ON sqlidx_a (k) WITH (BUCKETS 4)")
+    // different relation: must error, never rebind sqlidx_b to a's data
+    val e = intercept[Exception](
+      spark.sql("CREATE INDEX IF NOT EXISTS sqlidx_conf ON sqlidx_b (k) WITH (BUCKETS 4)"))
+    assert(e.getMessage.contains("different definition"))
+    assert(spark.sql("SELECT s FROM sqlidx_a WHERE k = 2").as[String].head() == "y")
+    spark.sql("DROP INDEX sqlidx_conf")
+    // the temp view's own plan is restored
+    assert(spark.sql("SELECT count(*) FROM sqlidx_a").as[Long].head() == 2L)
+  }
+
+  test("an index over a maintained view rebuilds on commit") {
+    Seq((1L, "a", 10.0), (2L, "b", 20.0))
+      .toDF("id", "grp", "v").createOrReplaceTempView("sqlidxmv_base")
+    spark.sql(
+      """CREATE OR REPLACE MATERIALIZED VIEW sqlidxmv AS
+        |SELECT grp, sum(v) AS total FROM sqlidxmv_base GROUP BY grp""".stripMargin)
+    spark.sql("CREATE INDEX IF NOT EXISTS sqlidxmv_i ON sqlidxmv (grp) WITH (BUCKETS 4)")
+    assert(spark.sql("SELECT total FROM sqlidxmv WHERE grp = 'a'").as[Double].head() == 10.0)
+    // a commit refreshes the arrangement: the indexed name serves NEW data
+    Seq((1L, "a", 11.0), (3L, "c", 7.0))
+      .toDF("id", "grp", "v").createOrReplaceTempView("sqlidxmv_base")
+    spark.sql("REFRESH MATERIALIZED VIEW sqlidxmv")
+    val got = spark.sql("SELECT grp, total FROM sqlidxmv")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(got == Set(("a", 11.0), ("c", 7.0)), s"stale index after commit: $got")
+    // and it still reads the bucketed arrangement (the managed table's files)
+    val files = spark.table("sqlidxmv").inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("sqlidxmv_i")),
+      s"expected arrangement scan, read: ${files.take(3).mkString(", ")}")
+    spark.sql("DROP INDEX sqlidxmv_i")
+    // dropping the index re-binds the maintained view's live snapshot
+    val after = spark.sql("SELECT grp, total FROM sqlidxmv")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(after == Set(("a", 11.0), ("c", 7.0)))
   }
 
   test("continuous SUBSCRIBE ... WITH (SNAPSHOT, PROGRESS) + FETCH + CLOSE") {
