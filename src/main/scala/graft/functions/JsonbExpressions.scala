@@ -326,31 +326,41 @@ case class JsonbGetPath(left: Expression, right: Expression, asText: Boolean)
     copy(left = l, right = r)
 }
 
-/** pg `||`: object merge (rhs wins), array append, scalars wrap to arrays. */
+/** `||` per the reference's jsonb_concat arms (src/expr/src/scalar/func.rs:1944):
+  * object||object merges (rhs wins), array||array concatenates, and an array
+  * beside ANY other value appends/prepends that value — including an object,
+  * so `'[1]' || '{"a":1}'` = `[1,{"a":1}]`. Every arm without an array or a
+  * two-object merge (scalar||scalar, object||scalar) is NULL — unlike pg,
+  * which wraps scalars into singleton arrays. */
 case class JsonbConcat(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
-  override def nullable: Boolean = true // mz: object ++ non-object is NULL
+  override def nullable: Boolean = true // mz: arms without a list are NULL
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val f = JsonNodeFactory.instance
     val (ln, rn) = (JsonbValue.parse(l.toString), JsonbValue.parse(r.toString))
-    def asArr(n: JsonNode): ArrayNode = n match {
-      case a: ArrayNode => a
-      case x => val a = f.arrayNode; a.add(x); a
-    }
     val out: JsonNode = (ln, rn) match {
       case (lo: ObjectNode, ro: ObjectNode) =>
         val m = f.objectNode
         lo.fields.asScala.foreach(e => m.set[JsonNode](e.getKey, e.getValue))
         ro.fields.asScala.foreach(e => m.set[JsonNode](e.getKey, e.getValue))
         m
-      // the reference yields NULL when exactly one side is an object
-      case (_: ObjectNode, _) | (_, _: ObjectNode) => null
-      case _ =>
+      case (la: ArrayNode, ra: ArrayNode) =>
         val a = f.arrayNode
-        asArr(ln).elements.asScala.foreach(a.add)
-        asArr(rn).elements.asScala.foreach(a.add)
+        la.elements.asScala.foreach(a.add)
+        ra.elements.asScala.foreach(a.add)
         a
+      case (la: ArrayNode, _) => // append rhs (object or scalar) as one element
+        val a = f.arrayNode
+        la.elements.asScala.foreach(a.add)
+        a.add(rn)
+        a
+      case (_, ra: ArrayNode) => // prepend lhs as one element
+        val a = f.arrayNode
+        a.add(ln)
+        ra.elements.asScala.foreach(a.add)
+        a
+      case _ => null // scalar/object mixes without an array side
     }
     if (out == null) null else UTF8String.fromString(JsonbValue.render(out))
   }

@@ -31,6 +31,14 @@ class JsonbSpec extends SparkSpec {
     assert(one("""SELECT jsonb_concat(jsonb_canon('{"a":1}'), jsonb_canon('{"a":2,"b":3}'))""")
       == """{"a":2,"b":3}""")
     assert(one("""SELECT jsonb_concat(jsonb_canon('{"a":1}'), jsonb_canon('"s"'))""") == null)
+    // reference arms (func.rs:1944): array beside any value appends/prepends
+    assert(one("""SELECT jsonb_concat(jsonb_canon('[1]'), jsonb_canon('{"a":1}'))""")
+      == """[1,{"a":1}]""")
+    assert(one("""SELECT jsonb_concat(jsonb_canon('{"a":1}'), jsonb_canon('[2]'))""")
+      == """[{"a":1},2]""")
+    assert(one("""SELECT jsonb_concat(jsonb_canon('[1]'), jsonb_canon('2'))""") == "[1,2]")
+    // no arm without an array or a two-object merge: scalar||scalar is NULL
+    assert(one("""SELECT jsonb_concat(jsonb_canon('1'), jsonb_canon('"s"'))""") == null)
     assert(one("""SELECT jsonb_delete(jsonb_canon('{"a":1,"b":2}'), 'a')""") == """{"b":2}""")
     assert(one("""SELECT jsonb_delete(jsonb_canon('[1,2,3]'), 0)""") == "[2,3]")
     assert(one("""SELECT jsonb_delete(jsonb_canon('3'), 'b')""") == null)
