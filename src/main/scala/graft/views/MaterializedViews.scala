@@ -127,8 +127,7 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
     dfs.keys.foreach(n => groupOf.put(n, group))
     val newVers = dfs.map { case (n, df) =>
       val next = curVers.get(n).fold(0L)(_ + 1)
-      df.write.mode("overwrite").parquet(viewDir(n).resolve(s"v=$next").toString)
-      persistDelta(n, next, deltas.get(n))
+      writeVersion(n, df, next, deltas.get(n))
       n -> next
     }
     val nextSeq = curSeq.fold(0L)(_ + 1)
@@ -163,13 +162,67 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
       throw new IllegalArgumentException(s"$name not in group $group at seq $seq")))
   }
 
+  // ---- delta-structured persist -------------------------------------------
+  //
+  // The reference's persist stores an MV as an LSM of DELTA batches; full
+  // snapshots are derived artifacts produced by background compaction
+  // (`src/persist-client/src/lib.rs`). Mirroring that: a commit whose delta
+  // the engine already knows (incremental refresh, temporal advance) writes
+  // ONLY the `delta=<n>` batch — work and bytes ∝ |delta|, never |view| —
+  // and every `compactEvery`-th version also writes a full `v=<n>` snapshot
+  // (the compaction event) so merge-on-read chains stay bounded. Reads of a
+  // version without its own snapshot reconstruct base ⊎ deltas via the
+  // changelog algebra. Full refreshes (already O(|view|)) keep writing
+  // snapshots directly.
+
+  /** Delta-only commits tolerated on top of a base snapshot before a commit
+    * also compacts to a full snapshot. */
+  private val compactEvery: Long =
+    spark.conf.get("spark.graft.mv.compactEvery", "4").toLong
+
+  /** Greatest version at or below `v` that has a full snapshot dir. */
+  private def baseVersionAtOrBelow(name: String, v: Long): Option[Long] = {
+    val dir = viewDir(name)
+    if (!Files.exists(dir)) None
+    else {
+      val s = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        val bases = s.iterator.asScala.flatMap { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("v=")) Some(n.stripPrefix("v=").toLong).filter(_ <= v)
+          else None
+        }.toSeq
+        if (bases.isEmpty) None else Some(bases.max)
+      } finally s.close()
+    }
+  }
+
+  /** Persist version `next` of `name`: delta batch when the commit knows its
+    * changelog (plus periodic compaction), full snapshot otherwise. */
+  private def writeVersion(name: String, df: DataFrame, next: Long,
+      known: Option[DataFrame => DataFrame]): Unit = {
+    val deltaStructured = known.isDefined && next > 0 &&
+      !df.columns.contains(Changelog.DiffCol)
+    if (deltaStructured) {
+      // `df` IS the new snapshot relation (not yet written) — the delta
+      // function only semi-joins/filters it, so handing it the plan instead
+      // of a read-back keeps the write ∝ |delta|
+      known.get(df).write.mode("overwrite").parquet(deltaDir(name, next).toString)
+      val base = baseVersionAtOrBelow(name, next - 1).getOrElse(-1L)
+      if (next - base >= compactEvery)
+        df.write.mode("overwrite").parquet(viewDir(name).resolve(s"v=$next").toString)
+    } else {
+      df.write.mode("overwrite").parquet(viewDir(name).resolve(s"v=$next").toString)
+      persistDelta(name, next, known)
+    }
+  }
+
   /** Write `df` as the next version and atomically flip the pointer. */
   private def commitVersion(name: String, df: DataFrame,
       knownDelta: Option[DataFrame => DataFrame] = None): Long = {
     val next = currentVersion(name).fold(0L)(_ + 1)
-    val dest = viewDir(name).resolve(s"v=$next")
-    df.write.mode("overwrite").parquet(dest.toString)
-    persistDelta(name, next, knownDelta)
+    writeVersion(name, df, next, knownDelta)
     val tmp = viewDir(name).resolve(s"_CURRENT.tmp.$next")
     Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, currentFile(name), StandardCopyOption.ATOMIC_MOVE,
@@ -308,8 +361,26 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
     * [[vacuum]]). */
   def tableAt(name: String, version: Long): DataFrame = {
     val dir = viewDir(name).resolve(s"v=$version")
-    require(Files.exists(dir), s"version $version of $name not found (vacuumed?)")
-    spark.read.parquet(dir.toString)
+    if (Files.exists(dir)) spark.read.parquet(dir.toString)
+    else {
+      // merge-on-read: a delta-structured version derives its snapshot from
+      // the nearest base snapshot plus the stored delta batches above it —
+      // one consolidation shuffle over |base| + |chain deltas|, with chain
+      // length bounded by `compactEvery`
+      val base = baseVersionAtOrBelow(name, version).getOrElse(
+        throw new IllegalArgumentException(
+          s"version $version of $name not found (vacuumed?)"))
+      val chain = ((base + 1) to version).map { v =>
+        val d = deltaDir(name, v)
+        require(Files.exists(d),
+          s"version $version of $name not found (missing delta=$v)")
+        spark.read.parquet(d.toString)
+      }
+      val baseChg = Changelog.fromRows(
+        spark.read.parquet(viewDir(name).resolve(s"v=$base").toString))
+      Changelog.toRows(Changelog.consolidate(
+        Changelog.unionAll((baseChg +: chain).toIndexedSeq: _*)))
+    }
   }
 
   /** Full refresh: re-run the defining query, commit as a new version. The
@@ -394,13 +465,17 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
         s"$name had no committed version at global time $ts")
     }
 
-  /** Drop all versions below the current one (the persist GC analog). */
+  /** Drop snapshots below the current version (the persist GC analog) —
+    * keeping the base snapshot the current version reconstructs from when
+    * it is delta-structured. Delta batches survive (they are the history
+    * SUBSCRIBE serves). */
   def vacuum(name: String): Unit = currentVersion(name).foreach { cur =>
     val dir = viewDir(name)
+    val keep = baseVersionAtOrBelow(name, cur).getOrElse(cur)
     if (Files.exists(dir)) {
       Files.list(dir).forEach { p =>
         val n = p.getFileName.toString
-        if (n.startsWith("v=") && n.stripPrefix("v=").toLong < cur)
+        if (n.startsWith("v=") && n.stripPrefix("v=").toLong < keep)
           deleteRecursive(p)
       }
     }

@@ -71,6 +71,49 @@ class MaterializedViewSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("delta-structured persist: incremental commits write |delta| batches, compaction bounds the chain") {
+    val dir = Files.createTempDirectory("graft-mv-delta")
+    val cat = new ViewCatalog(spark, dir.toString)
+    val base = spark.range(0, 10000)
+      .select((col("id") % 5000).as("k"), lit(1.0).as("v"))
+    cat.createMaterializedView("acc", _ =>
+      Changelog.fromRows(base).groupBy(col("k"))
+        .agg(sum(col(Changelog.DiffCol)).as("support"),
+          sum(col("v") * col(Changelog.DiffCol)).as("sv")))
+    for (i <- 1 to 5) {
+      val delta = Changelog.fromRows(
+        Seq((100000L + i, 2.0), (0L, 3.0)).toDF("k", "v"))
+      cat.refreshIncrementalAccumulable("acc", delta, Seq("k"), Map("sv" -> "v"))
+    }
+    // versions 1-3 and 5 persist ONLY their delta batch — the write job
+    // touches ∝|delta|, never |view|; version 4 is the compaction event
+    // (compactEvery = 4) that re-materializes a full snapshot
+    Seq(1L, 2L, 3L, 5L).foreach { v =>
+      assert(!Files.exists(dir.resolve(s"acc/v=$v")), s"v=$v must be delta-only")
+      assert(Files.exists(dir.resolve(s"acc/delta=$v")), s"delta=$v missing")
+    }
+    assert(Files.exists(dir.resolve("acc/v=4")), "compaction snapshot expected")
+    // the persisted batch is the per-key retract+insert pairs: 3 rows here
+    // (key 0: retract+insert; the fresh key: insert only), not 5000
+    assert(spark.read.parquet(dir.resolve("acc/delta=1").toString).count() == 3)
+    def bytes(p: java.nio.file.Path): Long = {
+      val s = Files.walk(p)
+      try s.filter(f => Files.isRegularFile(f)).mapToLong(f => Files.size(f)).sum
+      finally s.close()
+    }
+    assert(bytes(dir.resolve("acc/delta=1")) < bytes(dir.resolve("acc/v=0")),
+      "delta batch must be smaller than the snapshot")
+    // merge-on-read serves the exact state, current and historical
+    assert(cat.table("acc").filter(col("k") === 0L).select("sv")
+      .as[Double].head() == 2.0 + 5 * 3.0)
+    assert(cat.table("acc").count() == 5005)
+    assert(cat.tableAt("acc", 2L).count() == 5002)
+    // vacuum keeps the compaction base the current (delta-only) version needs
+    cat.vacuum("acc")
+    assert(Files.exists(dir.resolve("acc/v=4")))
+    assert(cat.table("acc").count() == 5005)
+  }
+
   test("vacuum drops superseded versions, keeps current") {
     val cat = newCatalog()
     cat.createMaterializedView("n", s => Tables.load(s, Sf, "nation"))
