@@ -30,5 +30,7 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.JsonbFunctions.functions.foreach(e.injectFunction)
     graft.functions.JsonbFunctions.scalarSrfs.foreach(e.injectFunction)
     graft.functions.JsonbFunctions.tableFunctions.foreach(e.injectTableFunction)
+    // pg range types: casts, constructors, set ops, predicates, accessors
+    graft.functions.RangeFunctions.functions.foreach(e.injectFunction)
   }
 }
