@@ -61,7 +61,10 @@ object PgRangeValue {
     f"${d.getYear}%04d-${d.getMonthValue}%02d-${d.getDayOfMonth}%02d"
 
   private def parseTs(raw: String): LocalDateTime = {
-    val m = """^(\d{1,6})-(\d{1,2})-(\d{1,2})[ T](\d{1,2}):(\d{1,2})(?::(\d{1,2})(\.\d+)?)?$"""
+    // unanchored: mz's timestamp input routine tolerates surrounding junk
+    // in quoted range bounds (range.slt expects '"?!?2024-02-13 …!?!"' to
+    // parse as the embedded timestamp)
+    val m = """(\d{1,6})-(\d{1,2})-(\d{1,2})[ T](\d{1,2}):(\d{1,2})(?::(\d{1,2})(\.\d+)?)?"""
       .r.findFirstMatchIn(raw).getOrElse(invalid(raw))
     val nanos = Option(m.group(7)).map(f => (BigDecimal(f) * 1e9).toLong).getOrElse(0L)
     LocalDateTime.of(m.group(1).toInt, m.group(2).toInt, m.group(3).toInt,
@@ -246,8 +249,14 @@ object PgRangeValue {
       if ((lb != '[' && lb != '(') || (rb != ']' && rb != ')')) invalid(text0)
       val (loRaw, hiRaw) = splitBounds(text.substring(1, text.length - 1))
         .getOrElse(invalid(text0))
-      val lo0 = Option(loRaw.trim).filter(_.nonEmpty)
-      val hi0 = Option(hiRaw.trim).filter(_.nonEmpty)
+      // a truly empty bound is infinite; a whitespace-only bound is a pg
+      // input error ('[1, )' rejects, '[1,)' is unbounded)
+      def bound(raw: String): Option[String] =
+        if (raw.isEmpty) None
+        else if (raw.trim.isEmpty) invalid(text0)
+        else Some(raw.trim)
+      val lo0 = bound(loRaw)
+      val hi0 = bound(hiRaw)
       kind match {
         case Some(k) => canonicalize(k, lo0.map(canonElem(k, _)), lb == '[',
           hi0.map(canonElem(k, _)), rb == ']')
@@ -331,6 +340,14 @@ object PgRangeValue {
   def containsRange(a: Rng, b: Rng): Boolean =
     b.empty || (!a.empty && cmpLower(a, b) <= 0 && cmpUpper(a, b) >= 0)
 
+  /** `&<`: a does not extend to the right of b (upper <= b's upper). */
+  def notExtRight(a: Rng, b: Rng): Boolean =
+    !a.empty && !b.empty && cmpUpper(a, b) <= 0
+
+  /** `&>`: a does not extend to the left of b (lower >= b's lower). */
+  def notExtLeft(a: Rng, b: Rng): Boolean =
+    !a.empty && !b.empty && cmpLower(a, b) >= 0
+
   /** `<<`: a entirely before b. */
   def before(a: Rng, b: Rng): Boolean =
     !a.empty && !b.empty && ((a.hi, b.lo) match {
@@ -360,10 +377,56 @@ case class RangeParse(child: Expression, kind: String)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
+  override def foldable: Boolean = child.foldable
   override protected def nullSafeEval(input: Any): Any =
     UTF8String.fromString(PgRangeValue.render(
       PgRangeValue.parse(Some(kind), input.toString)))
   override protected def withNewChildInternal(c: Expression): RangeParse = copy(child = c)
+}
+
+/** `::_<kind>` — pg array-of-range cast: parses + canonicalizes every
+  * element. Accepts an array value (ARRAY[...]::_int4range) or a pg array
+  * literal text ('{"(,)","empty"}'::_int4range). */
+case class RangeParseArray(child: Expression, kind: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = true
+  override def foldable: Boolean = child.foldable
+  override protected def nullSafeEval(input: Any): Any = {
+    def canon(s: String): Any =
+      if (s == null) null
+      else UTF8String.fromString(PgRangeValue.render(PgRangeValue.parse(Some(kind), s)))
+    input match {
+      case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+        val out = (0 until arr.numElements()).map { i =>
+          if (arr.isNullAt(i)) null else canon(arr.getUTF8String(i).toString)
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+      case s =>
+        val text = s.toString.trim
+        if (!text.startsWith("{") || !text.endsWith("}")) PgRangeValue.invalid(text)
+        val inner = text.substring(1, text.length - 1)
+        val elems = scala.collection.mutable.ListBuffer.empty[Any]
+        var cur = new StringBuilder; var inQ = false
+        def flush(): Unit = {
+          val raw = cur.toString.trim
+          val unq = if (raw.length >= 2 && raw.head == '"' && raw.last == '"')
+            raw.substring(1, raw.length - 1) else raw
+          elems += (if (raw.isEmpty || unq.equalsIgnoreCase("null")) null else canon(unq))
+          cur = new StringBuilder
+        }
+        if (inner.trim.nonEmpty) {
+          inner.foreach {
+            case '"' => inQ = !inQ; cur += '"'
+            case ',' if !inQ => flush()
+            case c => cur += c
+          }
+          flush()
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(elems.toArray)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): RangeParseArray = copy(child = c)
 }
 
 /** Constructor `int4range(lo, hi[, flags])` etc. — typed bounds, pg flag
@@ -373,6 +436,7 @@ case class RangeMake(children: Seq[Expression], kind: String)
     extends Expression with CodegenFallback {
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
+  override def foldable: Boolean = children.forall(_.foldable)
 
   private def elemText(e: Expression, v: Any): Option[String] =
     if (v == null) None
@@ -419,6 +483,7 @@ case class RangeMake(children: Seq[Expression], kind: String)
 case class RangeBinary(left: Expression, right: Expression, op: String)
     extends BinaryExpression with CodegenFallback {
   import PgRangeValue._
+  override def foldable: Boolean = left.foldable && right.foldable
   override def dataType: DataType = op match {
     case "union" | "intersect" | "minus" => StringType
     case "cmp" => IntegerType
@@ -437,6 +502,8 @@ case class RangeBinary(left: Expression, right: Expression, op: String)
       case "before" => before(a, b)
       case "after" => before(b, a)
       case "adjacent" => adjacent(a, b)
+      case "notextright" => notExtRight(a, b)
+      case "notextleft" => notExtLeft(a, b)
     }
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): RangeBinary =
@@ -444,12 +511,28 @@ case class RangeBinary(left: Expression, right: Expression, op: String)
 }
 
 /** `range @> element` — the element arrives typed; temporal values render
-  * to the same canonical text the range bounds carry. */
-case class RangeContainsElem(left: Expression, right: Expression)
+  * to the same canonical text the range bounds carry. `kind`, when the SQL
+  * shim knows it statically, enforces pg's operator resolution: discrete
+  * int ranges reject fractional/float elements, every range rejects
+  * float/double (pg has no `range @> double precision`). */
+case class RangeContainsElem(left: Expression, right: Expression,
+    kind: Option[String] = None)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true
+  override def foldable: Boolean = left.foldable && right.foldable
   override protected def nullSafeEval(l: Any, r: Any): Any = {
+    kind.foreach { k =>
+      val elemTy = right.dataType match {
+        case DoubleType | FloatType => "double precision"
+        case d: DecimalType if d.scale > 0 => "numeric"
+        case _ => ""
+      }
+      if (elemTy == "double precision" ||
+          (elemTy == "numeric" && (k == "int4range" || k == "int8range")))
+        throw new IllegalArgumentException(
+          s"operator does not exist: $k @> $elemTy")
+    }
     val rng = PgRangeValue.parse(None, l.toString)
     val elem = right.dataType match {
       case _: DecimalType =>
@@ -480,6 +563,7 @@ case class RangeAccessor(child: Expression, which: String)
   override def dataType: DataType =
     if (which == "lower" || which == "upper") StringType else BooleanType
   override def nullable: Boolean = true
+  override def foldable: Boolean = child.foldable
   override protected def nullSafeEval(input: Any): Any = {
     val r = PgRangeValue.parse(None, input.toString)
     which match {
@@ -539,11 +623,14 @@ object RangeFunctions {
     val casts = kinds.map { k =>
       (s"pg_$k", (a: Seq[Expression]) => RangeParse(a.head, k): Expression)
     }
+    val arrCasts = kinds.map { k =>
+      (s"pg_arr_$k", (a: Seq[Expression]) => RangeParseArray(a.head, k): Expression)
+    }
     val ctors = kinds.map { k =>
       (k, (a: Seq[Expression]) => RangeMake(a, k): Expression)
     }
     val binOps = Seq("union", "intersect", "minus", "cmp", "contains",
-      "overlaps", "before", "after", "adjacent").map { op =>
+      "overlaps", "before", "after", "adjacent", "notextright", "notextleft").map { op =>
       (s"range_$op", (a: Seq[Expression]) => RangeBinary(a(0), a(1), op): Expression)
     }
     val accessors = Seq("isempty", "lower_inc", "upper_inc", "lower_inf", "upper_inf")
@@ -551,9 +638,12 @@ object RangeFunctions {
     val named = Seq(
       ("range_lower", (a: Seq[Expression]) => RangeAccessor(a.head, "lower"): Expression),
       ("range_upper", (a: Seq[Expression]) => RangeAccessor(a.head, "upper"): Expression),
-      ("range_contains_elem", (a: Seq[Expression]) => RangeContainsElem(a(0), a(1)): Expression),
+      // optional 3rd arg: the range kind as a literal, for pg operator
+      // resolution (the SQL shim passes it when statically known)
+      ("range_contains_elem", (a: Seq[Expression]) => RangeContainsElem(a(0), a(1),
+        a.lift(2).collect { case Literal(s, StringType) => s.toString }): Expression),
       ("range_sort_key", (a: Seq[Expression]) => RangeSortKey(a.head): Expression))
-    (casts ++ ctors ++ binOps ++ accessors ++ named)
+    (casts ++ arrCasts ++ ctors ++ binOps ++ accessors ++ named)
       .map { case (n, b) => (FunctionIdentifier(n), info(n), b) }
   }
 }

@@ -19,7 +19,7 @@ class SltScoutSpec extends SparkSpec {
     val reports = SltRunner.runFiles(spark, paths)
     reports.foreach { r =>
       info(f"${r.file}%-24s pass=${r.passed}%4d fail=${r.failed}%3d skip=${r.skipped}%4d")
-      r.failures.take(10).foreach(f => info(s"  FAIL: ${f.take(220)}"))
+      r.failures.take(10).foreach(f => info(s"  FAIL: ${f.take(1500)}"))
     }
     SltRunner.censusTop(40).foreach { case (reason, n, sample) =>
       info(f"$n%5d  $reason${if (sample.nonEmpty) s"  e.g. $sample" else ""}")
