@@ -42,15 +42,25 @@ object TemporalSql {
     case other => Seq(other)
   }
 
-  /** The deadline when this conjunct is a temporal predicate. Only the
-    * non-strict forms are accepted: `mz_now() <= e` / `e >= mz_now()` keep a
-    * row alive while the clock has not passed `e` — exactly
-    * [[TemporalView]]'s `__expires_at >= clock` retention rule. A strict or
-    * lower-bound use of mz_now() (`mz_now() >= e`, delayed appearance) is a
-    * different feature and rejected loudly rather than mis-compiled. */
-  private def deadlineOf(conjunct: Expression): Option[Expression] = conjunct match {
+  /** Upper bound: `mz_now() <= e` / `e >= mz_now()` keeps a row alive while
+    * the clock has not passed `e` — [[TemporalView]]'s
+    * `__expires_at >= clock` retention rule. */
+  private def upperOf(conjunct: Expression): Option[Expression] = conjunct match {
     case LessThanOrEqual(l, r) if isMzNow(l) => Some(r)
     case GreaterThanOrEqual(l, r) if isMzNow(r) => Some(l)
+    case _ => None
+  }
+
+  /** Lower bound: `mz_now() >= e` / `e <= mz_now()` makes a row APPEAR once
+    * the clock reaches `e` — scheduled future insertion, the reference's
+    * `lower_bounds` list (`src/expr/src/linear.rs:1727-1730`; hopping-window
+    * starts, delayed appearance). Compiled to [[TemporalView.AppearsCol]]:
+    * rows with a future `__appears_at` wait in the pending state and enter
+    * the visible view (diff = +1 in SUBSCRIBE) at the ADVANCE that crosses
+    * their bound. */
+  private def lowerOf(conjunct: Expression): Option[Expression] = conjunct match {
+    case GreaterThanOrEqual(l, r) if isMzNow(l) => Some(r)
+    case LessThanOrEqual(l, r) if isMzNow(r) => Some(l)
     case _ => None
   }
 
@@ -65,29 +75,48 @@ object TemporalSql {
     * semantics (mz_now outside a WHERE conjunct of the supported form). */
   def extract(plan: LogicalPlan): Option[LogicalPlan] = {
     if (!mentionsMzNow(plan)) return None
-    var deadlines = List.empty[Expression]
+    var uppers = List.empty[Expression]
+    var lowers = List.empty[Expression]
     val stripped = plan.transformUp {
       case Filter(cond, child) if cond.exists(isMzNow) =>
         val (temporal, rest) = splitConjuncts(cond).partition(_.exists(isMzNow))
-        val ds = temporal.map(c => deadlineOf(c).getOrElse(
-          throw new IllegalArgumentException(
-            s"unsupported mz_now() predicate: ${c.sql}. Supported: " +
-              "mz_now() <= <expr> (or <expr> >= mz_now()) as a WHERE conjunct")))
-        deadlines = ds.toList ++ deadlines
+        temporal.foreach { c =>
+          upperOf(c) match {
+            case Some(e) => uppers ::= e
+            case None => lowerOf(c) match {
+              case Some(e) => lowers ::= e
+              case None => throw new IllegalArgumentException(
+                s"unsupported mz_now() predicate: ${c.sql}. Supported WHERE " +
+                  "conjuncts: mz_now() <= <expr> (expiry) and " +
+                  "mz_now() >= <expr> (delayed appearance)")
+            }
+          }
+        }
         rest.reduceOption(And).map(Filter(_, child)).getOrElse(child)
     }
     if (stripped.exists(_.expressions.exists(_.exists(isMzNow))))
       throw new IllegalArgumentException(
         "mz_now() is only supported inside WHERE conjuncts of the form " +
-          "mz_now() <= <expr>")
-    val deadline = deadlines match {
-      case one :: Nil => one
-      case many if many.nonEmpty =>
-        // several upper bounds: the row expires at the EARLIEST deadline
-        many.reduce((a, b) => UnresolvedFunction(Seq("least"), Seq(a, b), isDistinct = false))
-      case Nil => throw new IllegalStateException("unreachable: mz_now with no deadline")
+          "mz_now() <= <expr> / mz_now() >= <expr>")
+    if (uppers.isEmpty && lowers.isEmpty)
+      throw new IllegalStateException("unreachable: mz_now with no bound")
+    def reduceWith(fn: String, es: List[Expression]): Expression =
+      es.reduce((a, b) => UnresolvedFunction(Seq(fn), Seq(a, b), isDistinct = false))
+    // several upper bounds: the row expires at the EARLIEST deadline; a
+    // view with only lower bounds never expires (far-future sentinel)
+    val expires =
+      if (uppers.nonEmpty) reduceWith("least", uppers)
+      else org.apache.spark.sql.catalyst.expressions.Literal.create(
+        java.sql.Timestamp.valueOf("9999-12-31 00:00:00"))
+    // several lower bounds: the row appears at the LATEST one
+    val appears = lowers match {
+      case Nil => None
+      case ls => Some(reduceWith("greatest", ls))
     }
-    Some(Project(Seq(UnresolvedStar(None), Alias(deadline, TemporalView.ExpiresCol)()),
+    Some(Project(
+      UnresolvedStar(None) +:
+        (Alias(expires, TemporalView.ExpiresCol)() +:
+          appears.map(a => Alias(a, TemporalView.AppearsCol)()).toSeq),
       stripped))
   }
 

@@ -38,55 +38,100 @@ final class TemporalView(
     source: SparkSession => DataFrame,
     deadline: Column) {
 
-  import TemporalView.ExpiresCol
+  import TemporalView.{AppearsCol, ExpiresCol}
 
   @volatile private var lastClock: Option[java.sql.Timestamp] = None
+  // set at create(): does the stamped plan carry a lower bound (scheduled
+  // FUTURE INSERTION, reference lower_bounds src/expr/src/linear.rs:1727)?
+  @volatile private var hasPending: Boolean = false
+
+  private def pendingName: String = name + "__pending"
 
   private def alive(df: DataFrame, clock: java.sql.Timestamp): DataFrame =
     df.filter(col(ExpiresCol) >= lit(clock))
+
+  private def visibleAt(df: DataFrame, clock: java.sql.Timestamp): DataFrame =
+    alive(df, clock).filter(col(AppearsCol) <= lit(clock))
 
   private def ranged(df: DataFrame): DataFrame =
     df.repartitionByRange(col(ExpiresCol))
 
   /** CREATE at logical time `clock` (format `yyyy-MM-dd HH:mm:ss`): evaluate
-    * the defining query once, stamp each row's deadline, keep rows alive at
-    * `clock`, commit as version 0. */
+    * the defining query once, stamp each row's deadline (and appearance
+    * bound, when the plan has one), keep rows visible at `clock`, commit as
+    * version 0. Rows whose appearance bound lies in the future wait in the
+    * `<name>__pending` state and enter on the ADVANCE that crosses it. */
   def create(spark: SparkSession, clock: String): Long = {
     val c = java.sql.Timestamp.valueOf(clock)
     lastClock = Some(c)
-    cat.registerDefinition(name,
-      s => alive(source(s).withColumn(ExpiresCol, deadline), c))
-    cat.commitState(name,
-      ranged(alive(source(spark).withColumn(ExpiresCol, deadline), c)))
+    val full = source(spark).withColumn(ExpiresCol, deadline)
+    hasPending = full.columns.contains(AppearsCol)
+    if (!hasPending) {
+      cat.registerDefinition(name,
+        s => alive(source(s).withColumn(ExpiresCol, deadline), c))
+      cat.commitState(name, ranged(alive(full, c)))
+    } else {
+      // pending = every not-yet-expired row, future appearances included —
+      // the reference's arrangement holding updates at future timestamps
+      cat.dropView(pendingName)
+      cat.registerDefinition(pendingName,
+        s => ranged(alive(source(s).withColumn(ExpiresCol, deadline), c)))
+      cat.commitState(pendingName, ranged(alive(full, c)))
+      cat.registerDefinition(name,
+        s => visibleAt(source(s).withColumn(ExpiresCol, deadline), c))
+      cat.commitState(name, ranged(visibleAt(full, c)))
+    }
   }
 
   /** Advance the view's logical clock: rows whose deadline fell inside
-    * `[oldClock, newClock)` leave the state and show up as `diff = -1` in the
-    * subscribe changelog between the two committed versions. State-only — the
-    * defining query does not re-run. */
+    * `[oldClock, newClock)` leave the state (diff = -1 in the subscribe
+    * changelog) and rows whose appearance bound was crossed enter it
+    * (diff = +1). State-only — the defining query does not re-run. */
   def advance(clock: String): Long = {
     val c = java.sql.Timestamp.valueOf(clock)
     require(lastClock.forall(_.before(c)),
       s"temporal clock must advance monotonically: $lastClock -> $c")
+    val oldClock = lastClock
     lastClock = Some(c)
     val old = cat.table(name) // pinned: pointer flips only inside commitState
-    // the advance KNOWS its commit changelog exactly — the scheduled
-    // retractions are the rows whose deadline fell before the new clock; the
-    // range partitioning on __expires_at makes this filter a file-pruned
-    // scan of just the expiring tail, and the stored delta is ∝ |expired|
-    cat.commitState(name, ranged(alive(old, c)),
-      Some(_ => Changelog.negate(Changelog.fromRows(
-        old.filter(col(ExpiresCol) < lit(c))))))
+    if (!hasPending) {
+      // the advance KNOWS its commit changelog exactly — the scheduled
+      // retractions are the rows whose deadline fell before the new clock;
+      // the range partitioning on __expires_at makes this filter a
+      // file-pruned scan of just the expiring tail, delta ∝ |expired|
+      cat.commitState(name, ranged(alive(old, c)),
+        Some(_ => Changelog.negate(Changelog.fromRows(
+          old.filter(col(ExpiresCol) < lit(c))))))
+    } else {
+      val pendingOld = cat.table(pendingName)
+      cat.commitState(pendingName, ranged(alive(pendingOld, c)),
+        Some(_ => Changelog.negate(Changelog.fromRows(
+          pendingOld.filter(col(ExpiresCol) < lit(c))))))
+      // insertions: appearance bound crossed inside (oldClock, c], still
+      // alive at c; retractions: deadline passed. Both file-pruned tails.
+      val appearing = alive(pendingOld, c)
+        .filter(col(AppearsCol) <= lit(c))
+        .filter(oldClock.map(o => col(AppearsCol) > lit(o)).getOrElse(lit(true)))
+      val expiring = old.filter(col(ExpiresCol) < lit(c))
+      cat.commitState(name, ranged(visibleAt(pendingOld, c)),
+        Some(_ => Changelog.consolidate(Changelog.unionAll(
+          Changelog.fromRows(appearing),
+          Changelog.negate(Changelog.fromRows(expiring))))))
+    }
   }
 
-  /** Latest committed snapshot without the bookkeeping column. */
-  def snapshot(): DataFrame = cat.table(name).drop(ExpiresCol)
+  /** Latest committed snapshot without the bookkeeping columns. */
+  def snapshot(): DataFrame = cat.table(name).drop(ExpiresCol, AppearsCol)
 }
 
 object TemporalView {
   /** Persisted deadline column — evaluated once at row entry, the analog of
     * the retraction timestamp `extract_temporal` schedules. */
   val ExpiresCol = "__expires_at"
+
+  /** Persisted appearance column (scheduled future INSERTION) — the lower
+    * bound of `mz_now() >= e`, the reference's `lower_bounds` list. */
+  val AppearsCol = "__appears_at"
 
   /** A temporal view whose source ALREADY carries the stamped [[ExpiresCol]]
     * deadline column — the SQL extraction path

@@ -149,6 +149,45 @@ object ViewQueries {
       } finally s.conf.unset("spark.graft.mz_now")
     },
 
+    // BOTH temporal bounds through one SQL view (reference extracts
+    // lower_bounds AND upper_bounds, src/expr/src/linear.rs:1727-1730):
+    // `mz_now() >= ts` delays a row's APPEARANCE until the clock reaches its
+    // event time, `mz_now() <= ts + 2d` expires it two days later. The
+    // SUBSCRIBE frame shows the v0 snapshot, then ADVANCE delivers +1 for
+    // rows whose appearance bound was crossed and -1 for expiries — all
+    // state-only commits. The oracle recomputes each step from scratch.
+    Q("temporal_lower_bound",
+      """WITH base AS (
+        |  SELECT event_id, user_id, ts, ts + INTERVAL 2 DAY AS dl
+        |  FROM events WHERE user_id < 20)
+        |SELECT CAST(0 AS BIGINT) AS mz_ts, CAST(1 AS BIGINT) AS mz_diff,
+        |  event_id, user_id
+        |FROM base WHERE ts <= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND dl >= TIMESTAMP '2024-01-05 00:00:00'
+        |UNION ALL
+        |SELECT 1, 1, event_id, user_id FROM base
+        |WHERE ts > TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND dl >= TIMESTAMP '2024-01-10 00:00:00'
+        |UNION ALL
+        |SELECT 1, -1, event_id, user_id FROM base
+        |WHERE ts <= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND dl >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND dl < TIMESTAMP '2024-01-10 00:00:00'""".stripMargin) { (s, dir) =>
+      graft.Tables.register(s, dir)
+      s.conf.set("spark.graft.mz_now", "2024-01-05 00:00:00")
+      try {
+        s.sql(
+          """CREATE OR REPLACE MATERIALIZED VIEW delayed_sql AS
+            |SELECT event_id, user_id, ts FROM events
+            |WHERE user_id < 20 AND mz_now() >= ts
+            |  AND mz_now() <= ts + INTERVAL 2 DAY""".stripMargin)
+        s.sql("ADVANCE MATERIALIZED VIEW delayed_sql TO TIMESTAMP '2024-01-10 00:00:00'")
+        s.sql("SUBSCRIBE delayed_sql AS OF 0")
+          .select(col("mz_ts"), col("mz_diff"), col("event_id"), col("user_id"))
+      } finally s.conf.unset("spark.graft.mz_now")
+    },
+
     // The SQL entry path end-to-end (reference
     // `doc/developer/life-of-a-query.md`): the whole lifecycle — create,
     // full refresh, versioned AS OF read — is driven by SQL text through

@@ -312,11 +312,26 @@ class SqlSurfaceSpec extends SparkSpec {
       val frame = spark.sql("SUBSCRIBE sqlsurf_ttl AS OF 0")
       val retracted = frame.filter(col("mz_diff") === -1L).select("id").as[Long].collect()
       assert(retracted.toSeq == Seq(1L))
-      // strict/lower-bound mz_now() shapes are rejected, not mis-compiled
+      // lower bound (scheduled future insertion): rows appear only once the
+      // clock reaches their ts — created at the pinned clock 2024-01-02,
+      // only id=1 (ts 01-01) is visible; the others wait in pending state
+      spark.sql(
+        """CREATE OR REPLACE MATERIALIZED VIEW sqlsurf_delayed AS
+          |SELECT id, ts FROM sqlsurf_ttl_base WHERE mz_now() >= ts""".stripMargin)
+      assert(spark.sql("SELECT id FROM sqlsurf_delayed").as[Long].collect().toSet
+        == Set(1L))
+      spark.sql("ADVANCE MATERIALIZED VIEW sqlsurf_delayed TO TIMESTAMP '2024-01-15 00:00:00'")
+      assert(spark.sql("SELECT id FROM sqlsurf_delayed").as[Long].collect().toSet
+        == Set(1L, 2L)) // id=2 appeared; id=3 (ts 01-20) still pending
+      val f2 = spark.sql("SUBSCRIBE sqlsurf_delayed AS OF 0")
+      assert(f2.filter(col("mz_diff") === 1L && col("mz_ts") === 1L)
+        .select("id").as[Long].collect().toSeq == Seq(2L))
+      // strict mz_now() shapes are still rejected, not mis-compiled
       val e = intercept[Exception](spark.sql(
         """CREATE OR REPLACE MATERIALIZED VIEW sqlsurf_ttl_bad AS
-          |SELECT id FROM sqlsurf_ttl_base WHERE mz_now() >= ts""".stripMargin))
+          |SELECT id, ts FROM sqlsurf_ttl_base WHERE mz_now() < ts""".stripMargin))
       assert(e.getMessage.contains("mz_now"))
+      spark.sql("DROP MATERIALIZED VIEW sqlsurf_delayed")
       spark.sql("DROP MATERIALIZED VIEW sqlsurf_ttl")
     } finally spark.conf.unset("spark.graft.mz_now")
   }
