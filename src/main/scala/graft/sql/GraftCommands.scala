@@ -414,7 +414,8 @@ case class ShowIndexesCommand() extends LeafRunnableCommand {
   * queue; `FETCH <view>` drains it; `CLOSE <view>` ends the subscription.
   * The batch frame over the version timeline stays `SUBSCRIBE v [AS OF n]`
   * (no WITH clause). */
-case class SubscribeContinuousCommand(view: String, snapshot: Boolean, progress: Boolean)
+case class SubscribeContinuousCommand(view: String, snapshot: Boolean, progress: Boolean,
+    envelope: Option[(String, Seq[String])] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("subscription", StringType, nullable = false)(),
@@ -430,7 +431,7 @@ case class SubscribeContinuousCommand(view: String, snapshot: Boolean, progress:
       throw new IllegalArgumentException(
         s"cannot SUBSCRIBE: no committed version of $view"))
     val snap = cat.table(view)
-    val cursor = new SubscriptionCursor(view, snap.schema, progress)
+    val cursor = new SubscriptionCursor(view, snap.schema, progress, envelope)
     if (snapshot)
       cursor.enqueue(graft.streaming.Changelog.fromRows(snap), version)
     else if (progress) // no snapshot requested: still announce the frontier
@@ -447,7 +448,10 @@ case class SubscribeContinuousCommand(view: String, snapshot: Boolean, progress:
 
 /** `FETCH [ALL] <view>` — drain everything the subscription delivered since
   * the last FETCH, in timestamp order. The output schema is the cursor's
-  * stamped row shape, resolved at parse time. */
+  * stamped row shape (or its envelope's reshaped form), resolved at parse
+  * time. An enveloped drain reshapes through [[SubscribeEnvelope]]; progress
+  * rows re-attach after the data rows of their timestamp with NULL
+  * state/key/value, per the reference's SUBSCRIBE output contract. */
 case class FetchSubscriptionCommand(view: String,
     rowSchema: org.apache.spark.sql.types.StructType) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
@@ -456,7 +460,39 @@ case class FetchSubscriptionCommand(view: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val cursor = GraftSqlCatalog.subscriptionsFor(spark).getOrElse(view,
       throw new IllegalArgumentException(s"no open subscription on $view"))
-    cursor.drain()
+    val rows = cursor.drain()
+    cursor.envelope match {
+      case None => rows
+      case Some((kind, keys)) =>
+        import scala.jdk.CollectionConverters._
+        val (progressRows, dataRows) =
+          if (cursor.withProgress)
+            rows.partition(r => !r.isNullAt(2) && r.getBoolean(2))
+          else (Seq.empty[Row], rows)
+        val plain = dataRows.map { r =>
+          val s = r.toSeq
+          Row.fromSeq(if (cursor.withProgress) s.take(2) ++ s.drop(3) else s)
+        }
+        val df = spark.createDataFrame(plain.asJava, cursor.plainSchema)
+        val shaped =
+          (if (kind.equalsIgnoreCase("UPSERT")) SubscribeEnvelope.upsert(df, keys)
+          else SubscribeEnvelope.debezium(df, keys))
+            .orderBy(org.apache.spark.sql.functions.col(
+              graft.streaming.Subscribe.TsCol))
+            .collect().toSeq
+        if (!cursor.withProgress) shaped
+        else {
+          val width = output.length
+          val dataOut = shaped.map { r =>
+            val s = r.toSeq
+            Row.fromSeq(s.take(2) ++ Seq(false) ++ s.drop(2))
+          }
+          val progOut = progressRows.map(r => Row.fromSeq(
+            Seq(r.get(0), null, true) ++ Seq.fill(width - 3)(null)))
+          // stable sort: data rows precede their timestamp's progress row
+          (dataOut ++ progOut).sortBy(_.getLong(0))
+        }
+    }
   }
 }
 

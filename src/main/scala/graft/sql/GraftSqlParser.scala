@@ -48,21 +48,39 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case RefreshMv(name) => RefreshMaterializedViewCommand(name)
     case AdvanceMv(name, toTs) => AdvanceMaterializedViewCommand(name, Option(toTs))
     case DropMv(name) => DropMaterializedViewCommand(name)
-    case SubscribeWith(name, opts) =>
+    case SubscribeWith(name, env, keyList, opts) =>
       val options = opts.split(",").map(_.trim.toUpperCase).filter(_.nonEmpty).toSet
       val unknown = options -- Set("SNAPSHOT", "PROGRESS")
       if (unknown.nonEmpty) throw new IllegalArgumentException(
         s"unknown SUBSCRIBE option(s): ${unknown.mkString(", ")} (SNAPSHOT, PROGRESS)")
+      val envelope = Option(env).map { e =>
+        val keys = Option(keyList).getOrElse("").split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        require(keys.nonEmpty, s"ENVELOPE $e requires a KEY column list")
+        (e.toUpperCase, keys)
+      }
       SubscribeContinuousCommand(name,
-        snapshot = options.contains("SNAPSHOT"), progress = options.contains("PROGRESS"))
+        snapshot = options.contains("SNAPSHOT"), progress = options.contains("PROGRESS"),
+        envelope = envelope)
     case FetchStmt(name) =>
       val cursor = GraftSqlCatalog.subscriptionsFor(session).getOrElse(name,
         throw new IllegalArgumentException(s"no open subscription on $name"))
-      FetchSubscriptionCommand(name, cursor.rowSchema)
+      FetchSubscriptionCommand(name, cursor.fetchSchema(session))
     case CloseStmt(name) => CloseSubscriptionCommand(name)
-    case SubscribeStmt(name, asOf) =>
-      SubscribeFrame(GraftSqlCatalog.forSession(session), name,
-        Option(asOf).map(_.toLong)).queryExecution.logical
+    case SubscribeStmt(name, env, keyList, orderBy, asOf) =>
+      var frame = SubscribeFrame(GraftSqlCatalog.forSession(session), name,
+        Option(asOf).map(_.toLong))
+      Option(env).foreach { e =>
+        val keys = Option(keyList).getOrElse("").split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        require(keys.nonEmpty, s"ENVELOPE $e requires a KEY column list")
+        frame =
+          if (e.equalsIgnoreCase("UPSERT")) SubscribeEnvelope.upsert(frame, keys)
+          else SubscribeEnvelope.debezium(frame, keys)
+      }
+      Option(orderBy).filter(_.trim.nonEmpty).foreach(o =>
+        frame = SubscribeEnvelope.withinTimestampOrder(frame, o))
+      frame.queryExecution.logical
     case CopyStmt(query, view, path, format) =>
       CopyToCommand(
         if (view != null) Left(view) else Right(query),
@@ -163,12 +181,18 @@ object GraftSqlParser {
       s"(?:\\s+TO\\s+TIMESTAMP\\s+'([^']+)')?\\s*;?\\s*$$").r
   val DropMv: Regex =
     s"(?is)^\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+$Id\\s*;?\\s*$$".r
+  // batch frame with optional output envelope + in-timestamp ordering
+  // (reference doc/user/content/sql/subscribe.md:34-57)
   val SubscribeStmt: Regex =
-    s"(?is)^\\s*SUBSCRIBE\\s+(?:TO\\s+)?$Id(?:\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$".r
-  // continuous subscription cursor: SUBSCRIBE v WITH (SNAPSHOT, PROGRESS)
+    (s"(?is)^\\s*SUBSCRIBE\\s+(?:TO\\s+)?$Id" +
+      s"(?:\\s+ENVELOPE\\s+(UPSERT|DEBEZIUM)\\s*\\(\\s*KEY\\s*\\(([^)]*)\\)\\s*\\))?" +
+      s"(?:\\s+WITHIN\\s+TIMESTAMP\\s+ORDER\\s+BY\\s+(.*?))?" +
+      s"(?:\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$").r
+  // continuous subscription cursor: SUBSCRIBE v [ENVELOPE ...] WITH (SNAPSHOT, PROGRESS)
   val SubscribeWith: Regex =
-    (s"(?is)^\\s*SUBSCRIBE\\s+(?:TO\\s+)?$Id\\s+WITH\\s*" +
-      s"\\(\\s*([A-Za-z_,\\s]*)\\)\\s*;?\\s*$$").r
+    (s"(?is)^\\s*SUBSCRIBE\\s+(?:TO\\s+)?$Id" +
+      s"(?:\\s+ENVELOPE\\s+(UPSERT|DEBEZIUM)\\s*\\(\\s*KEY\\s*\\(([^)]*)\\)\\s*\\))?" +
+      s"\\s+WITH\\s*\\(\\s*([A-Za-z_,\\s]*)\\)\\s*;?\\s*$$").r
   val FetchStmt: Regex =
     s"(?is)^\\s*FETCH\\s+(?:ALL\\s+)?$Id\\s*;?\\s*$$".r
   val CloseStmt: Regex = s"(?is)^\\s*CLOSE\\s+$Id\\s*;?\\s*$$".r

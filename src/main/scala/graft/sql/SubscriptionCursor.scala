@@ -28,7 +28,8 @@ import graft.streaming.{Changelog, Subscribe}
 final class SubscriptionCursor(
     val view: String,
     val viewSchema: StructType,
-    val withProgress: Boolean) {
+    val withProgress: Boolean,
+    val envelope: Option[(String, Seq[String])] = None) {
 
   private val queue = new ConcurrentLinkedQueue[Row]
 
@@ -40,6 +41,32 @@ final class SubscriptionCursor(
       Seq(StructField("mz_progressed", BooleanType, nullable = false)) else Nil
     StructType(head ++ prog ++ viewSchema.fields)
   }
+
+  /** The stamped changelog shape WITHOUT the progress column — the input the
+    * envelope transforms consume. */
+  val plainSchema: StructType = StructType(
+    StructField(Subscribe.TsCol, LongType, nullable = false) +:
+      StructField(Subscribe.DiffCol, LongType, nullable = true) +:
+      viewSchema.fields)
+
+  /** Schema FETCH presents: the raw stamped rows, or the envelope's reshaped
+    * form (computed once by running the transform over an empty frame), with
+    * `mz_progressed` re-inserted after `mz_state` when PROGRESS is on. */
+  def fetchSchema(spark: org.apache.spark.sql.SparkSession): StructType =
+    envelope match {
+      case None => rowSchema
+      case Some((kind, keys)) =>
+        val empty = spark.createDataFrame(
+          new java.util.ArrayList[Row](), plainSchema)
+        val shaped =
+          (if (kind.equalsIgnoreCase("UPSERT")) SubscribeEnvelope.upsert(empty, keys)
+          else SubscribeEnvelope.debezium(empty, keys)).schema
+        if (!withProgress) shaped
+        else StructType((shaped.fields.take(2) ++
+          Seq(StructField("mz_progressed", BooleanType, nullable = false)) ++
+          shaped.fields.drop(2)).map(f =>
+            if (f.name == Subscribe.TsCol) f else f.copy(nullable = true)))
+    }
 
   private def dataRow(ts: Long, diff: Long, cols: Seq[Any]): Row =
     Row.fromSeq(

@@ -188,6 +188,40 @@ object ViewQueries {
       } finally s.conf.unset("spark.graft.mz_now")
     },
 
+    // SUBSCRIBE with the UPSERT output envelope (reference
+    // doc/user/content/sql/subscribe.md:34-57): the changelog frame is
+    // reshaped per (timestamp, key) — the v0 snapshot arrives as `upsert`
+    // rows, a refresh delivers `upsert` for keys whose value changed and
+    // `delete` (NULL value) for keys that vanished. WITHIN TIMESTAMP ORDER
+    // BY fixes the in-timestamp presentation order. The oracle recomputes
+    // both versions from scratch and derives the same keyed envelope.
+    Q("subscribe_envelope_upsert",
+      """WITH a AS (SELECT user_id, count(*) AS n FROM events
+        |           WHERE user_id < 30 GROUP BY user_id),
+        |b AS (SELECT user_id, count(*) AS n FROM events
+        |      WHERE user_id < 25 AND event_id % 2 = 0 GROUP BY user_id)
+        |SELECT CAST(0 AS BIGINT) AS mz_ts, 'upsert' AS mz_state, user_id, n FROM a
+        |UNION ALL
+        |SELECT 1, 'delete', a.user_id, CAST(NULL AS BIGINT)
+        |FROM a LEFT JOIN b ON a.user_id = b.user_id WHERE b.user_id IS NULL
+        |UNION ALL
+        |SELECT 1, 'upsert', b.user_id, b.n
+        |FROM b JOIN a ON a.user_id = b.user_id WHERE b.n <> a.n
+        |UNION ALL
+        |SELECT 1, 'upsert', b.user_id, b.n
+        |FROM b LEFT JOIN a ON a.user_id = b.user_id WHERE a.user_id IS NULL""".stripMargin) { (s, dir) =>
+      graft.Tables.register(s, dir)
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW subenv_base AS
+              |SELECT * FROM events WHERE user_id < 30""".stripMargin)
+      s.sql("""CREATE OR REPLACE MATERIALIZED VIEW subenv_mv AS
+              |SELECT user_id, count(*) AS n FROM subenv_base GROUP BY user_id""".stripMargin)
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW subenv_base AS
+              |SELECT * FROM events WHERE user_id < 25 AND event_id % 2 = 0""".stripMargin)
+      s.sql("REFRESH MATERIALIZED VIEW subenv_mv")
+      s.sql("""SUBSCRIBE subenv_mv ENVELOPE UPSERT (KEY (user_id))
+              |WITHIN TIMESTAMP ORDER BY user_id AS OF 0""".stripMargin)
+    },
+
     // The SQL entry path end-to-end (reference
     // `doc/developer/life-of-a-query.md`): the whole lifecycle — create,
     // full refresh, versioned AS OF read — is driven by SQL text through

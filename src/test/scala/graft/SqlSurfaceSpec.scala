@@ -290,6 +290,51 @@ class SqlSurfaceSpec extends SparkSpec {
     spark.sql("DROP MATERIALIZED VIEW sqlsub_mv")
   }
 
+  test("SUBSCRIBE ENVELOPE UPSERT/DEBEZIUM round-trip through upsert decode") {
+    Seq((1L, 2.0), (2L, 4.0)).toDF("k", "v").createOrReplaceTempView("subup_base")
+    spark.sql(
+      """CREATE OR REPLACE MATERIALIZED VIEW subup_mv AS
+        |SELECT k, sum(v) AS v FROM subup_base GROUP BY k""".stripMargin)
+    // v1: update k=1, delete k=2, insert k=3
+    Seq((1L, 10.0), (3L, 6.0)).toDF("k", "v").createOrReplaceTempView("subup_base")
+    spark.sql("REFRESH MATERIALIZED VIEW subup_mv")
+    val env = spark.sql("SUBSCRIBE subup_mv ENVELOPE UPSERT (KEY (k)) AS OF 0").collect()
+    val byTs = env.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+    assert(byTs == Set(
+      (0L, "upsert", 1L, 2.0), (0L, "upsert", 2L, 4.0),
+      (1L, "upsert", 1L, 10.0), (1L, "delete", 2L, null),
+      (1L, "upsert", 3L, 6.0)), s"unexpected envelope: $byTs")
+    // round trip: replaying the envelope through upsert semantics (last
+    // state per key; delete removes) reconstructs the final snapshot
+    val decoded = env.groupBy(_.getLong(2)).map { case (_, rows) =>
+      rows.maxBy(_.getLong(0))
+    }.filter(_.getString(1) == "upsert").map(r => (r.getLong(2), r.getDouble(3))).toSet
+    val snap = spark.sql("SELECT k, v FROM subup_mv")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(decoded == snap, s"round-trip mismatch: $decoded vs $snap")
+    // DEBEZIUM carries the prior state: before/after pairs per key
+    val dbz = spark.sql("SUBSCRIBE subup_mv ENVELOPE DEBEZIUM (KEY (k)) AS OF 0")
+      .filter(col("mz_ts") === 1L).collect()
+      .map(r => (r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3),
+        if (r.isNullAt(4)) null else r.getDouble(4))).toSet
+    assert(dbz == Set(
+      ("upsert", 1L, 2.0, 10.0), ("delete", 2L, 4.0, null),
+      ("insert", 3L, null, 6.0)), s"unexpected debezium envelope: $dbz")
+    // the continuous cursor serves the same envelope through FETCH
+    Seq((1L, 10.0), (3L, 6.0), (4L, 8.0)).toDF("k", "v")
+      .createOrReplaceTempView("subup_base")
+    spark.sql("SUBSCRIBE subup_mv ENVELOPE UPSERT (KEY (k)) WITH (SNAPSHOT)")
+    spark.sql("FETCH subup_mv").collect() // drain the snapshot
+    spark.sql("REFRESH MATERIALIZED VIEW subup_mv")
+    val fetched = spark.sql("FETCH subup_mv").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(fetched == Set(("upsert", 4L, 8.0)), s"unexpected FETCH: $fetched")
+    spark.sql("CLOSE subup_mv")
+    spark.sql("DROP MATERIALIZED VIEW subup_mv")
+  }
+
   test("mz_now() temporal filter in CREATE MATERIALIZED VIEW + ADVANCE") {
     Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-10 00:00:00"),
         (3L, "2024-01-20 00:00:00"))
