@@ -6,7 +6,7 @@ import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 import scala.util.matching.Regex
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Mini sqllogictest runner (reference `src/sqllogictest/src/runner.rs`,
   * corpus `test/sqllogictest/` .slt files): parses SLT records and executes them
@@ -1093,10 +1093,37 @@ object SltRunner {
   // anyway); the ENGINE's mutation path for real data is the changelog /
   // Iceberg machinery, not this.
 
-  private val UpdateRe =
-    """(?is)^\s*UPDATE\s+["`]?(\w+)["`]?\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$""".r
-  private val DeleteRe =
-    """(?is)^\s*DELETE\s+FROM\s+["`]?(\w+)["`]?(?:\s+WHERE\s+(.*?))?\s*;?\s*$""".r
+  private val UpdateHead =
+    """(?is)^\s*UPDATE\s+["`]?(\w+)["`]?(?:\s+AS\s+(\w+))?\s+SET\s+(.*)$""".r
+  private val DeleteHead =
+    ("""(?is)^\s*DELETE\s+FROM\s+["`]?(\w+)["`]?""" +
+      """(?:\s+(?:AS\s+)?(?!USING\b|WHERE\b|RETURNING\b|ORDER\b|LIMIT\b)(\w+))?\s*(.*)$""").r
+  private val InsertHead =
+    """(?is)^\s*INSERT\s+INTO\s+["`]?(\w+)["`]?\s*(\([^()]*\))?\s*(.*)$""".r
+
+  /** First top-level (outside quotes/parens) occurrence of `word`, or -1. */
+  private def topLevelIndexOf(s: String, word: String): Int = {
+    var depth = 0
+    var inQ = false
+    var i = 0
+    val w = word.toUpperCase
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false; i += 1 }
+      else c match {
+        case '\'' => inQ = true; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ =>
+          if (depth == 0 && s.regionMatches(true, i, w, 0, w.length) &&
+              (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+              (i + w.length >= s.length || !isWordChar(s.charAt(i + w.length))))
+            return i
+          i += 1
+      }
+    }
+    -1
+  }
 
   /** Is `word` present OUTSIDE parens and quotes? (UPDATE ... FROM detection:
     * a FROM inside a SET subquery is fine; a top-level one is the pg
@@ -1144,68 +1171,254 @@ object SltRunner {
     out.toList
   }
 
-  /** Execute an emulated UPDATE/DELETE; false when `sql` is not one. Throws
-    * IllegalArgumentException("UNSUPPORTED ...") for shapes the emulation
-    * does not cover (UPDATE ... FROM, DELETE ... USING, RETURNING) — the
-    * caller's dialect-skip path handles those exactly like before. */
-  private def applyMutation(spark: SparkSession, sql: String): Boolean = sql match {
-    case UpdateRe(table, setList, where) =>
-      if ("""(?i)\bRETURNING\b""".r.findFirstIn(sql).isDefined)
-        throw new IllegalArgumentException("UNSUPPORTED mutation shape: RETURNING")
-      if (hasTopLevelWord(setList, "FROM") ||
-          Option(where).exists(hasTopLevelWord(_, "FROM")))
-        throw new IllegalArgumentException("UNSUPPORTED mutation shape: UPDATE ... FROM")
-      val schema = spark.table(table).schema
-      val assigns = splitTopLevel(setList, ',').map { a =>
-        val eq = {
-          // first top-level '=' splits column from expression
-          var depth = 0; var inQ = false; var idx = -1; var i = 0
-          while (i < a.length && idx < 0) {
-            val c = a.charAt(i)
-            if (inQ) { if (c == '\'') inQ = false }
-            else c match {
-              case '\'' => inQ = true
-              case '(' => depth += 1
-              case ')' => depth -= 1
-              case '=' if depth == 0 => idx = i
-              case _ =>
-            }
-            i += 1
+  /** Execute an emulated UPDATE/DELETE/INSERT-RETURNING; false when `sql`
+    * is not one. Throws IllegalArgumentException("UNSUPPORTED ...") for
+    * shapes the emulation does not cover — the caller's dialect-skip path
+    * handles those exactly like before. */
+  private def applyMutation(spark: SparkSession, sql: String): Boolean =
+    applyMutationResult(spark, sql).isDefined
+
+  /** Carve `[FROM/USING ...] [WHERE ...] [RETURNING ...]` off a mutation
+    * tail at top level, in clause order. */
+  private def carve(rest0: String, joinKw: Option[String])
+      : (String, Option[String], Option[String], Option[String]) = {
+    var rest = rest0.trim.stripSuffix(";").trim
+    var returning: Option[String] = None
+    val iRet = topLevelIndexOf(rest, "RETURNING")
+    if (iRet >= 0) {
+      returning = Some(rest.substring(iRet + "RETURNING".length).trim)
+      rest = rest.substring(0, iRet).trim
+    }
+    var where: Option[String] = None
+    val iWhere = topLevelIndexOf(rest, "WHERE")
+    if (iWhere >= 0) {
+      where = Some(rest.substring(iWhere + "WHERE".length).trim)
+      rest = rest.substring(0, iWhere).trim
+    }
+    var join: Option[String] = None
+    joinKw.foreach { kw =>
+      val iJoin = topLevelIndexOf(rest, kw)
+      if (iJoin >= 0) {
+        join = Some(rest.substring(iJoin + kw.length).trim)
+        rest = rest.substring(0, iJoin).trim
+      }
+    }
+    (rest, join, where, returning)
+  }
+
+  /** A mutation's emulated execution: `Some(result)` when `sql` is a
+    * supported mutation (result = the RETURNING rows, pre-materialized
+    * BEFORE the table changes, so a throwing RETURNING leaves state
+    * untouched like pg's atomic statements), None when not a mutation. */
+  private def applyMutationResult(spark: SparkSession,
+      sql: String): Option[Option[DataFrame]] = {
+    val up = sql.trim.toUpperCase
+    if (up.startsWith("UPDATE")) UpdateHead.findFirstMatchIn(sql).map { m =>
+      runUpdate(spark, m.group(1), Option(m.group(2)), m.group(3))
+    }
+    else if (up.startsWith("DELETE")) DeleteHead.findFirstMatchIn(sql).map { m =>
+      runDelete(spark, m.group(1), Option(m.group(2)), m.group(3))
+    }
+    else if (up.startsWith("INSERT") &&
+        (topLevelIndexOf(sql, "RETURNING") >= 0 ||
+          """(?is)\bDEFAULT\s+VALUES""".r.findFirstIn(sql).isDefined))
+      InsertHead.findFirstMatchIn(sql).map { m =>
+        runInsertReturning(spark, m.group(1), Option(m.group(2)), m.group(3))
+      }
+    else None
+  }
+
+  private def localized(spark: SparkSession, df: DataFrame): DataFrame = {
+    val rows = df.collect().toSeq
+    spark.createDataFrame(rows.asJava, df.schema)
+  }
+
+  private def runUpdate(spark: SparkSession, table: String,
+      alias: Option[String], rest0: String): Option[DataFrame] = {
+    val (setList, from, where, returning) = carve(rest0, Some("FROM"))
+    val schema = spark.table(table).schema
+    val outerRef = s"`$table`" + alias.map(a => s" AS `$a`").getOrElse("")
+    val assigns = splitTopLevel(setList, ',').map { a =>
+      val eq = {
+        // first top-level '=' splits column from expression
+        var depth = 0; var inQ = false; var idx = -1; var i = 0
+        while (i < a.length && idx < 0) {
+          val c = a.charAt(i)
+          if (inQ) { if (c == '\'') inQ = false }
+          else c match {
+            case '\'' => inQ = true
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case '=' if depth == 0 => idx = i
+            case _ =>
           }
-          idx
+          i += 1
         }
-        require(eq > 0, s"cannot parse SET assignment: $a")
-        (a.substring(0, eq).trim.stripPrefix("\"").stripSuffix("\"")
-          .stripPrefix("`").stripSuffix("`").toLowerCase,
-          a.substring(eq + 1).trim)
-      }.toMap
-      val unknown = assigns.keySet -- schema.fieldNames.map(_.toLowerCase).toSet
-      if (unknown.nonEmpty)
-        throw new IllegalArgumentException(s"UPDATE: unknown column(s) ${unknown.mkString(", ")}")
-      val cols = schema.fields.map { f =>
-        assigns.get(f.name.toLowerCase) match {
-          case Some(e) =>
-            val cast = s"CAST(($e) AS ${f.dataType.sql})"
-            Option(where) match {
-              case Some(w) => s"CASE WHEN ($w) THEN $cast ELSE `${f.name}` END AS `${f.name}`"
-              case None => s"$cast AS `${f.name}`"
-            }
-          case None => s"`${f.name}`"
+        idx
+      }
+      require(eq > 0, s"cannot parse SET assignment: $a")
+      (a.substring(0, eq).trim.stripPrefix("\"").stripSuffix("\"")
+        .stripPrefix("`").stripSuffix("`").toLowerCase,
+        a.substring(eq + 1).trim)
+    }.toMap
+    val unknown = assigns.keySet -- schema.fieldNames.map(_.toLowerCase).toSet
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(s"UPDATE: unknown column(s) ${unknown.mkString(", ")}")
+    from match {
+      case Some(f) =>
+        // pg's join-update: SET expressions read SOME matching row of the
+        // FROM list. Compiled to a joined rewrite-SELECT keyed by a
+        // synthetic row id (a correlated first() would mix outer and local
+        // references, which Catalyst rejects): matched pairs aggregate
+        // first(<set expr>) per target row, then LEFT JOIN back.
+        if (returning.isDefined)
+          throw new IllegalArgumentException(
+            "UNSUPPORTED mutation shape: UPDATE ... FROM ... RETURNING")
+        val w = where.getOrElse("TRUE")
+        val effName = alias.getOrElse(table)
+        val base = spark.table(table)
+        val idRows = base.collect().toSeq.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i.toLong)
         }
+        val idSchema = org.apache.spark.sql.types.StructType(base.schema.fields :+
+          org.apache.spark.sql.types.StructField("__graft_rid",
+            org.apache.spark.sql.types.LongType, nullable = false))
+        spark.createDataFrame(idRows.asJava, idSchema)
+          .createOrReplaceTempView("graft_upd_t")
+        val aggCols = assigns.map { case (c, e) => s"first($e) AS `__new_$c`" }
+          .mkString(", ")
+        spark.sql(s"SELECT `$effName`.`__graft_rid` AS `__graft_rid`, $aggCols " +
+            s"FROM graft_upd_t AS `$effName`, $f WHERE $w " +
+            s"GROUP BY `$effName`.`__graft_rid`")
+          .createOrReplaceTempView("graft_upd_m")
+        val outCols = schema.fields.map { fl =>
+          assigns.get(fl.name.toLowerCase) match {
+            case Some(_) =>
+              s"CASE WHEN m.`__graft_rid` IS NOT NULL " +
+                s"THEN CAST(m.`__new_${fl.name.toLowerCase}` AS ${fl.dataType.sql}) " +
+                s"ELSE t.`${fl.name}` END AS `${fl.name}`"
+            case None => s"t.`${fl.name}`"
+          }
+        }
+        rewriteTable(spark, table,
+          s"SELECT ${outCols.mkString(", ")} FROM graft_upd_t t " +
+            s"LEFT JOIN graft_upd_m m ON t.`__graft_rid` = m.`__graft_rid`")
+        None
+      case None =>
+        // the reference rejects UPDATE ... RETURNING ("Expected end of
+        // statement", returning.slt) — emulating it would mutate state the
+        // reference's error left untouched
+        if (returning.isDefined)
+          throw new IllegalArgumentException(
+            "UNSUPPORTED mutation shape: UPDATE ... RETURNING (reference rejects)")
+        val newCols = schema.fields.map { fl =>
+          assigns.get(fl.name.toLowerCase) match {
+            case Some(e) =>
+              val cast = s"CAST(($e) AS ${fl.dataType.sql})"
+              where match {
+                case Some(w) => s"CASE WHEN ($w) THEN $cast ELSE `${fl.name}` END AS `${fl.name}`"
+                case None => s"$cast AS `${fl.name}`"
+              }
+            case None => s"`${fl.name}`"
+          }
+        }
+        rewriteTable(spark, table, s"SELECT ${newCols.mkString(", ")} FROM $outerRef")
+        None
+    }
+  }
+
+  private def runDelete(spark: SparkSession, table: String,
+      alias: Option[String], rest0: String): Option[DataFrame] = {
+    val (lead, using, where, returning) = carve(rest0, Some("USING"))
+    if (lead.nonEmpty ||
+        """(?i)\b(ORDER|LIMIT)\b""".r.findFirstIn(rest0).isDefined)
+      throw new IllegalArgumentException(s"UNSUPPORTED DELETE shape: $rest0")
+    val outerRef = s"`$table`" + alias.map(a => s" AS `$a`").getOrElse("")
+    using match {
+      case Some(u) =>
+        // pg's join-delete: keep rows with NO matching USING row
+        if (returning.isDefined)
+          throw new IllegalArgumentException(
+            "UNSUPPORTED mutation shape: DELETE ... USING ... RETURNING")
+        val w = where.getOrElse("TRUE")
+        rewriteTable(spark, table,
+          s"SELECT * FROM $outerRef WHERE NOT EXISTS (SELECT 1 FROM $u WHERE $w)")
+        None
+      case None =>
+        // like UPDATE: the reference rejects DELETE ... RETURNING
+        if (returning.isDefined)
+          throw new IllegalArgumentException(
+            "UNSUPPORTED mutation shape: DELETE ... RETURNING (reference rejects)")
+        val sel = where match {
+          case Some(w) => s"SELECT * FROM $outerRef WHERE NOT coalesce(($w), false)"
+          case None => s"SELECT * FROM $outerRef WHERE false"
+        }
+        rewriteTable(spark, table, sel)
+        None
+    }
+  }
+
+  /** INSERT with RETURNING (mz supports it; reference returning.slt) and/or
+    * DEFAULT VALUES: the inserted rows are computed as a projection of the
+    * VALUES/SELECT body onto the table schema (absent columns take their
+    * declared DEFAULT), materialized, used for the RETURNING result, then
+    * appended. */
+  private def runInsertReturning(spark: SparkSession, table: String,
+      colList: Option[String], rest0: String): Option[DataFrame] = {
+    val (body0, _, _, returning) = carve(rest0, None)
+    val schema = spark.table(table).schema
+    def defaultExpr(f: org.apache.spark.sql.types.StructField): String =
+      if (f.metadata.contains("CURRENT_DEFAULT")) f.metadata.getString("CURRENT_DEFAULT")
+      else "NULL"
+    // the reference rejects a paren-wrapped SELECT body ("Expected right
+    // parenthesis", returning.slt) even though pg accepts it
+    val body = body0.trim
+    if (body.startsWith("("))
+      throw new IllegalArgumentException(
+        "UNSUPPORTED INSERT body: parenthesized query (reference rejects)")
+    val targets: Seq[String] = colList match {
+      case Some(cl) => cl.stripPrefix("(").stripSuffix(")").split(",")
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"").toLowerCase).toSeq
+      case None => schema.fieldNames.map(_.toLowerCase).toSeq
+    }
+    val insDf: DataFrame =
+      if (body.toUpperCase.startsWith("DEFAULT VALUES"))
+        spark.sql("SELECT " + schema.fields.map(f =>
+          s"CAST((${defaultExpr(f)}) AS ${f.dataType.sql}) AS `${f.name}`").mkString(", "))
+      else {
+        val raw =
+          if (body.toUpperCase.startsWith("VALUES")) spark.sql(s"SELECT * FROM $body")
+          else spark.sql(body)
+        require(raw.columns.length <= targets.length,
+          s"INSERT has more expressions than target columns")
+        val m = targets.take(raw.columns.length).zip(raw.columns).toMap
+        import org.apache.spark.sql.functions.expr
+        raw.select(schema.fields.toIndexedSeq.map { f =>
+          m.get(f.name.toLowerCase) match {
+            case Some(src) => raw(s"`$src`").cast(f.dataType).as(f.name)
+            case None => expr(defaultExpr(f)).cast(f.dataType).as(f.name)
+          }
+        }: _*)
       }
-      rewriteTable(spark, table, s"SELECT ${cols.mkString(", ")} FROM `$table`")
-      true
-    case DeleteRe(table, where) =>
-      if ("""(?i)\b(USING|RETURNING)\b""".r.findFirstIn(
-          Option(where).getOrElse("")).isDefined)
-        throw new IllegalArgumentException("UNSUPPORTED mutation shape: USING/RETURNING")
-      val sel = Option(where) match {
-        case Some(w) => s"SELECT * FROM `$table` WHERE NOT coalesce(($w), false)"
-        case None => s"SELECT * FROM `$table` WHERE false"
-      }
-      rewriteTable(spark, table, sel)
-      true
-    case _ => false
+    val localIns = localized(spark, insDf)
+    // RETURNING evaluates (and throws) BEFORE any table change; the
+    // reference additionally rejects aggregates / window functions /
+    // subqueries in the RETURNING list (returning.slt error records) —
+    // Spark would accept them, silently inserting rows the reference's
+    // error left out
+    val ret = returning.map { r =>
+      if ("""(?i)\b(count|sum|avg|min|max|row_number|rank|dense_rank)\s*\(""".r
+          .findFirstIn(r).isDefined)
+        throw new IllegalArgumentException(
+          "aggregate/window functions are not allowed in RETURNING clause")
+      if ("""(?i)\(\s*SELECT\b""".r.findFirstIn(r).isDefined)
+        throw new IllegalArgumentException(
+          "RETURNING clause does not allow subqueries")
+      localIns.createOrReplaceTempView("graft_mut_rows")
+      localized(spark, spark.sql(s"SELECT $r FROM graft_mut_rows AS `$table`"))
+    }
+    localIns.write.mode("append").insertInto(table)
+    ret
   }
 
   /** Evaluate `select` (over the table's CURRENT contents), then overwrite
@@ -2034,7 +2247,13 @@ object SltRunner {
       case q: Query =>
         try {
           refreshMvsFor(q.sql)
-          val df = spark.sql(q.sql)
+          // a mutation query record (INSERT/UPDATE/DELETE ... RETURNING)
+          // runs through the emulation; its RETURNING rows are the result
+          val df = applyMutationResult(spark, q.sql) match {
+            case Some(Some(ret)) => ret
+            case Some(None) => spark.emptyDataFrame
+            case None => spark.sql(q.sql)
+          }
           val rows = df.collect()
           if (q.expectError) { // accepted-but-reference-rejects
             skipped += 1
@@ -2113,6 +2332,9 @@ object SltRunner {
               skipped += 1
               tally(s"query dialect error: ${e.getClass.getSimpleName}: " +
                 Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(60), q.sql)
+              // an un-run mutation query (RETURNING shapes) leaves the
+              // target stale — poison it like a skipped mutation statement
+              mutationTarget(q.sql).foreach(poisonedTables += _)
             }
             else { failed += 1; failures += s"$name query: ${q.sql.take(100)} → ${e.toString.take(150)}" }
         }
@@ -2124,6 +2346,8 @@ object SltRunner {
   private[slt] def testRegisterRangeCol(c: String, k: String): Unit = {
     rangeColumns.put(c, k); ()
   }
+  private[slt] def testApplyMutation2(spark: SparkSession, sql: String): Option[Option[DataFrame]] =
+    applyMutationResult(spark, sql)
   private[slt] def testApplyMutation(spark: SparkSession, sql: String): Boolean =
     applyMutation(spark, sql)
 

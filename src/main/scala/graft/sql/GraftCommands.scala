@@ -510,6 +510,58 @@ case class CloseSubscriptionCommand(view: String) extends LeafRunnableCommand {
   }
 }
 
+/** `EXPLAIN [RAW|DECORRELATED|OPTIMIZED|PHYSICAL] PLAN FOR <query|CREATE MV>`
+  * / `EXPLAIN FILTER PUSHDOWN FOR` / `EXPLAIN TIMESTAMP FOR` — the
+  * reference's EXPLAIN statement family (`Plan::Explain*`,
+  * `src/sql/src/plan.rs:134`) over Spark's plan stages: RAW = parsed,
+  * DECORRELATED = analyzed (subqueries planned), OPTIMIZED = Catalyst
+  * optimized, PHYSICAL = executed plan, default = the formatted physical
+  * plan. FILTER PUSHDOWN reports each scan's pushed filters (the
+  * persist-pushdown analog over parquet min/max stats); TIMESTAMP reports
+  * the catalog read timestamp a query would pin. */
+case class ExplainPlanCommand(mode: Option[String], target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("explain", StringType, nullable = false)())
+
+  private val MvBody =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+\w+\s+AS\s+(.*)$""".r
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    // EXPLAIN of a CREATE MATERIALIZED VIEW explains its defining query
+    val queryText = target match {
+      case MvBody(q) => q
+      case q => q
+    }
+    def rowsOf(text: String): Seq[Row] =
+      text.stripLineEnd.split("\n").toIndexedSeq.map(Row(_))
+    mode match {
+      case Some("FILTER PUSHDOWN") =>
+        val plan = spark.sql(queryText).queryExecution.executedPlan
+        val scans = plan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            val pushed = s.metadata.getOrElse("PushedFilters", "[]")
+            val loc = s.metadata.get("Location").map(_.takeRight(60)).getOrElse("")
+            Row(s"pushdown= $pushed source= $loc")
+        }
+        if (scans.isEmpty) Seq(Row("pushdown= [] (no file scans)")) else scans
+      case Some("TIMESTAMP") =>
+        val cat = GraftSqlCatalog.forSession(spark)
+        Seq(Row(s"query timestamp: ${cat.globalReadTs()}"))
+      case other =>
+        val qe = spark.sql(queryText).queryExecution
+        rowsOf(other match {
+          case Some("RAW") => qe.logical.treeString
+          case Some("DECORRELATED") => qe.analyzed.treeString
+          case Some("OPTIMIZED") => qe.optimizedPlan.treeString
+          case Some("PHYSICAL") => qe.executedPlan.treeString
+          case _ => qe.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        })
+    }
+  }
+}
+
 /** `COPY <view|(query)> TO '<path>' [WITH (FORMAT ...)]` — one-shot export
   * through the DataFrame writer (distributed; no driver collect). */
 case class CopyToCommand(source: Either[String, String], path: String, format: String)

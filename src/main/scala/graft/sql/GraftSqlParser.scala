@@ -94,6 +94,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case DropSource(name) => DropSourceCommand(name)
     case ShowSources() => ShowSourcesCommand()
     case ShowMvs() => ShowMaterializedViewsCommand()
+    case ExplainStmt(planMode, otherMode, target) =>
+      ExplainPlanCommand(
+        Option(planMode).orElse(Option(otherMode))
+          .map(_.toUpperCase.replaceAll("\\s+", " ")),
+        target)
     case wmr if MutualRecursionSql.matches(wmr) =>
       // evaluated eagerly like SubscribeFrame: the fixpoint runs now; the
       // ANALYZED body plan is returned (the binding temp views are already
@@ -200,6 +205,14 @@ object GraftSqlParser {
     (s"(?is)^\\s*COPY\\s+(?:\\((.+)\\)|$Id)\\s+TO\\s+'([^']+)'" +
       s"(?:\\s+WITH\\s*\\(\\s*FORMAT\\s*=?\\s*'?(\\w+)'?\\s*\\))?\\s*;?\\s*$$").r
   val AsOfSuffix: Regex = "(?is)^(.*\\S)\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$".r
+  // the reference's EXPLAIN statement family (Plan::Explain*,
+  // src/sql/src/plan.rs:134): only mz-specific spellings are intercepted —
+  // a plain `EXPLAIN SELECT ...` stays with Spark's native EXPLAIN
+  val ExplainStmt: Regex =
+    ("(?is)^\\s*EXPLAIN\\s+(?:" +
+      "(?:(RAW|DECORRELATED|OPTIMIZED|PHYSICAL)\\s+)?PLAN\\s+FOR" +
+      "|(FILTER\\s+PUSHDOWN|TIMESTAMP)\\s+FOR" +
+      ")\\s+(.+?)\\s*;?\\s*$").r
   // CREATE SOURCE (reference `src/sql-parser/src/parser.rs` CREATE SOURCE;
   // load generators `src/storage-types/src/sources/load_generator.rs`)
   val CreateSourceLoadGen: Regex =

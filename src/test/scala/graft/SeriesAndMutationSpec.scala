@@ -151,12 +151,26 @@ class SeriesAndMutationSpec extends SparkSpec {
     assert(graft.slt.SltTestHooks.mutate(spark, "DELETE FROM mut_t WHERE n > 20"))
     assert(spark.sql("SELECT k FROM mut_t ORDER BY k").as[Long].collect().toSeq
       == Seq(1L, 4L))
-    // unsupported join-update shape throws the UNSUPPORTED marker
+    // UPDATE ... FROM: SET reads the matching joined row (pg join-update)
+    spark.sql("DROP TABLE IF EXISTS mut_o")
+    spark.sql("CREATE TABLE mut_o (k BIGINT, add BIGINT) USING parquet")
+    spark.sql("INSERT INTO mut_o VALUES (1, 100), (9, 900)")
+    assert(graft.slt.SltTestHooks.mutate(spark,
+      "UPDATE mut_t SET n = n + mut_o.add FROM mut_o WHERE mut_t.k = mut_o.k"))
+    assert(spark.sql("SELECT k, n FROM mut_t ORDER BY k")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSeq == Seq((1L, 111L), (4L, -1L))) // only k=1 matched; k=4 untouched
+    // DELETE ... USING: rows with a matching USING row leave
+    assert(graft.slt.SltTestHooks.mutate(spark,
+      "DELETE FROM mut_t USING mut_o WHERE mut_t.k = mut_o.k"))
+    assert(spark.sql("SELECT k FROM mut_t").as[Long].collect().toSeq == Seq(4L))
+    // the reference rejects UPDATE ... RETURNING — the emulation must too
     val e = intercept[IllegalArgumentException](
-      graft.slt.SltTestHooks.mutate(spark, "UPDATE mut_t SET n = 1 FROM other"))
+      graft.slt.SltTestHooks.mutate(spark, "UPDATE mut_t SET n = 1 RETURNING n"))
     assert(e.getMessage.contains("UNSUPPORTED"))
     // non-mutations are left alone
     assert(!graft.slt.SltTestHooks.mutate(spark, "SELECT 1"))
     spark.sql("DROP TABLE mut_t")
+    spark.sql("DROP TABLE mut_o")
   }
 }

@@ -290,6 +290,33 @@ class SqlSurfaceSpec extends SparkSpec {
     spark.sql("DROP MATERIALIZED VIEW sqlsub_mv")
   }
 
+  test("EXPLAIN as a statement: plan stages, filter pushdown, timestamp") {
+    Tables.load(spark, Sf, "orders").createOrReplaceTempView("sqlexp_orders")
+    val formatted = spark.sql(
+      "EXPLAIN PLAN FOR SELECT o_orderkey FROM sqlexp_orders WHERE o_orderkey = 7")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(formatted.contains("Physical Plan"), s"formatted plan:\n$formatted")
+    val opt = spark.sql(
+      "EXPLAIN OPTIMIZED PLAN FOR SELECT count(*) AS n FROM sqlexp_orders")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(opt.contains("Aggregate"), s"optimized plan:\n$opt")
+    // the pushdown report shows the filter reaching the parquet scan
+    val push = spark.sql(
+      "EXPLAIN FILTER PUSHDOWN FOR SELECT o_orderkey FROM sqlexp_orders WHERE o_orderkey = 7")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(push.contains("o_orderkey"), s"pushdown report:\n$push")
+    val ts = spark.sql("EXPLAIN TIMESTAMP FOR SELECT 1").collect().head.getString(0)
+    assert(ts.startsWith("query timestamp:"))
+    // EXPLAIN of CREATE MATERIALIZED VIEW explains the defining query —
+    // and creates nothing
+    val mv = spark.sql(
+      """EXPLAIN RAW PLAN FOR CREATE MATERIALIZED VIEW sqlexp_mv AS
+        |SELECT count(*) AS n FROM sqlexp_orders""".stripMargin)
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(mv.toLowerCase.contains("aggregate") || mv.toLowerCase.contains("count"))
+    intercept[Exception](spark.sql("SELECT * FROM sqlexp_mv"))
+  }
+
   test("SUBSCRIBE ENVELOPE UPSERT/DEBEZIUM round-trip through upsert decode") {
     Seq((1L, 2.0), (2L, 4.0)).toDF("k", "v").createOrReplaceTempView("subup_base")
     spark.sql(
