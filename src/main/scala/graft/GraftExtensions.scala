@@ -32,5 +32,7 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.JsonbFunctions.tableFunctions.foreach(e.injectTableFunction)
     // pg range types: casts, constructors, set ops, predicates, accessors
     graft.functions.RangeFunctions.functions.foreach(e.injectFunction)
+    // unsigned ints as checked widening casts (uint2/4/8)
+    graft.functions.UintFunctions.functions.foreach(e.injectFunction)
   }
 }

@@ -54,7 +54,8 @@ object SltRunner {
   private final case class Statement(sql: String, expectError: Boolean) extends Record
   private final case class Query(
       sql: String, types: String, sortMode: String, hasColnames: Boolean,
-      expectError: Boolean, expected: List[String]) extends Record
+      expectError: Boolean, expected: List[String],
+      multiline: Boolean = false) extends Record
   private case object Halt extends Record
   /** The reference runner's `copy <table> <tsv>` directive
     * (`src/sqllogictest/src/parser.rs:165`, runner.rs `Record::Copy`): load
@@ -94,6 +95,11 @@ object SltRunner {
     ("""(?i)\bjsonb\b""".r, "string"),
     ("""(?i)\bjson\b""".r, "string"),
     ("""(?i)\bbool\b""".r, "boolean"),
+    // unsigned column types widen to the signed type holding the domain
+    // (cast positions were already rewritten to checked pg_uintN calls)
+    ("""(?i)\buint2\b""".r, "int"),
+    ("""(?i)\buint4\b""".r, "bigint"),
+    ("""(?i)\buint8\b""".r, "decimal(20,0)"),
     // pg array-type suffix `type[]` → Spark array<type> (cast position)
     ("""(?i)::\s*(string|int|integer|bigint|smallint|real|double|boolean|date|timestamp)\s*\[\s*\]""".r,
       "::array<$1>"),
@@ -314,6 +320,7 @@ object SltRunner {
   private val castFnTypes: Seq[(String, String)] =
     Seq("jsonb" -> "jsonb_canon", "json" -> "jsonb_canon", "name" -> "pg_name",
       "oid" -> "pg_oid",
+      "uint2" -> "pg_uint2", "uint4" -> "pg_uint4", "uint8" -> "pg_uint8",
       "_int4range" -> "pg_arr_int4range", "_int8range" -> "pg_arr_int8range",
       "_numrange" -> "pg_arr_numrange", "_daterange" -> "pg_arr_daterange",
       "_tstzrange" -> "pg_arr_tstzrange", "_tsrange" -> "pg_arr_tsrange",
@@ -322,8 +329,56 @@ object SltRunner {
       "tstzrange" -> "pg_tstzrange", "tsrange" -> "pg_tsrange",
       "time" -> "pg_time")
 
+  /** Operand start for a CHECKED-cast wrap (uint casts): like
+    * castOperandStart, but also accepts a (possibly signed) numeric literal
+    * and wraps a whole chained-cast prefix (`12.4::numeric::uint2` wraps
+    * `12.4::numeric`). The unary minus folds into the operand — the
+    * reference binds `-666::uint2` as a cast of -666 (its error text quotes
+    * "-666"), unlike pg's tighter :: precedence. */
+  private def checkedCastOperandStart(sb: StringBuilder): Int = {
+    var end = sb.length
+    var changed = true
+    while (changed) {
+      changed = false
+      var j = end - 1
+      while (j >= 0 && sb.charAt(j) == ' ') j -= 1
+      val we = j
+      while (j >= 0 && isWordChar(sb.charAt(j))) j -= 1
+      if (we > j && j >= 1 && sb.charAt(j) == ':' && sb.charAt(j - 1) == ':' &&
+          we + 1 <= sb.length && !sb.charAt(j + 1).isDigit) {
+        end = j - 1
+        changed = true
+      }
+    }
+    val sub = new StringBuilder(sb.substring(0, end))
+    val st = castOperandStart(sub)
+    if (st >= 0) return st
+    var j = sub.length - 1
+    while (j >= 0 && sub.charAt(j) == ' ') j -= 1
+    var sawDigit = false
+    while (j >= 0 && (sub.charAt(j).isDigit || sub.charAt(j) == '.')) {
+      sawDigit = true; j -= 1
+    }
+    if (!sawDigit) return -1
+    if (j >= 0 && sub.charAt(j) == '-') {
+      var q = j - 1
+      while (q >= 0 && sub.charAt(q) == ' ') q -= 1
+      val unary =
+        if (q < 0) true
+        else if ("(,=<>+-*/%".indexOf(sub.charAt(q)) >= 0) true
+        else if (isWordChar(sub.charAt(q))) {
+          val we2 = q
+          while (q >= 0 && isWordChar(sub.charAt(q))) q -= 1
+          Set("SELECT", "WHERE", "AND", "OR", "NOT", "THEN", "ELSE", "WHEN",
+            "BY", "ON", "HAVING", "SET", "VALUES", "IN", "RETURNING", "AS")
+            .contains(sub.substring(q + 1, we2 + 1).toUpperCase)
+        } else false
+      if (unary) j else j + 1
+    } else j + 1
+  }
+
   private[slt] def rewriteNameCasts(sql: String): String = {
-    if ("""(?i)::\s*_?(name|jsonb?|oid|time|int4range|int8range|numrange|daterange|tsrange|tstzrange)\b(?!stamp)"""
+    if ("""(?i)::\s*_?(name|jsonb?|oid|time|uint[248]|int4range|int8range|numrange|daterange|tsrange|tstzrange)\b(?!stamp)"""
       .r.findFirstIn(sql).isEmpty) return sql
     val sb = new StringBuilder(sql.length)
     var i = 0
@@ -340,7 +395,9 @@ object SltRunner {
             (j + t.length >= sql.length || !isWordChar(sql.charAt(j + t.length)))
         } match {
           case Some((t, fn)) =>
-            val start = castOperandStart(sb)
+            val start =
+              if (fn.startsWith("pg_uint")) checkedCastOperandStart(sb)
+              else castOperandStart(sb)
             if (start >= 0) { sb.insert(start, s"$fn("); sb ++= ")" }
             else sb ++= "::string"
             i = j + t.length
@@ -438,6 +495,9 @@ object SltRunner {
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   private[slt] def clearRangeColumns(): Unit = rangeColumns.clear()
+
+  private val UintColDef =
+    """(?i)([A-Za-z_]\w*)\s+(uint2|uint4|uint8)\b""".r
 
   private val RangeColDef =
     """(?i)([A-Za-z_]\w*)\s+(int4range|int8range|numrange|daterange|tsrange|tstzrange)\b""".r
@@ -860,7 +920,15 @@ object SltRunner {
             rangeColumns.put(m.group(1).toLowerCase, kind)
             Regex.quoteReplacement(s"${m.group(1)} string COMMENT 'graft_range_$kind'")
           })
-          """(?i)\btime\b(?!stamp)""".r.replaceAllIn(rg, "string")
+          val ui = UintColDef.replaceAllIn(rg, m => {
+            val k = m.group(2).toLowerCase
+            val ty = k match {
+              case "uint2" => "int"; case "uint4" => "bigint"
+              case _ => "decimal(20,0)"
+            }
+            Regex.quoteReplacement(s"${m.group(1)} $ty COMMENT 'graft_$k'")
+          })
+          """(?i)\btime\b(?!stamp)""".r.replaceAllIn(ui, "string")
         } else st
       }.mkString(";")
     // pg_typeof over a range cast/constructor is a static fact — fold it
@@ -870,8 +938,10 @@ object SltRunner {
       else {
         val a = """(?i)\bpg_typeof\s*\(\s*('[^']*'|null)\s*::\s*(int4range|int8range|numrange|daterange|tsrange|tstzrange)\s*\)"""
           .r.replaceAllIn(sqlTagged, m => "'" + m.group(2).toLowerCase + "'")
-        """(?i)\bpg_typeof\s*\(\s*(int4range|int8range|numrange|daterange|tsrange|tstzrange)\s*\([^()]*\)\s*\)"""
+        val b = """(?i)\bpg_typeof\s*\(\s*(int4range|int8range|numrange|daterange|tsrange|tstzrange)\s*\([^()]*\)\s*\)"""
           .r.replaceAllIn(a, m => "'" + m.group(1).toLowerCase + "'")
+        """(?i)\bpg_typeof\s*\(\s*(?:-?\d+(?:\.\d+)?|'[^']*')\s*::\s*(uint[248])\s*\)"""
+          .r.replaceAllIn(b, m => "'" + m.group(1).toLowerCase + "'")
       }
     val sql0 = rewriteSrfZip(rewriteOrderedArrayAgg(rewriteJsonbOps(rewriteRangeOps(rewriteNameCasts(
       parenthesizeCommaJoins(rewriteArrayLiterals(
@@ -886,6 +956,13 @@ object SltRunner {
         sql = """(?i)\bserial\b""".r.replaceAllIn(sql, "bigint")
       }
       sql = """(?i)::\s*(decimal|numeric)\b(?!\s*\()""".r.replaceAllIn(sql, "::DECIMAL(38,18)")
+      // unsigned bitwise NOT: ~x over uintN is (maxN - x) (two's complement
+      // has no unsigned view in Spark)
+      for ((b, mx) <- Seq(("2", "65535"), ("4", "4294967295"),
+          ("8", "CAST('18446744073709551615' AS DECIMAL(20,0))"))) {
+        sql = ("~\\s*(pg_uint" + b + "\\((?:[^()]|\\([^()]*\\))*\\))").r
+          .replaceAllIn(sql, m => Regex.quoteReplacement(s"($mx - ${m.group(1)})"))
+      }
       // mz group-size query hints are semantically no-ops — strip them
       // (reference doc/user/content/transform-data/optimization.md)
       sql = """(?i)\bOPTIONS\s*\(\s*(?:EXPECTED|AGGREGATE|DISTINCT|LIMIT)\s[^)]*\)""".r
@@ -1046,6 +1123,9 @@ object SltRunner {
             case Some(c) if c.startsWith("graft_range_") =>
               val kind = c.stripPrefix("graft_range_")
               Some(f.name.toLowerCase -> ((cell: String) => s" pg_$kind($cell)"))
+            case Some(c) if c.startsWith("graft_uint") =>
+              val k = c.stripPrefix("graft_")
+              Some(f.name.toLowerCase -> ((cell: String) => s" pg_$k($cell)"))
             case _ => None
           }
         }.toMap
@@ -1550,17 +1630,26 @@ object SltRunner {
           val sql =
             if (separatorAhead(i)) collectSqlUntilSeparator()
             else collectSql(_.trim == "----")
+          val multiline = opts.contains("multiline")
           val expected = mutable.ListBuffer.empty[String]
           if (i < lines.length && lines(i).trim == "----") {
             i += 1
-            while (i < lines.length && lines(i).trim.nonEmpty) {
-              expected += lines(i); i += 1
+            if (multiline) {
+              // multiline expected output is RAW text (blank lines included)
+              // terminated by a line reading EOF (reference
+              // src/sqllogictest/src/parser.rs EOF_REGEX)
+              while (i < lines.length && lines(i).trim != "EOF") {
+                expected += lines(i); i += 1
+              }
+              if (i < lines.length) i += 1 // consume EOF
+            } else {
+              while (i < lines.length && lines(i).trim.nonEmpty) {
+                expected += lines(i); i += 1
+              }
             }
           }
-          emit(if (opts.contains("multiline"))
-            Unsupported("multiline output format", mutating = false)
-          else Query(shim(sql, crdb), types, sortMode, opts.contains("colnames"),
-            expectError = false, expected.toList))
+          emit(Query(shim(sql, crdb), types, sortMode, opts.contains("colnames"),
+            expectError = false, expected.toList, multiline))
         }
       } else i += 1 // stray line
     }
@@ -1776,6 +1865,10 @@ object SltRunner {
     // Documented semantic differences between the pg dialect and Spark —
     // skipped (never passed) with the reason recorded here:
     val knownDialectDiffs: List[(String, Regex, String)] = List(
+      ("unsigned_int.slt",
+        """(?i)\bVAR_POP\(a\)\s+FROM\s+t[48]\b""".r,
+        "mz computes variance over arbitrary-precision numeric; Spark " +
+          "aggregates in double (last digits differ at uint4/8 magnitudes)"),
       ("jsonb.slt|json.slt|json_builtins.slt|postgres_jsonb.slt",
         """(?i)'NaN'\s*::\s*DECIMAL""".r,
         "pg numeric NaN has no Spark decimal analog"),
@@ -2258,6 +2351,21 @@ object SltRunner {
           if (q.expectError) { // accepted-but-reference-rejects
             skipped += 1
             tally("query error expected but we accept it", q.sql)
+          }
+          else if (q.multiline) {
+            // multiline: the single text column compares as one raw block
+            // (per-line trailing whitespace insignificant)
+            def norm(s: String): String =
+              s.split("\n", -1).map(_.replaceAll("\\s+$", "")).mkString("\n").trim
+            val exp = norm(q.expected.mkString("\n"))
+            val act = norm(rows.toList.map(r =>
+              if (r.isNullAt(0)) "NULL" else r.get(0).toString).mkString("\n"))
+            if (act == exp) passed += 1
+            else {
+              failed += 1
+              failures += s"$name query: ${q.sql.replaceAll("\\s+", " ").take(120)} → " +
+                s"multiline expected ${exp.take(120)}... got ${act.take(120)}..."
+            }
           }
           else {
             // pad declared types if the query yields more columns
