@@ -32,6 +32,12 @@ object Tables {
     df.schema.find(_.name == "ts") match {
       case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case Some(f) if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        // parquet timestamp[us] isAdjustedToUTC=false arrives as TIMESTAMP_NTZ;
+        // the session timezone is UTC so the cast to session-zoned TIMESTAMP
+        // preserves every value while restoring the type the engine's
+        // timestamp-aware expressions (unix_micros, date_bin, Avro codec) expect.
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

@@ -77,7 +77,7 @@ object AvroBinary {
 
   private def encodeValue(out: ByteArrayOutputStream, dt: DataType, row: InternalRow, i: Int): Unit =
     dt match {
-      case LongType | TimestampType => writeVarint(out, zigzag(row.getLong(i)))
+      case LongType | TimestampType | TimestampNTZType => writeVarint(out, zigzag(row.getLong(i)))
       case IntegerType | DateType => writeVarint(out, zigzag(row.getInt(i).toLong))
       case BooleanType => out.write(if (row.getBoolean(i)) 1 else 0)
       case DoubleType =>
@@ -121,7 +121,7 @@ object AvroBinary {
   }
 
   private def decodeValue(r: Reader, dt: DataType): Any = dt match {
-    case LongType | TimestampType => r.readLong()
+    case LongType | TimestampType | TimestampNTZType => r.readLong()
     case IntegerType | DateType => r.readLong().toInt
     case BooleanType => r.readBytes(1)(0) != 0
     case DoubleType =>
