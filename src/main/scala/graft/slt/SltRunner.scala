@@ -57,6 +57,15 @@ object SltRunner {
       expectError: Boolean, expected: List[String],
       multiline: Boolean = false) extends Record
   private case object Halt extends Record
+  /** The corpus's `reset-server` directive: wipe per-session state (vars,
+    * portals, open txn). Table state is per-file here, unlike the real
+    * server restart, so only session state resets. */
+  private case object ResetServer extends Record
+  /** A CREATE/DROP TYPE statement, resolved against the per-file type
+    * registry at parse time (same pattern as the range-column registry):
+    * `ok` = the reference would accept it; `err` = its rejection text. */
+  private final case class TypeDdl(ok: Boolean, err: String,
+      expectError: Boolean = false) extends Record
   /** The reference runner's `copy <table> <tsv>` directive
     * (`src/sqllogictest/src/parser.rs:165`, runner.rs `Record::Copy`): load
     * a pg-COPY-text TSV (tab-separated, `\N` = NULL) into an existing
@@ -70,10 +79,9 @@ object SltRunner {
   private val skipPrefixes = List(
     "ALTER ", "SHOW ", "EXPLAIN ", "GRANT ", "REVOKE ", "CREATE INDEX",
     "CREATE DEFAULT INDEX", "CREATE CLUSTER", "CREATE SOURCE", "CREATE SINK",
-    "CREATE CONNECTION", "CREATE SECRET", "CREATE ROLE", "CREATE TYPE",
-    "CREATE SCHEMA", "CREATE DATABASE", "COMMENT ", "SET ", "RESET ",
-    "SUBSCRIBE", "COPY ", "DECLARE ", "FETCH ", "CLOSE ", "PREPARE ",
-    "EXECUTE ", "DEALLOCATE", "BEGIN", "COMMIT", "ROLLBACK", "DISCARD",
+    "CREATE CONNECTION", "CREATE SECRET", "CREATE ROLE",
+    "CREATE SCHEMA", "CREATE DATABASE", "COMMENT ",
+    "SUBSCRIBE", "COPY ", "DECLARE ", "FETCH ", "CLOSE ", "DISCARD",
     "VALIDATE ", "DROP CLUSTER", "DROP SOURCE", "DROP INDEX", "DROP SCHEMA",
     "DROP DATABASE", "DROP ROLE", "DROP OWNED", "REASSIGN", "INSPECT")
 
@@ -494,7 +502,14 @@ object SltRunner {
   private val rangeColumns =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private[slt] def clearRangeColumns(): Unit = rangeColumns.clear()
+  /** Per-file custom-type registry (CREATE TYPE), populated at parse time
+    * in record order exactly like [[rangeColumns]]. */
+  private val customTypes =
+    scala.collection.concurrent.TrieMap.empty[String, SltSession.CustomType]
+
+  private[slt] def clearRangeColumns(): Unit = {
+    rangeColumns.clear(); customTypes.clear()
+  }
 
   private val UintColDef =
     """(?i)([A-Za-z_]\w*)\s+(uint2|uint4|uint8)\b""".r
@@ -940,8 +955,17 @@ object SltRunner {
           .r.replaceAllIn(sqlTagged, m => "'" + m.group(2).toLowerCase + "'")
         val b = """(?i)\bpg_typeof\s*\(\s*(int4range|int8range|numrange|daterange|tsrange|tstzrange)\s*\([^()]*\)\s*\)"""
           .r.replaceAllIn(a, m => "'" + m.group(1).toLowerCase + "'")
-        """(?i)\bpg_typeof\s*\(\s*(?:-?\d+(?:\.\d+)?|'[^']*')\s*::\s*(uint[248])\s*\)"""
+        val c = """(?i)\bpg_typeof\s*\(\s*(?:-?\d+(?:\.\d+)?|'[^']*')\s*::\s*(uint[248])\s*\)"""
           .r.replaceAllIn(b, m => "'" + m.group(1).toLowerCase + "'")
+        // a cast to a REGISTERED custom type names that type — fold before
+        // anything else erases the name (reference pg_typeof on custom
+        // types reports the custom name, not the underlying type)
+        """(?i)\bpg_typeof\s*\(\s*(?:NULL|'[^']*'|-?\d+(?:\.\d+)?)\s*::\s*("?[\w]+"?)\s*\)""".r
+          .replaceAllIn(c, m => {
+            val n = SltSession.normName(m.group(1))
+            if (customTypes.contains(n)) Regex.quoteReplacement("'" + n + "'")
+            else Regex.quoteReplacement(m.matched)
+          })
       }
     val sql0 = rewriteSrfZip(rewriteOrderedArrayAgg(rewriteJsonbOps(rewriteRangeOps(rewriteNameCasts(
       parenthesizeCommaJoins(rewriteArrayLiterals(
@@ -1041,10 +1065,18 @@ object SltRunner {
         case _ => it0
       }
       val t = it.trim.toUpperCase
+      // insert the NULLS clause BEFORE the item's trailing whitespace, so a
+      // following terminator keyword (LIMIT/OFFSET/...) keeps its separator
+      // ("x NULLS LAST LIMIT 3", never "x NULLS LASTLIMIT 3")
+      def appendWith(suffix: String): Unit = {
+        val cut = it.lastIndexWhere(c => !c.isWhitespace) + 1
+        out.append(it.substring(0, cut)).append(suffix).append(it.substring(cut))
+        if (cut == it.length) out.append(' ')
+      }
       if (t.isEmpty) out.append(it)
       else if (t.matches("(?s).*\\bNULLS\\s+(FIRST|LAST)\\s*$")) out.append(it)
-      else if (t.matches("(?s).*\\bDESC\\s*$")) out.append(it).append(" NULLS FIRST")
-      else out.append(it).append(" NULLS LAST")
+      else if (t.matches("(?s).*\\bDESC\\s*$")) appendWith(" NULLS FIRST")
+      else appendWith(" NULLS LAST")
       item.clear()
     }
     // ROWS/RANGE/GROUPS end the last item of a window ORDER BY — without
@@ -1532,10 +1564,46 @@ object SltRunner {
       Unsupported("COPY FROM data load", mutating = true,
         target = """(?is)^\s*COPY\s+["`]?(\w+)""".r.findFirstMatchIn(sqlRaw)
           .map(_.group(1).toLowerCase))
+    else if (up.startsWith("CREATE TYPE")) classifyCreateType(sqlRaw)
+    else if (up.startsWith("DROP TYPE")) sqlRaw match {
+      case SltSession.DropType(name) =>
+        val n = SltSession.normName(name)
+        if (customTypes.remove(n).isDefined) TypeDdl(ok = true, "")
+        else TypeDdl(ok = false, s"""type "$n" does not exist""")
+      case _ => Unsupported("DROP TYPE shape not supported", mutating = false, sql = sqlRaw)
+    }
     else if (skipPrefixes.exists(up.startsWith))
       Unsupported(s"no Spark analog: ${up.takeWhile(_ != ' ')}", mutating = false,
         sql = sqlRaw)
     else Statement(shim(sqlRaw, crdb), expectError = false)
+  }
+
+  /** CREATE TYPE (list / map / record): validate against the registry with
+    * the reference's resolution budget and register on success. */
+  private def classifyCreateType(sqlRaw: String): Record = {
+    def attempt(name: String, ct: SltSession.CustomType): Record = {
+      val n = SltSession.normName(name)
+      SltSession.validateType(ct, customTypes) match {
+        case Right(()) => customTypes.put(n, ct); TypeDdl(ok = true, "")
+        case Left(err) => TypeDdl(ok = false, err)
+      }
+    }
+    sqlRaw match {
+      case SltSession.CreateTypeList(name, elem) =>
+        attempt(name, SltSession.ListType(SltSession.normName(elem)))
+      case SltSession.CreateTypeMap(name, k, v) =>
+        attempt(name, SltSession.MapType(SltSession.normName(k), SltSession.normName(v)))
+      case SltSession.CreateTypeRecord(name, fieldList) =>
+        val fields = SltSession.splitTop(fieldList).map { f =>
+          """(?s)^\s*("?[\w]+"?)\s+(.+?)\s*$""".r.findFirstMatchIn(f)
+            .map(m => (SltSession.normName(m.group(1)), SltSession.normName(m.group(2))))
+        }
+        if (fields.isEmpty || fields.exists(_.isEmpty))
+          Unsupported("CREATE TYPE record shape not parsed", mutating = false, sql = sqlRaw)
+        else attempt(name, SltSession.RecordType(fields.flatten))
+      case _ =>
+        Unsupported("CREATE TYPE shape not supported", mutating = false, sql = sqlRaw)
+    }
   }
 
   // ---------------- parsing ----------------
@@ -1589,6 +1657,7 @@ object SltRunner {
         i += 1
       }
       else if (line.startsWith("mode ") || line.startsWith("hash-threshold")) i += 1
+      else if (line == "reset-server") { out += ResetServer; i += 1 }
       else if (line.startsWith("copy ")) {
         val parts = line.split("\\s+")
         if (parts.length >= 3) emit(CopyLoad(parts(1), parts(2))) else emit(
@@ -1596,16 +1665,24 @@ object SltRunner {
         i += 1
       }
       else if (line.startsWith("simple")) {
-        // `simple conn=...` block: SQL, ----, raw output, blank. Not SQL we run.
+        // `simple conn=...` block: SQL, ----, raw output, blank. Not SQL we
+        // run — but the block text is kept so session-variable SETs inside
+        // it taint those vars (later SHOWs must skip, not report stale).
         i += 1
-        while (i < lines.length && lines(i).trim.nonEmpty) i += 1
-        out += Unsupported("simple protocol block", mutating = false)
+        val block = mutable.ListBuffer.empty[String]
+        while (i < lines.length && lines(i).trim.nonEmpty) { block += lines(i); i += 1 }
+        out += Unsupported("simple protocol block", mutating = false,
+          sql = block.mkString("\n"))
       } else if (line.startsWith("statement")) {
         val expectErr = line.startsWith("statement error")
         i += 1
+        // a statement record may carry a `----` output section (notices,
+        // COMPLETE counts) — the SQL ends at the separator
         val sql = collectSql(_ => false)
+          .split("\n").takeWhile(_.trim != "----").mkString("\n")
         emit(classify(sql, crdb) match {
           case s: Statement => s.copy(expectError = expectErr)
+          case t: TypeDdl => t.copy(expectError = expectErr)
           case u: Unsupported if expectErr =>
             // an expected-error statement we can't run: harmless skip
             Unsupported(u.reason, mutating = false)
@@ -1674,7 +1751,14 @@ object SltRunner {
     case "(empty)" => ""
     case "true" | "false" => raw
     case s => t match {
-      case 'I' => try s.trim.toLong.toString catch { case _: Exception => s }
+      // reference runner.rs format_datum: under Type::Integer a float
+      // truncates toward zero and text renders "0" ("this is so wrong,
+      // but sqlite needs it") — mirror it so both sides compare alike
+      case 'I' => try s.trim.toLong.toString catch {
+        case _: Exception =>
+          try s.trim.toDouble.toLong.toString
+          catch { case _: Exception => "0" }
+      }
       case 'R' => try "%.3f".format(s.trim.toDouble) catch { case _: Exception => s }
       // midnight-timestamp ≡ date: pg date+interval yields a timestamp,
       // Spark yields a date — same value, presentation-level type gap.
@@ -2019,6 +2103,10 @@ object SltRunner {
       ("window.slt",
         """\(\s*1\s*/\s*[ij]\s*\)""".r,
         "pg integer division truncates; Spark '/' is fractional"),
+      ("window_funcs.slt",
+        """(?i)partition\s+by\s+x-y\+x/10""".r,
+        "pg integer division truncates (x/10=0), collapsing the partition " +
+          "key; Spark '/' is fractional and partitions per-row"),
       ("zero.slt",
         """(?i)-\s*0\.0|\bfrom\s+f\b""".r,
         "IEEE negative-zero sign preservation differs (table f is the -0 fixture)"),
@@ -2197,6 +2285,49 @@ object SltRunner {
     val poisonedTables = mutable.Set.empty[String]
     val viewDefs = mutable.Map.empty[String, String]
     val preparedDefs = mutable.Map.empty[String, String]
+    // live portal emulation: PREPARE bodies (post-shim) for real EXECUTE
+    // expansion (reference portals src/adapter/src/client.rs:628)
+    val preparedStmts = mutable.Map.empty[String, SltSession.Prepared]
+    // session variables: tracked values for SHOW; vars mutated through
+    // paths we skip (simple protocol blocks, unhonorable SET values) are
+    // TAINTED — a later SHOW of them must skip, never report stale state
+    val sessionVars = mutable.Map.empty[String, String]
+    val varTainted = mutable.Set.empty[String]
+    // single-session transaction emulation (reference Coordinator
+    // sequencing src/adapter/src/coord.rs:1992): BEGIN starts buffering via
+    // copy-on-first-write snapshots; ROLLBACK restores them; COMMIT drops
+    // them. A failed statement aborts the txn (pg semantics) so COMMIT of
+    // an aborted txn also restores.
+    var txnActive = false
+    var txnAborted = false
+    // `SET TRANSACTION ISOLATION LEVEL x` inside an open txn: visible to
+    // SHOW until COMMIT/ROLLBACK (pg txn-scoped GUC)
+    var txnIsolation: Option[String] = None
+    val txnSnapshots = mutable.Map.empty[String, (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])]
+    val txnDdl = mutable.Set.empty[String]
+    def txnSnapshot(t: String): Unit =
+      if (txnActive && !txnSnapshots.contains(t) && !txnDdl.contains(t))
+        try {
+          val df = spark.table(t)
+          txnSnapshots(t) = (df.schema, df.collect().toSeq)
+        } catch { case _: Throwable => txnDdl += t } // not snapshotable
+    def txnRestore(): Unit = {
+      txnSnapshots.foreach { case (t, (schema, rows)) =>
+        try spark.createDataFrame(rows.asJava, schema)
+          .write.mode("overwrite").insertInto(t)
+        catch { case _: Throwable => poisonedTables += t }
+      }
+      txnDdl.foreach(poisonedTables += _) // DDL effects can't be rolled back
+    }
+    def txnClear(): Unit = {
+      txnActive = false; txnAborted = false; txnSnapshots.clear(); txnDdl.clear()
+      txnIsolation = None
+    }
+    // tables touched by DDL statements while a txn is open (CREATE/DROP
+    // TABLE/VIEW): immediate effect, unrestorable on rollback
+    def noteTxnDdl(sql: String): Unit = if (txnActive)
+      """(?i)\b(?:CREATE|DROP)\s+(?:TEMPORARY\s+)?(?:TABLE|VIEW)\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?(?:OR\s+REPLACE\s+)?["`]?(\w+)""".r
+        .findAllMatchIn(sql).foreach(m => txnDdl += m.group(1).toLowerCase)
     // materialized views created by this file, in creation order: mz MVs are
     // continuously maintained (reads always fresh), so the runner
     // re-materializes them through the engine's own REFRESH path before any
@@ -2220,12 +2351,95 @@ object SltRunner {
           catch { case _: Throwable => () } // e.g. base dropped; query decides
         }
 
-    records.foreach {
+    // Expand EXECUTE against the live portal map (the bind step). Left =
+    // a substitute record to emit (skip, or a forced-error marker for
+    // expected-error records); Right = the bound SQL.
+    def expandExec(sql: String, expectError: Boolean): Either[Record, String] =
+      SltSession.Execute.findFirstMatchIn(sql) match {
+        case None => Left(Unsupported("unparsed EXECUTE shape", mutating = false, sql = sql))
+        case Some(m) =>
+          val nm = SltSession.normName(m.group(1))
+          val args = Option(m.group(2)).map(SltSession.splitTop).getOrElse(Nil)
+          preparedStmts.get(nm) match {
+            case Some(p) =>
+              SltSession.bind(p.body, args, p.paramTypes) match {
+                case Right(bound) => Right(bound)
+                case Left(_) if expectError =>
+                  Left(Statement("GRAFT_FORCED_ERROR", expectError = true))
+                case Left(reason) =>
+                  Left(Unsupported(reason, mutating = false, sql = sql))
+              }
+            case None if preparedDefs.contains(nm) =>
+              // the PREPARE itself was skipped (engine-conditioned): a
+              // mutating body leaves its table stale, exactly as before
+              Left(Unsupported("EXECUTE of a skipped PREPARE", mutating = false,
+                target = mutationTarget(preparedDefs(nm)), sql = sql))
+            case None if expectError =>
+              Left(Statement("GRAFT_FORCED_ERROR", expectError = true))
+            case None =>
+              Left(Unsupported("EXECUTE of unknown prepared statement",
+                mutating = false, sql = sql))
+          }
+      }
+    val IsExecute = """(?is)^\s*EXECUTE\b.*""".r
+    // SHOW <var> resolves against the tracked session state; tainted or
+    // untracked vars keep skipping (never report stale values)
+    def expandShowVar(sql: String, expectError: Boolean): Either[Record, String] = {
+      val name = SltSession.normVar(
+        SltSession.ShowVar.findFirstMatchIn(sql).get.group(1))
+      if (varTainted.contains(name))
+        Left(Unsupported("SHOW of a tainted session variable", mutating = false, sql = sql))
+      else (if (name == "transaction_isolation" && txnActive) txnIsolation else None)
+          .orElse(sessionVars.get(name)).orElse(SltSession.varDefaults.get(name)) match {
+        case Some(v) => Right(s"SELECT '${v.replace("'", "''")}' AS setting")
+        case None if expectError => Left(Statement("GRAFT_FORCED_ERROR", expectError = true))
+        case None =>
+          Left(Unsupported("SHOW of an untracked session variable", mutating = false, sql = sql))
+      }
+    }
+    def isShowVar(sql: String): Boolean =
+      SltSession.ShowVar.findFirstMatchIn(sql).isDefined
+    def expandRecord(r: Record): Record = r match {
+      case Statement(sql, ee) if IsExecute.pattern.matcher(sql).matches =>
+        expandExec(sql, ee) match {
+          case Right(x) => Statement(x, ee)
+          case Left(rec) => rec
+        }
+      case q: Query if IsExecute.pattern.matcher(q.sql).matches =>
+        expandExec(q.sql, q.expectError) match {
+          case Right(x) => q.copy(sql = x)
+          case Left(Statement(marker, _)) => q.copy(sql = marker)
+          case Left(rec) => rec
+        }
+      case q: Query if isShowVar(q.sql) =>
+        expandShowVar(q.sql, q.expectError) match {
+          case Right(x) => q.copy(sql = x)
+          case Left(Statement(marker, _)) => q.copy(sql = marker)
+          case Left(rec) => rec
+        }
+      case q: Query if """(?is)^\s*(?:SET|RESET)\b.*""".r.pattern.matcher(q.sql).matches =>
+        Unsupported("SET/RESET as a query record", mutating = false, sql = q.sql)
+      case Statement(sql, ee) if isShowVar(sql) &&
+          !"""(?is)^\s*SHOW\s+(TABLES|VIEWS|SOURCES|SINKS|INDEXES|COLUMNS|OBJECTS|CLUSTERS|DATABASES|SCHEMAS|SECRETS|TYPES|ROLES|CONNECTIONS|SUBSCRIPTIONS|GRANTS|USERS|CONSTRAINTS|ALL)\b.*$""".r
+            .pattern.matcher(sql).matches =>
+        expandShowVar(sql, ee) match {
+          case Right(x) => Statement(x, ee)
+          case Left(rec) => rec
+        }
+      case other => other
+    }
+
+    records.foreach { r0 => expandRecord(r0) match {
       case _ if poisoned => skipped += 1; tally("whole file poisoned by earlier skip")
       case Halt => ()
       case Unsupported(reason, mutating, target, usql) =>
         skipped += 1
         tally(s"unsupported record: $reason", usql)
+        // any SET inside a skipped record (simple protocol blocks above
+        // all) taints the variable: later SHOWs must skip, not report stale
+        """(?i)\bSET\s+(?:LOCAL\s+|SESSION\s+)?(TIME\s+ZONE|[A-Za-z_][\w.]*)""".r
+          .findAllMatchIn(usql)
+          .foreach(m => varTainted += SltSession.normVar(m.group(1)))
         val up = usql.trim.toUpperCase
         if (up.startsWith("PREPARE")) {
           """(?is)^\s*PREPARE\s+(\w+)\s+AS\s+(.*)$""".r.findFirstMatchIn(usql)
@@ -2269,6 +2483,120 @@ object SltRunner {
             tally(s"copy TSV load failed: ${e.getClass.getSimpleName}")
             poisonedTables += table.toLowerCase // un-loaded table is empty, not absent
         }
+      case Statement(sql, expectError) if SltSession.Prepare.findFirstMatchIn(sql).isDefined =>
+        val m = SltSession.Prepare.findFirstMatchIn(sql).get
+        preparedStmts(SltSession.normName(m.group(1))) = SltSession.Prepared(
+          Option(m.group(2)).map(SltSession.splitTop).getOrElse(Nil), m.group(3))
+        if (expectError) {
+          // pg validates the body at PREPARE time; we bind lazily — loose
+          skipped += 1; tally("statement error expected but we accept it", sql)
+        } else passed += 1
+      case Statement(sql, expectError) if SltSession.Deallocate.findFirstMatchIn(sql).isDefined =>
+        val n = SltSession.normName(SltSession.Deallocate.findFirstMatchIn(sql).get.group(1))
+        val known = if (n == "all") { preparedStmts.clear(); preparedDefs.clear(); true }
+          else preparedStmts.remove(n).isDefined | preparedDefs.remove(n).isDefined
+        if (expectError) {
+          if (!known) passed += 1 // pg errors on unknown names — so do we
+          else { skipped += 1; tally("statement error expected but we accept it", sql) }
+        } else if (known) passed += 1
+        else { skipped += 1; tally("DEALLOCATE of unknown prepared statement", sql) }
+      case Statement(sql, expectError) if SltSession.RollbackTo.findFirstMatchIn(sql).isDefined =>
+        // partial rollback is not emulated: everything this txn touched is
+        // stale from here on
+        skipped += 1; tally("ROLLBACK TO SAVEPOINT unsupported", sql)
+        txnSnapshots.keys.foreach(poisonedTables += _)
+        txnDdl.foreach(poisonedTables += _)
+        txnClear()
+      case Statement(sql, expectError) if SltSession.Begin.findFirstMatchIn(sql).isDefined =>
+        // nested BEGIN is a pg warning, not an error — the txn continues
+        if (!txnActive) { txnActive = true; txnAborted = false }
+        if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+        else passed += 1
+      case Statement(sql, expectError) if SltSession.Commit.findFirstMatchIn(sql).isDefined =>
+        if (txnAborted) txnRestore() // COMMIT of an aborted txn rolls back
+        txnClear()
+        if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+        else passed += 1
+      case Statement(sql, expectError) if SltSession.Rollback.findFirstMatchIn(sql).isDefined =>
+        txnRestore(); txnClear()
+        if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+        else passed += 1
+      case ResetServer =>
+        sessionVars.clear(); varTainted.clear(); preparedStmts.clear()
+        preparedDefs.clear(); txnClear()
+      case TypeDdl(ok, err, expectError) =>
+        if (ok == !expectError) passed += 1
+        else if (ok) { skipped += 1; tally("statement error expected but we accept it") }
+        else { skipped += 1; tally(s"type DDL rejected: ${err.take(60)}") }
+      case Statement(sql, expectError) if SltSession.SetUnsupportedForm.findFirstMatchIn(sql).isDefined =>
+        skipped += 1; tally("SET form with no analog (cluster setting/role)", sql)
+      case Statement(sql, expectError) if SltSession.SetSessionIsolation.findFirstMatchIn(sql).isDefined =>
+        // last write wins across a comma list ("... LEVEL A, ISOLATION LEVEL B")
+        val v = SltSession.SetSessionIsolation.findFirstMatchIn(sql).get.group(1)
+          .split(",").last.replaceAll("(?i)^\\s*ISOLATION\\s+LEVEL\\s+", "")
+        SltSession.isolationValue(SltSession.normVarValue("transaction_isolation", v)) match {
+          case SltSession.Accepted(x) =>
+            sessionVars("transaction_isolation") = x; varTainted -= "transaction_isolation"
+            if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+            else passed += 1
+          case _ =>
+            if (expectError) passed += 1
+            else { skipped += 1; tally("SET isolation value not honored", sql)
+              varTainted += "transaction_isolation" }
+        }
+      case Statement(sql, expectError) if SltSession.SetTxnScoped.findFirstMatchIn(sql).isDefined =>
+        // `SET TRANSACTION ...` scopes to the current transaction only; an
+        // isolation level set inside an open txn is visible to SHOW until
+        // the txn ends
+        if (txnActive)
+          """(?is)ISOLATION\s+LEVEL\s+(.+?)\s*;?\s*$""".r.findFirstMatchIn(sql)
+            .foreach { m =>
+              SltSession.isolationValue(m.group(1)) match {
+                case SltSession.Accepted(x) => txnIsolation = Some(x)
+                case _ => ()
+              }
+            }
+        if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+        else passed += 1
+      case Statement(sql, expectError) if SltSession.SetVar.findFirstMatchIn(sql).isDefined =>
+        val m = SltSession.SetVar.findFirstMatchIn(sql).get
+        val name = SltSession.normVar(Option(m.group(1)).getOrElse(m.group(2)))
+        val value = m.group(3)
+        val known = SltSession.varDefaults.contains(name) ||
+          (SltSession.acceptSet(name, value) match {
+            case SltSession.Unhonored => false; case _ => true
+          })
+        if (!known) {
+          // unknown parameter: the reference errors — so do we
+          if (expectError) passed += 1
+          else { skipped += 1; tally("SET of unknown session variable", sql); varTainted += name }
+        } else SltSession.acceptSet(name, value) match {
+          case SltSession.Accepted(v) =>
+            sessionVars(name) = v; varTainted -= name
+            if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+            else passed += 1
+          case SltSession.Invalid =>
+            if (expectError) passed += 1
+            else { skipped += 1; tally("SET value the reference rejects", sql); varTainted += name }
+          case SltSession.Unhonored =>
+            // known var, unhonorable value (would change engine behavior)
+            skipped += 1; tally("SET value not honored by the runner", sql)
+            varTainted += name
+        }
+      case Statement(sql, expectError) if SltSession.ResetVar.findFirstMatchIn(sql).isDefined =>
+        val n = SltSession.normVar(SltSession.ResetVar.findFirstMatchIn(sql).get.group(1))
+        if (n == "all") {
+          sessionVars.clear(); varTainted.clear(); passed += 1
+        } else if (SltSession.varDefaults.contains(n)) {
+          sessionVars -= n; varTainted -= n
+          if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+          else passed += 1
+        } else if (expectError) passed += 1
+        else { skipped += 1; tally("RESET of unknown session variable", sql) }
+      case Statement(sql, _) if """(?is)^\s*(?:SET|RESET)\b.*""".r.pattern.matcher(sql).matches =>
+        // any other SET/RESET spelling: never let it reach Spark's native
+        // SET command (it would "succeed" by writing an unrelated conf key)
+        skipped += 1; tally("SET/RESET shape not handled", sql)
       case Statement(sql, _) if touchesPoisoned(sql) =>
         skipped += 1
         tally("statement touches poisoned table")
@@ -2281,6 +2609,7 @@ object SltRunner {
         try {
           splitStatements(sql).foreach { one0 =>
             val one = canonJsonbInsert(spark, one0)
+            if (txnActive) { mutationTarget(one).foreach(txnSnapshot); noteTxnDdl(one) }
             if (!applyMutation(spark, one)) { spark.sql(one).collect(); () }
           }
           """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?(\w+)(.*)""".r
@@ -2310,6 +2639,11 @@ object SltRunner {
           else passed += 1
         } catch {
           case e: Throwable =>
+            // pg aborts the txn on an error — but only when the REFERENCE
+            // also errored (expectError). A dialect failure (we fail where
+            // the reference succeeds) poisons the target below instead; the
+            // reference's txn carries on, so ours must too.
+            if (expectError && txnActive) txnAborted = true
             if (expectError) passed += 1
             else {
               // a failed INSERT leaves PARTIAL table state
@@ -2340,6 +2674,7 @@ object SltRunner {
       case q: Query =>
         try {
           refreshMvsFor(q.sql)
+          if (txnActive) mutationTarget(q.sql).foreach(txnSnapshot)
           // a mutation query record (INSERT/UPDATE/DELETE ... RETURNING)
           // runs through the emulation; its RETURNING rows are the result
           val df = applyMutationResult(spark, q.sql) match {
@@ -2435,6 +2770,7 @@ object SltRunner {
           }
         } catch {
           case e: Throwable =>
+            if (q.expectError && txnActive) txnAborted = true
             if (q.expectError) passed += 1
             else if (isDialectError(e)) {
               skipped += 1
@@ -2446,7 +2782,7 @@ object SltRunner {
             }
             else { failed += 1; failures += s"$name query: ${q.sql.take(100)} → ${e.toString.take(150)}" }
         }
-    }
+    } }
     Report(name, passed, failed, skipped, failures.toList)
   }
 

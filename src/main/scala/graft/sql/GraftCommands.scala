@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
 
 import graft.sources.CopyTo
 
@@ -53,6 +53,8 @@ case class CreateMaterializedViewCommand(
     // expose committed snapshots to plain SQL reads of `name`; the catalog
     // re-registers on every commit so SQL readers never pin a stale version
     cat.exposeAsTempView(name)
+    GraftSqlCatalog.createSqlFor(spark).put(name,
+      (true, s"CREATE MATERIALIZED VIEW $name AS ${queryText.trim};"))
     Seq(Row(name, v))
   }
 }
@@ -99,8 +101,92 @@ case class DropMaterializedViewCommand(name: String) extends LeafRunnableCommand
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSqlCatalog.forSession(spark).dropView(name)
     GraftSqlCatalog.temporalsFor(spark).remove(name)
+    GraftSqlCatalog.createSqlFor(spark).remove(name)
     spark.catalog.dropTempView(name)
     Seq(Row(name))
+  }
+}
+
+/** The SHOW statement family over the engine catalog (reference
+  * `src/sql/src/plan/statement/show.rs`; `Plan::Show*` in
+  * `src/sql/src/plan.rs:134`). Output shapes match the reference's
+  * `describe_*` column lists exactly. */
+case class ShowCreateViewCommand(name: String, materialized: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("create_sql", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlCatalog.createSqlFor(spark).get(name) match {
+      case Some((isMat, sql)) =>
+        if (isMat != materialized) throw new IllegalArgumentException(
+          if (isMat) s"$name is a materialized view (use SHOW CREATE MATERIALIZED VIEW)"
+          else s"$name is a view (use SHOW CREATE VIEW)")
+        Seq(Row(name, sql))
+      case None => throw new IllegalArgumentException(s"unknown catalog item '$name'")
+    }
+}
+
+/** `SHOW COLUMNS FROM <rel>` — (name, nullable, type, comment) ordered by
+  * position, pg_catalog type names, as in the reference's
+  * `show_columns` (`show.rs:710`). */
+case class ShowColumnsCommand(relation: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("nullable", BooleanType, nullable = false)(),
+    AttributeReference("type", StringType, nullable = false)(),
+    AttributeReference("comment", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    spark.table(relation).schema.fields.toIndexedSeq.map(f =>
+      Row(f.name, f.nullable, ShowCommands.pgTypeName(f.dataType), ""))
+}
+
+/** `SHOW TABLES` / `SHOW VIEWS` — (name, comment), sorted, like the
+  * reference's `show_tables` (`show.rs:453`). Tables are the permanent
+  * relations; views are the session temp views that are not
+  * engine-materialized. */
+case class ShowTablesCommand(views: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("comment", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mvs = GraftSqlCatalog.forSession(spark).viewNames.toSet
+    val listed = spark.catalog.listTables().collect().toIndexedSeq
+      .filter { t =>
+        val isView = t.tableType == "TEMPORARY" || t.tableType == "VIEW"
+        if (views) isView && !mvs.contains(t.name) else !isView
+      }
+    listed.map(_.name).sorted.map(Row(_, ""))
+  }
+}
+
+private[sql] object ShowCommands {
+  import org.apache.spark.sql.types._
+
+  /** Spark type -> pg_catalog spelling, the rendering `SHOW COLUMNS` and
+    * the reference's catalog views use. */
+  def pgTypeName(dt: DataType): String = dt match {
+    case BooleanType => "boolean"
+    case ByteType | ShortType => "smallint"
+    case IntegerType => "integer"
+    case LongType => "bigint"
+    case FloatType => "real"
+    case DoubleType => "double precision"
+    case _: DecimalType => "numeric"
+    case StringType => "text"
+    case BinaryType => "bytea"
+    case DateType => "date"
+    case TimestampType => "timestamp with time zone"
+    case TimestampNTZType => "timestamp"
+    case _: DayTimeIntervalType | _: YearMonthIntervalType |
+         CalendarIntervalType => "interval"
+    case ArrayType(e, _) => pgTypeName(e) + "[]"
+    case MapType(k, v, _) => s"map[${pgTypeName(k)}=>${pgTypeName(v)}]"
+    case s: StructType => "record"
+    case other => other.simpleString
   }
 }
 

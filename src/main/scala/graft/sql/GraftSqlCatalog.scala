@@ -75,6 +75,14 @@ object GraftSqlCatalog {
 
   def subscriptionsFor(spark: SparkSession): TrieMap[String, SubscriptionCursor] =
     subscriptions.getOrElseUpdate(spark.sharedState, TrieMap.empty)
+
+  /** Canonical CREATE statements for SHOW CREATE [MATERIALIZED] VIEW
+    * (reference `ShowCreatePlan`, `src/sql/src/plan/statement/show.rs:51`):
+    * name -> (is_materialized, create_sql). */
+  private val createSqls = TrieMap.empty[AnyRef, TrieMap[String, (Boolean, String)]]
+
+  def createSqlFor(spark: SparkSession): TrieMap[String, (Boolean, String)] =
+    createSqls.getOrElseUpdate(spark.sharedState, TrieMap.empty)
 }
 
 /** Batch SUBSCRIBE: the view's changelog over its committed version

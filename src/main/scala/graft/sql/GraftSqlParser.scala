@@ -94,6 +94,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case DropSource(name) => DropSourceCommand(name)
     case ShowSources() => ShowSourcesCommand()
     case ShowMvs() => ShowMaterializedViewsCommand()
+    case ShowCreateView(mat, name) => ShowCreateViewCommand(name, mat != null)
+    case ShowColumns(name) => ShowColumnsCommand(name)
+    case ShowTables() => ShowTablesCommand(views = false)
+    case ShowViews() => ShowTablesCommand(views = true)
+    case cv @ CreateViewStmt(name) =>
+      // plain CREATE VIEW delegates to Spark, but its text is recorded so
+      // SHOW CREATE VIEW can answer (reference ShowCreatePlan)
+      val plan = delegate.parsePlan(cv)
+      GraftSqlCatalog.createSqlFor(session).put(name, (false, cv.trim.stripSuffix(";") + ";"))
+      plan
     case ExplainStmt(planMode, otherMode, target) =>
       ExplainPlanCommand(
         Option(planMode).orElse(Option(otherMode))
@@ -247,6 +257,18 @@ object GraftSqlParser {
     (s"(?is)^\\s*DROP\\s+INDEX\\s+(IF\\s+EXISTS\\s+)?(?:[A-Za-z_][A-Za-z0-9_]*\\s*@\\s*)?$Id" +
       "(?:\\s+(?:CASCADE|RESTRICT))?\\s*;?\\s*$").r
   val ShowIndexes: Regex = "(?is)^\\s*SHOW\\s+INDEXES\\s*;?\\s*$".r
+  val ShowCreateView: Regex =
+    s"(?is)^\\s*SHOW\\s+CREATE\\s+(MATERIALIZED\\s+)?VIEW\\s+$Id\\s*;?\\s*$$".r
+  val ShowColumns: Regex =
+    s"(?is)^\\s*SHOW\\s+COLUMNS\\s+(?:FROM|IN)\\s+$Id\\s*;?\\s*$$".r
+  val ShowTables: Regex = "(?is)^\\s*SHOW\\s+TABLES\\s*;?\\s*$".r
+  val ShowViews: Regex = "(?is)^\\s*SHOW\\s+VIEWS\\s*;?\\s*$".r
+  /** `CREATE [OR REPLACE] [TEMP] VIEW <name> ...` (no MATERIALIZED) —
+    * matched only to RECORD the text for SHOW CREATE VIEW; parsing
+    * delegates to Spark untouched. */
+  val CreateViewStmt: Regex =
+    (s"(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:GLOBAL\\s+)?(?:TEMP(?:ORARY)?\\s+)?" +
+      s"VIEW\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?$Id\\b.*$$").r
   val ShowSinks: Regex = "(?is)^\\s*SHOW\\s+SINKS\\s*;?\\s*$".r
   val ShowSources: Regex = "(?is)^\\s*SHOW\\s+SOURCES\\s*;?\\s*$".r
   val ShowMvs: Regex = "(?is)^\\s*SHOW\\s+MATERIALIZED\\s+VIEWS\\s*;?\\s*$".r

@@ -407,4 +407,36 @@ class SqlSurfaceSpec extends SparkSpec {
       spark.sql("DROP MATERIALIZED VIEW sqlsurf_ttl")
     } finally spark.conf.unset("spark.graft.mz_now")
   }
+
+  test("SHOW statement family: CREATE VIEW / COLUMNS / TABLES / VIEWS") {
+    Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "grp", "v")
+      .createOrReplaceTempView("sqlsurf_show_base")
+    spark.sql(
+      "CREATE OR REPLACE MATERIALIZED VIEW sqlsurf_show_mv AS SELECT grp, sum(v) AS s FROM sqlsurf_show_base GROUP BY grp")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW sqlsurf_show_v AS SELECT id FROM sqlsurf_show_base")
+    try {
+      // SHOW CREATE MATERIALIZED VIEW: (name, create_sql), the stored text
+      val mv = spark.sql("SHOW CREATE MATERIALIZED VIEW sqlsurf_show_mv").collect().head
+      assert(mv.getString(0) == "sqlsurf_show_mv")
+      assert(mv.getString(1).startsWith("CREATE MATERIALIZED VIEW sqlsurf_show_mv AS"))
+      assert(mv.getString(1).contains("GROUP BY grp"))
+      // SHOW CREATE VIEW rejects the materialized view and answers the plain one
+      intercept[Exception](spark.sql("SHOW CREATE VIEW sqlsurf_show_mv").collect())
+      val pv = spark.sql("SHOW CREATE VIEW sqlsurf_show_v").collect().head
+      assert(pv.getString(1).contains("TEMPORARY VIEW sqlsurf_show_v"))
+      // SHOW COLUMNS: (name, nullable, type, comment) in position order
+      val cols = spark.sql("SHOW COLUMNS FROM sqlsurf_show_mv").collect()
+        .map(r => (r.getString(0), r.getString(2))).toSeq
+      assert(cols == Seq(("grp", "text"), ("s", "double precision")))
+      // SHOW VIEWS lists the plain temp view but not the MV under its name;
+      // unknown relations still error
+      val views = spark.sql("SHOW VIEWS").collect().map(_.getString(0)).toSet
+      assert(views.contains("sqlsurf_show_v"))
+      assert(!views.contains("sqlsurf_show_mv"))
+      intercept[Exception](spark.sql("SHOW CREATE VIEW no_such_view_xyz").collect())
+    } finally {
+      spark.sql("DROP MATERIALIZED VIEW sqlsurf_show_mv")
+      spark.catalog.dropTempView("sqlsurf_show_v")
+    }
+  }
 }
