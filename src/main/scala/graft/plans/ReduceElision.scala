@@ -71,11 +71,17 @@ object UniqueKeys {
   */
 object ReduceElisionRule extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case Aggregate(grouping, aggExprs, child, _)
-        if groupedByUniqueKey(grouping, child) && aggExprs.forall(rewritable) =>
-      Project(aggExprs.map(rewriteTop), child)
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    // tree-pattern pruning: plans with no Aggregate anywhere (the common
+    // case, e.g. every fixpoint micro-round) bail in O(1) on the node's
+    // pattern bits instead of paying a full transformUp tree walk per
+    // optimizer invocation
+    plan.transformUpWithPruning(
+      _.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.AGGREGATE)) {
+      case Aggregate(grouping, aggExprs, child, _)
+          if groupedByUniqueKey(grouping, child) && aggExprs.forall(rewritable) =>
+        Project(aggExprs.map(rewriteTop), child)
+    }
 
   /** Pristine key attributes visible at `p`: (ExprId -> leaf column name)
     * plus the full key set of the one underlying relation. Attributes
