@@ -546,39 +546,10 @@ case class FetchSubscriptionCommand(view: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val cursor = GraftSqlCatalog.subscriptionsFor(spark).getOrElse(view,
       throw new IllegalArgumentException(s"no open subscription on $view"))
-    val rows = cursor.drain()
-    cursor.envelope match {
-      case None => rows
-      case Some((kind, keys)) =>
-        import scala.jdk.CollectionConverters._
-        val (progressRows, dataRows) =
-          if (cursor.withProgress)
-            rows.partition(r => !r.isNullAt(2) && r.getBoolean(2))
-          else (Seq.empty[Row], rows)
-        val plain = dataRows.map { r =>
-          val s = r.toSeq
-          Row.fromSeq(if (cursor.withProgress) s.take(2) ++ s.drop(3) else s)
-        }
-        val df = spark.createDataFrame(plain.asJava, cursor.plainSchema)
-        val shaped =
-          (if (kind.equalsIgnoreCase("UPSERT")) SubscribeEnvelope.upsert(df, keys)
-          else SubscribeEnvelope.debezium(df, keys))
-            .orderBy(org.apache.spark.sql.functions.col(
-              graft.streaming.Subscribe.TsCol))
-            .collect().toSeq
-        if (!cursor.withProgress) shaped
-        else {
-          val width = output.length
-          val dataOut = shaped.map { r =>
-            val s = r.toSeq
-            Row.fromSeq(s.take(2) ++ Seq(false) ++ s.drop(2))
-          }
-          val progOut = progressRows.map(r => Row.fromSeq(
-            Seq(r.get(0), null, true) ++ Seq.fill(width - 3)(null)))
-          // stable sort: data rows precede their timestamp's progress row
-          (dataOut ++ progOut).sortBy(_.getLong(0))
-        }
-    }
+    // envelopes are applied at ENQUEUE (per commit = per timestamp, the
+    // envelope's grouping unit), so a drain is a pure queue read — no
+    // createDataFrame-then-collect round-trip however large the frame
+    cursor.drain()
   }
 }
 

@@ -73,16 +73,41 @@ final class SubscriptionCursor(
       if (withProgress) Seq(ts, diff, false) ++ cols
       else Seq(ts, diff) ++ cols)
 
+  /** Width of the rows FETCH presents (shaped when enveloped). */
+  private lazy val fetchWidth: Int = envelope match {
+    case None => rowSchema.length
+    case Some(_) => shapedArity + (if (withProgress) 1 else 0)
+  }
+  @volatile private var shapedArity: Int = -1
+
   private def progressRow(ts: Long): Row =
-    Row.fromSeq(Seq(ts, null, true) ++ viewSchema.fields.map(_ => null))
+    Row.fromSeq(Seq(ts, null, true) ++ Seq.fill(fetchWidth - 3)(null))
 
   /** Stamp + enqueue one commit's changelog (or the snapshot as all-inserts
     * at the subscribe version). One delta-sized collect, column-aligned to
-    * the view schema. */
+    * the view schema. An ENVELOPED cursor reshapes here — per commit, i.e.
+    * per timestamp, which is exactly the envelope's grouping unit — so
+    * FETCH is a pure queue drain with no driver-side DataFrame round-trip. */
   def enqueue(changelog: DataFrame, version: Long): Unit = {
     val cols = viewSchema.fieldNames.map(col).toIndexedSeq
-    changelog.select(col(Changelog.DiffCol) +: cols: _*).collect().foreach { r =>
-      queue.add(dataRow(version, r.getLong(0), r.toSeq.tail))
+    val stamped = changelog.select(
+      lit(version).cast("long").as(Subscribe.TsCol) +:
+        col(Changelog.DiffCol).cast("long").as(Subscribe.DiffCol) +: cols: _*)
+    envelope match {
+      case None =>
+        stamped.collect().foreach { r =>
+          queue.add(dataRow(r.getLong(0), r.getLong(1), r.toSeq.drop(2)))
+        }
+      case Some((kind, keys)) =>
+        val shaped =
+          (if (kind.equalsIgnoreCase("UPSERT")) SubscribeEnvelope.upsert(stamped, keys)
+          else SubscribeEnvelope.debezium(stamped, keys))
+        shapedArity = shaped.schema.length
+        shaped.collect().foreach { r =>
+          val s = r.toSeq
+          queue.add(Row.fromSeq(
+            if (withProgress) s.take(2) ++ Seq(false) ++ s.drop(2) else s))
+        }
     }
     if (withProgress) queue.add(progressRow(version))
     ()
