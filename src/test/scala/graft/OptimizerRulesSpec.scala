@@ -188,4 +188,55 @@ class OptimizerRulesSpec extends SparkSpec {
     val net = Changelog.consolidate(different).collect()
     assert(net.length == 1 && net.head.getAs[Long](Changelog.DiffCol) == -1L)
   }
+
+  test("golden EXPLAIN statements lock the custom-rule plan shapes") {
+    // the transform/*.slt analog: assert the EXPLAIN STATEMENT's text so
+    // plan drift fails loudly through the same surface a user would read
+    def explain(sql: String): String =
+      spark.sql(sql).collect().map(_.getString(0)).mkString("\n")
+
+    // reduce elision through SQL: GROUP BY the registered unique key —
+    // OPTIMIZED must carry no Aggregate, PHYSICAL no Exchange
+    Tables.load(spark, Sf, "nation").createOrReplaceTempView("golden_nation")
+    val q = "SELECT n_nationkey, count(*) AS c FROM golden_nation GROUP BY n_nationkey"
+    val opt = explain(s"EXPLAIN OPTIMIZED PLAN FOR $q")
+    assert(!opt.contains("Aggregate"), s"reduce elision drifted:\n$opt")
+    val phys = explain(s"EXPLAIN PHYSICAL PLAN FOR $q")
+    assert(!phys.contains("Exchange"), s"elided GROUP BY must not shuffle:\n$phys")
+    // a non-key grouping keeps its Aggregate (the rule must not over-fire)
+    val kept = explain(
+      "EXPLAIN OPTIMIZED PLAN FOR SELECT n_regionkey, count(*) AS c " +
+        "FROM golden_nation GROUP BY n_regionkey")
+    assert(kept.contains("Aggregate"), s"non-key grouping must aggregate:\n$kept")
+
+    // filter pushdown reaches the parquet scan
+    val push = explain(
+      "EXPLAIN FILTER PUSHDOWN FOR SELECT n_name FROM golden_nation WHERE n_nationkey = 3")
+    assert(push.contains("n_nationkey"), s"expected pushed filter:\n$push")
+
+    // indexed join: PHYSICAL text over two co-bucketed relations is
+    // Exchange-free (the arrangement-sharing delta-join shape)
+    Tables.load(spark, Sf, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .createOrReplaceTempView("golden_orders")
+    Tables.load(spark, Sf, "lineitem")
+      .selectExpr("l_orderkey AS o_orderkey", "l_quantity")
+      .createOrReplaceTempView("golden_lineitem")
+    spark.sql("CREATE INDEX IF NOT EXISTS golden_o ON golden_orders (o_orderkey) WITH (BUCKETS 4)")
+    spark.sql("CREATE INDEX IF NOT EXISTS golden_l ON golden_lineitem (o_orderkey) WITH (BUCKETS 4)")
+    try {
+      val joinPhys = explain(
+        """EXPLAIN PHYSICAL PLAN FOR
+          |SELECT o_orderpriority, count(*) AS n
+          |FROM golden_orders JOIN golden_lineitem USING (o_orderkey)
+          |GROUP BY o_orderpriority""".stripMargin)
+      assert(!joinPhys.contains("ShuffleExchange"),
+        s"indexed join must plan exchange-free:\n$joinPhys")
+      assert(joinPhys.contains("SortMergeJoin") || joinPhys.contains("HashJoin"),
+        s"expected a join operator:\n$joinPhys")
+    } finally {
+      spark.sql("DROP INDEX golden_o")
+      spark.sql("DROP INDEX golden_l")
+    }
+  }
 }
