@@ -126,7 +126,49 @@ object PgTextFunctions {
       (FunctionIdentifier("pg_time"), info("pg_time"),
         (args: Seq[Expression]) => PgTimeCast(Cast(args.head, StringType))),
       (FunctionIdentifier("pg_name"), info("pg_name"),
-        (args: Seq[Expression]) => PgNameCast(Cast(args.head, StringType))))
+        (args: Seq[Expression]) => PgNameCast(Cast(args.head, StringType))),
+      (FunctionIdentifier("pg_typeof"), info("pg_typeof"),
+        (args: Seq[Expression]) => PgTypeof(args.head)))
+}
+
+/** `pg_typeof(e)` — the pg spelling of the expression's RESOLVED type
+  * (reference `src/sql/src/func.rs` pg_typeof; pg's typeof.c). The answer
+  * depends only on the type, never the value, so the node is foldable and
+  * ConstantFolding replaces it with a string literal without evaluating
+  * the child. */
+case class PgTypeof(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    UTF8String.fromString(PgTypeof.pgName(child.dataType))
+  override protected def withNewChildInternal(newChild: Expression): PgTypeof =
+    copy(child = newChild)
+}
+
+object PgTypeof {
+  import org.apache.spark.sql.types._
+  def pgName(dt: DataType): String = dt match {
+    case BooleanType => "boolean"
+    case ByteType | ShortType => "smallint"
+    case IntegerType => "integer"
+    case LongType => "bigint"
+    case FloatType => "real"
+    case DoubleType => "double precision"
+    case _: DecimalType => "numeric"
+    case StringType => "text"
+    case BinaryType => "bytea"
+    case DateType => "date"
+    case TimestampType => "timestamp with time zone"
+    case TimestampNTZType => "timestamp"
+    case _: DayTimeIntervalType | _: YearMonthIntervalType |
+         CalendarIntervalType => "interval"
+    case ArrayType(e, _) => pgName(e) + "[]"
+    case MapType(k, v, _) => s"map[${pgName(k)}=>${pgName(v)}]"
+    case _: StructType => "record"
+    case other => other.simpleString
+  }
 }
 
 /** pg `time` for the SLT shim: normalized "HH:MM:SS[.fff]" text, so string

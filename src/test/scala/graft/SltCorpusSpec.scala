@@ -175,7 +175,7 @@ class SltCorpusSpec extends SparkSpec {
     "tpch_create_index.slt", "cockroach/create_index.slt",
     "cockroach/drop_index.slt", "cockroach/postgres_jsonb.slt")
 
-  test("reference SLT corpus subset: 0 failures, >=8400 green assertions") {
+  test("reference SLT corpus subset: 0 failures, >=9000 green assertions") {
     assume(Files.isDirectory(Paths.get(corpus)), "reference corpus not present")
     val reports = SltRunner.runFiles(spark,
       files.map(f => s"$corpus/$f").filter(p => Files.exists(Paths.get(p))))
@@ -189,6 +189,6 @@ class SltCorpusSpec extends SparkSpec {
     total.failures.take(25).foreach(f => info(s"FAIL: $f"))
     assert(total.failed == 0,
       s"${total.failed} SLT failures:\n${total.failures.take(25).mkString("\n")}")
-    assert(total.passed >= 8400, s"only ${total.passed} SLT passes")
+    assert(total.passed >= 9000, s"only ${total.passed} SLT passes")
   }
 }
