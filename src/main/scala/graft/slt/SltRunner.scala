@@ -81,7 +81,7 @@ object SltRunner {
     "CREATE DEFAULT INDEX", "CREATE CLUSTER", "CREATE SOURCE", "CREATE SINK",
     "CREATE CONNECTION", "CREATE SECRET", "CREATE ROLE",
     "CREATE SCHEMA", "CREATE DATABASE", "COMMENT ",
-    "SUBSCRIBE", "COPY ", "DECLARE ", "FETCH ", "CLOSE ", "DISCARD",
+    "SUBSCRIBE", "COPY ", "DECLARE ", "FETCH ", "CLOSE ",
     "VALIDATE ", "DROP CLUSTER", "DROP SOURCE", "DROP INDEX", "DROP SCHEMA",
     "DROP DATABASE", "DROP ROLE", "DROP OWNED", "REASSIGN", "INSPECT")
 
@@ -1036,7 +1036,11 @@ object SltRunner {
       sql = sql.replaceAll("(?i)DROP\\s+MATERIALIZED\\s+VIEW\\s+", "DROP VIEW ")
       sql
     }
-    addNullsOrdering(rewritten) match {
+    // pg DROP TABLE ... CASCADE/RESTRICT: Spark has no modifier — strip it
+    // (temp-view dependents resolve lazily here, so CASCADE is a no-op)
+    val dropNorm = """(?is)^(\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?[\w",\s]*?)\s+(?:CASCADE|RESTRICT)\s*;?\s*$""".r
+      .replaceAllIn(addNullsOrdering(rewritten), "$1")
+    dropNorm match {
       // pg/crdb multi-table DROP: Spark drops one table per statement —
       // split (execution runs each via splitStatements)
       case MultiDropTable(ife, list) =>
@@ -2132,6 +2136,10 @@ object SltRunner {
         """(?i)pg_typeof\s*\(\s*(?:sum|avg)\s*\(""".r,
         "mz widens sum(bigint) to numeric; Spark aggregates in bigint — " +
           "pg_typeof reports the engine's accumulator type"),
+      ("prepare.slt",
+        """(?i)\bEXECUTE\s+p5\s*\(""".r,
+        "mz infers an untyped bare parameter as text; the bind emulation " +
+          "substitutes the literal, which types numerically"),
       ("type-promotion.slt",
         """(?i)pg_typeof\s*\(\s*(?:lag|lead|first_value|last_value)\s*\(""".r,
         "uint8 is emulated as DECIMAL(20,0); pg_typeof through a window " +
@@ -2329,6 +2337,7 @@ object SltRunner {
     // an aborted txn also restores.
     var txnActive = false
     var txnAborted = false
+    var txnReadOnly = false
     // `SET TRANSACTION ISOLATION LEVEL x` inside an open txn: visible to
     // SHOW until COMMIT/ROLLBACK (pg txn-scoped GUC)
     var txnIsolation: Option[String] = None
@@ -2350,7 +2359,7 @@ object SltRunner {
     }
     def txnClear(): Unit = {
       txnActive = false; txnAborted = false; txnSnapshots.clear(); txnDdl.clear()
-      txnIsolation = None
+      txnIsolation = None; txnReadOnly = false
     }
     // tables touched by DDL statements while a txn is open (CREATE/DROP
     // TABLE/VIEW): immediate effect, unrestorable on rollback
@@ -2435,7 +2444,12 @@ object SltRunner {
           case Left(rec) => rec
         }
       case q: Query if IsExecute.pattern.matcher(q.sql).matches =>
-        expandExec(q.sql, q.expectError) match {
+        // documented dialect diffs are matched against the EXECUTE text,
+        // before binding rewrites it
+        if (isKnownDiff(q.sql))
+          Unsupported(s"known diff: ${knownDiffReason(q.sql).getOrElse("")}",
+            mutating = false, sql = q.sql)
+        else expandExec(q.sql, q.expectError) match {
           case Right(x) => q.copy(sql = x)
           case Left(Statement(marker, _)) => q.copy(sql = marker)
           case Left(rec) => rec
@@ -2469,6 +2483,11 @@ object SltRunner {
         """(?i)\bSET\s+(?:LOCAL\s+|SESSION\s+)?(TIME\s+ZONE|[A-Za-z_][\w.]*)""".r
           .findAllMatchIn(usql)
           .foreach(m => varTainted += SltSession.normVar(m.group(1)))
+        // and any MUTATION inside a skipped simple block leaves its table
+        // stale — reads must skip, not compare un-applied state
+        if (reason == "simple protocol block")
+          splitStatements(usql.split("\n----", 2)(0)).foreach(one =>
+            mutationTarget(one).foreach(poisonedTables += _))
         val up = usql.trim.toUpperCase
         if (up.startsWith("PREPARE")) {
           """(?is)^\s*PREPARE\s+(\w+)\s+AS\s+(.*)$""".r.findFirstMatchIn(usql)
@@ -2538,7 +2557,10 @@ object SltRunner {
         txnClear()
       case Statement(sql, expectError) if SltSession.Begin.findFirstMatchIn(sql).isDefined =>
         // nested BEGIN is a pg warning, not an error — the txn continues
-        if (!txnActive) { txnActive = true; txnAborted = false }
+        if (!txnActive) {
+          txnActive = true; txnAborted = false
+          txnReadOnly = """(?is)\bREAD\s+ONLY\b""".r.findFirstIn(sql).isDefined
+        }
         if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
         else passed += 1
       case Statement(sql, expectError) if SltSession.Commit.findFirstMatchIn(sql).isDefined =>
@@ -2565,9 +2587,12 @@ object SltRunner {
           .split(",").last.replaceAll("(?i)^\\s*ISOLATION\\s+LEVEL\\s+", "")
         SltSession.isolationValue(SltSession.normVarValue("transaction_isolation", v)) match {
           case SltSession.Accepted(x) =>
-            sessionVars("transaction_isolation") = x; varTainted -= "transaction_isolation"
             if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
-            else passed += 1
+            else {
+              sessionVars("transaction_isolation") = x
+              varTainted -= "transaction_isolation"
+              passed += 1
+            }
           case _ =>
             if (expectError) passed += 1
             else { skipped += 1; tally("SET isolation value not honored", sql)
@@ -2601,9 +2626,11 @@ object SltRunner {
           else { skipped += 1; tally("SET of unknown session variable", sql); varTainted += name }
         } else SltSession.acceptSet(name, value) match {
           case SltSession.Accepted(v) =>
-            sessionVars(name) = v; varTainted -= name
-            if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
-            else passed += 1
+            if (expectError) {
+              // the reference REJECTED this SET — its session state did not
+              // change, so ours must not either
+              skipped += 1; tally("statement error expected but we accept it", sql)
+            } else { sessionVars(name) = v; varTainted -= name; passed += 1 }
           case SltSession.Invalid =>
             if (expectError) passed += 1
             else { skipped += 1; tally("SET value the reference rejects", sql); varTainted += name }
@@ -2626,6 +2653,22 @@ object SltRunner {
         // any other SET/RESET spelling: never let it reach Spark's native
         // SET command (it would "succeed" by writing an unrelated conf key)
         skipped += 1; tally("SET/RESET shape not handled", sql)
+      case Statement(sql, expectError) if SltSession.Discard.findFirstMatchIn(sql).isDefined =>
+        SltSession.Discard.findFirstMatchIn(sql).get.group(1).toUpperCase match {
+          case "ALL" =>
+            // DISCARD ALL resets the whole session (pg): vars to defaults,
+            // portals gone — taint clears because state is known again
+            sessionVars.clear(); varTainted.clear(); preparedStmts.clear()
+            preparedDefs.clear()
+            if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+            else passed += 1
+          case "PLANS" | "SEQUENCES" =>
+            if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+            else passed += 1
+          case _ => // TEMP drops temp tables — not emulated; whole file unsafe
+            skipped += 1; tally("DISCARD TEMP unsupported", sql)
+            poisoned = true
+        }
       case Statement(sql, _) if touchesPoisoned(sql) =>
         skipped += 1
         tally("statement touches poisoned table")
@@ -2638,7 +2681,11 @@ object SltRunner {
         try {
           splitStatements(sql).foreach { one0 =>
             val one = canonJsonbInsert(spark, one0)
-            if (txnActive) { mutationTarget(one).foreach(txnSnapshot); noteTxnDdl(one) }
+            if (txnActive) {
+              if (txnReadOnly && mutationTarget(one).isDefined)
+                throw new IllegalStateException("transaction in read-only mode")
+              mutationTarget(one).foreach(txnSnapshot); noteTxnDdl(one)
+            }
             if (!applyMutation(spark, one)) { spark.sql(one).collect(); () }
           }
           """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?(\w+)(.*)""".r
@@ -2664,6 +2711,10 @@ object SltRunner {
           if (expectError) { // we accept what the reference rejects: dialect looseness
             skipped += 1
             tally("statement error expected but we accept it")
+            // an ACCEPTED mutation the reference rejected leaves the table
+            // in a state the reference never had — poison it
+            splitStatements(sql).foreach(one =>
+              mutationTarget(one).foreach(poisonedTables += _))
           }
           else passed += 1
         } catch {
@@ -2681,6 +2732,10 @@ object SltRunner {
               // leaves the OLD view state behind — reads of the name would
               // compare stale values, so poison it like a skipped mutation
               """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(?:MATERIALIZED\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?(\w+)""".r
+                .findFirstMatchIn(sql).foreach(m => poisonedTables += m.group(1).toLowerCase)
+              // same for a failed CREATE/DROP TABLE (e.g. a DROP the dialect
+              // rejected followed by re-CREATE: the old contents survive)
+              """(?is)^\s*(?:CREATE|DROP)\s+TABLE\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?["`]?(\w+)""".r
                 .findFirstMatchIn(sql).foreach(m => poisonedTables += m.group(1).toLowerCase)
               if (isDialectError(e) || isKnownDiff(sql)) {
                 skipped += 1

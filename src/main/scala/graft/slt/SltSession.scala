@@ -139,8 +139,15 @@ private[slt] object SltSession {
     case "strong session serializable" => Accepted("strong session serializable")
     case "read committed" | "read uncommitted" | "repeatable read" =>
       Accepted("serializable")
+    case v if v.startsWith("bounded staleness") =>
+      // mz re-renders the staleness duration with spaces between unit
+      // groups ("1m30s" -> "1m 30s")
+      Accepted(v.replaceAll("(?<=[a-z])(?=\\d)", " "))
     case _ => Invalid
   }
+
+  val Discard: Regex =
+    """(?is)^\s*DISCARD\s+(ALL|PLANS|SEQUENCES|TEMP|TEMPORARY)\s*;?\s*$""".r
 
   def acceptSet(name: String, value: String): SetOutcome = {
     val v = normVarValue(name, value)

@@ -173,9 +173,14 @@ class SltCorpusSpec extends SparkSpec {
     "character_sets.slt", "simple_multiline.slt", "cardinality.slt",
     "keys.slt", "cursor.slt",
     "tpch_create_index.slt", "cockroach/create_index.slt",
-    "cockroach/drop_index.slt", "cockroach/postgres_jsonb.slt")
+    "cockroach/drop_index.slt", "cockroach/postgres_jsonb.slt",
+    // round 10: files lit up by the session layer — portals, transactions,
+    // session vars, DISCARD
+    "transactions.slt", "transactions-stable.slt", "prepare.slt",
+    "statement_timeout.slt", "subscribe_error.slt", "discard.slt",
+    "distinct_arrangements.slt", "bounded_staleness.slt")
 
-  test("reference SLT corpus subset: 0 failures, >=9000 green assertions") {
+  test("reference SLT corpus subset: 0 failures, >=9300 green assertions") {
     assume(Files.isDirectory(Paths.get(corpus)), "reference corpus not present")
     val reports = SltRunner.runFiles(spark,
       files.map(f => s"$corpus/$f").filter(p => Files.exists(Paths.get(p))))
@@ -189,6 +194,6 @@ class SltCorpusSpec extends SparkSpec {
     total.failures.take(25).foreach(f => info(s"FAIL: $f"))
     assert(total.failed == 0,
       s"${total.failed} SLT failures:\n${total.failures.take(25).mkString("\n")}")
-    assert(total.passed >= 9000, s"only ${total.passed} SLT passes")
+    assert(total.passed >= 9300, s"only ${total.passed} SLT passes")
   }
 }
