@@ -1362,7 +1362,47 @@ object SltRunner {
       InsertHead.findFirstMatchIn(sql).map { m =>
         runInsertReturning(spark, m.group(1), Option(m.group(2)), m.group(3))
       }
+    else if (up.startsWith("ALTER")) sql match {
+      case AlterRenameTable(from, to) =>
+        spark.sql(s"ALTER TABLE $from RENAME TO $to").collect()
+        Some(None)
+      case AlterRenameView(from, to) =>
+        // temp views: re-register the captured plan under the new name
+        // (pg's rename keeps the defining query — identical here)
+        val plan = spark.table(from)
+        plan.createOrReplaceTempView(to)
+        spark.catalog.dropTempView(from)
+        Some(None)
+      case AlterRenameColumn(t, a, b) =>
+        val df = spark.table(t)
+        require(df.schema.fieldNames.exists(_.equalsIgnoreCase(a)),
+          s"""column "$a" does not exist""")
+        recreateAs(spark, t, df,
+          org.apache.spark.sql.types.StructType(df.schema.fields.map(f =>
+            if (f.name.equalsIgnoreCase(a)) f.copy(name = b) else f)))
+        Some(None)
+      case AlterAddColumn(t, c, tpe, default) if alterConvertible(sql) =>
+        if (default == null) {
+          spark.sql(s"ALTER TABLE $t ADD COLUMNS ($c $tpe)").collect()
+        } else {
+          // pg fills EXISTING rows with the default on ADD COLUMN DEFAULT
+          val df = spark.table(t).selectExpr("*", s"CAST(($default) AS $tpe) AS $c")
+          recreateAs(spark, t, df, df.schema)
+        }
+        Some(None)
+      case _ => None
+    }
     else None
+  }
+
+  /** Drop + recreate `table` with `df`'s rows under `schema` — the
+    * schema-changing ALTER emulation (collect-then-write: fixture tables
+    * are driver-sized; the distributed path would stage to a temp name). */
+  private def recreateAs(spark: SparkSession, table: String,
+      df: DataFrame, schema: org.apache.spark.sql.types.StructType): Unit = {
+    val rows = df.collect().toSeq
+    spark.sql(s"DROP TABLE $table")
+    spark.createDataFrame(rows.asJava, schema).write.saveAsTable(table)
   }
 
   private def localized(spark: SparkSession, df: DataFrame): DataFrame = {
@@ -1574,12 +1614,41 @@ object SltRunner {
   private val DataAlter =
     """(?is)^\s*ALTER\s+(?:MATERIALIZED\s+)?(?:TABLE|VIEW)\s+["`]?(\w+)["`]?\s+(?:APPLY|ADD|DROP|RENAME|ALTER)\b.*""".r
 
+  // Convertible ALTER TABLE forms (single-op, simple names): RENAME TO runs
+  // natively; RENAME COLUMN and ADD COLUMN DEFAULT are drop-recreate
+  // emulations over the driver-sized fixtures.
+  private val AlterRenameTable =
+    """(?is)^\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?["`]?(\w+)["`]?\s+RENAME\s+TO\s+["`]?(\w+)["`]?\s*;?\s*$""".r
+  private val AlterRenameColumn =
+    """(?is)^\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?["`]?(\w+)["`]?\s+RENAME\s+COLUMN\s+["`]?(\w+)["`]?\s+TO\s+["`]?(\w+)["`]?\s*;?\s*$""".r
+  private val AlterAddColumn =
+    """(?is)^\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?["`]?(\w+)["`]?\s+ADD\s+(?:COLUMN\s+)?(?:IF\s+NOT\s+EXISTS\s+)?["`]?(\w+)["`]?\s+([A-Za-z_][\w(), ]*?)(?:\s+DEFAULT\s+(.+?))?\s*;?\s*$""".r
+  private val AlterRenameView =
+    """(?is)^\s*ALTER\s+(?:MATERIALIZED\s+)?VIEW\s+(?:IF\s+EXISTS\s+)?["`]?(\w+)["`]?\s+RENAME\s+TO\s+["`]?(\w+)["`]?\s*;?\s*$""".r
+  /** Marker: a piece the emulation must skip as a dialect gap (the record
+    * counts skipped, exactly like a parse-level dialect error). */
+  private[slt] final class DialectSkip(msg: String) extends Exception(msg)
+
+  private def alterConvertible(sqlRaw: String): Boolean = sqlRaw match {
+    case AlterRenameTable(_, _) => true
+    case AlterRenameColumn(_, _, _) => true
+    case AlterRenameView(_, _) => true
+    case AlterAddColumn(_, _, tpe, _) =>
+      // constraints/defaults-with-constraints stay unsupported (pg fills
+      // NOT NULL / CHECK semantics this emulation does not honor)
+      """(?i)\b(NOT|NULL|UNIQUE|PRIMARY|REFERENCES|CHECK|COLLATE)\b""".r
+        .findFirstIn(tpe).isEmpty
+    case _ => false
+  }
+
   private def classify(sqlRaw: String, crdb: Boolean): Record = {
     val up = sqlRaw.trim.toUpperCase
     // UPDATE/DELETE run through the emulation in applyMutation (Spark v1
     // tables have no native UPDATE/DELETE); unsupported shapes fall back to
     // a dialect skip that poisons the target, as before
-    if (DataAlter.findFirstMatchIn(sqlRaw).isDefined)
+    if (alterConvertible(sqlRaw))
+      Statement(shim(sqlRaw, crdb), expectError = false)
+    else if (DataAlter.findFirstMatchIn(sqlRaw).isDefined)
       Unsupported("data-changing ALTER has no Spark analog", mutating = true,
         target = DataAlter.findFirstMatchIn(sqlRaw).map(_.group(1).toLowerCase))
     else if (up.startsWith("COPY ") &&
@@ -1949,7 +2018,8 @@ object SltRunner {
     def isDialectError(e: Throwable): Boolean = {
       val cn = e.getClass.getName.toLowerCase
       val msg = Option(e.getMessage).getOrElse("")
-      cn.contains("parse") || cn.contains("analysis") || cn.contains("nosuch") ||
+      e.isInstanceOf[DialectSkip] ||
+        cn.contains("parse") || cn.contains("analysis") || cn.contains("nosuch") ||
         // parser/analyzer recursion depth on pathological inputs (the
         // reference tests its own recursion_limit here) — an engine limit,
         // not a wrong answer
@@ -2363,9 +2433,16 @@ object SltRunner {
     }
     // tables touched by DDL statements while a txn is open (CREATE/DROP
     // TABLE/VIEW): immediate effect, unrestorable on rollback
-    def noteTxnDdl(sql: String): Unit = if (txnActive)
+    def noteTxnDdl(sql: String): Unit = if (txnActive) {
       """(?i)\b(?:CREATE|DROP)\s+(?:TEMPORARY\s+)?(?:TABLE|VIEW)\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?(?:OR\s+REPLACE\s+)?["`]?(\w+)""".r
         .findAllMatchIn(sql).foreach(m => txnDdl += m.group(1).toLowerCase)
+      // schema-changing ALTERs are DDL too: a rollback cannot undo them
+      """(?i)^\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?["`]?(\w+)["`]?\s+(?:RENAME|ADD)\b""".r
+        .findFirstMatchIn(sql).foreach { m =>
+          txnDdl += m.group(1).toLowerCase
+          AlterRenameTable.findFirstMatchIn(sql).foreach(r => txnDdl += r.group(2).toLowerCase)
+        }
+    }
     // materialized views created by this file, in creation order: mz MVs are
     // continuously maintained (reads always fresh), so the runner
     // re-materializes them through the engine's own REFRESH path before any
@@ -2388,6 +2465,44 @@ object SltRunner {
           try spark.sql(s"REFRESH MATERIALIZED VIEW $mv").collect()
           catch { case _: Throwable => () } // e.g. base dropped; query decides
         }
+
+    def isSingle(sql: String): Boolean =
+      !sql.contains(";") || splitStatements(sql).lengthCompare(1) == 0
+
+    // One piece of a COMPOUND statement that is session-level: txn control
+    // runs against the txn state; a SET is honored exactly like the
+    // single-statement path or aborts the record as a dialect skip (so no
+    // later piece runs against wrong session state). Returns true when the
+    // piece is fully handled.
+    def sessionPiece(one: String): Boolean = {
+      if (SltSession.RollbackTo.findFirstMatchIn(one).isDefined)
+        throw new DialectSkip("ROLLBACK TO SAVEPOINT in compound")
+      else if (SltSession.Begin.findFirstMatchIn(one).isDefined) {
+        if (!txnActive) {
+          txnActive = true; txnAborted = false
+          txnReadOnly = """(?is)\bREAD\s+ONLY\b""".r.findFirstIn(one).isDefined
+        }
+        true
+      } else if (SltSession.Commit.findFirstMatchIn(one).isDefined) {
+        if (txnAborted) txnRestore()
+        txnClear(); true
+      } else if (SltSession.Rollback.findFirstMatchIn(one).isDefined) {
+        txnRestore(); txnClear(); true
+      } else if ("""(?is)^\s*(?:SET|RESET|DISCARD|SHOW)\b.*""".r.pattern.matcher(one).matches) {
+        SltSession.SetVar.findFirstMatchIn(one) match {
+          case Some(m) =>
+            val name = SltSession.normVar(Option(m.group(1)).getOrElse(m.group(2)))
+            SltSession.acceptSet(name, m.group(3)) match {
+              case SltSession.Accepted(v) =>
+                sessionVars(name) = v; varTainted -= name; true
+              case _ =>
+                varTainted += name
+                throw new DialectSkip(s"SET $name not honored in compound")
+            }
+          case None => throw new DialectSkip("session statement in compound not honored")
+        }
+      } else false
+    }
 
     // Expand EXECUTE against the live portal map (the bind step). Left =
     // a substitute record to emit (skip, or a forced-error marker for
@@ -2531,7 +2646,7 @@ object SltRunner {
             tally(s"copy TSV load failed: ${e.getClass.getSimpleName}")
             poisonedTables += table.toLowerCase // un-loaded table is empty, not absent
         }
-      case Statement(sql, expectError) if SltSession.Prepare.findFirstMatchIn(sql).isDefined =>
+      case Statement(sql, expectError) if isSingle(sql) && SltSession.Prepare.findFirstMatchIn(sql).isDefined =>
         val m = SltSession.Prepare.findFirstMatchIn(sql).get
         preparedStmts(SltSession.normName(m.group(1))) = SltSession.Prepared(
           Option(m.group(2)).map(SltSession.splitTop).getOrElse(Nil), m.group(3))
@@ -2539,7 +2654,7 @@ object SltRunner {
           // pg validates the body at PREPARE time; we bind lazily — loose
           skipped += 1; tally("statement error expected but we accept it", sql)
         } else passed += 1
-      case Statement(sql, expectError) if SltSession.Deallocate.findFirstMatchIn(sql).isDefined =>
+      case Statement(sql, expectError) if isSingle(sql) && SltSession.Deallocate.findFirstMatchIn(sql).isDefined =>
         val n = SltSession.normName(SltSession.Deallocate.findFirstMatchIn(sql).get.group(1))
         val known = if (n == "all") { preparedStmts.clear(); preparedDefs.clear(); true }
           else preparedStmts.remove(n).isDefined | preparedDefs.remove(n).isDefined
@@ -2548,14 +2663,14 @@ object SltRunner {
           else { skipped += 1; tally("statement error expected but we accept it", sql) }
         } else if (known) passed += 1
         else { skipped += 1; tally("DEALLOCATE of unknown prepared statement", sql) }
-      case Statement(sql, expectError) if SltSession.RollbackTo.findFirstMatchIn(sql).isDefined =>
+      case Statement(sql, expectError) if isSingle(sql) && SltSession.RollbackTo.findFirstMatchIn(sql).isDefined =>
         // partial rollback is not emulated: everything this txn touched is
         // stale from here on
         skipped += 1; tally("ROLLBACK TO SAVEPOINT unsupported", sql)
         txnSnapshots.keys.foreach(poisonedTables += _)
         txnDdl.foreach(poisonedTables += _)
         txnClear()
-      case Statement(sql, expectError) if SltSession.Begin.findFirstMatchIn(sql).isDefined =>
+      case Statement(sql, expectError) if isSingle(sql) && SltSession.Begin.findFirstMatchIn(sql).isDefined =>
         // nested BEGIN is a pg warning, not an error — the txn continues
         if (!txnActive) {
           txnActive = true; txnAborted = false
@@ -2563,12 +2678,12 @@ object SltRunner {
         }
         if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
         else passed += 1
-      case Statement(sql, expectError) if SltSession.Commit.findFirstMatchIn(sql).isDefined =>
+      case Statement(sql, expectError) if isSingle(sql) && SltSession.Commit.findFirstMatchIn(sql).isDefined =>
         if (txnAborted) txnRestore() // COMMIT of an aborted txn rolls back
         txnClear()
         if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
         else passed += 1
-      case Statement(sql, expectError) if SltSession.Rollback.findFirstMatchIn(sql).isDefined =>
+      case Statement(sql, expectError) if isSingle(sql) && SltSession.Rollback.findFirstMatchIn(sql).isDefined =>
         txnRestore(); txnClear()
         if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
         else passed += 1
@@ -2579,9 +2694,9 @@ object SltRunner {
         if (ok == !expectError) passed += 1
         else if (ok) { skipped += 1; tally("statement error expected but we accept it") }
         else { skipped += 1; tally(s"type DDL rejected: ${err.take(60)}") }
-      case Statement(sql, expectError) if SltSession.SetUnsupportedForm.findFirstMatchIn(sql).isDefined =>
+      case Statement(sql, expectError) if isSingle(sql) && SltSession.SetUnsupportedForm.findFirstMatchIn(sql).isDefined =>
         skipped += 1; tally("SET form with no analog (cluster setting/role)", sql)
-      case Statement(sql, expectError) if SltSession.SetSessionIsolation.findFirstMatchIn(sql).isDefined =>
+      case Statement(sql, expectError) if isSingle(sql) && SltSession.SetSessionIsolation.findFirstMatchIn(sql).isDefined =>
         // last write wins across a comma list ("... LEVEL A, ISOLATION LEVEL B")
         val v = SltSession.SetSessionIsolation.findFirstMatchIn(sql).get.group(1)
           .split(",").last.replaceAll("(?i)^\\s*ISOLATION\\s+LEVEL\\s+", "")
@@ -2598,7 +2713,7 @@ object SltRunner {
             else { skipped += 1; tally("SET isolation value not honored", sql)
               varTainted += "transaction_isolation" }
         }
-      case Statement(sql, expectError) if SltSession.SetTxnScoped.findFirstMatchIn(sql).isDefined =>
+      case Statement(sql, expectError) if isSingle(sql) && SltSession.SetTxnScoped.findFirstMatchIn(sql).isDefined =>
         // `SET TRANSACTION ...` scopes to the current transaction only; an
         // isolation level set inside an open txn is visible to SHOW until
         // the txn ends
@@ -2612,7 +2727,7 @@ object SltRunner {
             }
         if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
         else passed += 1
-      case Statement(sql, expectError) if SltSession.SetVar.findFirstMatchIn(sql).isDefined =>
+      case Statement(sql, expectError) if isSingle(sql) && SltSession.SetVar.findFirstMatchIn(sql).isDefined =>
         val m = SltSession.SetVar.findFirstMatchIn(sql).get
         val name = SltSession.normVar(Option(m.group(1)).getOrElse(m.group(2)))
         val value = m.group(3)
@@ -2639,7 +2754,7 @@ object SltRunner {
             skipped += 1; tally("SET value not honored by the runner", sql)
             varTainted += name
         }
-      case Statement(sql, expectError) if SltSession.ResetVar.findFirstMatchIn(sql).isDefined =>
+      case Statement(sql, expectError) if isSingle(sql) && SltSession.ResetVar.findFirstMatchIn(sql).isDefined =>
         val n = SltSession.normVar(SltSession.ResetVar.findFirstMatchIn(sql).get.group(1))
         if (n == "all") {
           sessionVars.clear(); varTainted.clear(); passed += 1
@@ -2649,11 +2764,11 @@ object SltRunner {
           else passed += 1
         } else if (expectError) passed += 1
         else { skipped += 1; tally("RESET of unknown session variable", sql) }
-      case Statement(sql, _) if """(?is)^\s*(?:SET|RESET)\b.*""".r.pattern.matcher(sql).matches =>
+      case Statement(sql, _) if isSingle(sql) && """(?is)^\s*(?:SET|RESET)\b.*""".r.pattern.matcher(sql).matches =>
         // any other SET/RESET spelling: never let it reach Spark's native
         // SET command (it would "succeed" by writing an unrelated conf key)
         skipped += 1; tally("SET/RESET shape not handled", sql)
-      case Statement(sql, expectError) if SltSession.Discard.findFirstMatchIn(sql).isDefined =>
+      case Statement(sql, expectError) if isSingle(sql) && SltSession.Discard.findFirstMatchIn(sql).isDefined =>
         SltSession.Discard.findFirstMatchIn(sql).get.group(1).toUpperCase match {
           case "ALL" =>
             // DISCARD ALL resets the whole session (pg): vars to defaults,
@@ -2681,12 +2796,14 @@ object SltRunner {
         try {
           splitStatements(sql).foreach { one0 =>
             val one = canonJsonbInsert(spark, one0)
-            if (txnActive) {
-              if (txnReadOnly && mutationTarget(one).isDefined)
-                throw new IllegalStateException("transaction in read-only mode")
-              mutationTarget(one).foreach(txnSnapshot); noteTxnDdl(one)
+            if (!sessionPiece(one)) {
+              if (txnActive) {
+                if (txnReadOnly && mutationTarget(one).isDefined)
+                  throw new IllegalStateException("transaction in read-only mode")
+                mutationTarget(one).foreach(txnSnapshot); noteTxnDdl(one)
+              }
+              if (!applyMutation(spark, one)) { spark.sql(one).collect(); () }
             }
-            if (!applyMutation(spark, one)) { spark.sql(one).collect(); () }
           }
           """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?(\w+)(.*)""".r
             .findFirstMatchIn(sql)
@@ -2708,6 +2825,27 @@ object SltRunner {
           """(?i)^\s*(?:DROP|CREATE)\s+TABLE\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?["`]?(\w+)""".r
             .findFirstMatchIn(sql)
             .foreach(m => poisonedTables -= m.group(1).toLowerCase)
+          // a successful RENAME carries the source's poison to the target;
+          // and any VIEW over either name now resolves differently in pg
+          // (views track the relation, Spark temp views pin the plan) —
+          // poison those views rather than serve the pinned data
+          splitStatements(sql).foreach { one =>
+            AlterRenameTable.findFirstMatchIn(one).foreach { m =>
+              if (poisonedTables.remove(m.group(1).toLowerCase))
+                poisonedTables += m.group(2).toLowerCase
+              viewDefs.foreach { case (v, d) =>
+                if (refsWord(d, m.group(1)) || refsWord(d, m.group(2)))
+                  poisonedTables += v
+              }
+            }
+            // a view rename (possibly inside a compound) moves its
+            // definition and poison with it
+            AlterRenameView.findFirstMatchIn(one).foreach { m =>
+              val (from, to) = (m.group(1).toLowerCase, m.group(2).toLowerCase)
+              viewDefs.remove(from).foreach(d => viewDefs(to) = d)
+              if (poisonedTables.remove(from)) poisonedTables += to
+            }
+          }
           if (expectError) { // we accept what the reference rejects: dialect looseness
             skipped += 1
             tally("statement error expected but we accept it")
@@ -2737,6 +2875,13 @@ object SltRunner {
               // rejected followed by re-CREATE: the old contents survive)
               """(?is)^\s*(?:CREATE|DROP)\s+TABLE\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?["`]?(\w+)""".r
                 .findFirstMatchIn(sql).foreach(m => poisonedTables += m.group(1).toLowerCase)
+              // a failed RENAME leaves BOTH names in unknown state (the
+              // compound may have partially applied)
+              """(?i)\bALTER\s+(?:MATERIALIZED\s+)?(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?["`]?(\w+)["`]?\s+RENAME\s+TO\s+["`]?(\w+)""".r
+                .findAllMatchIn(sql).foreach { m =>
+                  poisonedTables += m.group(1).toLowerCase
+                  poisonedTables += m.group(2).toLowerCase
+                }
               if (isDialectError(e) || isKnownDiff(sql)) {
                 skipped += 1
                 tally(knownDiffReason(sql).map(r => s"known diff: $r").getOrElse(
