@@ -946,13 +946,20 @@ object SltRunner {
           """(?i)\btime\b(?!stamp)""".r.replaceAllIn(ui, "string")
         } else st
       }.mkString(";")
+    // TIMESTAMPTZ typed literals: Spark has no TIMESTAMPTZ keyword — cast
+    // the string, zero-padding pg's loose zone offsets ('-6' -> '-06:00')
+    // so Spark's timestamp parser accepts them
+    val sqlTstz =
+      if (!sqlTagged.toUpperCase.contains("TIMESTAMPTZ")) sqlTagged
+      else """(?i)\bTIMESTAMPTZ\s+'([^']*)'""".r.replaceAllIn(sqlTagged, m =>
+        Regex.quoteReplacement(s"CAST('${padZoneOffset(m.group(1))}' AS TIMESTAMP)"))
     // pg_typeof over a range cast/constructor is a static fact — fold it
     // before the cast rewrite erases the type name
     val sqlTypeof =
-      if (!sqlTagged.toLowerCase.contains("pg_typeof")) sqlTagged
+      if (!sqlTstz.toLowerCase.contains("pg_typeof")) sqlTstz
       else {
         val a = """(?i)\bpg_typeof\s*\(\s*('[^']*'|null)\s*::\s*(int4range|int8range|numrange|daterange|tsrange|tstzrange)\s*\)"""
-          .r.replaceAllIn(sqlTagged, m => "'" + m.group(2).toLowerCase + "'")
+          .r.replaceAllIn(sqlTstz, m => "'" + m.group(2).toLowerCase + "'")
         val b = """(?i)\bpg_typeof\s*\(\s*(int4range|int8range|numrange|daterange|tsrange|tstzrange)\s*\([^()]*\)\s*\)"""
           .r.replaceAllIn(a, m => "'" + m.group(1).toLowerCase + "'")
         val c0 = """(?i)\bpg_typeof\s*\(\s*(?:-?\d+(?:\.\d+)?|'[^']*')\s*::\s*(uint[248])\s*\)"""
@@ -1048,6 +1055,22 @@ object SltRunner {
           .map(n => s"DROP TABLE ${Option(ife).map(_ => "IF EXISTS ").getOrElse("")}$n")
           .mkString("; ")
       case s => s
+    }
+  }
+
+  /** Zero-pad a pg-loose trailing zone offset ('-6' / '+4:30' / 'z') into
+    * the '+HH:mm[:ss]' form Spark's timestamp parser accepts. */
+  private def padZoneOffset(ts0: String): String = {
+    val ts = ts0.replaceAll("(\\d)\\s*[zZ]\\s*$", "$1+00:00") // Zulu suffix
+    """([+-])(\d{1,2})(?::(\d{1,2}))?(?::(\d{1,2}))?\s*$""".r.findFirstMatchIn(ts) match {
+      // only after a TIME component — a bare date's "-31" is not a zone
+      case Some(m) if ts.substring(0, m.start)
+          .matches("(?s).*\\d{1,2}:\\d{2}(:\\d{2})?(\\.\\d+)?\\s*") =>
+        val h = f"${m.group(2).toInt}%02d"
+        val mi = f"${Option(m.group(3)).map(_.toInt).getOrElse(0)}%02d"
+        val se = Option(m.group(4)).map(x => f":${x.toInt}%02d").getOrElse("")
+        ts.substring(0, m.start) + m.group(1) + h + ":" + mi + se
+      case _ => ts
     }
   }
 
@@ -1860,7 +1883,10 @@ object SltRunner {
       // renders floats %.3f and pg keeps numeric where Spark promotes to
       // double, so "3" / "3.0" / "3.000" must all compare equal.
       case _ =>
-        val stripped = s.replaceAll(" 00:00:00$", "")
+        // mz renders timestamptz in the UTC session zone with a "+00"
+        // suffix; our rendering has no suffix — strip it from both sides
+        val noZone = s.replaceAll("(\\d)\\+00$", "$1")
+        val stripped = noZone.replaceAll(" 00:00:00$", "")
         if (stripped.matches("-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?"))
           try "%.3f".format(stripped.toDouble) catch { case _: Exception => stripped }
         else stripped
@@ -2027,6 +2053,8 @@ object SltRunner {
         msg.contains("COLLATION") ||
         // ANSI overflow: the reference auto-widens sum(int8) to numeric
         cn.contains("arithmetic") ||
+        // runtime datetime cast rejections (pg's literal formats are looser)
+        cn.contains("datetime") ||
         // Catalyst limitations on deeply-correlated subqueries
         msg.contains("INTERNAL_ERROR") || msg.contains("STAGE_MATERIALIZATION") ||
         msg.contains("UNSUPPORTED") ||
@@ -2210,6 +2238,10 @@ object SltRunner {
         """(?i)\bEXECUTE\s+p5\s*\(""".r,
         "mz infers an untyped bare parameter as text; the bind emulation " +
           "substitutes the literal, which types numerically"),
+      ("timezone.slt",
+        """2020-11-01 01:00:00 America/New_York""".r,
+        "ambiguous fall-back local time: pg resolves to standard time, " +
+          "java.time to daylight"),
       ("type-promotion.slt",
         """(?i)pg_typeof\s*\(\s*(?:lag|lead|first_value|last_value)\s*\(""".r,
         "uint8 is emulated as DECIMAL(20,0); pg_typeof through a window " +
