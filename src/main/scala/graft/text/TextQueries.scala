@@ -316,6 +316,64 @@ object TextQueries {
           count(when((col("doc_id") * lit(2654435761L)) % 10 < 2, 1)).as("sampled"),
           count(lit(1)).as("total"))
         .orderBy("lang")
+    },
+
+    // Gopher-style repetition filtering (Rae et al. 2021 §A1.1, the
+    // "repetition removal" family): per-document top-unigram / top-bigram
+    // mass and distinct-word ratio, with a keep/flag verdict. MAP-ONLY at
+    // any scale — the frequency statistics are computed inside one row via
+    // codegen'd higher-order array functions (docs are bounded, pipelines
+    // cap document length), so 100 TB of documents needs zero shuffles and
+    // composes with any downstream operator for free. Integer-ratio doubles
+    // only, so Spark and the oracle agree bit-for-bit.
+    Q("text_gopher_repetition",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |  CAST(list_max(list_transform(list_distinct(string_split(text, ' ')),
+        |      w -> len(list_filter(string_split(text, ' '), x -> x = w)))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS top_unigram_frac,
+        |  CAST(list_max(list_transform(
+        |      list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+        |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])),
+        |      g -> len(list_filter(
+        |        list_transform(range(1, len(string_split(text, ' '))),
+        |          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]),
+        |        x -> x = g)))) AS DOUBLE)
+        |    / (len(string_split(text, ' ')) - 1) AS top_bigram_frac,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS distinct_ratio,
+        |  CASE WHEN CAST(list_max(list_transform(list_distinct(string_split(text, ' ')),
+        |           w -> len(list_filter(string_split(text, ' '), x -> x = w)))) AS DOUBLE)
+        |           / len(string_split(text, ' ')) <= 0.10
+        |        AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |           / len(string_split(text, ' ')) >= 0.50
+        |       THEN 'keep' ELSE 'flag' END AS verdict
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val nW = size(col("toks"))
+      // top-element mass via nested higher-order functions: frequency of
+      // each DISTINCT token counted against the token array (quadratic in
+      // doc length, linear in data — stays inside whole-stage codegen)
+      def topCount(arr: Column): Column =
+        array_max(transform(array_distinct(arr),
+          w => size(filter(arr, x => x === w))))
+      docs(s, dir)
+        .withColumn("toks", toks)
+        .withColumn("bigrams", expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .withColumn("n_words", nW)
+        .withColumn("top_unigram_frac",
+          topCount(col("toks")).cast("double") / col("n_words"))
+        .withColumn("top_bigram_frac",
+          topCount(col("bigrams")).cast("double") / (col("n_words") - 1))
+        .withColumn("distinct_ratio",
+          size(array_distinct(col("toks"))).cast("double") / col("n_words"))
+        .select(
+          col("doc_id"), col("n_words"), col("top_unigram_frac"),
+          col("top_bigram_frac"), col("distinct_ratio"),
+          when(col("top_unigram_frac") <= 0.10 && col("distinct_ratio") >= 0.50,
+            "keep").otherwise("flag").as("verdict"))
     }
   )
 }
