@@ -2245,6 +2245,13 @@ object SltRunner {
       ("try_parse_monotonic_iso8601_timestamp.slt",
         """'0000-""".r,
         "year zero renders as 0001 BC in pg-era notation; Spark has no era"),
+      ("postgres-incompatibility.slt",
+        """(?i)17 / - COALESCE""".r,
+        "pg integer division truncates; Spark '/' is fractional"),
+      ("persist-fast-path.slt",
+        """(?i)\bLIMIT\s+\d+""".r,
+        "LIMIT without ORDER BY returns engine-defined rows (the file pins " +
+          "the reference's persist iteration order)"),
       ("type-promotion.slt",
         """(?i)pg_typeof\s*\(\s*(?:lag|lead|first_value|last_value)\s*\(""".r,
         "uint8 is emulated as DECIMAL(20,0); pg_typeof through a window " +

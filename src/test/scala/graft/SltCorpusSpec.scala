@@ -184,9 +184,12 @@ class SltCorpusSpec extends SparkSpec {
     "cockroach/rename_atomic.slt", "cockroach/discard.slt",
     "cockroach/select_for_update.slt", "cockroach/txn_as_of.slt",
     "cockroach/grant_in_txn.slt", "cockroach/lock_timeout.slt",
-    "cockroach/collatedstring_normalization.slt", "cockroach/dependencies.slt")
+    "cockroach/collatedstring_normalization.slt", "cockroach/dependencies.slt",
+    "postgres-incompatibility.slt", "redacted.slt", "max_result_size.slt",
+    "peek_result_thinning.slt", "persist-fast-path.slt", "retain_history.slt",
+    "web-console.slt", "shard_errors.slt")
 
-  test("reference SLT corpus subset: 0 failures, >=9500 green assertions") {
+  test("reference SLT corpus subset: 0 failures, >=9600 green assertions") {
     assume(Files.isDirectory(Paths.get(corpus)), "reference corpus not present")
     val reports = SltRunner.runFiles(spark,
       files.map(f => s"$corpus/$f").filter(p => Files.exists(Paths.get(p))))
@@ -200,6 +203,6 @@ class SltCorpusSpec extends SparkSpec {
     total.failures.take(25).foreach(f => info(s"FAIL: $f"))
     assert(total.failed == 0,
       s"${total.failed} SLT failures:\n${total.failures.take(25).mkString("\n")}")
-    assert(total.passed >= 9500, s"only ${total.passed} SLT passes")
+    assert(total.passed >= 9600, s"only ${total.passed} SLT passes")
   }
 }
