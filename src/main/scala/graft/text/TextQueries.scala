@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -374,6 +375,42 @@ object TextQueries {
           col("top_bigram_frac"), col("distinct_ratio"),
           when(col("top_unigram_frac") <= 0.10 && col("distinct_ratio") >= 0.50,
             "keep").otherwise("flag").as("verdict"))
+    },
+
+    // Sequence packing: assign documents to fixed token-budget bins (the
+    // concat-then-chunk packing a pretraining dataloader performs),
+    // deterministically. Documents are hash-ordered (training-shuffle
+    // order, replay-stable) inside (lang, stream) packing streams; a
+    // running token total places each document at the bin where its first
+    // token lands. 32 independent streams per language keep the
+    // sort-within-partition bounded and embarrassingly parallel — at
+    // 100 TB each stream is one sorted partition, and more streams is one
+    // constant away. Integer arithmetic end-to-end.
+    Q("pack_token_budget",
+      """SELECT doc_id, lang, stream, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 2048.0) AS INT) AS bin
+        |FROM (
+        |  SELECT doc_id, lang, stream, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang, stream
+        |                        ORDER BY hkey, doc_id) AS cum
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      CAST((doc_id * 2654435761) % 32 AS INT) AS stream,
+        |      (doc_id * 2654435761) % 1000000007 AS hkey,
+        |      CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |    FROM documents))""".stripMargin) { (s, dir) =>
+      val base = docs(s, dir).select(
+        col("doc_id"), col("lang"),
+        ((col("doc_id") * lit(2654435761L)) % 32).cast("int").as("stream"),
+        ((col("doc_id") * lit(2654435761L)) % 1000000007L).as("hkey"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      val w = Window.partitionBy(col("lang"), col("stream"))
+        .orderBy(col("hkey"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("lang"), col("stream"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / 2048.0).cast("int").as("bin"))
     }
   )
 }
