@@ -1404,6 +1404,15 @@ object SltRunner {
           org.apache.spark.sql.types.StructType(df.schema.fields.map(f =>
             if (f.name.equalsIgnoreCase(a)) f.copy(name = b) else f)))
         Some(None)
+      case AlterDropColumn(t, c) =>
+        val df = spark.table(t)
+        require(df.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"""column "$c" does not exist""")
+        require(df.schema.length > 1, "cannot drop the only column")
+        val keep = df.schema.fieldNames.filterNot(_.equalsIgnoreCase(c))
+        val kept = df.select(keep.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
+        recreateAs(spark, t, kept, kept.schema)
+        Some(None)
       case AlterAddColumn(t, c, tpe, default) if alterConvertible(sql) =>
         if (default == null) {
           spark.sql(s"ALTER TABLE $t ADD COLUMNS ($c $tpe)").collect()
@@ -1648,6 +1657,8 @@ object SltRunner {
     """(?is)^\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?["`]?(\w+)["`]?\s+ADD\s+(?:COLUMN\s+)?(?:IF\s+NOT\s+EXISTS\s+)?["`]?(\w+)["`]?\s+([A-Za-z_][\w(), ]*?)(?:\s+DEFAULT\s+(.+?))?\s*;?\s*$""".r
   private val AlterRenameView =
     """(?is)^\s*ALTER\s+(?:MATERIALIZED\s+)?VIEW\s+(?:IF\s+EXISTS\s+)?["`]?(\w+)["`]?\s+RENAME\s+TO\s+["`]?(\w+)["`]?\s*;?\s*$""".r
+  private val AlterDropColumn =
+    """(?is)^\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?["`]?(\w+)["`]?\s+DROP\s+(?:COLUMN\s+)?(?:IF\s+EXISTS\s+)?["`]?(\w+)["`]?(?:\s+(?:CASCADE|RESTRICT))?\s*;?\s*$""".r
   /** Marker: a piece the emulation must skip as a dialect gap (the record
     * counts skipped, exactly like a parse-level dialect error). */
   private[slt] final class DialectSkip(msg: String) extends Exception(msg)
@@ -1656,6 +1667,7 @@ object SltRunner {
     case AlterRenameTable(_, _) => true
     case AlterRenameColumn(_, _, _) => true
     case AlterRenameView(_, _) => true
+    case AlterDropColumn(_, _) => true
     case AlterAddColumn(_, _, tpe, _) =>
       // constraints/defaults-with-constraints stay unsupported (pg fills
       // NOT NULL / CHECK semantics this emulation does not honor)
@@ -2479,7 +2491,7 @@ object SltRunner {
       """(?i)\b(?:CREATE|DROP)\s+(?:TEMPORARY\s+)?(?:TABLE|VIEW)\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?(?:OR\s+REPLACE\s+)?["`]?(\w+)""".r
         .findAllMatchIn(sql).foreach(m => txnDdl += m.group(1).toLowerCase)
       // schema-changing ALTERs are DDL too: a rollback cannot undo them
-      """(?i)^\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?["`]?(\w+)["`]?\s+(?:RENAME|ADD)\b""".r
+      """(?i)^\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?["`]?(\w+)["`]?\s+(?:RENAME|ADD|DROP)\b""".r
         .findFirstMatchIn(sql).foreach { m =>
           txnDdl += m.group(1).toLowerCase
           AlterRenameTable.findFirstMatchIn(sql).foreach(r => txnDdl += r.group(2).toLowerCase)

@@ -128,6 +128,19 @@ case class ShowCreateViewCommand(name: String, materialized: Boolean)
     }
 }
 
+/** `SHOW CREATE TABLE <name>` — (name, create_sql), the recorded text. */
+case class ShowCreateTableCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("create_sql", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlCatalog.tableSqlFor(spark).get(name) match {
+      case Some(sql) => Seq(Row(name, sql))
+      case None => throw new IllegalArgumentException(s"unknown table '$name'")
+    }
+}
+
 /** `SHOW COLUMNS FROM <rel>` — (name, nullable, type, comment) ordered by
   * position, pg_catalog type names, as in the reference's
   * `show_columns` (`show.rs:710`). */

@@ -83,6 +83,12 @@ object GraftSqlCatalog {
 
   def createSqlFor(spark: SparkSession): TrieMap[String, (Boolean, String)] =
     createSqls.getOrElseUpdate(spark.sharedState, TrieMap.empty)
+
+  /** CREATE TABLE statements, for SHOW CREATE TABLE. */
+  private val tableSqls = TrieMap.empty[AnyRef, TrieMap[String, String]]
+
+  def tableSqlFor(spark: SparkSession): TrieMap[String, String] =
+    tableSqls.getOrElseUpdate(spark.sharedState, TrieMap.empty)
 }
 
 /** Batch SUBSCRIBE: the view's changelog over its committed version

@@ -104,6 +104,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       val plan = delegate.parsePlan(cv)
       GraftSqlCatalog.createSqlFor(session).put(name, (false, cv.trim.stripSuffix(";") + ";"))
       plan
+    case ShowCreateTable(name) => ShowCreateTableCommand(name)
+    case ct @ CreateTableStmt(name) =>
+      // record CREATE TABLE text for SHOW CREATE TABLE, then delegate
+      val plan = delegate.parsePlan(ct)
+      GraftSqlCatalog.tableSqlFor(session).put(name, ct.trim.stripSuffix(";") + ";")
+      plan
     case ExplainStmt(planMode, otherMode, target) =>
       ExplainPlanCommand(
         Option(planMode).orElse(Option(otherMode))
@@ -269,6 +275,10 @@ object GraftSqlParser {
   val CreateViewStmt: Regex =
     (s"(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:GLOBAL\\s+)?(?:TEMP(?:ORARY)?\\s+)?" +
       s"VIEW\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?$Id\\b.*$$").r
+  val ShowCreateTable: Regex =
+    s"(?is)^\\s*SHOW\\s+CREATE\\s+TABLE\\s+$Id\\s*;?\\s*$$".r
+  val CreateTableStmt: Regex =
+    s"(?is)^\\s*CREATE\\s+(?:EXTERNAL\\s+)?TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?$Id\\b.*$$".r
   val ShowSinks: Regex = "(?is)^\\s*SHOW\\s+SINKS\\s*;?\\s*$".r
   val ShowSources: Regex = "(?is)^\\s*SHOW\\s+SOURCES\\s*;?\\s*$".r
   val ShowMvs: Regex = "(?is)^\\s*SHOW\\s+MATERIALIZED\\s+VIEWS\\s*;?\\s*$".r

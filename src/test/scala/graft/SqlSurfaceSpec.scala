@@ -434,6 +434,14 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(views.contains("sqlsurf_show_v"))
       assert(!views.contains("sqlsurf_show_mv"))
       intercept[Exception](spark.sql("SHOW CREATE VIEW no_such_view_xyz").collect())
+      // SHOW CREATE TABLE answers with the recorded statement text
+      spark.sql("DROP TABLE IF EXISTS sqlsurf_show_t")
+      spark.sql("CREATE TABLE sqlsurf_show_t (id BIGINT, v DOUBLE) USING parquet")
+      try {
+        val ct = spark.sql("SHOW CREATE TABLE sqlsurf_show_t").collect().head
+        assert(ct.getString(0) == "sqlsurf_show_t")
+        assert(ct.getString(1).startsWith("CREATE TABLE sqlsurf_show_t"))
+      } finally spark.sql("DROP TABLE IF EXISTS sqlsurf_show_t")
     } finally {
       spark.sql("DROP MATERIALIZED VIEW sqlsurf_show_mv")
       spark.catalog.dropTempView("sqlsurf_show_v")
