@@ -77,15 +77,17 @@ object SltRunner {
 
   // Statements that have no Spark analog (cluster/catalog/rbac/source ops).
   private val skipPrefixes = List(
-    "ALTER ", "SHOW ", "EXPLAIN ", "GRANT ", "REVOKE ", "CREATE INDEX",
-    "CREATE DEFAULT INDEX", "CREATE CLUSTER", "CREATE SOURCE", "CREATE SINK",
+    "ALTER ", "SHOW ", "EXPLAIN ", "GRANT ", "REVOKE ",
+    "CREATE CLUSTER", "CREATE SOURCE", "CREATE SINK",
     "CREATE CONNECTION", "CREATE SECRET", "CREATE ROLE",
     "CREATE SCHEMA", "CREATE DATABASE", "COMMENT ",
     "SUBSCRIBE", "COPY ", "DECLARE ", "FETCH ", "CLOSE ",
-    "VALIDATE ", "DROP CLUSTER", "DROP SOURCE", "DROP INDEX", "DROP SCHEMA",
+    "VALIDATE ", "DROP CLUSTER", "DROP SOURCE", "DROP SCHEMA",
     "DROP DATABASE", "DROP ROLE", "DROP OWNED", "REASSIGN", "INSPECT")
 
   private val typeRewrites: List[(Regex, String)] = List(
+    // ANSI long forms first, so later word-level rewrites can't split them
+    ("""(?i)\btimestamp\s+with(?:out)?\s+time\s+zone\b""".r, "timestamp"),
     ("""(?i)\bint2\b""".r, "smallint"),
     ("""(?i)\bint4\b""".r, "int"),
     ("""(?i)\bint8\b""".r, "bigint"),
@@ -943,7 +945,11 @@ object SltRunner {
             }
             Regex.quoteReplacement(s"${m.group(1)} $ty COMMENT 'graft_$k'")
           })
-          """(?i)\btime\b(?!stamp)""".r.replaceAllIn(ui, "string")
+          // normalize the ANSI long forms FIRST so the `time` rewrite below
+          // can never mangle "timestamp with time zone"
+          val tz = """(?i)\btimestamp\s+with(?:out)?\s+time\s+zone\b""".r
+            .replaceAllIn(ui, "timestamp")
+          """(?i)\btime\b(?!stamp)""".r.replaceAllIn(tz, "string")
         } else st
       }.mkString(";")
     // TIMESTAMPTZ typed literals: Spark has no TIMESTAMPTZ keyword — cast
@@ -2454,6 +2460,8 @@ object SltRunner {
     // TAINTED — a later SHOW of them must skip, never report stale state
     val sessionVars = mutable.Map.empty[String, String]
     val varTainted = mutable.Set.empty[String]
+    // index names created by this file (semantic no-ops — see SltSession)
+    val indexNames = mutable.Set.empty[String]
     // single-session transaction emulation (reference Coordinator
     // sequencing src/adapter/src/coord.rs:1992): BEGIN starts buffering via
     // copy-on-first-write snapshots; ROLLBACK restores them; COMMIT drops
@@ -2843,6 +2851,42 @@ object SltRunner {
         // any other SET/RESET spelling: never let it reach Spark's native
         // SET command (it would "succeed" by writing an unrelated conf key)
         skipped += 1; tally("SET/RESET shape not handled", sql)
+      case Statement(sql, expectError) if isSingle(sql) &&
+          SltSession.CreateDefaultIndexStmt.findFirstMatchIn(sql).isDefined =>
+        val m = SltSession.CreateDefaultIndexStmt.findFirstMatchIn(sql).get
+        val rel = m.group(2)
+        if (!spark.catalog.tableExists(rel)) {
+          if (expectError) passed += 1
+          else { skipped += 1; tally("CREATE INDEX on unknown relation", sql) }
+        } else {
+          indexNames += Option(m.group(1)).map(SltSession.normName)
+            .getOrElse(rel.toLowerCase + "_primary_idx")
+          if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+          else passed += 1
+        }
+      case Statement(sql, expectError) if isSingle(sql) &&
+          SltSession.CreateIndexStmt.findFirstMatchIn(sql).isDefined =>
+        // semantic no-op (an index never changes results); validate the
+        // relation and remember the name so DROP INDEX can resolve it
+        val m = SltSession.CreateIndexStmt.findFirstMatchIn(sql).get
+        val rel = m.group(2)
+        if (!spark.catalog.tableExists(rel)) {
+          if (expectError) passed += 1
+          else { skipped += 1; tally("CREATE INDEX on unknown relation", sql) }
+        } else {
+          Option(m.group(1)).foreach(n => indexNames += SltSession.normName(n))
+          if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+          else passed += 1
+        }
+      case Statement(sql, expectError) if isSingle(sql) &&
+          SltSession.DropIndexStmt.findFirstMatchIn(sql).isDefined =>
+        val m = SltSession.DropIndexStmt.findFirstMatchIn(sql).get
+        val known = indexNames.remove(SltSession.normName(m.group(2)))
+        if (known || m.group(1) != null) {
+          if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+          else passed += 1
+        } else if (expectError) passed += 1 // unknown index errors, like mz
+        else { skipped += 1; tally("DROP INDEX of unknown index", sql) }
       case Statement(sql, expectError) if isSingle(sql) && SltSession.Discard.findFirstMatchIn(sql).isDefined =>
         SltSession.Discard.findFirstMatchIn(sql).get.group(1).toUpperCase match {
           case "ALL" =>

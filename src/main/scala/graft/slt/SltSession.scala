@@ -149,6 +149,20 @@ private[slt] object SltSession {
   val Discard: Regex =
     """(?is)^\s*DISCARD\s+(ALL|PLANS|SEQUENCES|TEMP|TEMPORARY)\s*;?\s*$""".r
 
+  // ---- index DDL (semantic no-ops for a logic test: an index never
+  // changes query RESULTS in the reference — arrangements are a
+  // performance structure; the engine's real CREATE INDEX path is
+  // sql/GraftCommands.CreateIndexCommand) ----
+  val CreateIndexStmt: Regex =
+    ("""(?is)^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?""" +
+      """(?:("?[\w]+"?)\s+)?ON\s+["`]?(\w+)["`]?\b.*$""").r
+  val CreateDefaultIndexStmt: Regex =
+    ("""(?is)^\s*CREATE\s+DEFAULT\s+INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?""" +
+      """(?:("?[\w]+"?)\s+)?(?:ON|IN\s+CLUSTER\s+\w+\s+ON)\s+["`]?(\w+)["`]?\s*;?\s*$""").r
+  val DropIndexStmt: Regex =
+    ("""(?is)^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(?:[\w"]+\s*@\s*)?["`]?(\w+)["`]?""" +
+      """(?:\s+(?:CASCADE|RESTRICT))?\s*;?\s*$""").r
+
   def acceptSet(name: String, value: String): SetOutcome = {
     val v = normVarValue(name, value)
     name match {

@@ -189,7 +189,7 @@ class SltCorpusSpec extends SparkSpec {
     "peek_result_thinning.slt", "persist-fast-path.slt", "retain_history.slt",
     "web-console.slt", "shard_errors.slt")
 
-  test("reference SLT corpus subset: 0 failures, >=9600 green assertions") {
+  test("reference SLT corpus subset: 0 failures, >=9900 green assertions") {
     assume(Files.isDirectory(Paths.get(corpus)), "reference corpus not present")
     val reports = SltRunner.runFiles(spark,
       files.map(f => s"$corpus/$f").filter(p => Files.exists(Paths.get(p))))
@@ -203,6 +203,6 @@ class SltCorpusSpec extends SparkSpec {
     total.failures.take(25).foreach(f => info(s"FAIL: $f"))
     assert(total.failed == 0,
       s"${total.failed} SLT failures:\n${total.failures.take(25).mkString("\n")}")
-    assert(total.passed >= 9600, s"only ${total.passed} SLT passes")
+    assert(total.passed >= 9900, s"only ${total.passed} SLT passes")
   }
 }
