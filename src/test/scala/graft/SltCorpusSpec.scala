@@ -187,9 +187,15 @@ class SltCorpusSpec extends SparkSpec {
     "cockroach/collatedstring_normalization.slt", "cockroach/dependencies.slt",
     "postgres-incompatibility.slt", "redacted.slt", "max_result_size.slt",
     "peek_result_thinning.slt", "persist-fast-path.slt", "retain_history.slt",
-    "web-console.slt", "shard_errors.slt")
+    "web-console.slt", "shard_errors.slt",
+    // + the index-DDL no-op conversions
+    "cockroach/collatedstring_index1.slt", "cockroach/collatedstring_index2.slt",
+    "cockroach/collatedstring_uniqueindex1.slt",
+    "cockroach/collatedstring_uniqueindex2.slt",
+    "cockroach/collatedstring_nullinindex.slt", "cockroach/rename_index.slt",
+    "cockroach/secondary_index_column_families.slt")
 
-  test("reference SLT corpus subset: 0 failures, >=9900 green assertions") {
+  test("reference SLT corpus subset: 0 failures, >=10000 green assertions") {
     assume(Files.isDirectory(Paths.get(corpus)), "reference corpus not present")
     val reports = SltRunner.runFiles(spark,
       files.map(f => s"$corpus/$f").filter(p => Files.exists(Paths.get(p))))
@@ -203,6 +209,6 @@ class SltCorpusSpec extends SparkSpec {
     total.failures.take(25).foreach(f => info(s"FAIL: $f"))
     assert(total.failed == 0,
       s"${total.failed} SLT failures:\n${total.failures.take(25).mkString("\n")}")
-    assert(total.passed >= 9900, s"only ${total.passed} SLT passes")
+    assert(total.passed >= 10000, s"only ${total.passed} SLT passes")
   }
 }
