@@ -552,7 +552,8 @@ case class SubscribeContinuousCommand(view: String, snapshot: Boolean, progress:
   * rows re-attach after the data rows of their timestamp with NULL
   * state/key/value, per the reference's SUBSCRIBE output contract. */
 case class FetchSubscriptionCommand(view: String,
-    rowSchema: org.apache.spark.sql.types.StructType) extends LeafRunnableCommand {
+    rowSchema: org.apache.spark.sql.types.StructType,
+    count: Option[Int] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(rowSchema)
 
@@ -561,8 +562,9 @@ case class FetchSubscriptionCommand(view: String,
       throw new IllegalArgumentException(s"no open subscription on $view"))
     // envelopes are applied at ENQUEUE (per commit = per timestamp, the
     // envelope's grouping unit), so a drain is a pure queue read — no
-    // createDataFrame-then-collect round-trip however large the frame
-    cursor.drain()
+    // createDataFrame-then-collect round-trip however large the frame.
+    // A counted FETCH takes at most n rows, leaving the rest queued.
+    cursor.drain(count)
   }
 }
 

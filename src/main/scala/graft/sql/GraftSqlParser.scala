@@ -62,10 +62,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       SubscribeContinuousCommand(name,
         snapshot = options.contains("SNAPSHOT"), progress = options.contains("PROGRESS"),
         envelope = envelope)
-    case FetchStmt(name) =>
+    case FetchStmt(count, name) =>
       val cursor = GraftSqlCatalog.subscriptionsFor(session).getOrElse(name,
         throw new IllegalArgumentException(s"no open subscription on $name"))
-      FetchSubscriptionCommand(name, cursor.fetchSchema(session))
+      FetchSubscriptionCommand(name, cursor.fetchSchema(session),
+        Option(count).map(_.toInt))
     case CloseStmt(name) => CloseSubscriptionCommand(name)
     case SubscribeStmt(name, env, keyList, orderBy, asOf) =>
       var frame = SubscribeFrame(GraftSqlCatalog.forSession(session), name,
@@ -214,8 +215,10 @@ object GraftSqlParser {
     (s"(?is)^\\s*SUBSCRIBE\\s+(?:TO\\s+)?$Id" +
       s"(?:\\s+ENVELOPE\\s+(UPSERT|DEBEZIUM)\\s*\\(\\s*KEY\\s*\\(([^)]*)\\)\\s*\\))?" +
       s"\\s+WITH\\s*\\(\\s*([A-Za-z_,\\s]*)\\)\\s*;?\\s*$$").r
+  /** `FETCH [ALL | n] <cursor>` (reference doc/user/content/sql/fetch.md:
+    * a count drains at most n rows, ALL/absent drains everything). */
   val FetchStmt: Regex =
-    s"(?is)^\\s*FETCH\\s+(?:ALL\\s+)?$Id\\s*;?\\s*$$".r
+    s"(?is)^\\s*FETCH\\s+(?:ALL\\s+|(\\d+)\\s+)?$Id\\s*;?\\s*$$".r
   val CloseStmt: Regex = s"(?is)^\\s*CLOSE\\s+$Id\\s*;?\\s*$$".r
   val CopyStmt: Regex =
     (s"(?is)^\\s*COPY\\s+(?:\\((.+)\\)|$Id)\\s+TO\\s+'([^']+)'" +

@@ -113,11 +113,16 @@ final class SubscriptionCursor(
     ()
   }
 
-  /** Everything delivered since the last drain, in arrival order. */
-  def drain(): Seq[Row] = {
+  /** Rows delivered since the last drain, in arrival order — all of them,
+    * or at most `limit` (pg FETCH n semantics: the rest stay queued). */
+  def drain(limit: Option[Int] = None): Seq[Row] = {
     val out = Seq.newBuilder[Row]
-    var r = queue.poll()
-    while (r != null) { out += r; r = queue.poll() }
+    var n = 0
+    var r = if (limit.exists(_ <= 0)) null else queue.poll()
+    while (r != null) {
+      out += r; n += 1
+      r = if (limit.exists(n >= _)) null else queue.poll()
+    }
     out.result()
   }
 }

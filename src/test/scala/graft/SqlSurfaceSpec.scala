@@ -267,8 +267,11 @@ class SqlSurfaceSpec extends SparkSpec {
       """CREATE OR REPLACE MATERIALIZED VIEW sqlsub_mv AS
         |SELECT grp, sum(v) AS total FROM sqlsub_base GROUP BY grp""".stripMargin)
     spark.sql("SUBSCRIBE sqlsub_mv WITH (SNAPSHOT, PROGRESS)")
-    // first FETCH: the snapshot at the subscribe version + a progress row
-    val first = spark.sql("FETCH sqlsub_mv").collect()
+    // a COUNTED fetch takes at most n rows, leaving the rest queued
+    val one = spark.sql("FETCH 1 sqlsub_mv").collect()
+    assert(one.length == 1)
+    // the remaining snapshot rows + the progress row still drain
+    val first = one ++ spark.sql("FETCH ALL sqlsub_mv").collect()
     assert(first.count(r => !r.isNullAt(2) && r.getBoolean(2)) == 1) // progress
     assert(first.filter(r => !r.getBoolean(2)).map(r =>
       (r.getString(3), r.getDouble(4))).toSet == Set(("a", 10.0), ("b", 20.0)))
