@@ -1699,6 +1699,11 @@ object SltRunner {
       Unsupported("COPY FROM data load", mutating = true,
         target = """(?is)^\s*COPY\s+["`]?(\w+)""".r.findFirstMatchIn(sqlRaw)
           .map(_.group(1).toLowerCase))
+    else if ("""(?is)^\s*SHOW\s+(?:TABLES|VIEWS)\s*;?\s*$""".r.pattern.matcher(sqlRaw).matches)
+      // statement-position SHOW TABLES/VIEWS: the engine command answers
+      // (query-position records expect engine-specific column lists — those
+      // keep skipping via the prefix below)
+      Statement(sqlRaw.trim.stripSuffix(";"), expectError = false)
     else if (up.startsWith("CREATE TYPE")) classifyCreateType(sqlRaw)
     else if (up.startsWith("DROP TYPE")) sqlRaw match {
       case SltSession.DropType(name) =>
