@@ -8,6 +8,7 @@ import graft.similarity.SimilarityQueries
 import graft.sources.{SinkQueries, SourceQueries}
 import graft.streaming.{StreamExecQueries, StreamingQueries}
 import graft.text.TextQueries
+import graft.tpch.TpchQueries
 import graft.views.ViewQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,6 +23,7 @@ object SparkEntry {
     RelationalQueries.defs ++ WindowQueries.defs ++ SqlQueries.defs ++
       AggregateQueries.defs ++
       FunctionQueries.defs ++ CollectorQueries.defs ++ PgFunctionQueries.defs ++
+      TpchQueries.defs ++
       TextQueries.defs ++ SimilarityQueries.defs ++
       MultimodalQueries.defs ++ StreamingQueries.defs ++ StreamExecQueries.defs ++
       ViewQueries.defs ++ SourceQueries.defs ++ SinkQueries.defs
