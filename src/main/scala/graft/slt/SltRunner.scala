@@ -2715,12 +2715,17 @@ object SltRunner {
         }
       case Statement(sql, expectError) if isSingle(sql) && SltSession.Prepare.findFirstMatchIn(sql).isDefined =>
         val m = SltSession.Prepare.findFirstMatchIn(sql).get
-        preparedStmts(SltSession.normName(m.group(1))) = SltSession.Prepared(
-          Option(m.group(2)).map(SltSession.splitTop).getOrElse(Nil), m.group(3))
         if (expectError) {
-          // pg validates the body at PREPARE time; we bind lazily — loose
+          // pg validates the body at PREPARE time and rejects it; binding
+          // lazily we can't — but the statement must NOT register, so later
+          // EXECUTEs take the 'unknown prepared statement' path pg would
+          preparedStmts.remove(SltSession.normName(m.group(1)))
           skipped += 1; tally("statement error expected but we accept it", sql)
-        } else passed += 1
+        } else {
+          preparedStmts(SltSession.normName(m.group(1))) = SltSession.Prepared(
+            Option(m.group(2)).map(SltSession.splitTop).getOrElse(Nil), m.group(3))
+          passed += 1
+        }
       case Statement(sql, expectError) if isSingle(sql) && SltSession.Deallocate.findFirstMatchIn(sql).isDefined =>
         val n = SltSession.normName(SltSession.Deallocate.findFirstMatchIn(sql).get.group(1))
         val known = if (n == "all") { preparedStmts.clear(); preparedDefs.clear(); true }

@@ -53,7 +53,7 @@ case class CreateMaterializedViewCommand(
     // expose committed snapshots to plain SQL reads of `name`; the catalog
     // re-registers on every commit so SQL readers never pin a stale version
     cat.exposeAsTempView(name)
-    GraftSqlCatalog.createSqlFor(spark).put(name,
+    GraftSqlCatalog.createSqlFor(spark).put(GraftSqlCatalog.normId(name),
       (true, s"CREATE MATERIALIZED VIEW $name AS ${queryText.trim};"))
     Seq(Row(name, v))
   }
@@ -101,7 +101,7 @@ case class DropMaterializedViewCommand(name: String) extends LeafRunnableCommand
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSqlCatalog.forSession(spark).dropView(name)
     GraftSqlCatalog.temporalsFor(spark).remove(name)
-    GraftSqlCatalog.createSqlFor(spark).remove(name)
+    GraftSqlCatalog.createSqlFor(spark).remove(GraftSqlCatalog.normId(name))
     spark.catalog.dropTempView(name)
     Seq(Row(name))
   }
@@ -117,15 +117,21 @@ case class ShowCreateViewCommand(name: String, materialized: Boolean)
     AttributeReference("name", StringType, nullable = false)(),
     AttributeReference("create_sql", StringType, nullable = false)())
 
-  override def run(spark: SparkSession): Seq[Row] =
-    GraftSqlCatalog.createSqlFor(spark).get(name) match {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val key = GraftSqlCatalog.normId(name)
+    // the registry records text at parse time, so a CREATE whose execution
+    // later failed can leave a stale entry — only answer for live relations
+    val live = spark.catalog.tableExists(key) ||
+      GraftSqlCatalog.forSession(spark).currentVersion(key).isDefined
+    GraftSqlCatalog.createSqlFor(spark).get(key).filter(_ => live) match {
       case Some((isMat, sql)) =>
         if (isMat != materialized) throw new IllegalArgumentException(
           if (isMat) s"$name is a materialized view (use SHOW CREATE MATERIALIZED VIEW)"
           else s"$name is a view (use SHOW CREATE VIEW)")
-        Seq(Row(name, sql))
+        Seq(Row(key, sql))
       case None => throw new IllegalArgumentException(s"unknown catalog item '$name'")
     }
+  }
 }
 
 /** `SHOW CREATE TABLE <name>` — (name, create_sql), the recorded text. */
@@ -134,11 +140,14 @@ case class ShowCreateTableCommand(name: String) extends LeafRunnableCommand {
     AttributeReference("name", StringType, nullable = false)(),
     AttributeReference("create_sql", StringType, nullable = false)())
 
-  override def run(spark: SparkSession): Seq[Row] =
-    GraftSqlCatalog.tableSqlFor(spark).get(name) match {
-      case Some(sql) => Seq(Row(name, sql))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val key = GraftSqlCatalog.normId(name)
+    GraftSqlCatalog.tableSqlFor(spark).get(key)
+      .filter(_ => spark.catalog.tableExists(key)) match {
+      case Some(sql) => Seq(Row(key, sql))
       case None => throw new IllegalArgumentException(s"unknown table '$name'")
     }
+  }
 }
 
 /** `SHOW COLUMNS FROM <rel>` — (name, nullable, type, comment) ordered by

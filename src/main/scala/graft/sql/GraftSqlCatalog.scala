@@ -76,6 +76,12 @@ object GraftSqlCatalog {
   def subscriptionsFor(spark: SparkSession): TrieMap[String, SubscriptionCursor] =
     subscriptions.getOrElseUpdate(spark.sharedState, TrieMap.empty)
 
+  /** pg (and the reference) fold unquoted identifiers to lowercase; every
+    * SHOW CREATE registry key goes through this, so `CREATE VIEW Foo` then
+    * `SHOW CREATE VIEW foo` resolve to the same entry. The engine's Id
+    * grammar only admits unquoted names, so unconditional folding is exact. */
+  def normId(name: String): String = name.toLowerCase(java.util.Locale.ROOT)
+
   /** Canonical CREATE statements for SHOW CREATE [MATERIALIZED] VIEW
     * (reference `ShowCreatePlan`, `src/sql/src/plan/statement/show.rs:51`):
     * name -> (is_materialized, create_sql). */

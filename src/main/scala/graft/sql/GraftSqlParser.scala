@@ -103,14 +103,24 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       // plain CREATE VIEW delegates to Spark, but its text is recorded so
       // SHOW CREATE VIEW can answer (reference ShowCreatePlan)
       val plan = delegate.parsePlan(cv)
-      GraftSqlCatalog.createSqlFor(session).put(name, (false, cv.trim.stripSuffix(";") + ";"))
+      GraftSqlCatalog.createSqlFor(session).put(
+        GraftSqlCatalog.normId(name), (false, cv.trim.stripSuffix(";") + ";"))
       plan
+    case DropViewStmt(name) =>
+      // evict the recorded text so SHOW CREATE VIEW answers 'unknown catalog
+      // item' for dropped relations instead of stale text
+      GraftSqlCatalog.createSqlFor(session).remove(GraftSqlCatalog.normId(name))
+      delegate.parsePlan(sqlText)
     case ShowCreateTable(name) => ShowCreateTableCommand(name)
     case ct @ CreateTableStmt(name) =>
       // record CREATE TABLE text for SHOW CREATE TABLE, then delegate
       val plan = delegate.parsePlan(ct)
-      GraftSqlCatalog.tableSqlFor(session).put(name, ct.trim.stripSuffix(";") + ";")
+      GraftSqlCatalog.tableSqlFor(session).put(
+        GraftSqlCatalog.normId(name), ct.trim.stripSuffix(";") + ";")
       plan
+    case DropTableStmt(name) =>
+      GraftSqlCatalog.tableSqlFor(session).remove(GraftSqlCatalog.normId(name))
+      delegate.parsePlan(sqlText)
     case ExplainStmt(planMode, otherMode, target) =>
       ExplainPlanCommand(
         Option(planMode).orElse(Option(otherMode))
@@ -282,6 +292,12 @@ object GraftSqlParser {
     s"(?is)^\\s*SHOW\\s+CREATE\\s+TABLE\\s+$Id\\s*;?\\s*$$".r
   val CreateTableStmt: Regex =
     s"(?is)^\\s*CREATE\\s+(?:EXTERNAL\\s+)?TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?$Id\\b.*$$".r
+  /** DROP TABLE/VIEW matched only to EVICT the SHOW CREATE registries;
+    * parsing delegates to Spark untouched. */
+  val DropViewStmt: Regex =
+    s"(?is)^\\s*DROP\\s+(?:TEMP(?:ORARY)?\\s+)?VIEW\\s+(?:IF\\s+EXISTS\\s+)?$Id\\s*(?:CASCADE|RESTRICT)?\\s*;?\\s*$$".r
+  val DropTableStmt: Regex =
+    s"(?is)^\\s*DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?$Id\\s*(?:CASCADE|RESTRICT)?\\s*;?\\s*$$".r
   val ShowSinks: Regex = "(?is)^\\s*SHOW\\s+SINKS\\s*;?\\s*$".r
   val ShowSources: Regex = "(?is)^\\s*SHOW\\s+SOURCES\\s*;?\\s*$".r
   val ShowMvs: Regex = "(?is)^\\s*SHOW\\s+MATERIALIZED\\s+VIEWS\\s*;?\\s*$".r

@@ -360,9 +360,14 @@ object TextQueries {
           w => size(filter(arr, x => x === w))))
       docs(s, dir)
         .withColumn("toks", toks)
+        // guard the 1-token doc: sequence(1, 0) is the DESCENDING [1, 0] in
+        // Spark and element_at(toks, 0) throws, while the oracle's range(1, 1)
+        // is empty — both sides must agree on an empty bigram list
         .withColumn("bigrams", expr(
-          "transform(sequence(1, size(toks) - 1), " +
-            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          "CASE WHEN size(toks) > 1 THEN " +
+            "transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) " +
+            "ELSE cast(array() AS array<string>) END"))
         .withColumn("n_words", nW)
         .withColumn("top_unigram_frac",
           topCount(col("toks")).cast("double") / col("n_words"))
