@@ -20,6 +20,9 @@ object Bench {
       .withExtensions(GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Hive-style ${...} variable substitution would swallow Rust-regex
+      // ${N} replacement groups inside string literals
+      .config("spark.sql.variable.substitute", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       // fresh warehouse per run (bucketed managed tables; keeps the repo

@@ -34,5 +34,11 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.RangeFunctions.functions.foreach(e.injectFunction)
     // unsigned ints as checked widening casts (uint2/4/8)
     graft.functions.UintFunctions.functions.foreach(e.injectFunction)
+    // pg catalog introspection: format_type(oid, typmod)
+    graft.functions.FormatTypeExpression.functions.foreach(e.injectFunction)
+    // pg interval text forms: parse + canonical rendering, checked +/-
+    graft.functions.MzIntervalFunctions.functions.foreach(e.injectFunction)
+    // pg regexp_replace semantics (first-match default, 'g'/'i' flags)
+    graft.functions.PgRegexpFunctions.functions.foreach(e.injectFunction)
   }
 }

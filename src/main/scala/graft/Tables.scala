@@ -66,6 +66,9 @@ object GraftSession {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh_").toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // Hive-style ${...} variable substitution would swallow Rust-regex
+      // ${N} replacement groups inside string literals
+      .config("spark.sql.variable.substitute", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -15,6 +15,9 @@ object Verify {
       .withExtensions(GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Hive-style ${...} variable substitution would swallow Rust-regex
+      // ${N} replacement groups inside string literals
+      .config("spark.sql.variable.substitute", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // fresh warehouse per run: bucketed managed tables from a crashed run
       // must not collide (LOCATION_ALREADY_EXISTS)

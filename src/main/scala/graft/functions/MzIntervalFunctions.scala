@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Engine surface for [[MzInterval]]:
+  *
+  *  - `mz_interval(text, qualifier)` → the canonical pg-style interval text
+  *    (reference `src/repr/src/adt/interval.rs` Display); throws the
+  *    reference's `invalid input syntax for type interval: ...` on bad input.
+  *  - `mz_interval_binop(op, a, qualA, b, qualB, negateB)` → componentwise
+  *    checked +/− for the corpus' interval ± interval records.
+  *
+  * Both are constant-foldable scalar expressions — interval literals are
+  * parse-time constants, so Catalyst folds the call to a literal and no
+  * per-row work survives into the plan.
+  */
+object MzIntervalFunctions {
+
+  case class MzIntervalCanon(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "mz_interval"
+    override def eval(input: InternalRow): Any = {
+      val t = left.eval(input)
+      if (t == null) return null
+      val q = right.eval(input)
+      UTF8String.fromString(MzInterval.canonical(
+        t.toString, if (q == null) "" else q.toString))
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  case class MzIntervalBinop(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def foldable: Boolean = children.forall(_.foldable)
+    override def prettyName: String = "mz_interval_binop"
+    override def eval(input: InternalRow): Any = {
+      val v = children.map(_.eval(input))
+      if (v.exists(_ == null)) return null
+      UTF8String.fromString(MzInterval.binop(
+        v(0).toString, v(1).toString, v(2).toString,
+        v(3).toString, v(4).toString, v(5).toString == "true"))
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+  }
+
+  case class MzIntervalScale(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def foldable: Boolean = children.forall(_.foldable)
+    override def prettyName: String = "mz_interval_scale"
+    override def eval(input: InternalRow): Any = {
+      val v = children.map(_.eval(input))
+      if (v.exists(_ == null)) return null
+      UTF8String.fromString(MzInterval.scale(
+        v(0).toString, v(1).toString, v(2).toString, v(3).toString.toDouble))
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+  }
+
+  case class MzIntervalCmp(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+    override def nullable: Boolean = true
+    override def foldable: Boolean = children.forall(_.foldable)
+    override def prettyName: String = "mz_interval_cmp"
+    override def eval(input: InternalRow): Any = {
+      val v = children.map(_.eval(input))
+      if (v.exists(_ == null)) return null
+      MzInterval.compare(v(0).toString, v(1).toString, v(2).toString,
+        v(3).toString, v(4).toString)
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+  }
+
+  def functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("mz_interval_cmp"),
+      new ExpressionInfo(getClass.getName, "mz_interval_cmp"),
+      (args: Seq[Expression]) =>
+        if (args.length == 5) MzIntervalCmp(args)
+        else throw new IllegalArgumentException(
+          s"mz_interval_cmp expects 5 args, got ${args.length}")),
+    (new FunctionIdentifier("mz_interval_scale"),
+      new ExpressionInfo(getClass.getName, "mz_interval_scale"),
+      (args: Seq[Expression]) =>
+        if (args.length == 4) MzIntervalScale(args)
+        else throw new IllegalArgumentException(
+          s"mz_interval_scale expects 4 args, got ${args.length}")),
+    (new FunctionIdentifier("mz_interval"),
+      new ExpressionInfo(getClass.getName, "mz_interval"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => MzIntervalCanon(t,
+          org.apache.spark.sql.catalyst.expressions.Literal(""))
+        case Seq(t, q) => MzIntervalCanon(t, q)
+        case other => throw new IllegalArgumentException(
+          s"mz_interval expects (text[, qualifier]), got ${other.length} args")
+      }),
+    (new FunctionIdentifier("mz_interval_binop"),
+      new ExpressionInfo(getClass.getName, "mz_interval_binop"),
+      (args: Seq[Expression]) =>
+        if (args.length == 6) MzIntervalBinop(args)
+        else throw new IllegalArgumentException(
+          s"mz_interval_binop expects 6 args, got ${args.length}")))
+}

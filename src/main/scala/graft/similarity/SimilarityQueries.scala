@@ -419,6 +419,116 @@ object SimilarityQueries {
       val wFine = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id").asc)
       reranked.withColumn("rn", row_number().over(wFine)).filter(col("rn") <= 5)
         .select(col("q_id"), col("c_id"), col("cos_sim"))
+    },
+
+    // IVF + SQ8 composed (the real FAISS IVF-SQ shape, and the r10 verdict's
+    // asked-for composition): centroid probing PRUNES the candidate set to
+    // the probed partitions, and the scan over those partitions runs on the
+    // int8-quantized vectors (4× less bandwidth), with an exact-cosine
+    // rerank on the survivors. At 100 TB: assignment is a map-side
+    // broadcast-argmax, the coarse scan touches nprobe/nlist of the corpus
+    // in compressed form, and exact vectors are read only for top-20 —
+    // partition pruning AND compression in one plan.
+    Q("ann_ivf_sq8",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 6 = 3 AND vec_id < 96),
+        |stats AS (
+        |  SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx FROM (
+        |    SELECT pos, min(v[pos]) AS mn, max(v[pos]) AS mx
+        |    FROM e, range(1, 65) t(pos) GROUP BY pos)),
+        |q8 AS (
+        |  SELECT vec_id, list_transform(range(1, 65), i ->
+        |    CASE WHEN mx[i] = mn[i] THEN 0
+        |         ELSE CAST(floor((v[i] - mn[i]) / (mx[i] - mn[i]) * 255) AS INT)
+        |    END) AS qv
+        |  FROM e, stats),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
+        |    FROM e, cents c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |probe AS (
+        |  SELECT q_id, cid FROM (
+        |    SELECT q.q_id, c.cid,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cid) AS rn
+        |    FROM q, cents c) WHERE rn <= 4),
+        |coarse AS (
+        |  SELECT p.q_id, a.vec_id AS c_id,
+        |    CAST(list_dot_product(qa.qv::DOUBLE[], qb.qv::DOUBLE[]) AS BIGINT) AS score
+        |  FROM probe p
+        |  JOIN assign a ON a.cid = p.cid
+        |  JOIN q8 qa ON qa.vec_id = p.q_id
+        |  JOIN q8 qb ON qb.vec_id = a.vec_id
+        |  WHERE a.vec_id <> p.q_id),
+        |cand AS (
+        |  SELECT q_id, c_id FROM (
+        |    SELECT q_id, c_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rn
+        |    FROM coarse) WHERE rn <= 20)
+        |SELECT q_id, c_id, cos_sim FROM (
+        |  SELECT cand.q_id, cand.c_id,
+        |    round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim,
+        |    row_number() OVER (PARTITION BY cand.q_id
+        |      ORDER BY round(list_cosine_similarity(ea.v, eb.v), 6) DESC, cand.c_id) AS rn
+        |  FROM cand JOIN e ea ON ea.vec_id = cand.q_id
+        |            JOIN e eb ON eb.vec_id = cand.c_id)
+        |WHERE rn <= 5""".stripMargin) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") % 6 === 3 && col("vec_id") < 96)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      // SQ8 codebook: per-dimension min/max — 64-key agg into one broadcast row
+      val dims = s.range(1, 65).select(col("id").cast("int").as("pos"))
+      val stats = e.crossJoin(dims)
+        .select(col("pos"), expr("element_at(v, pos)").as("x"))
+        .groupBy("pos").agg(min("x").as("mn_d"), max("x").as("mx_d"))
+        .agg(
+          expr("transform(array_sort(collect_list(struct(pos, mn_d))), t -> t.mn_d)").as("mn"),
+          expr("transform(array_sort(collect_list(struct(pos, mx_d))), t -> t.mx_d)").as("mx"))
+      val q8 = e.crossJoin(broadcast(stats)).select(col("vec_id"), expr(
+        "transform(sequence(1, 64), i -> " +
+          "CASE WHEN element_at(mx, i) = element_at(mn, i) THEN 0 " +
+          "ELSE CAST(floor((element_at(v, i) - element_at(mn, i)) / " +
+          "(element_at(mx, i) - element_at(mn, i)) * 255) AS INT) END)").as("qv"))
+      // IVF: assignment (broadcast argmax, map-side combine) + probing
+      val assign = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          round(expr("cosine_similarity(v, cv)"), 6).as("cs"), col("cid"))
+        .groupBy(col("vec_id"))
+        .agg(expr("max_by(cid, struct(cs, -cid))").as("cid"))
+      val probeW = Window.partitionBy(col("q_id"))
+        .orderBy(col("cs").desc, col("cid").asc)
+      val probe = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qvv"))
+        .crossJoin(broadcast(cents))
+        .select(col("q_id"), col("cid"),
+          round(expr("cosine_similarity(qvv, cv)"), 6).as("cs"))
+        .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= 4)
+        .select(col("q_id"), col("cid"))
+      // coarse scan of the PROBED partitions only, in int8
+      val coarse = probe.join(assign, "cid")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("c_id"))
+        .join(q8.select(col("vec_id").as("q_id"), col("qv").as("qa")), "q_id")
+        .join(q8.select(col("vec_id").as("c_id"), col("qv").as("qb")), "c_id")
+        .select(col("q_id"), col("c_id"), expr(
+          "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), " +
+            "(acc, p) -> acc + p)").as("score"))
+      val wCoarse = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id").asc)
+      val cand = coarse.withColumn("rn", row_number().over(wCoarse))
+        .filter(col("rn") <= 20).select(col("q_id"), col("c_id"))
+      // exact rerank on the survivors only
+      val ea = e.select(col("vec_id").as("q_id"), col("v").as("va"))
+      val eb = e.select(col("vec_id").as("c_id"), col("v").as("vb"))
+      val reranked = cand.join(ea, "q_id").join(eb, "c_id")
+        .select(col("q_id"), col("c_id"),
+          round(expr("cosine_similarity(va, vb)"), 6).as("cos_sim"))
+      val wFine = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id").asc)
+      reranked.withColumn("rn", row_number().over(wFine)).filter(col("rn") <= 5)
+        .select(col("q_id"), col("c_id"), col("cos_sim"))
     }
   )
 }

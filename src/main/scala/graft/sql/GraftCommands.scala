@@ -160,9 +160,22 @@ case class ShowColumnsCommand(relation: String) extends LeafRunnableCommand {
     AttributeReference("type", StringType, nullable = false)(),
     AttributeReference("comment", StringType, nullable = false)())
 
-  override def run(spark: SparkSession): Seq[Row] =
-    spark.table(relation).schema.fields.toIndexedSeq.map(f =>
-      Row(f.name, f.nullable, ShowCommands.pgTypeName(f.dataType), ""))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val comments = GraftSqlCatalog.commentsFor(spark)
+    val rel = GraftSqlCatalog.normId(relation)
+    spark.table(relation).schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+      // marker comments (graft_jsonb / graft_range_* / graft_uint*) carry
+      // the pg-level type the engine stores in a Spark-representable form
+      val marker =
+        if (f.metadata.contains("comment")) f.metadata.getString("comment") else ""
+      val ty =
+        if (marker == "graft_jsonb") "jsonb"
+        else if (marker.startsWith("graft_range_")) marker.stripPrefix("graft_range_")
+        else if (marker.startsWith("graft_uint")) marker.stripPrefix("graft_")
+        else ShowCommands.pgTypeName(f.dataType)
+      Row(f.name, f.nullable, ty, comments.getOrElse((rel, Some(i + 1)), ""))
+    }
+  }
 }
 
 /** `SHOW TABLES` / `SHOW VIEWS` — (name, comment), sorted, like the
@@ -181,7 +194,83 @@ case class ShowTablesCommand(views: Boolean) extends LeafRunnableCommand {
         val isView = t.tableType == "TEMPORARY" || t.tableType == "VIEW"
         if (views) isView && !mvs.contains(t.name) else !isView
       }
-    listed.map(_.name).sorted.map(Row(_, ""))
+    val comments = GraftSqlCatalog.commentsFor(spark)
+    listed.map(_.name).sorted.map(n =>
+      Row(n, comments.getOrElse((GraftSqlCatalog.normId(n), None), "")))
+  }
+}
+
+/** `SHOW OBJECTS` — (name, type, comment) over every relation the session
+  * knows (reference `show.rs` show_objects). */
+case class ShowObjectsCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("type", StringType, nullable = false)(),
+    AttributeReference("comment", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mvs = GraftSqlCatalog.forSession(spark).viewNames.toSet
+    val comments = GraftSqlCatalog.commentsFor(spark)
+    spark.catalog.listTables().collect().toIndexedSeq
+      .filterNot(_.name.startsWith("graft_"))
+      .map { t =>
+        val ty =
+          if (mvs.contains(t.name)) "materialized-view"
+          else if (t.tableType == "TEMPORARY" || t.tableType == "VIEW") "view"
+          else "table"
+        (t.name, ty)
+      }.sortBy(_._1).map { case (n, ty) =>
+        Row(n, ty, comments.getOrElse((GraftSqlCatalog.normId(n), None), ""))
+      }
+  }
+}
+
+/** `COMMENT ON <kind> <target> IS <text|NULL>` — stores (or clears) the
+  * comment the SHOW family and pg_description render (reference
+  * `src/sql/src/plan/statement/ddl.rs` plan_comment; storage
+  * `mz_internal.mz_comments`). Column targets resolve to their 1-based
+  * attnum; unknown relations/columns error like the reference. */
+case class CommentOnCommand(kind: String, target: String, text: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("object", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val comments = GraftSqlCatalog.commentsFor(spark)
+    def relExists(n: String): Boolean =
+      spark.catalog.tableExists(n) ||
+        GraftSqlCatalog.forSession(spark).currentVersion(n).isDefined
+    val key: (String, Option[Int]) = kind match {
+      case "COLUMN" =>
+        val parts = target.split("\\.").map(_.trim)
+        if (parts.length != 2) throw new IllegalArgumentException(
+          s"invalid column reference '$target'")
+        val (rel, col) = (GraftSqlCatalog.normId(parts(0)), parts(1))
+        if (!relExists(rel)) throw new IllegalArgumentException(
+          s"unknown catalog item '$rel'")
+        val idx = spark.table(rel).schema.fieldNames
+          .indexWhere(_.equalsIgnoreCase(col))
+        if (idx < 0) throw new IllegalArgumentException(
+          s"column '$col' of relation '$rel' does not exist")
+        (rel, Some(idx + 1))
+      case "TYPE" =>
+        // custom types live in the session layer; store unvalidated
+        (GraftSqlCatalog.normId(target), None)
+      case "INDEX" =>
+        // index DDL may live in the session layer (the SLT runner's no-op
+        // registry) rather than the engine registry — accept unvalidated
+        (GraftSqlCatalog.normId(target), None)
+      case _ =>
+        val n = GraftSqlCatalog.normId(target)
+        if (!relExists(n)) throw new IllegalArgumentException(
+          s"unknown catalog item '$n'")
+        (n, None)
+    }
+    text match {
+      case Some(t) => comments.put(key, t)
+      case None => comments.remove(key)
+    }
+    Seq(Row(key._1))
   }
 }
 
@@ -201,8 +290,10 @@ private[sql] object ShowCommands {
     case StringType => "text"
     case BinaryType => "bytea"
     case DateType => "date"
-    case TimestampType => "timestamp with time zone"
-    case TimestampNTZType => "timestamp"
+    // the engine stores both pg timestamp and timestamptz as Spark
+    // TIMESTAMP; mz's SHOW COLUMNS spells the default as "without"
+    case TimestampType => "timestamp without time zone"
+    case TimestampNTZType => "timestamp without time zone"
     case _: DayTimeIntervalType | _: YearMonthIntervalType |
          CalendarIntervalType => "interval"
     case ArrayType(e, _) => pgTypeName(e) + "[]"

@@ -95,6 +95,15 @@ object GraftSqlCatalog {
 
   def tableSqlFor(spark: SparkSession): TrieMap[String, String] =
     tableSqls.getOrElseUpdate(spark.sharedState, TrieMap.empty)
+
+  /** COMMENT ON registry (reference `Plan::Comment`,
+    * `src/sql/src/plan/statement/ddl.rs` plan_comment; stored in
+    * mz_internal.mz_comments): (object name, column position or None) ->
+    * comment text. Keys are normId-folded. */
+  private val comments = TrieMap.empty[AnyRef, TrieMap[(String, Option[Int]), String]]
+
+  def commentsFor(spark: SparkSession): TrieMap[(String, Option[Int]), String] =
+    comments.getOrElseUpdate(spark.sharedState, TrieMap.empty)
 }
 
 /** Batch SUBSCRIBE: the view's changelog over its committed version

@@ -95,6 +95,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case DropSource(name) => DropSourceCommand(name)
     case ShowSources() => ShowSourcesCommand()
     case ShowMvs() => ShowMaterializedViewsCommand()
+    case ShowObjects() => ShowObjectsCommand()
+    case CommentOn(kind, target, text) =>
+      val t = if (text.equalsIgnoreCase("NULL")) None
+        else Some(text.substring(1, text.length - 1).replace("''", "'"))
+      CommentOnCommand(kind.toUpperCase.replaceAll("\\s+", " "), target.replace("\"", ""), t)
     case ShowCreateView(mat, name) => ShowCreateViewCommand(name, mat != null)
     case ShowColumns(name) => ShowColumnsCommand(name)
     case ShowTables() => ShowTablesCommand(views = false)
@@ -108,8 +113,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       plan
     case DropViewStmt(name) =>
       // evict the recorded text so SHOW CREATE VIEW answers 'unknown catalog
-      // item' for dropped relations instead of stale text
+      // item' for dropped relations instead of stale text; comments on the
+      // dropped relation die with it (reference drops mz_comments rows)
       GraftSqlCatalog.createSqlFor(session).remove(GraftSqlCatalog.normId(name))
+      GraftSqlCatalog.commentsFor(session)
+        .filterInPlace((k, _) => k._1 != GraftSqlCatalog.normId(name))
       delegate.parsePlan(sqlText)
     case ShowCreateTable(name) => ShowCreateTableCommand(name)
     case ct @ CreateTableStmt(name) =>
@@ -120,6 +128,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       plan
     case DropTableStmt(name) =>
       GraftSqlCatalog.tableSqlFor(session).remove(GraftSqlCatalog.normId(name))
+      GraftSqlCatalog.commentsFor(session)
+        .filterInPlace((k, _) => k._1 != GraftSqlCatalog.normId(name))
       delegate.parsePlan(sqlText)
     case ExplainStmt(planMode, otherMode, target) =>
       ExplainPlanCommand(
@@ -301,6 +311,12 @@ object GraftSqlParser {
   val ShowSinks: Regex = "(?is)^\\s*SHOW\\s+SINKS\\s*;?\\s*$".r
   val ShowSources: Regex = "(?is)^\\s*SHOW\\s+SOURCES\\s*;?\\s*$".r
   val ShowMvs: Regex = "(?is)^\\s*SHOW\\s+MATERIALIZED\\s+VIEWS\\s*;?\\s*$".r
+  val ShowObjects: Regex = "(?is)^\\s*SHOW\\s+OBJECTS\\s*;?\\s*$".r
+  /** `COMMENT ON <kind> <name> IS '<text>' | NULL` (reference
+    * `src/sql/src/plan/statement/ddl.rs` plan_comment). */
+  val CommentOn: Regex =
+    ("(?is)^\\s*COMMENT\\s+ON\\s+(TABLE|VIEW|MATERIALIZED\\s+VIEW|INDEX|TYPE|SOURCE|SINK|COLUMN)\\s+" +
+      "(\"?[\\w]+\"?(?:\\s*\\.\\s*\"?[\\w]+\"?)?)\\s+IS\\s+(NULL|'(?:[^']|'')*')\\s*;?\\s*$").r
   val Identifier: Regex = "[A-Za-z_][A-Za-z0-9_]*".r
   /** `'...'` with doubled-quote escapes, as Spark's lexer tokenizes them. */
   val StringLiteral: Regex = "'(?:[^']|'')*'".r
