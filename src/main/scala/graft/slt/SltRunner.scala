@@ -2791,13 +2791,26 @@ object SltRunner {
     val mvDefs = mutable.LinkedHashSet.empty[String]
     val MvCreate =
       """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?(\w+)(.*)""".r
+    // linear-time literal stripper (the naive ([^']|'')* alternation
+    // backtracks exponentially on unbalanced quotes in fuzzer-sized SQL)
+    val StringLit = "'[^']*(?:''[^']*)*'".r
+    // string-literal content names nothing: a poisoned table `test` must
+    // not taint INSERT INTO t2 VALUES ('test line 1')
+    def stripLits(sql: String): String =
+      if (sql.indexOf('\'') < 0) sql else StringLit.replaceAllIn(sql, " ")
     def refsWord(sql: String, w: String): Boolean =
-      s"(?i)\\b$w\\b".r.findFirstIn(sql).isDefined
-    def touchesPoisoned(sql: String, depth: Int = 0): Boolean =
-      poisonedTables.exists(t => refsWord(sql, t)) ||
+      s"(?i)\\b$w\\b".r.findFirstIn(stripLits(sql)).isDefined
+    def touchesPoisoned(sql: String, depth: Int = 0): Boolean = {
+      // introspection queries name objects INSIDE literals
+      // (WHERE name = 'coltypes') — for those the literal text counts
+      val bare =
+        if (PgCatalogRelations.referenced(sql)) sql else stripLits(sql)
+      def refs(w: String) = s"(?i)\\b$w\\b".r.findFirstIn(bare).isDefined
+      poisonedTables.exists(refs) ||
         (depth < 5 && viewDefs.exists { case (v, d) =>
-          refsWord(sql, v) && touchesPoisoned(d, depth + 1)
+          refs(v) && touchesPoisoned(d, depth + 1)
         })
+    }
     def refreshMvsFor(sql: String): Unit =
       if (mvDefs.exists(mv => refsWord(sql, mv)))
         // refresh ALL in creation order so chained MVs observe fresh inputs
@@ -3155,6 +3168,32 @@ object SltRunner {
         // any other SET/RESET spelling: never let it reach Spark's native
         // SET command (it would "succeed" by writing an unrelated conf key)
         skipped += 1; tally("SET/RESET shape not handled", sql)
+      case Statement(sql, expectError) if isSingle(sql) &&
+          """(?is)^\s*CREATE\s+TEMPORARY\s+VIEW\s+IF\s+NOT\s+EXISTS\s+(\w+)""".r
+            .findFirstMatchIn(sql).isDefined =>
+        // Spark's grammar rejects TEMP VIEW + IF NOT EXISTS; emulate the
+        // no-op-when-present semantics (the shim maps pg CREATE VIEW IF NOT
+        // EXISTS here)
+        val vn = """(?is)^\s*CREATE\s+TEMPORARY\s+VIEW\s+IF\s+NOT\s+EXISTS\s+(\w+)""".r
+          .findFirstMatchIn(sql).get.group(1)
+        if (spark.catalog.tableExists(vn.toLowerCase)) {
+          if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+          else passed += 1
+        } else {
+          try {
+            spark.sql(sql.replaceFirst("(?is)IF\\s+NOT\\s+EXISTS\\s+", "")).collect()
+            if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+            else passed += 1
+          } catch {
+            case e: Throwable =>
+              if (expectError) passed += 1
+              else {
+                poisonedTables += vn.toLowerCase
+                skipped += 1
+                tally(s"statement dialect error: ${e.getClass.getSimpleName}", sql)
+              }
+          }
+        }
       case Statement(sql, expectError) if isSingle(sql) &&
           SltSession.CreateDefaultIndexStmt.findFirstMatchIn(sql).isDefined =>
         val m = SltSession.CreateDefaultIndexStmt.findFirstMatchIn(sql).get
