@@ -40,5 +40,7 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.MzIntervalFunctions.functions.foreach(e.injectFunction)
     // pg regexp_replace semantics (first-match default, 'g'/'i' flags)
     graft.functions.PgRegexpFunctions.functions.foreach(e.injectFunction)
+    // session identity constants (current_database/current_user = mz's)
+    graft.functions.SessionIdentity.functions.foreach(e.injectFunction)
   }
 }

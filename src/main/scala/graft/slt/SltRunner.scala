@@ -1128,6 +1128,12 @@ object SltRunner {
     val sql0rawShow =
       """(?i)\(\s*SHOW\s+COLUMNS\s+FROM\s+([A-Za-z_]\w*)\s*\)""".r
         .replaceAllIn(sql0rawMz, m => {
+          // builtin mz_/pg_ relation schemas are not emulated — leave the
+          // text unparseable so the record takes the dialect-skip path
+          if (m.group(1).toLowerCase.startsWith("mz_") ||
+              m.group(1).toLowerCase.startsWith("pg_"))
+            Regex.quoteReplacement(m.matched)
+          else {
           val oid = graft.sql.PgCatalogRelations.userOid(m.group(1).toLowerCase)
           Regex.quoteReplacement(
             s"""(SELECT attname AS name, (NOT attnotnull) AS nullable,
@@ -1135,13 +1141,20 @@ object SltRunner {
                |  coalesce((SELECT description FROM pg_description d
                |            WHERE d.objoid = a.attrelid AND d.objsubid = a.attnum), '') AS comment
                |FROM pg_attribute a WHERE attrelid = $oid)""".stripMargin)
+          }
         })
     val sql0rawPg = rewriteDescriptionFns(sql0rawShow)
+    // bare ANSI keyword forms resolve to Spark's builtin CurrentUser —
+    // parenthesize so the engine's session-identity functions answer
+    val sql0rawId =
+      if (!sql0rawPg.toLowerCase.contains("_user")) sql0rawPg
+      else """(?i)\b(current_user|session_user)\b(?!\s*\()""".r
+        .replaceAllIn(sql0rawPg, "$1()")
     // pg regexp_replace (first-match default, flags arg) — the engine's
     // pg-semantics expression, not Spark's replace-all builtin
     val sql0rawRe =
-      if (!sql0rawPg.toLowerCase.contains("regexp_replace")) sql0rawPg
-      else """(?i)\bregexp_replace\s*\(""".r.replaceAllIn(sql0rawPg, "pg_regexp_replace(")
+      if (!sql0rawId.toLowerCase.contains("regexp_replace")) sql0rawId
+      else """(?i)\bregexp_replace\s*\(""".r.replaceAllIn(sql0rawId, "pg_regexp_replace(")
     // pg interval text forms (reference src/repr/src/adt/datetime.rs): the
     // standalone `SELECT INTERVAL '<text>' [qualifier]` shapes of
     // interval.slt run through the engine's mz_interval parser/renderer.
@@ -2474,6 +2487,9 @@ object SltRunner {
         """(?i)\battnotnull\b""".r,
         "mz derives NOT NULL for aggregate MV columns; Spark schemas keep " +
           "them nullable"),
+      ("mz_indexes.slt",
+        """(?i)mz_\w+_ind\b|\bid\s+(?:NOT\s+)?LIKE\s+'si?%'""".r,
+        "builtin catalog indexes (si-ids) are not emulated"),
       ("oid.slt",
         """(?i)\bid\s+LIKE\s+'s%'""".r,
         "system-id ('s%') rows enumerate the reference's full builtin " +
@@ -3133,9 +3149,14 @@ object SltRunner {
           else {
             skipped += 1; tally("SET of unknown session variable", sql); varTainted += name
             // a database/search_path switch re-scopes the reference's whole
-            // catalog — introspection views must skip from here on
-            if (name == "database" || name == "search_path")
+            // catalog — introspection views AND identity functions must
+            // skip from here on
+            if (name == "database" || name == "search_path") {
               poisonedTables ++= PgCatalogRelations.relationNames
+              poisonedTables += "current_database"
+              poisonedTables += "current_catalog"
+              poisonedTables += "current_schema"
+            }
           }
         } else SltSession.acceptSet(name, value) match {
           case SltSession.Accepted(v) =>
@@ -3151,8 +3172,12 @@ object SltRunner {
             // known var, unhonorable value (would change engine behavior)
             skipped += 1; tally("SET value not honored by the runner", sql)
             varTainted += name
-            if (name == "database" || name == "search_path")
+            if (name == "database" || name == "search_path") {
               poisonedTables ++= PgCatalogRelations.relationNames
+              poisonedTables += "current_database"
+              poisonedTables += "current_catalog"
+              poisonedTables += "current_schema"
+            }
         }
       case Statement(sql, expectError) if isSingle(sql) && SltSession.ResetVar.findFirstMatchIn(sql).isDefined =>
         val n = SltSession.normVar(SltSession.ResetVar.findFirstMatchIn(sql).get.group(1))
