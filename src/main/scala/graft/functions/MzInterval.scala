@@ -421,6 +421,86 @@ object MzInterval {
     render(Iv(mF.toLong, dF.toLong, BigInt(usF.toLong)))
   }
 
+  private val MicrosPerDay = BigInt(86400L * 1000000L)
+
+  private def checkI32(v: BigInt, raw: String): Unit =
+    if (v > Int.MaxValue || v < Int.MinValue)
+      throw new IllegalArgumentException(s""""$raw" interval out of range""")
+
+  /** pg justify_hours / justify_days / justify_interval (reference
+    * `src/expr/src/scalar/func.rs` justify_*; pg timestamp.c):
+    * hours spill into days at 24, days into months at 30, and
+    * justify_interval additionally borrows so all fields share a sign. */
+  def justify(kind: String, text: String, qualifier: String): String = {
+    val iv = parse(text, parseQualifier(qualifier)).fold(
+      e => throw new IllegalArgumentException(s"invalid input syntax for type interval: $e"),
+      identity)
+    var months = BigInt(iv.months)
+    var days = BigInt(iv.days)
+    var micros = iv.micros
+    def hours(): Unit = {
+      days += micros / MicrosPerDay
+      micros = micros % MicrosPerDay
+    }
+    def daysToMonths(): Unit = {
+      months += days / 30
+      days = days % 30
+    }
+    kind match {
+      case "hours" => hours(); checkI32(days, text)
+      case "days" => daysToMonths(); checkI32(months, text)
+      case _ => // justify_interval: both plus sign borrowing
+        hours(); daysToMonths()
+        if (months > 0 && (days < 0 || (days == 0 && micros < 0))) {
+          months -= 1; days += 30
+        } else if (months < 0 && (days > 0 || (days == 0 && micros > 0))) {
+          months += 1; days -= 30
+        }
+        if (days > 0 && micros < 0) { days -= 1; micros += MicrosPerDay }
+        else if (days < 0 && micros > 0) { days += 1; micros -= MicrosPerDay }
+        checkI32(months, text); checkI32(days, text)
+    }
+    render(Iv(months.toLong, days.toLong, micros))
+  }
+
+  /** EXTRACT(field FROM interval) / date_part over the parsed triple
+    * (reference interval.rs part extraction; epoch months factor is pg's
+    * 365.25/12 days = 2,629,800 s). Returns pg's numeric text. */
+  def extract(field: String, text: String, qualifier: String): String = {
+    val iv = parse(text, parseQualifier(qualifier)).fold(
+      e => throw new IllegalArgumentException(s"invalid input syntax for type interval: $e"),
+      identity)
+    def trim(v: BigDecimal): String = {
+      val s = v.setScale(6, BigDecimal.RoundingMode.HALF_EVEN)
+        .underlying.stripTrailingZeros.toPlainString
+      s
+    }
+    field.toLowerCase match {
+      case "epoch" =>
+        // whole years at 365.25 days, leftover months at 30 days (the
+        // reference mirrors pg's interval epoch arithmetic)
+        trim(BigDecimal(iv.months / 12) * 31557600 +
+          BigDecimal(iv.months % 12) * 2592000 +
+          BigDecimal(iv.days) * 86400 + BigDecimal(iv.micros) / 1000000)
+      case "millennium" => (iv.months / 12000).toString
+      case "century" => (iv.months / 1200).toString
+      case "decade" => (iv.months / 120).toString
+      case "year" | "years" => (iv.months / 12).toString
+      case "month" | "months" => (iv.months % 12).toString
+      case "day" | "days" => iv.days.toString
+      case "hour" | "hours" => (iv.micros / (3600L * 1000000L)).toString
+      case "minute" | "minutes" => ((iv.micros / (60L * 1000000L)) % 60).toString
+      case "second" | "seconds" =>
+        trim(BigDecimal(iv.micros % (60L * 1000000L)) / 1000000)
+      case "millisecond" | "milliseconds" =>
+        trim(BigDecimal(iv.micros % (60L * 1000000L)) / 1000)
+      case "microsecond" | "microseconds" =>
+        (iv.micros % (60L * 1000000L)).toString
+      case other => throw new IllegalArgumentException(
+        s"unsupported interval extract field $other")
+    }
+  }
+
   /** Componentwise checked add/subtract for the corpus' interval ± interval. */
   def binop(op: String, a: String, qa: String, b: String, qb: String, negateB: Boolean): String = {
     def p(t: String, q: String): Iv =

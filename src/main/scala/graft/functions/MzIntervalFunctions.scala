@@ -87,7 +87,34 @@ object MzIntervalFunctions {
         newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
   }
 
+  /** Generic 3-string-arg scalar over MzInterval helpers. */
+  case class MzIntervalStr3(fn: (String, String, String) => String,
+      name: String, children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def foldable: Boolean = children.forall(_.foldable)
+    override def prettyName: String = name
+    override def eval(input: InternalRow): Any = {
+      val v = children.map(_.eval(input))
+      if (v.exists(_ == null)) return null
+      UTF8String.fromString(fn(v(0).toString, v(1).toString, v(2).toString))
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+  }
+
   def functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("mz_interval_justify"),
+      new ExpressionInfo(getClass.getName, "mz_interval_justify"),
+      (args: Seq[Expression]) =>
+        if (args.length == 3) MzIntervalStr3(MzInterval.justify, "mz_interval_justify", args)
+        else throw new IllegalArgumentException("mz_interval_justify expects 3 args")),
+    (new FunctionIdentifier("mz_interval_extract"),
+      new ExpressionInfo(getClass.getName, "mz_interval_extract"),
+      (args: Seq[Expression]) =>
+        if (args.length == 3) MzIntervalStr3(MzInterval.extract, "mz_interval_extract", args)
+        else throw new IllegalArgumentException("mz_interval_extract expects 3 args")),
     (new FunctionIdentifier("mz_interval_cmp"),
       new ExpressionInfo(getClass.getName, "mz_interval_cmp"),
       (args: Seq[Expression]) =>

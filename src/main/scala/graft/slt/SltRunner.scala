@@ -954,6 +954,11 @@ object SltRunner {
       s"INTERVAL\\s+'([^']*)'\\s*($IntervalQual)?\\s*$$").r
   private val IntervalCastItem: Regex =
     ("(?is)^\\s*\\(\\s*'([^']*)'\\s*::\\s*interval\\s*\\)\\s*::\\s*(?:string|text)\\s*$").r
+  private val IntervalExtractItem: Regex =
+    (s"(?is)^\\s*(?:EXTRACT\\s*\\(\\s*(\\w+)\\s+FROM|date_part\\s*\\(\\s*'(\\w+)'\\s*,)\\s*" +
+      s"INTERVAL\\s+'([^']*)'\\s*($IntervalQual)?\\s*\\)\\s*$$").r
+  private val IntervalJustifyItem: Regex =
+    (s"(?is)^\\s*justify_(hours|days|interval)\\s*\\(\\s*INTERVAL\\s+'([^']*)'\\s*($IntervalQual)?\\s*\\)\\s*$$").r
   private val IntervalSelectShape: Regex = "(?is)^\\s*SELECT\\s+(.*?)\\s*;?\\s*$".r
 
   /** interval.slt's standalone literal/±/×/÷ select items → the engine's
@@ -982,6 +987,13 @@ object SltRunner {
           s"'${esc(b)}', '${esc(Option(qb).getOrElse(""))}')")
       case IntervalCastItem(text) =>
         Some(s"mz_interval('${esc(text)}', '')")
+      case IntervalExtractItem(f1, f2, text, qual) =>
+        val f = Option(f1).getOrElse(f2)
+        Some(s"mz_interval_extract('${esc(f)}', '${esc(text)}', " +
+          s"'${esc(Option(qual).getOrElse(""))}')")
+      case IntervalJustifyItem(kind, text, qual) =>
+        Some(s"mz_interval_justify('${esc(kind)}', '${esc(text)}', " +
+          s"'${esc(Option(qual).getOrElse(""))}')")
       case _ => None
     }
     sql match {

@@ -207,7 +207,8 @@ class SltCorpusSpec extends SparkSpec {
     "current_database.slt", "current_user.slt", "show_columns.slt",
     "mz_indexes.slt", "mz_columns.slt", "information_schema_columns.slt",
     "pg_get_viewdef.slt", "regclass.slt", "regproc.slt", "regtype.slt",
-    "cockroach/comment_on.slt", "cockroach/user.slt")
+    "cockroach/comment_on.slt", "cockroach/user.slt",
+    "schemas.slt", "alter.slt", "cockroach/drop_temp.slt")
 
   test("reference SLT corpus subset: 0 failures, >=10700 green assertions") {
     assume(Files.isDirectory(Paths.get(corpus)), "reference corpus not present")
