@@ -416,7 +416,9 @@ object MzInterval {
     if (dF.isNaN || dF.isInfinite || dF < Int.MinValue || dF > Int.MaxValue)
       throw new IllegalArgumentException("interval out of range")
     val usF = apply(iv.micros.toDouble) + (dF - dF.toLong) * 86400.0e6
-    if (usF.isNaN || usF.isInfinite || usF < Long.MinValue || usF > Long.MaxValue)
+    // >= : (double)Long.MaxValue rounds UP past the true max, so a product
+    // landing exactly there (negating Long.MinValue µs) must error too
+    if (usF.isNaN || usF.isInfinite || usF < Long.MinValue || usF >= Long.MaxValue.toDouble)
       throw new IllegalArgumentException("interval out of range")
     render(Iv(mF.toLong, dF.toLong, BigInt(usF.toLong)))
   }
@@ -498,6 +500,43 @@ object MzInterval {
         (iv.micros % (60L * 1000000L)).toString
       case other => throw new IllegalArgumentException(
         s"unsupported interval extract field $other")
+    }
+  }
+
+  /** pg's age(t1, t2): symbolic calendar difference — field-wise
+    * subtraction with borrowing, day borrow taking the EARLIER timestamp's
+    * month length (pg timestamp.c timestamp_age; reference
+    * `src/expr/src/scalar/func.rs` age). t1 < t2 negates the swapped
+    * result field-wise, pg's behavior. Input epochs are microseconds. */
+  def age(aMicros: Long, bMicros: Long): Iv = {
+    import java.time.{Instant, LocalDateTime, ZoneOffset}
+    def ldt(us: Long): LocalDateTime = LocalDateTime.ofInstant(
+      Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        Math.floorMod(us, 1000000L) * 1000L), ZoneOffset.UTC)
+    if (aMicros < bMicros) {
+      val p = age(bMicros, aMicros)
+      Iv(-p.months, -p.days, -p.micros)
+    } else {
+      val a = ldt(aMicros); val b = ldt(bMicros)
+      var us = (a.getNano - b.getNano) / 1000L
+      var sec = a.getSecond - b.getSecond
+      var min = a.getMinute - b.getMinute
+      var hour = a.getHour - b.getHour
+      var day = a.getDayOfMonth - b.getDayOfMonth
+      var mon = a.getMonthValue - b.getMonthValue
+      var year = a.getYear - b.getYear
+      if (us < 0) { us += 1000000L; sec -= 1 }
+      if (sec < 0) { sec += 60; min -= 1 }
+      if (min < 0) { min += 60; hour -= 1 }
+      if (hour < 0) { hour += 24; day -= 1 }
+      if (day < 0) {
+        day += java.time.YearMonth.of(b.getYear, b.getMonthValue).lengthOfMonth()
+        mon -= 1
+      }
+      if (mon < 0) { mon += 12; year -= 1 }
+      Iv(year.toLong * 12 + mon, day.toLong,
+        BigInt(hour) * 3600000000L + BigInt(min) * 60000000L +
+          BigInt(sec) * 1000000L + us)
     }
   }
 

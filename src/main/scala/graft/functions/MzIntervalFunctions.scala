@@ -104,7 +104,31 @@ object MzIntervalFunctions {
         newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
   }
 
+  /** pg age(t1, t2) → canonical interval text. */
+  case class MzAge(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "age"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      UTF8String.fromString(MzInterval.render(
+        MzInterval.age(a.asInstanceOf[Long], b.asInstanceOf[Long])))
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   def functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("age"),
+      new ExpressionInfo(getClass.getName, "age"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) =>
+          import org.apache.spark.sql.catalyst.expressions.Cast
+          import org.apache.spark.sql.types.TimestampType
+          MzAge(Cast(a, TimestampType), Cast(b, TimestampType))
+        case other => throw new IllegalArgumentException(
+          s"age expects (timestamp, timestamp), got ${other.length} args")
+      }),
     (new FunctionIdentifier("mz_interval_justify"),
       new ExpressionInfo(getClass.getName, "mz_interval_justify"),
       (args: Seq[Expression]) =>
