@@ -210,7 +210,7 @@ class SltCorpusSpec extends SparkSpec {
     "cockroach/comment_on.slt", "cockroach/user.slt",
     "schemas.slt", "alter.slt", "cockroach/drop_temp.slt")
 
-  test("reference SLT corpus subset: 0 failures, >=10700 green assertions") {
+  test("reference SLT corpus subset: 0 failures, >=10750 green assertions") {
     assume(Files.isDirectory(Paths.get(corpus)), "reference corpus not present")
     val reports = SltRunner.runFiles(spark,
       files.map(f => s"$corpus/$f").filter(p => Files.exists(Paths.get(p))))
@@ -224,6 +224,6 @@ class SltCorpusSpec extends SparkSpec {
     total.failures.take(25).foreach(f => info(s"FAIL: $f"))
     assert(total.failed == 0,
       s"${total.failed} SLT failures:\n${total.failures.take(25).mkString("\n")}")
-    assert(total.passed >= 10700, s"only ${total.passed} SLT passes")
+    assert(total.passed >= 10750, s"only ${total.passed} SLT passes")
   }
 }

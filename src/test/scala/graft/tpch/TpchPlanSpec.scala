@@ -49,6 +49,21 @@ class TpchPlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") && p.contains("partial"), p.take(1500))
   }
 
+  test("q09: p_name filter pushed; part/supplier/nation broadcast around the lineitem spine") {
+    val p = planOf("tpch_q09")
+    // the LIKE filter prunes part BEFORE the join (pushed to the scan),
+    // so the probe side shrinks by ~selectivity at any SF
+    assert(p.contains("StringContains(p_name,gear)") || p.contains("p_name"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q11: partsupp aggregate shuffles once; supplier/nation broadcast") {
+    val p = planOf("tpch_q11")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // nation filter reaches the nation scan
+    assert(p.contains("EqualTo(n_name,NATION_3)"), p.take(3000))
+  }
+
   test("q02: the doubly-referenced partsupp CTE reuses one aggregate (no double scan)") {
     val p = planOf("tpch_q02")
     // Either Spark materializes the CTE once and reuses the exchange, or the
