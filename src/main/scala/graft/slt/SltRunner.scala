@@ -1156,12 +1156,40 @@ object SltRunner {
           }
         })
     val sql0rawPg = rewriteDescriptionFns(sql0rawShow)
+    // pg timestamp(p) precision casts round to p fractional digits; Spark
+    // has no parameterized TIMESTAMP type — rewrite literal casts to
+    // explicit micro-rounding (timestamptz(p) stays skipped: its +00
+    // rendering is a documented diff)
+    val sql0rawTsp =
+      """'([^']*)'\s*::\s*timestamp\s*\(\s*(\d)\s*\)(?!\s*\w)""".r
+        .replaceAllIn(sql0rawPg, m => {
+          // round the literal's fractional seconds to p digits in TEXT
+          // (pg rounds the full nanosecond input; Spark's cast truncates at
+          // micros, so arithmetic after the cast is too late). A carry into
+          // whole seconds falls back to the original text (dialect skip).
+          val p = m.group(2).toInt
+          val lit = m.group(1)
+          val fr = """\.(\d+)(?!.*\.\d)""".r.findFirstMatchIn(lit)
+          val rewritten = fr match {
+            case Some(fm) =>
+              val rounded = BigDecimal("0." + fm.group(1))
+                .setScale(p, BigDecimal.RoundingMode.HALF_UP)
+              if (rounded >= 1) None
+              else Some(lit.substring(0, fm.start) +
+                rounded.toString.stripPrefix("0") + lit.substring(fm.end))
+            case None => Some(lit)
+          }
+          rewritten match {
+            case Some(l) => Regex.quoteReplacement(s"CAST('$l' AS TIMESTAMP)")
+            case None => Regex.quoteReplacement(m.matched)
+          }
+        })
     // bare ANSI keyword forms resolve to Spark's builtin CurrentUser —
     // parenthesize so the engine's session-identity functions answer
     val sql0rawId =
-      if (!sql0rawPg.toLowerCase.contains("_user")) sql0rawPg
+      if (!sql0rawTsp.toLowerCase.contains("_user")) sql0rawTsp
       else """(?i)\b(current_user|session_user)\b(?!\s*\()""".r
-        .replaceAllIn(sql0rawPg, "$1()")
+        .replaceAllIn(sql0rawTsp, "$1()")
     // pg regexp_replace (first-match default, flags arg) — the engine's
     // pg-semantics expression, not Spark's replace-all builtin
     val sql0rawRe =
