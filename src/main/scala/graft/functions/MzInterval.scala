@@ -152,6 +152,11 @@ object MzInterval {
 
     def timeGroup(sign: Int, body: String, attachedUnitOk: Boolean): Either[String, Unit] = {
       // strip a trailing attached DateTimeField annotation ('01:02:03minute')
+      // — but only when it IS a known unit word; '1:02:03xyz' must raise the
+      // reference's unknown-units error, not silently parse as 01:02:03
+      if (attachedUnitOk) """[A-Za-z]+$""".r.findFirstIn(body).foreach { w =>
+        if (!unitWords.contains(w.toLowerCase)) return err(s"unknown units $w")
+      }
       val stripped =
         if (attachedUnitOk) """[A-Za-z]+$""".r.replaceFirstIn(body, "")
         else body

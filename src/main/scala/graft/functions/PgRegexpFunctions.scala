@@ -22,24 +22,45 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object PgRegexpFunctions {
 
-  /** Replacement text -> Java. The reference implements regexp_replace over
-    * the Rust regex crate (src/expr/src/scalar/func.rs), whose replacement
-    * syntax is `$1` / `${1}` (and `$$` for a literal dollar) — NOT pg's
-    * `\1`. Java shares the `$N` form; `${N}` unwraps, `$$` escapes, and
-    * backslashes become literal. */
-  private[functions] def javaReplacement(rust: String): String = {
+  /** Expand one match's replacement text with the Rust regex crate's
+    * substitution semantics (src/expr/src/scalar/func.rs RegexpReplace uses
+    * `Regex::replacen`): `$1`/`${1}` are group refs (longest digit run),
+    * `$$` is a literal dollar, backslashes are literal, and a reference to
+    * a NONEXISTENT group substitutes the empty string — unlike Java, which
+    * throws IndexOutOfBoundsException. */
+  private[functions] def substitute(m: java.util.regex.Matcher, rust: String): String = {
     val sb = new StringBuilder
+    def group(g: Int): Unit =
+      if (g <= m.groupCount()) sb.append(Option(m.group(g)).getOrElse(""))
+    def named(name: String): Unit =
+      try sb.append(Option(m.group(name)).getOrElse(""))
+      catch { case _: IllegalArgumentException => () } // unknown name -> empty
     var i = 0
     while (i < rust.length) {
       val c = rust.charAt(i)
-      if (c == '$' && i + 1 < rust.length && rust.charAt(i + 1) == '$') {
-        sb.append("\\$"); i += 2
-      } else if (c == '$' && i + 1 < rust.length && rust.charAt(i + 1) == '{') {
-        val close = rust.indexOf('}', i + 2)
-        if (close > 0) { sb.append('$').append(rust.substring(i + 2, close)); i = close + 1 }
-        else { sb.append("\\$"); i += 1 }
-      } else if (c == '\\') { sb.append("\\\\"); i += 1 }
-      else { sb.append(c); i += 1 }
+      if (c == '$' && i + 1 < rust.length) {
+        val n1 = rust.charAt(i + 1)
+        if (n1 == '$') { sb.append('$'); i += 2 }
+        else if (n1 == '{') {
+          val close = rust.indexOf('}', i + 2)
+          if (close > 0) {
+            val name = rust.substring(i + 2, close)
+            if (name.nonEmpty && name.forall(_.isDigit)) group(name.toInt)
+            else if (name.nonEmpty) named(name)
+            i = close + 1
+          } else { sb.append('$'); i += 1 }
+        } else if (n1.isDigit) {
+          var j = i + 1
+          while (j < rust.length && rust.charAt(j).isDigit) j += 1
+          group(rust.substring(i + 1, j).toInt)
+          i = j
+        } else if (n1.isLetter || n1 == '_') {
+          var j = i + 1
+          while (j < rust.length && (rust.charAt(j).isLetterOrDigit || rust.charAt(j) == '_')) j += 1
+          named(rust.substring(i + 1, j))
+          i = j
+        } else { sb.append('$'); i += 1 }
+      } else { sb.append(c); i += 1 }
     }
     sb.toString
   }
@@ -57,10 +78,19 @@ object PgRegexpFunctions {
       val c = cached
       if (c != null && c._1 == re && c._2 == flags) c._3
       else {
-        var f = 0
-        if (flags.contains('i')) f |= Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE
-        if (flags.contains('n') || flags.contains('m')) f |= Pattern.MULTILINE
-        if (flags.contains('s')) f |= Pattern.DOTALL
+        // the reference accepts ONLY 'g' (replace-all, handled by the
+        // caller), 'i', and 'c' — with pg's last-one-wins for i/c — and
+        // raises InvalidRegexFlag for anything else
+        // (src/expr/src/scalar/func.rs build_regex)
+        var insensitive = false
+        flags.foreach {
+          case 'g' => ()
+          case 'i' => insensitive = true
+          case 'c' => insensitive = false
+          case other => throw new IllegalArgumentException(
+            s"invalid regular expression flag: $other")
+        }
+        val f = if (insensitive) Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE else 0
         val p = Pattern.compile(re, f)
         cached = (re, flags, p)
         p
@@ -72,11 +102,23 @@ object PgRegexpFunctions {
       if (vs.take(3).exists(_ == null)) return null
       val src = vs(0).toString
       val re = vs(1).toString
-      val repl = javaReplacement(vs(2).toString)
+      val repl = vs(2).toString
       val flags = if (vs.length > 3 && vs(3) != null) vs(3).toString else ""
       val m = patternFor(re, flags).matcher(src)
-      UTF8String.fromString(
-        if (flags.contains('g')) m.replaceAll(repl) else m.replaceFirst(repl))
+      val global = flags.contains('g')
+      val out = new java.lang.StringBuilder
+      var last = 0
+      var go = m.find()
+      var first = true
+      while (go && (first || global)) {
+        out.append(src, last, m.start())
+        out.append(substitute(m, repl))
+        last = m.end()
+        first = false
+        go = if (global) m.find() else false
+      }
+      out.append(src, last, src.length)
+      UTF8String.fromString(out.toString)
     }
 
     override protected def withNewChildrenInternal(

@@ -1124,16 +1124,40 @@ object SltRunner {
     out.toString
   }
 
+  /** Apply an identifier-level rewrite with string literals masked out, so
+    * text inside '...' is never rewritten (a literal containing
+    * `current_user` or `regexp_replace` must stay literal text). */
+  private def rewriteOutsideLits(sql: String)(f: String => String): String = {
+    if (!sql.contains('\'')) return f(sql)
+    val lits = scala.collection.mutable.ArrayBuffer.empty[String]
+    val masked = """'(?:[^']|'')*'""".r.replaceAllIn(sql, m => {
+      lits += m.matched
+      Regex.quoteReplacement("" + (lits.length - 1) + "")
+    })
+    val rewritten = f(masked)
+    """(\d+)""".r.replaceAllIn(rewritten, m =>
+      Regex.quoteReplacement(lits(m.group(1).toInt)))
+  }
+
   private def shim(sql0rawIn: String, crdb: Boolean): String = {
     // pg_catalog./information_schema. qualification: the introspection views
     // register as unqualified temp views (Spark has no pg_catalog schema)
     val sql0rawPg0 =
       if (!sql0rawIn.toLowerCase.contains("pg_catalog.")) sql0rawIn
-      else """(?i)\bpg_catalog\s*\.\s*(?=pg_)""".r.replaceAllIn(sql0rawIn, "")
+      else rewriteOutsideLits(sql0rawIn)(
+        """(?i)\bpg_catalog\s*\.\s*(?=pg_)""".r.replaceAllIn(_, ""))
     // mz_internal./mz_catalog. qualification on the emulated mz relations
-    val sql0rawMz =
+    val sql0rawMz0 =
       if (!sql0rawPg0.toLowerCase.contains("mz_")) sql0rawPg0
-      else """(?i)\bmz_(?:internal|catalog)\s*\.\s*(?=mz_)""".r.replaceAllIn(sql0rawPg0, "")
+      else rewriteOutsideLits(sql0rawPg0)(
+        """(?i)\bmz_(?:internal|catalog)\s*\.\s*(?=mz_)""".r.replaceAllIn(_, ""))
+    // information_schema.tables/columns -> the engine's underscore-named
+    // introspection temp views (Spark temp views cannot be schema-qualified)
+    val sql0rawMz =
+      if (!sql0rawMz0.toLowerCase.contains("information_schema.")) sql0rawMz0
+      else rewriteOutsideLits(sql0rawMz0)(
+        """(?i)\binformation_schema\s*\.\s*(tables|columns)\b""".r
+          .replaceAllIn(_, "information_schema_$1"))
     // (SHOW COLUMNS FROM t) in table position -> the equivalent
     // pg_attribute/pg_description subquery (same columns as the engine's
     // ShowColumnsCommand; oid is the engine's deterministic user oid)
@@ -1188,13 +1212,14 @@ object SltRunner {
     // parenthesize so the engine's session-identity functions answer
     val sql0rawId =
       if (!sql0rawTsp.toLowerCase.contains("_user")) sql0rawTsp
-      else """(?i)\b(current_user|session_user)\b(?!\s*\()""".r
-        .replaceAllIn(sql0rawTsp, "$1()")
+      else rewriteOutsideLits(sql0rawTsp)(
+        """(?i)\b(current_user|session_user)\b(?!\s*\()""".r.replaceAllIn(_, "$1()"))
     // pg regexp_replace (first-match default, flags arg) — the engine's
     // pg-semantics expression, not Spark's replace-all builtin
     val sql0rawRe =
       if (!sql0rawId.toLowerCase.contains("regexp_replace")) sql0rawId
-      else """(?i)\bregexp_replace\s*\(""".r.replaceAllIn(sql0rawId, "pg_regexp_replace(")
+      else rewriteOutsideLits(sql0rawId)(
+        """(?i)\bregexp_replace\s*\(""".r.replaceAllIn(_, "pg_regexp_replace("))
     // pg interval text forms (reference src/repr/src/adt/datetime.rs): the
     // standalone `SELECT INTERVAL '<text>' [qualifier]` shapes of
     // interval.slt run through the engine's mz_interval parser/renderer.
@@ -2006,6 +2031,12 @@ object SltRunner {
         else TypeDdl(ok = false, s"""type "$n" does not exist""")
       case _ => Unsupported("DROP TYPE shape not supported", mutating = false, sql = sqlRaw)
     }
+    else if (graft.sql.GraftSqlParser.CreateSourceLoadGen
+        .findFirstMatchIn(sqlRaw).isDefined)
+      // the engine's own CREATE SOURCE ... LOAD GENERATOR path
+      // (GraftCommands.CreateSourceCommand) — registers a named relation the
+      // introspection views list, exactly like the reference's source
+      Statement(sqlRaw.trim.stripSuffix(";"), expectError = false)
     else if (skipPrefixes.exists(up.startsWith))
       Unsupported(s"no Spark analog: ${up.takeWhile(_ != ' ')}", mutating = false,
         sql = sqlRaw)
@@ -2384,19 +2415,22 @@ object SltRunner {
     // puts the join columns first and merges them); values then disagree
     // positionally
     def dialectDefinedShape(sql: String): Boolean = {
-      val u = sql.toUpperCase
-      // star order for a SINGLE inner/left USING or NATURAL join matches pg
-      // in Spark (join columns once, then left remainder, then right) — only
-      // chains and RIGHT/FULL variants coalesce/order dialect-specifically
-      u.contains("SELECT *") && (u.contains("USING") || u.contains("NATURAL")) && {
-        val joins = "\\bJOIN\\b".r.findAllIn(u).size
-        joins > 1 || u.contains("RIGHT") || u.contains("FULL")
-      }
+      // Measured (r12): Spark 4's star expansion for USING/NATURAL joins
+      // matches pg for every variant probed — join columns once (coalesced
+      // for outer joins), then left remainder, then right — including
+      // RIGHT/FULL and USING chains. The former blanket skip of those
+      // shapes is retired; true residual diffs classify individually.
+      false
     }
 
     // Documented semantic differences between the pg dialect and Spark —
     // skipped (never passed) with the reason recorded here:
     val knownDialectDiffs: List[(String, Regex, String)] = List(
+      ("outer_join.slt",
+        """(?i),\s*LATERAL\s*\(SELECT[^)]*\)\s*\w*\s+NATURAL\s+RIGHT\s+JOIN""".r,
+        "pg binds JOIN tighter than comma: 'a, b NATURAL RIGHT JOIN c' " +
+          "right-joins only b; Spark's FROM list folds left-to-right so the " +
+          "whole product becomes the join's left side"),
       ("unsigned_int.slt",
         """(?i)\bVAR_POP\(a\)\s+FROM\s+t[48]\b""".r,
         "mz computes variance over arbitrary-precision numeric; Spark " +
@@ -3011,6 +3045,14 @@ object SltRunner {
         // here — statements/queries touching it must skip, not error
         """(?is)^\s*CREATE\s+(?:CLUSTER|SOURCE|SINK|CONNECTION|SECRET|ROLE)\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?(\w+)""".r
           .findFirstMatchIn(usql).foreach(m => poisonedTables += m.group(1).toLowerCase)
+        // a skipped CREATE/DROP of a current-database relation diverges the
+        // full-catalog listings (a db-qualified name like other.public.t
+        // lives in ANOTHER database the listing excludes — no divergence)
+        if ("""(?is)^\s*(?:CREATE|DROP)\s+(?:SOURCE|SINK|TABLE|(?:MATERIALIZED\s+)?VIEW)\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?["`]?\w+["`]?\s*[^.\w]""".r
+            .findFirstIn(usql + " ").isDefined) {
+          poisonedTables += "information_schema_tables"
+          poisonedTables += "information_schema_columns"
+        }
         // a skipped COMMENT diverges the comment relations
         if ("""(?i)^\s*COMMENT\b""".r.findFirstIn(usql).isDefined) {
           poisonedTables += "mz_comments"; poisonedTables += "pg_description"
@@ -3444,6 +3486,14 @@ object SltRunner {
               // skip, not compare stale state
               if ("""(?is)^\s*COMMENT\b""".r.findFirstIn(sql).isDefined) {
                 poisonedTables += "mz_comments"; poisonedTables += "pg_description"
+              }
+              // a skipped relation DDL diverges the full-catalog listings
+              // (db-qualified names live in another database the listing
+              // excludes — no divergence)
+              if ("""(?is)^\s*(?:CREATE|DROP|ALTER)\s+(?:SOURCE|SINK|TABLE|(?:MATERIALIZED\s+)?VIEW)\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?["`]?\w+["`]?\s*[^.\w]""".r
+                  .findFirstIn(sql + " ").isDefined) {
+                poisonedTables += "information_schema_tables"
+                poisonedTables += "information_schema_columns"
               }
               if (isDialectError(e) || isKnownDiff(sql) ||
                   // COMMENT ON a relation whose DDL was itself skipped

@@ -168,7 +168,15 @@ private[slt] object SltSession {
     name match {
       case _ if v.equalsIgnoreCase("DEFAULT") =>
         varDefaults.get(name).map(Accepted(_)).getOrElse(Unhonored)
-      case "timezone" => if (v.equalsIgnoreCase("UTC")) Accepted("UTC") else Unhonored
+      // the reference's TimeZone var accepts ONLY UTC/GMT/+00:00 (uncased)
+      // and REJECTS every other offset/POSIX/IANA value with 'invalid value
+      // for parameter "TimeZone"' (src/sql/src/session/vars/value.rs:841,
+      // corpus cockroach/set_time_zone.slt) — so non-UTC is Invalid (an
+      // expected error), not merely unhonored
+      case "timezone" =>
+        if (v.equalsIgnoreCase("UTC") || v.equalsIgnoreCase("GMT") || v == "+00:00")
+          Accepted("UTC")
+        else Invalid
       case "datestyle" =>
         if (v.toUpperCase.replaceAll("\\s+", "").matches("ISO|ISO,MDY|MDY,ISO")) Accepted("ISO, MDY")
         else Unhonored

@@ -107,6 +107,24 @@ case class DropMaterializedViewCommand(name: String) extends LeafRunnableCommand
   }
 }
 
+/** Runs a delegate DROP VIEW / DROP TABLE plan and evicts the recorded
+  * SHOW CREATE text + COMMENT rows only AFTER the drop succeeds — a DROP
+  * that fails (wrong relation kind, missing name without IF EXISTS) must
+  * not lose the catalog records of a still-live relation (the reference
+  * drops mz_comments rows transactionally with the item). */
+case class DropEvictCommand(
+    inner: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    name: String, table: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    org.apache.spark.sql.GraftPlanBridge.ofRows(spark, inner).collect()
+    val norm = GraftSqlCatalog.normId(name)
+    if (table) GraftSqlCatalog.tableSqlFor(spark).remove(norm)
+    else GraftSqlCatalog.createSqlFor(spark).remove(norm)
+    GraftSqlCatalog.commentsFor(spark).filterInPlace((k, _) => k._1 != norm)
+    Seq.empty
+  }
+}
+
 /** The SHOW statement family over the engine catalog (reference
   * `src/sql/src/plan/statement/show.rs`; `Plan::Show*` in
   * `src/sql/src/plan.rs:134`). Output shapes match the reference's

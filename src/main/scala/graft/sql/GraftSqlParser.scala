@@ -112,13 +112,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftSqlCatalog.normId(name), (false, cv.trim.stripSuffix(";") + ";"))
       plan
     case DropViewStmt(name) =>
-      // evict the recorded text so SHOW CREATE VIEW answers 'unknown catalog
-      // item' for dropped relations instead of stale text; comments on the
-      // dropped relation die with it (reference drops mz_comments rows)
-      GraftSqlCatalog.createSqlFor(session).remove(GraftSqlCatalog.normId(name))
-      GraftSqlCatalog.commentsFor(session)
-        .filterInPlace((k, _) => k._1 != GraftSqlCatalog.normId(name))
-      delegate.parsePlan(sqlText)
+      // evict the recorded text (so SHOW CREATE VIEW answers 'unknown
+      // catalog item') and comments — but only after the DROP executes
+      // successfully: a failed drop must not lose a live relation's records
+      DropEvictCommand(delegate.parsePlan(sqlText), name, table = false)
     case ShowCreateTable(name) => ShowCreateTableCommand(name)
     case ct @ CreateTableStmt(name) =>
       // record CREATE TABLE text for SHOW CREATE TABLE, then delegate
@@ -127,10 +124,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftSqlCatalog.normId(name), ct.trim.stripSuffix(";") + ";")
       plan
     case DropTableStmt(name) =>
-      GraftSqlCatalog.tableSqlFor(session).remove(GraftSqlCatalog.normId(name))
-      GraftSqlCatalog.commentsFor(session)
-        .filterInPlace((k, _) => k._1 != GraftSqlCatalog.normId(name))
-      delegate.parsePlan(sqlText)
+      DropEvictCommand(delegate.parsePlan(sqlText), name, table = true)
     case ExplainStmt(planMode, otherMode, target) =>
       ExplainPlanCommand(
         Option(planMode).orElse(Option(otherMode))

@@ -177,18 +177,23 @@ object PgCatalogRelations {
   private def ambient: Seq[String] = ambientSchemas.map(_._1)
 
   /** The reference allocates sequential user item ids (u1, u2, ...); the
-    * session emulation numbers relations in (deterministic) listing order. */
-  def userIds(spark: SparkSession): Map[String, String] =
-    relations(spark).map(_._1).sorted.zipWithIndex
+    * session emulation numbers relations in (deterministic) listing order.
+    * Always derived from ONE relations() snapshot per register() call —
+    * re-listing mid-registration would see the partially-created catalog
+    * temp views and hand the same object different ids in mz_comments /
+    * mz_indexes.on_id than in mz_objects.id. */
+  def userIdsOf(rels: Seq[(String, String, StructType)]): Map[String, String] =
+    rels.map(_._1).sorted.zipWithIndex
       .map { case (n, i) => n -> s"u${i + 1}" }.toMap
 
-  def pgClass(spark: SparkSession, sltIndexes: Seq[(String, String)]): DataFrame = {
+  def pgClass(spark: SparkSession, sltIndexes: Seq[(String, String)],
+      rels: Seq[(String, String, StructType)]): DataFrame = {
     val idxRows = sltIndexes.map { case (n, on) =>
       val natts = try spark.table(on).schema.length catch { case _: Throwable => 0 }
       Row(userOid(n), n, 2200, 0, 0, 0, 0, false, "p", "i",
         natts, 0, false, false, false, false, "d", false, false, -1)
     }
-    val rows = idxRows ++ relations(spark).map { case (name, kind, schema) =>
+    val rows = idxRows ++ rels.map { case (name, kind, schema) =>
       Row(userOid(name), name, 2200, 0, 0, 0, 0, false, "p", kind,
         schema.length, 0, false, false, false, false, "d", false, false, -1)
     } ++ ambient.map(n =>
@@ -211,8 +216,9 @@ object PgCatalogRelations {
     StructField("attgenerated", StringType, nullable = false),
     StructField("attndims", IntegerType, nullable = false)))
 
-  def pgAttribute(spark: SparkSession): DataFrame = {
-    val rows = (relations(spark) ++
+  def pgAttribute(spark: SparkSession,
+      rels: Seq[(String, String, StructType)]): DataFrame = {
+    val rows = (rels ++
       ambientSchemas.map { case (n, sch) => (n, "v", sch) }).flatMap { case (name, _, schema) =>
       schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
         val ndims = f.dataType match { case _: ArrayType => 1; case _ => 0 }
@@ -271,9 +277,10 @@ object PgCatalogRelations {
     * relations (`src/catalog/src/builtin.rs` MZ_TABLES et al.) — the corpus
     * uses them to resolve oids, e.g.
     * `attrelid = (SELECT oid FROM mz_tables WHERE name = 't')`. */
-  def mzObjects(spark: SparkSession, only: Option[String]): DataFrame = {
-    val ids = userIds(spark)
-    val rows = relations(spark)
+  def mzObjects(spark: SparkSession, only: Option[String],
+      rels: Seq[(String, String, StructType)],
+      ids: Map[String, String]): DataFrame = {
+    val rows = rels
       .filter { case (_, k, _) => only.forall(o =>
         (o == "table" && k == "r") || (o == "view" && k == "v") ||
           (o == "index" && k == "i")) }
@@ -293,8 +300,8 @@ object PgCatalogRelations {
     StructField("name", StringType, nullable = false),
     StructField("on_id", StringType, nullable = false)))
 
-  def mzIndexes(spark: SparkSession, sltIndexes: Seq[(String, String)]): DataFrame = {
-    val ids = userIds(spark)
+  def mzIndexes(spark: SparkSession, sltIndexes: Seq[(String, String)],
+      ids: Map[String, String]): DataFrame = {
     val rows = (GraftSqlCatalog.indexesFor(spark).toSeq.map(e => (e._1, e._2.rel)) ++
       sltIndexes).map { case (n, on) =>
       Row(ids.getOrElse(n, "u0"), userOid(n), n, ids.getOrElse(on, "u0"))
@@ -329,15 +336,15 @@ object PgCatalogRelations {
   /** mz_internal.mz_comments (reference `src/catalog/src/builtin.rs`
     * MZ_COMMENTS): (id, object_type, object_sub_id, comment). */
   def mzComments(spark: SparkSession, sltIndexes: Seq[(String, String)],
-      sltMvs: Set[String] = Set.empty): DataFrame = {
+      sltMvs: Set[String], rels: Seq[(String, String, StructType)],
+      ids: Map[String, String]): DataFrame = {
     val mvs = GraftSqlCatalog.forSession(spark).viewNames.map(_.toLowerCase).toSet ++ sltMvs
-    val kinds = relations(spark).map { case (n, k, _) =>
+    val kinds = rels.map { case (n, k, _) =>
       n.toLowerCase -> (
         if (mvs.contains(n.toLowerCase)) "materialized-view"
         else k match {
           case "r" => "table"; case "v" => "view"; case _ => "index" })
     }.toMap ++ sltIndexes.map(_._1 -> "index")
-    val ids = userIds(spark)
     val rows = GraftSqlCatalog.commentsFor(spark).toSeq.map { case ((n, col), txt) =>
       Row(ids.getOrElse(n, "u0"), kinds.getOrElse(n, "type"), col.orNull, txt)
     }
@@ -349,11 +356,16 @@ object PgCatalogRelations {
   val relationNames: Seq[String] = Seq(
     "pg_type", "pg_class", "pg_attribute", "pg_namespace", "pg_index",
     "mz_tables", "mz_views", "mz_objects", "mz_indexes",
-    "pg_description", "mz_comments")
+    "pg_description", "mz_comments",
+    "information_schema_tables", "information_schema_columns")
 
   private val Ref = ("(?i)\\b(" + relationNames.mkString("|") + ")\\b").r
 
-  def referenced(sql: String): Boolean = Ref.findFirstIn(sql).isDefined
+  def referenced(sql: String): Boolean =
+    Ref.findFirstIn(sql).isDefined ||
+      // raw corpus text qualifies with a dot (information_schema.tables);
+      // the shim rewrites it to the underscore temp-view name before exec
+      sql.toLowerCase.contains("information_schema.")
 
   /** (Re)build the introspection temp views. Cheap (driver metadata only);
     * call before executing a query that [[referenced]] them. The catalog
@@ -364,21 +376,33 @@ object PgCatalogRelations {
       sltIndexes: Seq[(String, String)] = Nil,
       sltMvs: Set[String] = Set.empty): Unit = {
     relationNames.foreach(spark.catalog.dropTempView)
-    val cls = pgClass(spark, sltIndexes)
-    val attr = pgAttribute(spark)
-    val tabs = mzObjects(spark, Some("table"))
-    val views = mzObjects(spark, Some("view"))
-    val objs = mzObjects(spark, None)
+    // ONE catalog snapshot + one id assignment for every relation built
+    // below: re-listing mid-registration would include the just-created
+    // catalog temp views in the sorted u-id numbering, giving the same
+    // object divergent ids across mz_objects / mz_comments / mz_indexes.
+    val rels = relations(spark)
+    val ids = userIdsOf(rels)
+    val cls = pgClass(spark, sltIndexes, rels)
+    val attr = pgAttribute(spark, rels)
+    val tabs = mzObjects(spark, Some("table"), rels, ids)
+    val views = mzObjects(spark, Some("view"), rels, ids)
+    val objs = mzObjects(spark, None, rels, ids)
+    val comments = mzComments(spark, sltIndexes, sltMvs, rels, ids)
+    val idxs = mzIndexes(spark, sltIndexes, ids)
     pgType(spark, custom).createOrReplaceTempView("pg_type")
     cls.createOrReplaceTempView("pg_class")
     attr.createOrReplaceTempView("pg_attribute")
     pgNamespace(spark).createOrReplaceTempView("pg_namespace")
     pgIndex(spark, sltIndexes).createOrReplaceTempView("pg_index")
     pgDescription(spark).createOrReplaceTempView("pg_description")
-    mzComments(spark, sltIndexes, sltMvs).createOrReplaceTempView("mz_comments")
+    comments.createOrReplaceTempView("mz_comments")
     tabs.createOrReplaceTempView("mz_tables")
     views.createOrReplaceTempView("mz_views")
     objs.createOrReplaceTempView("mz_objects")
-    mzIndexes(spark, sltIndexes).createOrReplaceTempView("mz_indexes")
+    idxs.createOrReplaceTempView("mz_indexes")
+    InformationSchema.tables(spark, rels, sltMvs)
+      .createOrReplaceTempView("information_schema_tables")
+    InformationSchema.columns(spark, rels)
+      .createOrReplaceTempView("information_schema_columns")
   }
 }

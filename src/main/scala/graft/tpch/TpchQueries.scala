@@ -261,10 +261,10 @@ object TpchQueries {
     "tpch_q12" ->
       """SELECT
         |    l_shipmode,
-        |    sum(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
-        |             THEN 1 ELSE 0 END) AS high_line_count,
-        |    sum(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
-        |             THEN 1 ELSE 0 END) AS low_line_count
+        |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |    CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM (
         |    SELECT
         |        o_orderpriority,

@@ -208,7 +208,10 @@ class SltCorpusSpec extends SparkSpec {
     "mz_indexes.slt", "mz_columns.slt", "information_schema_columns.slt",
     "pg_get_viewdef.slt", "regclass.slt", "regproc.slt", "regtype.slt",
     "cockroach/comment_on.slt", "cockroach/user.slt",
-    "schemas.slt", "alter.slt", "cockroach/drop_temp.slt")
+    "schemas.slt", "alter.slt", "cockroach/drop_temp.slt",
+    // round 12: information_schema.tables emulation + mz TimeZone var
+    // error fidelity (only UTC/GMT/+00:00 accepted; rest raise)
+    "information_schema_tables.slt", "cockroach/set_time_zone.slt")
 
   test("reference SLT corpus subset: 0 failures, >=10750 green assertions") {
     assume(Files.isDirectory(Paths.get(corpus)), "reference corpus not present")
