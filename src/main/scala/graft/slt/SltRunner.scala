@@ -34,6 +34,12 @@ object SltRunner {
     if (sample.nonEmpty) censusSample.putIfAbsent(reason, sample.replaceAll("\\s+", " ").take(400))
     ()
   }
+  /** Census-triage aid: `SLT_POISON_DETAIL=1` splits the poisoned-touch
+    * tallies per file so a census run shows WHICH files' poisoned state
+    * causes the skips (normally one aggregate bucket). */
+  private def poisonDetailSuffix(file: String): String =
+    if (sys.env.contains("SLT_POISON_DETAIL")) s" [$file]" else ""
+
   def censusTop(n: Int): Seq[(String, Int, String)] = {
     import scala.jdk.CollectionConverters._
     census.asScala.toSeq.map { case (k, v) =>
@@ -966,6 +972,46 @@ object SltRunner {
     * Display). Applies only when EVERY top-level select item is such a
     * shape, so interval literals feeding other expressions (timestamp
     * arithmetic elsewhere in the corpus) keep Spark's native literal path. */
+  /** bpchar comparison semantics for literal cast comparisons (reference
+    * `src/repr/src/adt/char.rs`: Char values are stored with trailing
+    * whitespace TRIMMED "to enforce the same equality semantics", and
+    * explicit casts truncate to the declared length like pg). pg's operator
+    * resolution then gives:
+    *  - char vs char / char vs varchar -> bpchar comparison (BOTH sides
+    *    trailing-space-insensitive);
+    *  - char vs text -> the char value (already trimmed) compares as plain
+    *    text (the text side keeps its spaces);
+    *  - varchar/text only -> plain string comparison.
+    * Spark's CHAR cast pads instead, so the cast + resolution are folded
+    * here at parse time — the comparison itself still runs in the engine. */
+  private val CharCmpStmt: Regex =
+    ("""(?is)^\s*SELECT\s+'([^']*)'\s*::\s*(char|varchar|text)(?:\s*\(\s*(\d+)\s*\))?""" +
+      """\s*(=|<>|!=|<=|>=|<|>)\s*""" +
+      """'([^']*)'\s*::\s*(char|varchar|text)(?:\s*\(\s*(\d+)\s*\))?\s*;?\s*$""").r
+
+  private def rewriteCharVarcharCmp(sql: String): String = sql match {
+    case CharCmpStmt(s1, t1raw, n1, op, s2, t2raw, n2) =>
+      val t1 = t1raw.toLowerCase; val t2 = t2raw.toLowerCase
+      def trunc(s: String, t: String, n: String): String = t match {
+        case "text" => s
+        case _ =>
+          val len = Option(n).map(_.toInt).getOrElse(1)
+          if (s.length > len) s.substring(0, len) else s
+      }
+      def trim(s: String): String = s.replaceAll("\\s+$", "")
+      var v1 = trunc(s1, t1, n1)
+      var v2 = trunc(s2, t2, n2)
+      if (t1 == "char") v1 = trim(v1)
+      if (t2 == "char") v2 = trim(v2)
+      // char vs varchar resolves as bpchar: the varchar side trims too
+      if ((t1 == "char" && t2 == "varchar") || (t1 == "varchar" && t2 == "char")) {
+        v1 = trim(v1); v2 = trim(v2)
+      }
+      def lit(s: String) = "'" + s.replace("'", "''") + "'"
+      s"SELECT ${lit(v1)} $op ${lit(v2)}"
+    case _ => sql
+  }
+
   private def rewriteIntervalSelects(sql: String): String = {
     if (!sql.toUpperCase.contains("INTERVAL")) return sql
     def esc(s: String) = s.replace("'", "''")
@@ -1225,7 +1271,8 @@ object SltRunner {
     // interval.slt run through the engine's mz_interval parser/renderer.
     // Whole-statement anchored so interval arithmetic elsewhere (timestamp +
     // INTERVAL ...) keeps Spark's native literal path.
-    val sql0raw = rewriteUsingAlias(rewriteIntervalSelects(sql0rawRe))
+    val sql0raw =
+      rewriteUsingAlias(rewriteIntervalSelects(rewriteCharVarcharCmp(sql0rawRe)))
     // the reference parses CREATE UNIQUE INDEX for pg compat but registers
     // nothing (its corpus re-creates the same name repeatedly and expects
     // DROP INDEX on it to say "unknown catalog item") — match that: no-op
@@ -2901,6 +2948,23 @@ object SltRunner {
           refs(v) && touchesPoisoned(d, depth + 1)
         })
     }
+    // A bare DROP TABLE or a CREATE TABLE with an explicit column list
+    // rebuilds the relation's ENTIRE state from the statement text alone —
+    // executing it re-converges our state with the reference's even when the
+    // table is currently poisoned (the reference clears poison on
+    // drop/recreate; without this, corpus files that cycle CREATE/DROP on
+    // one name, e.g. window_funcs.slt, cascade hundreds of skips after a
+    // single genuinely-divergent INSERT). CREATE TABLE ... AS SELECT is
+    // excluded: it READS, so poison must propagate.
+    val PoisonResetStmt =
+      """(?is)^\s*(DROP|CREATE)\s+TABLE\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?["`]?(\w+)["`]?\s*(\((?:[^()]|\([^()]*\))*\))?\s*;?\s*$""".r
+    def poisonResetTarget(sql: String): Option[String] = sql match {
+      case PoisonResetStmt(kind, nm, parens) =>
+        if (kind.equalsIgnoreCase("DROP") && parens == null) Some(nm.toLowerCase)
+        else if (kind.equalsIgnoreCase("CREATE") && parens != null) Some(nm.toLowerCase)
+        else None
+      case _ => None
+    }
     def refreshMvsFor(sql: String): Unit =
       if (mvDefs.exists(mv => refsWord(sql, mv)))
         // refresh ALL in creation order so chained MVs observe fresh inputs
@@ -3362,9 +3426,34 @@ object SltRunner {
             skipped += 1; tally("DISCARD TEMP unsupported", sql)
             poisoned = true
         }
+      case Statement(sql, false)
+          if touchesPoisoned(sql) && poisonResetTarget(sql).isDefined =>
+        // full-state rebuild of a poisoned relation: best-effort clean any
+        // half-state, execute, and clear the poison (see PoisonResetStmt)
+        val t = poisonResetTarget(sql).get
+        try { spark.catalog.dropTempView(t); () } catch { case _: Throwable => () }
+        try {
+          noteTxnDdl(sql) // mid-txn DDL is unrestorable on rollback
+          spark.sql(s"DROP TABLE IF EXISTS `$t`").collect()
+          if (sql.trim.toUpperCase.startsWith("CREATE")) { spark.sql(sql).collect(); () }
+          // DROP cascades to the relation's indexes (mirror of the clean path)
+          val dead = indexOn.collect { case (i, on) if on == t => i }
+          dead.foreach { i =>
+            indexOn -= i; indexNames -= i
+            graft.sql.GraftSqlCatalog.commentsFor(spark)
+              .filterInPlace((k, _) => k._1 != i)
+          }
+          poisonedTables -= t
+          passed += 1
+        } catch {
+          case _: Throwable =>
+            skipped += 1
+            poisonedTables += t
+            tally("statement touches poisoned table" + poisonDetailSuffix(name), sql)
+        }
       case Statement(sql, _) if touchesPoisoned(sql) =>
         skipped += 1
-        tally("statement touches poisoned table",
+        tally("statement touches poisoned table" + poisonDetailSuffix(name),
           poisonedTables.filter(t => refsWord(sql, t)).toSeq.sorted
             .mkString("[", ",", "] ") + sql)
         // a skipped COMMENT diverges the comment relations from the
@@ -3509,7 +3598,7 @@ object SltRunner {
         }
       case q: Query if touchesPoisoned(q.sql) =>
         skipped += 1
-        tally("query touches poisoned table",
+        tally("query touches poisoned table" + poisonDetailSuffix(name),
           poisonedTables.filter(t => refsWord(q.sql, t)).toSeq.sorted
             .mkString("[", ",", "] ") + q.sql)
       // SHOW in query position runs through the engine's command family
@@ -3675,6 +3764,10 @@ object SltRunner {
       // comments are per-catalog state: a fresh file starts commentless
       // (a leak here surfaced alter-table.slt's comments in comment.slt)
       graft.sql.GraftSqlCatalog.commentsFor(spark).clear()
+      // sources recur across files (CREATE SOURCE s ... in several) — a
+      // stale registry entry turns the next file's CREATE into 'already
+      // exists'; the backing temp view drops with the listTables sweep below
+      graft.sql.GraftSqlCatalog.sourcesFor(spark).clear()
       spark.catalog.listTables().collect().foreach { t =>
         if (t.isTemporary) spark.catalog.dropTempView(t.name)
         else spark.sql(s"DROP TABLE IF EXISTS `${t.name}`")

@@ -174,8 +174,10 @@ private[slt] object SltSession {
       // corpus cockroach/set_time_zone.slt) — so non-UTC is Invalid (an
       // expected error), not merely unhonored
       case "timezone" =>
-        if (v.equalsIgnoreCase("UTC") || v.equalsIgnoreCase("GMT") || v == "+00:00")
-          Accepted("UTC")
+        // each accepted spelling formats back as itself (TimeZone::as_str)
+        if (v.equalsIgnoreCase("UTC")) Accepted("UTC")
+        else if (v.equalsIgnoreCase("GMT")) Accepted("GMT")
+        else if (v == "+00:00") Accepted("+00:00")
         else Invalid
       case "datestyle" =>
         if (v.toUpperCase.replaceAll("\\s+", "").matches("ISO|ISO,MDY|MDY,ISO")) Accepted("ISO, MDY")

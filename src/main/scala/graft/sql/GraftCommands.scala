@@ -727,14 +727,29 @@ case class ExplainPlanCommand(mode: Option[String], target: String)
       text.stripLineEnd.split("\n").toIndexedSeq.map(Row(_))
     mode match {
       case Some("FILTER PUSHDOWN") =>
-        val plan = spark.sql(queryText).queryExecution.executedPlan
+        // reference Plan::ExplainPushdown (src/adapter/src/coord/peek.rs
+        // fast-path analysis): which predicates reached the scans vs which
+        // evaluate post-scan. Pushed = the parquet reader's PushedFilters
+        // (row-group/page pruning at 100 TB); residual = FilterExec
+        // conditions that still run per-row above a scan.
+        // under AQE the scans live inside the AdaptiveSparkPlanExec wrapper,
+        // which plain collect() does not traverse
+        val plan = spark.sql(queryText).queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.inputPlan
+          case p => p
+        }
         val scans = plan.collect {
           case s: org.apache.spark.sql.execution.FileSourceScanExec =>
             val pushed = s.metadata.getOrElse("PushedFilters", "[]")
             val loc = s.metadata.get("Location").map(_.takeRight(60)).getOrElse("")
             Row(s"pushdown= $pushed source= $loc")
         }
-        if (scans.isEmpty) Seq(Row("pushdown= [] (no file scans)")) else scans
+        val residual = plan.collect {
+          case f: org.apache.spark.sql.execution.FilterExec =>
+            Row(s"residual= ${f.condition.toString.take(200)}")
+        }
+        (if (scans.isEmpty) Seq(Row("pushdown= [] (no file scans)")) else scans) ++ residual
       case Some("TIMESTAMP") =>
         val cat = GraftSqlCatalog.forSession(spark)
         Seq(Row(s"query timestamp: ${cat.globalReadTs()}"))

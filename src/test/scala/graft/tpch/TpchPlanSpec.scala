@@ -64,14 +64,40 @@ class TpchPlanSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(n_name,NATION_3)"), p.take(3000))
   }
 
-  test("q02: the doubly-referenced partsupp CTE reuses one aggregate (no double scan)") {
-    val p = planOf("tpch_q02")
-    // Either Spark materializes the CTE once and reuses the exchange, or the
-    // two references appear as two aggregates — the former is required for
-    // the scale path. ReusedExchange/TableCacheQueryStage both qualify.
-    val aggsOverLineitem = p.linesIterator.count(l =>
-      l.contains("HashAggregate") && l.contains("ps_supplycost"))
-    assert(p.contains("ReusedExchange") || aggsOverLineitem <= 4, // partial+final × ≤2
-      s"partsupp computed ${aggsOverLineitem}×:\n" + p.take(3000))
+  test("q03/q06: EXPLAIN FILTER PUSHDOWN reports pushed scan predicates and residuals") {
+    Tables.register(spark, sf)
+    def pushdown(name: String): String =
+      spark.sql("EXPLAIN FILTER PUSHDOWN FOR " + TpchQueries.sql(name))
+        .collect().map(_.getString(0)).mkString("\n")
+    val q3 = pushdown("tpch_q03")
+    // the segment and date predicates reach their parquet scans
+    assert(q3.contains("EqualTo(c_mktsegment,BUILDING)"), q3)
+    assert(q3.contains("LessThan(o_orderdate,"), q3)
+    val q6 = pushdown("tpch_q06")
+    assert(q6.contains("GreaterThanOrEqual(l_shipdate,"), q6)
+    assert(q6.contains("GreaterThanOrEqual(l_discount,"), q6)
+    // Spark re-evaluates pushed predicates post-scan — the residual section
+    // must surface that row-level filter rather than pretending it's free
+    assert(q6.contains("residual="), q6)
+  }
+
+  test("q02: lineitem scanned once; the partsupp partial-agg exchange is reused") {
+    // Strict scale property for the doubly-referenced CTE: the big table is
+    // read ONCE and the partsupp aggregation's shuffle feeds both consumers
+    // via ReusedExchange. Asserted on the FINAL AQE plan (collect first) at
+    // sf0.01 — at sf0.001 the query is empty and AQE collapses the whole
+    // plan to EmptyRelation, which would vacuously pass anything.
+    Tables.register(spark, "/root/testdata/sf0.01")
+    val df = spark.sql(TpchQueries.sql("tpch_q02"))
+    df.collect()
+    val p = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case x => x.toString
+    }
+    val lineitemScans = p.linesIterator.count(l =>
+      l.contains("Scan") && l.contains("lineitem"))
+    assert(lineitemScans == 1, s"lineitem scanned ${lineitemScans}×:\n" + p.take(3000))
+    assert(p.contains("ReusedExchange"), "partsupp exchange not reused:\n" + p.take(3000))
+    Tables.register(spark, sf)
   }
 }
