@@ -42,5 +42,11 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.PgRegexpFunctions.functions.foreach(e.injectFunction)
     // session identity constants (current_database/current_user = mz's)
     graft.functions.SessionIdentity.functions.foreach(e.injectFunction)
+    // pg to_char timestamp template rendering
+    graft.functions.PgDateTimeFormat.functions.foreach(e.injectFunction)
+    // pg float-typed ceil/floor
+    graft.functions.PgNumericFunctions.functions.foreach(e.injectFunction)
+    // pgcrypto digest/hmac (bytea-returning)
+    graft.functions.PgCryptoFunctions.functions.foreach(e.injectFunction)
   }
 }

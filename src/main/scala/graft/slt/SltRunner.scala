@@ -522,8 +522,40 @@ object SltRunner {
   private val sltMvNames =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
 
+  /** MV name -> cluster recorded when the shim strips `IN CLUSTER <c>`
+    * (placement only); SHOW MATERIALIZED VIEWS reports it. The reference's
+    * default cluster is `quickstart`. */
+  private val mvClusters =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Per-file column-type registries (populated at CREATE TABLE tagging,
+    * record order, like [[rangeColumns]]): pg resolves UNTYPED literals and
+    * some function overloads by the other operand's type, which Spark's
+    * double-widening coercion loses —
+    *  - float4/real columns: `f1 = '1004.3'` compares in float4 in pg;
+    *  - float columns generally: `ceil/floor(float8) -> float8` (Spark's
+    *    builtins return BIGINT);
+    *  - bytea columns: `b::text` renders pg's `\x<hex>` form. */
+  private val realColumns =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+  private val dblColumns =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+  private val byteaColumns =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Tables that later receive a `'NaN'` INSERT in the current file. pg
+    * numeric admits NaN (reference `src/repr/src/adt/numeric.rs`); Spark
+    * DecimalType has no NaN, so these tables' numeric columns are stored as
+    * double — the SLT text canonicalization (%.3f both sides) keeps the
+    * renderings comparable, and Spark's NaN ordering/equality (largest,
+    * equal to itself) matches pg numeric's. Populated by a file pre-scan. */
+  private val nanDoubleTables =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
   private[slt] def clearRangeColumns(): Unit = {
     rangeColumns.clear(); customTypes.clear(); sltMvNames.clear()
+    nanDoubleTables.clear(); mvClusters.clear()
+    realColumns.clear(); dblColumns.clear(); byteaColumns.clear()
   }
 
   /** Session custom types as pg_type rows: named lists carry typelem
@@ -1012,6 +1044,115 @@ object SltRunner {
     case _ => sql
   }
 
+  /** NaN-bearing numeric data (see [[nanDoubleTables]]): CREATE TABLE of a
+    * marked table stores numeric as double, and an element-position 'NaN'
+    * in a VALUES list gets an explicit double cast so Spark's inline-table
+    * type resolution coerces the column to double (pg resolves the same mix
+    * to numeric-with-NaN). */
+  private val NanElem = """(?i)(?<=[(,])(\s*)'NaN'(?=\s*[,)])""".r
+  private def rewriteNanNumeric(sql: String): String = {
+    var out = sql
+    """(?is)^\s*CREATE\s+TABLE\s+["`]?(\w+)""".r.findFirstMatchIn(out).foreach { m =>
+      if (nanDoubleTables.contains(m.group(1).toLowerCase))
+        out = """(?i)\b(?:numeric|decimal)\b(?!\s*\()""".r.replaceAllIn(out, "double")
+    }
+    if (out.contains("'NaN'") && out.toUpperCase.contains("VALUES")) {
+      val insTarget = """(?is)^\s*INSERT\s+INTO\s+["`]?(\w+)""".r
+        .findFirstMatchIn(out).map(_.group(1).toLowerCase)
+      // inline-relation queries only convert when the list provably mixes
+      // NaN with fractional numerics (an all-text VALUES stays text)
+      if (insTarget.exists(nanDoubleTables.contains) ||
+          (insTarget.isEmpty &&
+            """[(,]\s*\d+\.\d+\s*[,)]""".r.findFirstIn(out).isDefined))
+        out = NanElem.replaceAllIn(out, "$1CAST('NaN' AS DOUBLE)")
+    }
+    out
+  }
+
+  /** pg operand-type resolution the shim folds in via the per-file column
+    * registries: float4 columns type their untyped comparison/arithmetic
+    * literals REAL (not double), ceil/ceiling/floor over float columns keep
+    * the float type (pg ceil(float8)->float8; Spark's builtin -> BIGINT),
+    * and bytea casts to text render pg's `\x<hex>` form. */
+  private def rewriteFloatByteaOps(sql: String): String = {
+    var out = sql
+    if (realColumns.nonEmpty && out.contains("'")) {
+      val cols = realColumns.keySet.mkString("|")
+      val num = """(-?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)"""
+      // `/` needs the result re-narrowed too: Spark promotes float division
+      // to double, pg divides in float4
+      out = s"""(?i)\\b((?:\\w+\\.)?(?:$cols))\\s*(=|<>|!=|<=|>=|<|>|\\+|-|\\*|/)\\s*'$num'""".r
+        .replaceAllIn(out, m => Regex.quoteReplacement(
+          if (m.group(2) == "/")
+            s"CAST(${m.group(1)} / CAST('${m.group(3)}' AS REAL) AS REAL)"
+          else s"${m.group(1)} ${m.group(2)} CAST('${m.group(3)}' AS REAL)"))
+      out = s"""(?i)'$num'\\s*(=|<>|!=|<=|>=|<|>|\\+|-|\\*|/)\\s*((?:\\w+\\.)?(?:$cols))\\b""".r
+        .replaceAllIn(out, m => Regex.quoteReplacement(
+          if (m.group(2) == "/")
+            s"CAST(CAST('${m.group(1)}' AS REAL) / ${m.group(3)} AS REAL)"
+          else s"CAST('${m.group(1)}' AS REAL) ${m.group(2)} ${m.group(3)}"))
+    }
+    if ((realColumns.nonEmpty || dblColumns.nonEmpty) &&
+        """(?i)\b(ceil|ceiling|floor)\b""".r.findFirstIn(out).isDefined) {
+      val cols = (realColumns.keySet ++ dblColumns.keySet).mkString("|")
+      out = s"""(?i)\\b(ceil|ceiling|floor)\\s*\\(\\s*((?:\\w+\\.)?(?:$cols))\\s*\\)""".r
+        .replaceAllIn(out, m => Regex.quoteReplacement(
+          s"pg_${if (m.group(1).equalsIgnoreCase("floor")) "floor" else "ceil"}(${m.group(2)})"))
+    }
+    if (byteaColumns.nonEmpty && out.contains("::")) {
+      val cols = byteaColumns.keySet.mkString("|")
+      out = s"""(?i)\\b((?:\\w+\\.)?(?:$cols))\\s*::\\s*(?:string|text|varchar)\\b""".r
+        .replaceAllIn(out, m => Regex.quoteReplacement(
+          s"concat('\\x', lower(hex(${m.group(1)})))"))
+    }
+    // pg hex-form bytea literals decode to BYTES ('\x0b0b'::bytea is two
+    // 0x0b bytes); Spark's string->binary cast takes the UTF-8 text
+    if (out.contains("\\x")) {
+      out = """'\\x([0-9a-fA-F]*)'\s*::\s*(?i:binary|bytea)\b""".r
+        .replaceAllIn(out, m => Regex.quoteReplacement(s"unhex('${m.group(1)}')"))
+    }
+    // bytea-producing function results cast to text render `\x<hex>` too
+    // (pgcrypto corpus: digest/hmac/decode)
+    if (out.contains("::") &&
+        """(?i)\b(digest|hmac)\s*\(""".r.findFirstIn(out).isDefined) {
+      out = """(?i)\b((?:digest|hmac)\s*\((?:[^()']|'[^']*'|\([^()]*\))*\))\s*::\s*(?:string|text|varchar)\b""".r
+        .replaceAllIn(out, m => Regex.quoteReplacement(
+          s"concat('\\x', lower(hex(${m.group(1)})))"))
+    }
+    out
+  }
+
+  /** pg names an un-aliased function-call output column after the function
+    * (`SELECT row_number() OVER (...) .. ORDER BY row_number` — reference
+    * corpus window_funcs.slt relies on this throughout). Spark names it by
+    * the full expression text, so the later bare-name reference is
+    * unresolved. Fold pg's naming at parse time: alias each top-level
+    * un-aliased `fn(..) OVER (..)` select item `AS fn` — but only when the
+    * bare name is actually referenced after the select list, keeping the
+    * rewrite minimal. */
+  private def rewriteWindowFnAliases(sql: String): String = {
+    if (!"""(?is)^\s*SELECT\b""".r.findFirstIn(sql).isDefined) return sql
+    if (!sql.toUpperCase.contains("OVER")) return sql
+    val selStart = "(?is)^\\s*SELECT\\s+(DISTINCT\\s+)?".r
+      .findFirstMatchIn(sql).map(_.end).getOrElse(return sql)
+    val fromIdx = topLevelIndexOf(sql.substring(selStart), "FROM")
+    if (fromIdx < 0) return sql
+    val list = sql.substring(selStart, selStart + fromIdx)
+    val rest = sql.substring(selStart + fromIdx)
+    val WinItem = """(?is)^\s*([A-Za-z_]\w*)\s*\(.*\bOVER\s*\(.*\)\s*$""".r
+    var changed = false
+    val items = splitTopLevel(list, ',').map { item =>
+      item match {
+        case WinItem(fn)
+            if s"(?i)\\b${fn}\\b(?!\\s*\\()".r.findFirstIn(rest).isDefined =>
+          changed = true; s"${item.replaceAll("\\s+$", "")} AS $fn "
+        case _ => item
+      }
+    }
+    if (changed) sql.substring(0, selStart) + items.mkString(",") + rest
+    else sql
+  }
+
   private def rewriteIntervalSelects(sql: String): String = {
     if (!sql.toUpperCase.contains("INTERVAL")) return sql
     def esc(s: String) = s.replace("'", "''")
@@ -1262,17 +1403,39 @@ object SltRunner {
         """(?i)\b(current_user|session_user)\b(?!\s*\()""".r.replaceAllIn(_, "$1()"))
     // pg regexp_replace (first-match default, flags arg) — the engine's
     // pg-semantics expression, not Spark's replace-all builtin
-    val sql0rawRe =
-      if (!sql0rawId.toLowerCase.contains("regexp_replace")) sql0rawId
-      else rewriteOutsideLits(sql0rawId)(
+    // `IN CLUSTER <name>` on CREATE MATERIALIZED VIEW/INDEX/SOURCE/SINK is
+    // compute PLACEMENT (reference src/sql/src/plan/statement/ddl.rs): it
+    // never changes the relation's content, and this engine's placement is
+    // Spark's scheduler — strip it so the DDL executes instead of skipping
+    // as a poisoned-cluster touch
+    val sql0rawCl =
+      if (!sql0rawId.toUpperCase.contains("IN CLUSTER")) sql0rawId
+      else {
+        // remember the placement for SHOW MATERIALIZED VIEWS before stripping
+        """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?(\w+)["`]?\s+IN\s+CLUSTER\s+["`]?(\w+)""".r
+          .findAllMatchIn(sql0rawId)
+          .foreach(m => mvClusters.put(m.group(1).toLowerCase, m.group(2)))
+        rewriteOutsideLits(sql0rawId)(
+          """(?i)\bIN\s+CLUSTER\s+["`]?\w+["`]?""".r.replaceAllIn(_, ""))
+      }
+    val sql0rawRe0 =
+      if (!sql0rawCl.toLowerCase.contains("regexp_replace")) sql0rawCl
+      else rewriteOutsideLits(sql0rawCl)(
         """(?i)\bregexp_replace\s*\(""".r.replaceAllIn(_, "pg_regexp_replace("))
+    // pg to_char timestamp templates (DAY/MON/HH12/FM/TH...) — the engine's
+    // DateTimeFormat port, not Spark's numeric/SimpleDateFormat to_char
+    val sql0rawRe =
+      if (!sql0rawRe0.toLowerCase.contains("to_char")) sql0rawRe0
+      else rewriteOutsideLits(sql0rawRe0)(
+        """(?i)\bto_char\s*\(""".r.replaceAllIn(_, "pg_to_char("))
     // pg interval text forms (reference src/repr/src/adt/datetime.rs): the
     // standalone `SELECT INTERVAL '<text>' [qualifier]` shapes of
     // interval.slt run through the engine's mz_interval parser/renderer.
     // Whole-statement anchored so interval arithmetic elsewhere (timestamp +
     // INTERVAL ...) keeps Spark's native literal path.
-    val sql0raw =
-      rewriteUsingAlias(rewriteIntervalSelects(rewriteCharVarcharCmp(sql0rawRe)))
+    val sql0raw = rewriteWindowFnAliases(rewriteUsingAlias(
+      rewriteIntervalSelects(rewriteCharVarcharCmp(rewriteNanNumeric(
+        rewriteFloatByteaOps(sql0rawRe))))))
     // the reference parses CREATE UNIQUE INDEX for pg compat but registers
     // nothing (its corpus re-creates the same name repeatedly and expects
     // DROP INDEX on it to say "unknown catalog item") — match that: no-op
@@ -1286,6 +1449,16 @@ object SltRunner {
       if ("""(?is)\bCREATE\s+TABLE\b""".r.findFirstIn(sql0raw).isEmpty) sql0raw
       else sql0raw.split(";", -1).map { st =>
         if ("""(?is)^\s*CREATE\s+TABLE\b""".r.findFirstIn(st).isDefined) {
+          // column-type registries for pg literal/overload resolution (see
+          // realColumns/dblColumns/byteaColumns)
+          """(?i)["`]?(\w+)["`]?\s+(real|float4|float8|float|double(?:\s+precision)?)\b""".r
+            .findAllMatchIn(st).foreach { m =>
+              val col = m.group(1).toLowerCase
+              if (m.group(2).toLowerCase.matches("real|float4")) realColumns.put(col, ())
+              else dblColumns.put(col, ())
+            }
+          """(?i)["`]?(\w+)["`]?\s+bytea\b""".r.findAllMatchIn(st)
+            .foreach(m => byteaColumns.put(m.group(1).toLowerCase, ()))
           val j = """(?i)\bjsonb?\b""".r.replaceAllIn(st, "string COMMENT 'graft_jsonb'")
           // range columns: string storage + a kind marker for INSERT
           // canonicalization; the column name feeds the per-file registry
@@ -1400,9 +1573,27 @@ object SltRunner {
       sql = """(?i),\s*(?:CONSTRAINT\s+\w+\s+)?(?:PRIMARY\s+KEY|UNIQUE|CHECK)\s*\([^)]*\)""".r
         .replaceAllIn(sql, "")
       sql = """(?i),\s*FAMILY\s+[\w"]+\s*\([^)]*\)""".r.replaceAllIn(sql, "")
+      // crdb inline secondary-index clauses in CREATE TABLE — physical
+      // access paths, not schema; content is unaffected (arrangement
+      // emulation covers CREATE INDEX proper)
+      sql = """(?i),\s*(?:UNIQUE\s+)?(?:INVERTED\s+)?INDEX\s+[\w"]*\s*\([^)]*\)(?:\s+STORING\s*\([^)]*\))?""".r
+        .replaceAllIn(sql, "")
+      // pg/crdb zero-column tables (CREATE TABLE nullary ()): Spark needs
+      // at least one column. A hidden dummy keeps the same observable
+      // behavior: no column can ever be inserted, so the table stays empty,
+      // and zero-row results render identically regardless of column count
+      sql = """(?is)^(\s*CREATE\s+TABLE\s+["`]?\w+["`]?)\s*\(\s*\)""".r
+        .replaceAllIn(sql, "$1 (__dummy INT)")
       sql = """(?i)\s+PRIMARY\s+KEY""".r.replaceAllIn(sql, "")
       sql = """(?i)\s+UNIQUE\b""".r.replaceAllIn(sql, "")
-      sql = """(?i)CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?(\w+)""".r
+      // IF NOT EXISTS keeps its no-op-when-present semantics (the temp-view
+      // IF NOT EXISTS emulation handles it); other forms become OR REPLACE
+      sql = """(?i)CREATE\s+(?:OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+IF\s+NOT\s+EXISTS\s+["`]?(\w+)""".r
+        .replaceAllIn(sql, m => {
+          sltMvNames.put(m.group(1).toLowerCase, ())
+          Regex.quoteReplacement(s"CREATE TEMPORARY VIEW IF NOT EXISTS ${m.group(1)}")
+        })
+      sql = """(?i)CREATE\s+(?:OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+["`]?(\w+)""".r
         .replaceAllIn(sql, m => {
           sltMvNames.put(m.group(1).toLowerCase, ()) // kind for mz_comments
           Regex.quoteReplacement(s"CREATE OR REPLACE TEMPORARY VIEW ${m.group(1)}")
@@ -1415,10 +1606,17 @@ object SltRunner {
       sql = sql.replaceAll("(?i)DROP\\s+MATERIALIZED\\s+VIEW\\s+", "DROP VIEW ")
       sql
     }
+    // pg CREATE VIEW v (c1, c2) AS q names the output columns; Spark temp
+    // views take no column list — rename through a derived-table alias.
+    // Whole-statement (not inside mapOutsideLiterals: the anchors must see
+    // the full text, literals included)
+    val viewCols = """(?is)^(\s*CREATE\s+(?:OR\s+REPLACE\s+)?TEMPORARY\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?\w+["`]?)\s*\(([^()]*)\)\s*AS\b(.*?);?\s*$""".r
+      .replaceAllIn(rewritten, m => Regex.quoteReplacement(
+        s"${m.group(1)} AS SELECT * FROM (${m.group(3).trim}) AS _cols(${m.group(2)})"))
     // pg DROP TABLE ... CASCADE/RESTRICT: Spark has no modifier — strip it
     // (temp-view dependents resolve lazily here, so CASCADE is a no-op)
     val dropNorm = """(?is)^(\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?[\w",\s]*?)\s+(?:CASCADE|RESTRICT)\s*;?\s*$""".r
-      .replaceAllIn(addNullsOrdering(rewritten), "$1")
+      .replaceAllIn(addNullsOrdering(viewCols), "$1")
     dropNorm match {
       // pg/crdb multi-table DROP: Spark drops one table per statement —
       // split (execution runs each via splitStatements)
@@ -1681,6 +1879,37 @@ object SltRunner {
       }
     }
     false
+  }
+
+  /** Retry an `INSERT INTO t [(cols)] VALUES ...` whose store-assignment
+    * analysis failed, as a typed SELECT: pg coerces each VALUES literal to
+    * the declared column type ('2021-01-01 01:05' into a timestamp column),
+    * while Spark's ANSI assignment rejects several of those coercions.
+    * Casting per column to the table schema reproduces pg's behavior; only
+    * called after an AnalysisException, which precedes any write. */
+  private def typedInsertRetry(spark: SparkSession, sql: String): Boolean = {
+    val m = """(?is)^\s*INSERT\s+INTO\s+["`]?(\w+)["`]?\s*(\([^)]*\))?\s*VALUES\s+(.*?);?\s*$""".r
+      .findFirstMatchIn(sql).getOrElse(return false)
+    val table = m.group(1)
+    val colList = Option(m.group(2))
+      .map(_.stripPrefix("(").stripSuffix(")").split(",").map(_.trim).toSeq)
+    val vals = m.group(3)
+    try {
+      val schema = spark.table(table).schema
+      val fields = colList match {
+        case Some(cs) => cs.map(c => schema.fields.find(
+          _.name.equalsIgnoreCase(c.replaceAll("[\"`]", ""))).getOrElse(return false))
+        case None => schema.fields.toSeq
+      }
+      val casts = fields.zipWithIndex.map { case (f, i) =>
+        s"CAST(col${i + 1} AS ${f.dataType.sql}) AS `${f.name}`"
+      }
+      val cols = colList.map(cs => cs.mkString("(", ", ", ")")).getOrElse("")
+      spark.sql(
+        s"INSERT INTO `$table` $cols SELECT ${casts.mkString(", ")} FROM VALUES $vals")
+        .collect()
+      true
+    } catch { case _: Throwable => false }
   }
 
   /** Split on a separator at paren/quote depth zero. */
@@ -2122,6 +2351,12 @@ object SltRunner {
 
   private def parse(lines: Array[String], crdb: Boolean): List[Record] = {
     val out = mutable.ListBuffer.empty[Record]
+    // pre-scan: tables whose INSERTs carry 'NaN' store numeric as double
+    // (see nanDoubleTables); lazy [^;]*? keeps the match within one
+    // semicolon-terminated statement
+    """(?is)INSERT\s+INTO\s+["`]?(\w+)["`]?[^;]*?'NaN'""".r
+      .findAllMatchIn(lines.mkString("\n"))
+      .foreach(m => nanDoubleTables.put(m.group(1).toLowerCase, ()))
     var i = 0
     def collectSql(stop: String => Boolean): String = {
       val sb = mutable.ListBuffer.empty[String]
@@ -2214,7 +2449,7 @@ object SltRunner {
           val sortMode =
             if (opts.contains("rowsort")) "rowsort"
             else if (opts.contains("valuesort")) "valuesort"
-            else "nosort"
+            else opts.find(_.startsWith("partialsort")).getOrElse("nosort")
           i += 1
           val sql =
             if (separatorAhead(i)) collectSqlUntilSeparator()
@@ -2417,12 +2652,25 @@ object SltRunner {
     // pg reads "x" as an IDENTIFIER, not a string — align Spark's parser
     // for the corpus run (restored afterwards; SLT SQL uses '' for strings)
     val dqKey = "spark.sql.ansi.doubleQuotedIdentifiers"
+    // pg is standard-conforming: backslashes in '...' literals are literal
+    // characters, not escapes (the reference inherits this; Spark's default
+    // parser processes C-style escapes and silently corrupts regex/format
+    // strings like '\"' or '\d')
+    val escKey = "spark.sql.parser.escapedStringLiterals"
     val dqPrev = spark.conf.getOption(dqKey)
+    val escPrev = spark.conf.getOption(escKey)
     spark.conf.set(dqKey, "true")
+    spark.conf.set(escKey, "true")
     try runFileInner(spark, path, crdb)
-    finally dqPrev match {
-      case Some(v) => spark.conf.set(dqKey, v)
-      case None => spark.conf.unset(dqKey)
+    finally {
+      dqPrev match {
+        case Some(v) => spark.conf.set(dqKey, v)
+        case None => spark.conf.unset(dqKey)
+      }
+      escPrev match {
+        case Some(v) => spark.conf.set(escKey, v)
+        case None => spark.conf.unset(escKey)
+      }
     }
   }
 
@@ -2843,6 +3091,10 @@ object SltRunner {
         "lag/first/last_value over ORDER BY x on t7, which holds duplicate " +
           "x values: which tied row precedes is engine-defined"),
       ("window_funcs.slt",
+        """(?is)\blast_value\(f\d\)\s*over\s*\(partition\s+by\s+f2\s+order\s+by\s+f1\s+nulls\s+last\s*\)""".r,
+        "last_value over ORDER BY f1 alone: f1 repeats within the f2 " +
+          "partitions, so the RANGE frame's last peer is engine-defined"),
+      ("window_funcs.slt",
         """(?is)partition\s+by\s+\d+\s*\*\s*\w+\s*/""".r,
         "pg / on integers is integer division; Spark's yields double, " +
           "changing the computed partition keys"),
@@ -2965,6 +3217,22 @@ object SltRunner {
         else None
       case _ => None
     }
+    // CREATE OR REPLACE VIEW over a poisoned NAME whose body reads only
+    // clean relations also fully rebuilds the name's state — let it fall
+    // through to real execution (which clears the poison on success)
+    // instead of cascading the skip
+    val ViewResetStmt =
+      """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?(\w+)""".r
+    def viewResetEligible(sql: String): Boolean =
+      ViewResetStmt.findFirstMatchIn(sql).exists { m =>
+        val t = m.group(1).toLowerCase
+        poisonedTables.contains(t) && {
+          poisonedTables -= t
+          val still = touchesPoisoned(sql)
+          poisonedTables += t
+          !still
+        }
+      }
     def refreshMvsFor(sql: String): Unit =
       if (mvDefs.exists(mv => refsWord(sql, mv)))
         // refresh ALL in creation order so chained MVs observe fresh inputs
@@ -3451,7 +3719,7 @@ object SltRunner {
             poisonedTables += t
             tally("statement touches poisoned table" + poisonDetailSuffix(name), sql)
         }
-      case Statement(sql, _) if touchesPoisoned(sql) =>
+      case Statement(sql, _) if touchesPoisoned(sql) && !viewResetEligible(sql) =>
         skipped += 1
         tally("statement touches poisoned table" + poisonDetailSuffix(name),
           poisonedTables.filter(t => refsWord(sql, t)).toSeq.sorted
@@ -3481,7 +3749,11 @@ object SltRunner {
           }
           """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?(\w+)(.*)""".r
             .findFirstMatchIn(sql)
-            .foreach(m => viewDefs(m.group(1).toLowerCase) = m.group(2))
+            .foreach { m =>
+              viewDefs(m.group(1).toLowerCase) = m.group(2)
+              // a successful (re)create rewrites the name's full state
+              poisonedTables -= m.group(1).toLowerCase
+            }
           MvCreate.findFirstMatchIn(sql).foreach { m =>
             mvDefs += m.group(1).toLowerCase
             // poison propagates through MV definitions like plain views; a
@@ -3527,6 +3799,11 @@ object SltRunner {
             // in a state the reference never had — poison it
             splitStatements(sql).foreach(one =>
               mutationTarget(one).foreach(poisonedTables += _))
+            // an accepted CREATE OR REPLACE VIEW likewise REPLACED content
+            // the reference kept (its create errored) — poison the name
+            """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+["`]?(\w+)""".r
+              .findFirstMatchIn(sql)
+              .foreach(m => poisonedTables += m.group(1).toLowerCase)
           }
           else {
             // DROP TABLE cascades to its indexes in the reference — evict
@@ -3544,6 +3821,15 @@ object SltRunner {
             passed += 1
           }
         } catch {
+          // pg coerces INSERT VALUES literals to the column types (string
+          // → timestamp/date/...); Spark's store-assignment analysis
+          // rejects some of those — retry as a typed SELECT with explicit
+          // per-column casts to the table schema before poisoning
+          case e: Throwable
+              if !expectError &&
+                e.getClass.getName.toLowerCase.contains("analysis") &&
+                typedInsertRetry(spark, sql) =>
+            passed += 1
           case e: Throwable =>
             // pg aborts the txn on an error — but only when the REFERENCE
             // also errored (expectError). A dialect failure (we fail where
@@ -3621,12 +3907,35 @@ object SltRunner {
               sltMvNames.keySet.toSet)
           refreshMvsFor(q.sql)
           if (txnActive) mutationTarget(q.sql).foreach(txnSnapshot)
+          // SHOW MATERIALIZED VIEWS: the runner's MVs are temp views
+          // (sltMvNames), invisible to the engine catalog command —
+          // synthesize the mz (name, cluster, comment) shape from the
+          // per-file registries (live = the temp view still exists)
+          val ShowMvsSlt =
+            """(?is)^\s*SHOW\s+MATERIALIZED\s+VIEWS(?:\s+IN\s+CLUSTER\s+["`]?(\w+)["`]?)?\s*;?\s*$""".r
+          val qSql = ShowMvsSlt.findFirstMatchIn(q.sql) match {
+            case Some(m) if sltMvNames.keySet.forall(n => !poisonedTables.contains(n)) =>
+              val rows = sltMvNames.keySet.toSeq.sorted
+                .filter(n => spark.catalog.tableExists(n))
+                .map { n =>
+                  (n, mvClusters.getOrElse(n, "quickstart"),
+                    graft.sql.GraftSqlCatalog.commentsFor(spark)
+                      .getOrElse((n, None), ""))
+                }
+                .filter(r => m.group(1) == null || r._2.equalsIgnoreCase(m.group(1)))
+              if (rows.isEmpty)
+                "SELECT '' AS name, '' AS cluster, '' AS comment WHERE 1=0"
+              else "SELECT * FROM VALUES " + rows.map { case (n, c, cm) =>
+                s"('$n','$c','${cm.replace("'", "''")}')" }.mkString(",") +
+                " AS t(name, cluster, comment)"
+            case _ => q.sql
+          }
           // a mutation query record (INSERT/UPDATE/DELETE ... RETURNING)
           // runs through the emulation; its RETURNING rows are the result
-          val df = applyMutationResult(spark, q.sql) match {
+          val df = applyMutationResult(spark, qSql) match {
             case Some(Some(ret)) => ret
             case Some(None) => spark.emptyDataFrame
-            case None => spark.sql(q.sql)
+            case None => spark.sql(qSql)
           }
           val rows = df.collect()
           if (q.expectError) { // accepted-but-reference-rejects
@@ -3707,6 +4016,25 @@ object SltRunner {
                   def prep(v: List[List[String]]): List[String] = effSort match {
                     case "rowsort" => v.map(_.mkString("|")).sorted
                     case "valuesort" => v.flatten.sorted
+                    case s if s.startsWith("partialsort") =>
+                      // crdb logictest partialsort(c1,...): the output IS
+                      // sorted on the listed 1-based columns; the order of
+                      // ties is engine-free — canonicalize by sorting each
+                      // consecutive equal-key block on both sides
+                      val colIdx = """\d+""".r.findAllIn(s).map(_.toInt - 1).toList
+                      val out = mutable.ListBuffer.empty[String]
+                      val grp = mutable.ListBuffer.empty[List[String]]
+                      var key: Option[List[String]] = None
+                      def flush(): Unit = {
+                        out ++= grp.map(_.mkString("|")).sorted; grp.clear()
+                      }
+                      v.foreach { row =>
+                        val k = colIdx.map(i => row.lift(i).getOrElse(""))
+                        if (key.contains(k)) grp += row
+                        else { flush(); key = Some(k); grp += row }
+                      }
+                      flush()
+                      out.toList
                     case _ => v.map(_.mkString("|"))
                   }
                   val a = prep(actCanon)

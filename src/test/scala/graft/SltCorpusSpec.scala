@@ -211,7 +211,14 @@ class SltCorpusSpec extends SparkSpec {
     "schemas.slt", "alter.slt", "cockroach/drop_temp.slt",
     // round 12: information_schema.tables emulation + mz TimeZone var
     // error fidelity (only UTC/GMT/+00:00 accepted; rest raise)
-    "information_schema_tables.slt", "cockroach/set_time_zone.slt")
+    "information_schema_tables.slt", "cockroach/set_time_zone.slt",
+    // round 12: bpchar comparison semantics (trim-after-truncate operator
+    // resolution) — the autogenerated 5.9k-record comparison matrix
+    "autogenerated/char-varchar-comparisons.slt",
+    // round 12: pgcrypto digest/hmac (bytea-returning) + \x hex rendering
+    "postgres/pgcrypto/sha2.slt", "postgres/pgcrypto/sha1.slt",
+    "postgres/pgcrypto/md5.slt", "postgres/pgcrypto/hmac-md5.slt",
+    "postgres/pgcrypto/hmac-sha1.slt")
 
   test("reference SLT corpus subset: 0 failures, >=10750 green assertions") {
     assume(Files.isDirectory(Paths.get(corpus)), "reference corpus not present")
