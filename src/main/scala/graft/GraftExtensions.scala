@@ -48,5 +48,7 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.PgNumericFunctions.functions.foreach(e.injectFunction)
     // pgcrypto digest/hmac (bytea-returning)
     graft.functions.PgCryptoFunctions.functions.foreach(e.injectFunction)
+    // pg binary-text codecs: encode/decode (hex, base64, escape)
+    graft.functions.PgEncodingFunctions.functions.foreach(e.injectFunction)
   }
 }

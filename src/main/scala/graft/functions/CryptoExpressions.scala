@@ -78,6 +78,8 @@ object PgCryptoFunctions {
   /** pg bytea input conversion for text arguments in a bytea position: a
     * leading `\x` selects the hex input format (pg datatype-binary docs);
     * other text passes through as its UTF-8 bytes. */
+  private[functions] def toBytes(v: Any): Array[Byte] = bytesOf(v)
+
   private def bytesOf(v: Any): Array[Byte] = v match {
     case b: Array[Byte] => b
     case other =>

@@ -1114,8 +1114,8 @@ object SltRunner {
     // bytea-producing function results cast to text render `\x<hex>` too
     // (pgcrypto corpus: digest/hmac/decode)
     if (out.contains("::") &&
-        """(?i)\b(digest|hmac)\s*\(""".r.findFirstIn(out).isDefined) {
-      out = """(?i)\b((?:digest|hmac)\s*\((?:[^()']|'[^']*'|\([^()]*\))*\))\s*::\s*(?:string|text|varchar)\b""".r
+        """(?i)\b(digest|hmac|pg_decode)\s*\(""".r.findFirstIn(out).isDefined) {
+      out = """(?i)\b((?:digest|hmac|pg_decode)\s*\((?:[^()']|'[^']*'|\([^()]*\))*\))\s*::\s*(?:string|text|varchar)\b""".r
         .replaceAllIn(out, m => Regex.quoteReplacement(
           s"concat('\\x', lower(hex(${m.group(1)})))"))
     }
@@ -1424,10 +1424,16 @@ object SltRunner {
         """(?i)\bregexp_replace\s*\(""".r.replaceAllIn(_, "pg_regexp_replace("))
     // pg to_char timestamp templates (DAY/MON/HH12/FM/TH...) — the engine's
     // DateTimeFormat port, not Spark's numeric/SimpleDateFormat to_char
-    val sql0rawRe =
+    val sql0rawRe1 =
       if (!sql0rawRe0.toLowerCase.contains("to_char")) sql0rawRe0
       else rewriteOutsideLits(sql0rawRe0)(
         """(?i)\bto_char\s*\(""".r.replaceAllIn(_, "pg_to_char("))
+    // pg encode(bytea, format) / decode(text, format) — the engine's
+    // binary-text codecs, not Spark's encode(str, charset) builtin
+    val sql0rawRe =
+      if (!sql0rawRe1.toLowerCase.contains("code")) sql0rawRe1
+      else rewriteOutsideLits(sql0rawRe1)(
+        """(?i)\b(encode|decode)\s*\(""".r.replaceAllIn(_, "pg_$1("))
     // pg interval text forms (reference src/repr/src/adt/datetime.rs): the
     // standalone `SELECT INTERVAL '<text>' [qualifier]` shapes of
     // interval.slt run through the engine's mz_interval parser/renderer.
@@ -1767,7 +1773,12 @@ object SltRunner {
         // column -> canonicalizing wrapper (jsonb and range columns both
         // canonicalize on ingest, like pg)
         val wrapper: Map[String, String => String] = schema.fields.flatMap { f =>
-          f.getComment() match {
+          // bytea columns: pg decodes the text input form on ingest
+          // (\x-hex or traditional escapes) — Spark's string->binary cast
+          // would store the literal text's bytes instead
+          if (f.dataType == org.apache.spark.sql.types.BinaryType)
+            Some(f.name.toLowerCase -> ((cell: String) => s" pg_bytea_in($cell)"))
+          else f.getComment() match {
             case Some(c) if c.contains("graft_jsonb") =>
               Some(f.name.toLowerCase -> ((cell: String) => s" jsonb_canon($cell)"))
             case Some(c) if c.startsWith("graft_range_") =>
@@ -2583,6 +2594,14 @@ object SltRunner {
         pgInterval(0L, 0L, us / 86400000000L, 0L)
       else pgInterval(0L, 0L, 0L, us)
     case row: org.apache.spark.sql.Row => pgRecord(row)
+    case b: Array[Byte] =>
+      // bytea in a text column: valid UTF-8 renders as its text, anything
+      // else as the byte-list debug form — cockroach-logictest convention
+      // the reference runner follows (sqllogictest/src/runner.rs:760-764)
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      try dec.decode(java.nio.ByteBuffer.wrap(b)).toString
+      catch { case _: java.nio.charset.CharacterCodingException =>
+        b.map(x => (x & 0xff).toString).mkString("[", ", ", "]") }
     case other => other.toString
   }
 
@@ -3065,9 +3084,6 @@ object SltRunner {
       ("chr.slt|builtin_function.slt",
         """(?i)\bchr\s*\(\s*\d{3,}""".r,
         "pg chr() is a Unicode codepoint; Spark's wraps at 256"),
-      ("encode.slt|builtin_function.slt",
-        """(?i)\b(en|de)code\s*\([^)]*'(escape|base64|hex)'""".r,
-        "pg encode(bytea, format) vs Spark encode(str, charset)"),
       ("types.slt",
         """(?i)::\s*binary""".r,
         "pg renders bytea as its text form; Spark renders binary bytes"),
@@ -3736,6 +3752,18 @@ object SltRunner {
         mutationTarget(sql).foreach(poisonedTables += _)
       case Statement(sql, expectError) =>
         try {
+          // a CREATE VIEW whose body reads the introspection relations
+          // (e.g. the autogenerated census files' CREATE VIEW objects over
+          // mz_columns/mz_schemas) needs them registered at analysis time.
+          // Deliberately NOT for other statements: a CREATE/DROP TABLE
+          // merely NAMED pg_class (comment.slt shadows catalog names) must
+          // not conjure a same-named catalog temp view that the table
+          // operation then resolves instead of its own relation.
+          if ("""(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?(?:TEMP(?:ORARY)?\s+)?(?:MATERIALIZED\s+)?VIEW\b""".r
+                .findFirstIn(sql).isDefined &&
+              PgCatalogRelations.referenced(sql))
+            PgCatalogRelations.register(spark, customTypeRows, indexOn.toSeq,
+              sltMvNames.keySet.toSet)
           splitStatements(sql).foreach { one0 =>
             val one = canonJsonbInsert(spark, one0)
             if (!sessionPiece(one)) {
@@ -4068,6 +4096,8 @@ object SltRunner {
   }
 
   private[slt] def testShim(sql: String, crdb: Boolean): String = shim(sql, crdb)
+  private[slt] def testCanonInsert(spark: SparkSession, sql: String): String =
+    canonJsonbInsert(spark, sql)
   private[slt] def testRegisterRangeCol(c: String, k: String): Unit = {
     rangeColumns.put(c, k); ()
   }

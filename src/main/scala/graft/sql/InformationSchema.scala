@@ -386,6 +386,8 @@ object InformationSchema {
     * reference reports pg names: integer / bigint / text / ...). The three
     * trailing metrics render NULL — matching the reference's rows for the
     * plain types the corpus exercises. */
+  private[sql] def pgTypeNameOf(dt: DataType): String = pgTypeName(dt)
+
   private def pgTypeName(dt: DataType): String = dt match {
     case IntegerType => "integer"
     case LongType => "bigint"

@@ -270,6 +270,7 @@ object PgCatalogRelations {
   private val mzObjSchema = StructType(Seq(
     StructField("id", StringType, nullable = false),
     StructField("oid", IntegerType, nullable = false),
+    StructField("schema_id", StringType, nullable = false),
     StructField("name", StringType, nullable = false),
     StructField("type", StringType, nullable = false)))
 
@@ -288,7 +289,7 @@ object PgCatalogRelations {
         val ty = kind match {
           case "r" => "table"; case "v" => "view"; case _ => "index"
         }
-        Row(ids.getOrElse(name, "u0"), userOid(name), name, ty)
+        Row(ids.getOrElse(name, "u0"), userOid(name), "u3", name, ty)
       }
     spark.createDataFrame(new java.util.ArrayList[Row](
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), mzObjSchema)
@@ -356,6 +357,7 @@ object PgCatalogRelations {
   val relationNames: Seq[String] = Seq(
     "pg_type", "pg_class", "pg_attribute", "pg_namespace", "pg_index",
     "mz_tables", "mz_views", "mz_objects", "mz_indexes",
+    "mz_columns", "mz_schemas",
     "pg_description", "mz_comments",
     "information_schema_tables", "information_schema_columns")
 
@@ -386,8 +388,12 @@ object PgCatalogRelations {
     val attr = pgAttribute(spark, rels)
     val tabs = mzObjects(spark, Some("table"), rels, ids)
     val views = mzObjects(spark, Some("view"), rels, ids)
+    // builtin census rows join the user rows in mz_objects/mz_columns/
+    // mz_comments, as in the reference's ambient catalog
     val objs = mzObjects(spark, None, rels, ids)
+      .union(MzCatalogCensus.builtinObjects(spark))
     val comments = mzComments(spark, sltIndexes, sltMvs, rels, ids)
+      .union(MzCatalogCensus.builtinComments(spark))
     val idxs = mzIndexes(spark, sltIndexes, ids)
     pgType(spark, custom).createOrReplaceTempView("pg_type")
     cls.createOrReplaceTempView("pg_class")
@@ -400,6 +406,9 @@ object PgCatalogRelations {
     views.createOrReplaceTempView("mz_views")
     objs.createOrReplaceTempView("mz_objects")
     idxs.createOrReplaceTempView("mz_indexes")
+    MzCatalogCensus.mzColumns(spark, rels, ids)
+      .createOrReplaceTempView("mz_columns")
+    MzCatalogCensus.mzSchemas(spark).createOrReplaceTempView("mz_schemas")
     InformationSchema.tables(spark, rels, sltMvs)
       .createOrReplaceTempView("information_schema_tables")
     InformationSchema.columns(spark, rels)
