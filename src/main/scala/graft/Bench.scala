@@ -125,7 +125,10 @@ object Bench {
     // Known-bouncy streaming/micro-batch queries (±50% across rounds with no
     // code change, r8-r11 history) use a tighter 1.2× trip wire so ordinary
     // startup noise gets re-measured away instead of reading as a regression.
-    val bouncy = Set("sink_envelope_roundtrip", "media_image_decode", "media_audio_decode")
+    // letrec_reachability/tpch_q22 joined r13: +58%/+45% in r12 with their
+    // source files untouched — JIT-warmth noise, same class as the others.
+    val bouncy = Set("sink_envelope_roundtrip", "media_image_decode",
+      "media_audio_decode", "letrec_reachability", "tpch_q22")
     val suspects = results.filter { case (name, t, err, _) =>
       val factor = if (bouncy.contains(name)) 1.2 else 2.0
       val slack = if (bouncy.contains(name)) 0.2 else 0.5

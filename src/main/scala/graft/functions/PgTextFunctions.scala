@@ -120,6 +120,19 @@ object PgTextFunctions {
   /** (identifier, info, builder) triples for SparkSessionExtensions. */
   def functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
+      // pg regexp_split_to_table(string, pattern[, flags]) — a set-returning
+      // split (reference src/expr/src/relation/func.rs RegexpSplitToTable);
+      // composed from Spark's codegen'd split + the Explode generator, so a
+      // big document column fans out inside whole-stage codegen
+      (FunctionIdentifier("regexp_split_to_table"), info("regexp_split_to_table"),
+        (args: Seq[Expression]) => {
+          val pattern = args.lift(2) match {
+            case Some(f) => Concat(Seq(Literal.create("(?", StringType), f,
+              Literal.create(")", StringType), args(1)))
+            case None => args(1)
+          }
+          Explode(StringSplit(args.head, pattern, Literal(-1)))
+        }),
       (FunctionIdentifier("quote_ident"), info("quote_ident"), quoteIdent _),
       (FunctionIdentifier("pg_size_pretty"), info("pg_size_pretty"), pgSizePretty _),
       (FunctionIdentifier("pg_oid"), info("pg_oid"), pgOid _),

