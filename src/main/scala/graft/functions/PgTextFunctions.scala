@@ -133,6 +133,34 @@ object PgTextFunctions {
           }
           Explode(StringSplit(args.head, pattern, Literal(-1)))
         }),
+      // pg strpos(string, substring) — 1-based, 0 when absent (reference
+      // src/expr/src/scalar/func.rs Position); Spark's codegen'd instr
+      (FunctionIdentifier("strpos"), info("strpos"),
+        (args: Seq[Expression]) => StringInstr(args(0), args(1))),
+      // pg array_to_string(arr, sep[, null_string]) = Spark array_join
+      (FunctionIdentifier("array_to_string"), info("array_to_string"),
+        (args: Seq[Expression]) =>
+          ArrayJoin(args(0), args(1),
+            args.lift(2).filter(e => !e.foldable || e.eval(null) != null)),
+      ),
+      // pg regexp_split_to_array(string, pattern[, flags])
+      (FunctionIdentifier("regexp_split_to_array"), info("regexp_split_to_array"),
+        (args: Seq[Expression]) => {
+          val pattern = args.lift(2) match {
+            case Some(f) => Concat(Seq(Literal.create("(?", StringType), f,
+              Literal.create(")", StringType), args(1)))
+            case None => args(1)
+          }
+          StringSplit(args.head, pattern, Literal(-1))
+        }),
+      // crdb sha384(x) -> bytea digest (reference follows pgcrypto's
+      // bytes-out convention for the standalone shaNNN functions)
+      (FunctionIdentifier("sha384"), info("sha384"),
+        (args: Seq[Expression]) =>
+          PgCryptoFunctions.PgDigest(Seq(args.head, Literal("sha384")))),
+      // pg get_bit(bytea, offset): LSB-first within each byte
+      (FunctionIdentifier("get_bit"), info("get_bit"),
+        (args: Seq[Expression]) => GetBit(args(0), args(1))),
       (FunctionIdentifier("quote_ident"), info("quote_ident"), quoteIdent _),
       (FunctionIdentifier("pg_size_pretty"), info("pg_size_pretty"), pgSizePretty _),
       (FunctionIdentifier("pg_oid"), info("pg_oid"), pgOid _),
@@ -228,4 +256,29 @@ case class PgNameCast(child: Expression)
     PgTextFunctions.truncName(s.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): PgNameCast =
     copy(child = newChild)
+}
+
+/** pg `get_bit(bytea, offset)` — bit `offset` with LSB-first numbering
+  * within each byte (pg functions-binarystring; reference
+  * `src/expr/src/scalar/func.rs` get_bit). Out-of-range offsets raise pg's
+  * index error text. */
+case class GetBit(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "get_bit"
+  override protected def nullSafeEval(data: Any, off: Any): Any = {
+    val bytes = data match {
+      case b: Array[Byte] => b
+      case other => graft.functions.PgEncodingImpl.parseBytes(other.toString)
+    }
+    val i = off.asInstanceOf[Number].longValue
+    val valid = bytes.length.toLong * 8
+    if (i < 0 || i >= valid)
+      throw new IllegalArgumentException(
+        s"index $i out of valid range, 0..${valid - 1}")
+    (bytes((i / 8).toInt) >> (i % 8).toInt) & 1
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GetBit =
+    copy(left = newLeft, right = newRight)
 }

@@ -124,7 +124,10 @@ object SltRunner {
     // oid → string: its jsonb/text renderings quote it like an identifier,
     // and equality/joins on it are string-compatible
     ("""(?i)::\s*oid\b""".r, "::string"),
-    ("""(?i)\bbytea\b""".r, "binary"))
+    ("""(?i)\bbytea\b""".r, "binary"),
+    // cockroach collated strings: en_u_ks_level1 is ICU primary strength
+    // (case- and accent-insensitive) = Spark 4's en_CI_AI collation
+    ("""(?i)\bCOLLATE\s+en_u_ks_level1\b""".r, "COLLATE en_CI_AI"))
 
   /** Apply `f` to each maximal run of SQL OUTSIDE single-quoted string
     * literals, leaving literal contents untouched — so shim regexes (which
@@ -3012,8 +3015,14 @@ object SltRunner {
         """(?i)^\s*SHOW\s+(COLUMNS|CREATE)\b""".r,
         "NOT NULL column constraints and versioned-CREATE rendering are " +
           "not represented in Spark schemas"),
+      ("int_size.slt|create_index.slt",
+        """(?i)^\s*SHOW\s+CREATE\s+TABLE\b""".r,
+        "the runner stores crdb INT as 64-bit (cockroach semantics, needed " +
+          "for value comparisons); mz renders plain INT as pg_catalog.int4"),
       (".*",
-        """(?i)^\s*SHOW\s+CREATE\b""".r,
+        // TABLE is exempt: ShowCreateTableCommand renders the canonical
+        // text (CanonicalSql.canonicalTable) and compares for real
+        """(?i)^\s*SHOW\s+CREATE\s+(?!TABLE\b)""".r,
         "mz renders the canonical fully-qualified CREATE text " +
           "(materialize.public.*, pg_catalog type names); the engine " +
           "echoes the user's statement"),

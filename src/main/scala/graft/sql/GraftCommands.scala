@@ -152,7 +152,11 @@ case class ShowCreateViewCommand(name: String, materialized: Boolean)
   }
 }
 
-/** `SHOW CREATE TABLE <name>` — (name, create_sql), the recorded text. */
+/** `SHOW CREATE TABLE <name>` — (name, create_sql) with the reference's
+  * canonical rendering (fully-qualified name, pg_catalog type names,
+  * trailing semicolon — `src/sql/src/plan/statement/show.rs` ShowCreate);
+  * statements outside the canonical single-line regime fall back to the
+  * recorded user text. */
 case class ShowCreateTableCommand(name: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("name", StringType, nullable = false)(),
@@ -162,7 +166,9 @@ case class ShowCreateTableCommand(name: String) extends LeafRunnableCommand {
     val key = GraftSqlCatalog.normId(name)
     GraftSqlCatalog.tableSqlFor(spark).get(key)
       .filter(_ => spark.catalog.tableExists(key)) match {
-      case Some(sql) => Seq(Row(key, sql))
+      case Some(sql) =>
+        Seq(Row(CanonicalSql.qualify(key),
+          CanonicalSql.canonicalTable(sql).getOrElse(sql)))
       case None => throw new IllegalArgumentException(s"unknown table '$name'")
     }
   }

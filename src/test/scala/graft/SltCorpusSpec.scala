@@ -236,7 +236,8 @@ class SltCorpusSpec extends SparkSpec {
       info(f"${r.file}%-16s pass=${r.passed}%4d fail=${r.failed}%3d skip=${r.skipped}%4d"))
     val total = reports.reduce(_ + _)
     info(s"== census: top skip reasons (of ${total.skipped} skips) ==")
-    SltRunner.censusTop(30).foreach { case (r, n, sample) =>
+    SltRunner.censusTop(
+      if (sys.env.contains("SLT_POISON_DETAIL")) 400 else 30).foreach { case (r, n, sample) =>
       info(f"$n%6d  $r${if (sample.nonEmpty) s"  e.g. $sample" else ""}")
     }
     total.failures.take(25).foreach(f => info(s"FAIL: $f"))
