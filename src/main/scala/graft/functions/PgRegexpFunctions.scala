@@ -133,3 +133,65 @@ object PgRegexpFunctions {
         else throw new IllegalArgumentException(
           s"pg_regexp_replace expects (source, pattern, replacement[, flags]), got ${args.length}")))
 }
+
+/** pg `regexp_split_to_array(string, pattern[, flags])` field splitting
+  * (pg regexp.c `regexp_split` semantics; reference
+  * `src/expr/src/scalar/func.rs` RegexpSplitToArray): a zero-length match
+  * at the start of the current field, at the end of the string, or
+  * immediately after a previous match is ignored (it advances the scan by
+  * one character), so empty-capable patterns split characters apart
+  * without manufacturing empty fields — Java's `String.split` differs at
+  * exactly those positions. Non-zero matches at the edges DO produce empty
+  * fields, as in pg. */
+case class PgRegexpSplit(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def prettyName: String = "regexp_split_to_array"
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.take(2).exists(_ == null)) return null
+    val s = vs(0).toString
+    val flags = if (vs.length > 2 && vs(2) != null) vs(2).toString else ""
+    var f = 0
+    flags.foreach {
+      case 'g' => ()
+      case 'i' => f |= Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE
+      case 'c' => f &= ~(Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE)
+      case other => throw new IllegalArgumentException(
+        s"invalid regular expression flag: $other")
+    }
+    val m = Pattern.compile(vs(1).toString, f).matcher(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var start = 0
+    var searchFrom = 0
+    var done = false
+    while (!done && searchFrom <= s.length && m.find(searchFrom)) {
+      if (m.end() == m.start()) {
+        if (m.start() >= s.length) done = true
+        else {
+          if (m.start() > start) {
+            out += UTF8String.fromString(s.substring(start, m.start()))
+            start = m.start()
+          }
+          searchFrom = m.start() + 1
+        }
+      } else {
+        out += UTF8String.fromString(s.substring(start, m.start()))
+        start = m.end()
+        searchFrom = m.end()
+      }
+    }
+    out += UTF8String.fromString(s.substring(start))
+    ArrayData.toArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}

@@ -125,14 +125,7 @@ object PgTextFunctions {
       // composed from Spark's codegen'd split + the Explode generator, so a
       // big document column fans out inside whole-stage codegen
       (FunctionIdentifier("regexp_split_to_table"), info("regexp_split_to_table"),
-        (args: Seq[Expression]) => {
-          val pattern = args.lift(2) match {
-            case Some(f) => Concat(Seq(Literal.create("(?", StringType), f,
-              Literal.create(")", StringType), args(1)))
-            case None => args(1)
-          }
-          Explode(StringSplit(args.head, pattern, Literal(-1)))
-        }),
+        (args: Seq[Expression]) => Explode(PgRegexpSplit(args))),
       // pg strpos(string, substring) — 1-based, 0 when absent (reference
       // src/expr/src/scalar/func.rs Position); Spark's codegen'd instr
       (FunctionIdentifier("strpos"), info("strpos"),
@@ -145,14 +138,7 @@ object PgTextFunctions {
       ),
       // pg regexp_split_to_array(string, pattern[, flags])
       (FunctionIdentifier("regexp_split_to_array"), info("regexp_split_to_array"),
-        (args: Seq[Expression]) => {
-          val pattern = args.lift(2) match {
-            case Some(f) => Concat(Seq(Literal.create("(?", StringType), f,
-              Literal.create(")", StringType), args(1)))
-            case None => args(1)
-          }
-          StringSplit(args.head, pattern, Literal(-1))
-        }),
+        (args: Seq[Expression]) => PgRegexpSplit(args)),
       // crdb sha384(x) -> bytea digest (reference follows pgcrypto's
       // bytes-out convention for the standalone shaNNN functions)
       (FunctionIdentifier("sha384"), info("sha384"),
@@ -161,6 +147,11 @@ object PgTextFunctions {
       // pg get_bit(bytea, offset): LSB-first within each byte
       (FunctionIdentifier("get_bit"), info("get_bit"),
         (args: Seq[Expression]) => GetBit(args(0), args(1))),
+      // pg 14 date_bin(stride, source, origin)
+      (FunctionIdentifier("date_bin"), info("date_bin"),
+        (args: Seq[Expression]) => DateBinExpr(
+          if (args.length == 3) args
+          else args :+ Literal(0L, org.apache.spark.sql.types.TimestampType))),
       (FunctionIdentifier("quote_ident"), info("quote_ident"), quoteIdent _),
       (FunctionIdentifier("pg_size_pretty"), info("pg_size_pretty"), pgSizePretty _),
       (FunctionIdentifier("pg_oid"), info("pg_oid"), pgOid _),
@@ -281,4 +272,61 @@ case class GetBit(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): GetBit =
     copy(left = newLeft, right = newRight)
+}
+
+/** pg 14 `date_bin(stride, source, origin)` as a SQL-registered expression
+  * (reference `src/expr/src/scalar/func.rs` DateBinTimestamp; pg
+  * functions-datetime). Bin start = `source - ((source - origin) mod
+  * stride)` with a floor modulus in integer epoch-microseconds — the same
+  * arithmetic as [[graft.functions.PgFunctions.dateBinMicros]], here with
+  * the stride arriving as an interval value or its pg text form. A stride
+  * with a month component raises, as in pg. */
+case class DateBinExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.InternalRow
+  override def dataType: DataType = org.apache.spark.sql.types.TimestampType
+  override def nullable: Boolean = true
+  override def prettyName: String = "date_bin"
+
+  private def widthMicros(v: Any): Long = v match {
+    case ci: org.apache.spark.unsafe.types.CalendarInterval =>
+      if (ci.months != 0)
+        throw new IllegalArgumentException(
+          "timestamps cannot be binned into intervals containing months or years")
+      ci.days * 86400000000L + ci.microseconds
+    case d: java.time.Duration => d.toNanos / 1000L
+    case n: java.lang.Long => n.longValue // DayTimeIntervalType micros
+    case other =>
+      MzInterval.parse(other.toString, None) match {
+        case scala.util.Right(iv) =>
+          if (iv.months != 0)
+            throw new IllegalArgumentException(
+              "timestamps cannot be binned into intervals containing months or years")
+          iv.days * 86400000000L + iv.micros.toLong
+        case scala.util.Left(err) => throw new IllegalArgumentException(err)
+      }
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) return null
+    val w = widthMicros(vs(0))
+    if (w <= 0) throw new IllegalArgumentException(
+      "stride must be greater than zero")
+    def micros(x: Any): Long = x match {
+      case l: java.lang.Long => l.longValue
+      case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000L
+      case ts: java.sql.Timestamp => ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
+      case other => throw new IllegalArgumentException(
+        s"date_bin expects a timestamp, got $other")
+    }
+    val t = micros(vs(1))
+    val o = micros(vs(2))
+    val delta = t - o
+    val behind = ((delta % w) + w) % w
+    t - behind
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }

@@ -1117,8 +1117,8 @@ object SltRunner {
     // bytea-producing function results cast to text render `\x<hex>` too
     // (pgcrypto corpus: digest/hmac/decode)
     if (out.contains("::") &&
-        """(?i)\b(digest|hmac|pg_decode)\s*\(""".r.findFirstIn(out).isDefined) {
-      out = """(?i)\b((?:digest|hmac|pg_decode)\s*\((?:[^()']|'[^']*'|\([^()]*\))*\))\s*::\s*(?:string|text|varchar)\b""".r
+        """(?i)\b(digest|hmac|pg_decode|sha384)\s*\(""".r.findFirstIn(out).isDefined) {
+      out = """(?i)\b((?:digest|hmac|pg_decode|sha384)\s*\((?:[^()']|'[^']*'|\([^()]*\))*\))\s*::\s*(?:string|text|varchar)\b""".r
         .replaceAllIn(out, m => Regex.quoteReplacement(
           s"concat('\\x', lower(hex(${m.group(1)})))"))
     }
@@ -1442,9 +1442,16 @@ object SltRunner {
     // interval.slt run through the engine's mz_interval parser/renderer.
     // Whole-statement anchored so interval arithmetic elsewhere (timestamp +
     // INTERVAL ...) keeps Spark's native literal path.
+    // date_bin's stride argument: the engine expression parses the pg
+    // interval TEXT itself (MzInterval) — drop the ::interval cast whose
+    // Spark CalendarInterval parse would NULL out on pg spellings ('5 min')
+    val sql0rawDb =
+      if (!sql0rawRe.toLowerCase.contains("date_bin")) sql0rawRe
+      else """(?i)\b(date_bin(?:_hopping)?\s*\(\s*)('[^']*'|"\w+"|\w+)\s*::\s*interval\b""".r
+        .replaceAllIn(sql0rawRe, m => Regex.quoteReplacement(m.group(1) + m.group(2)))
     val sql0rawDon0 =
-      if (!"""(?is)\bDISTINCT\s+ON\s*\(""".r.findFirstIn(sql0rawRe).isDefined) sql0rawRe
-      else rewriteDistinctOn(sql0rawRe)
+      if (!"""(?is)\bDISTINCT\s+ON\s*\(""".r.findFirstIn(sql0rawDb).isDefined) sql0rawDb
+      else rewriteDistinctOn(sql0rawDb)
     val sql0rawDon =
       if (!"""(?is),\s*generate_series\s*\(""".r.findFirstIn(sql0rawDon0).isDefined)
         sql0rawDon0
@@ -4257,9 +4264,15 @@ object SltRunner {
       // stale registry entry turns the next file's CREATE into 'already
       // exists'; the backing temp view drops with the listTables sweep below
       graft.sql.GraftSqlCatalog.sourcesFor(spark).clear()
-      spark.catalog.listTables().collect().foreach { t =>
-        if (t.isTemporary) spark.catalog.dropTempView(t.name)
-        else spark.sql(s"DROP TABLE IF EXISTS `${t.name}`")
+      // temp views FIRST: Spark's DROP TABLE resolves a same-named temp
+      // view before the catalog table, so dropping tables while their
+      // shadowing views exist silently leaks the table into the next file
+      // (case_sensitive_names.slt's `a` poisoned cockroach/join.slt's)
+      val listed = spark.catalog.listTables().collect()
+      listed.filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
+      listed.filterNot(_.isTemporary).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS `${t.name}`")
+        ()
       }
       r
     }
