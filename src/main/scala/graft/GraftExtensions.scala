@@ -50,5 +50,7 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.PgCryptoFunctions.functions.foreach(e.injectFunction)
     // pg binary-text codecs: encode/decode (hex, base64, escape)
     graft.functions.PgEncodingFunctions.functions.foreach(e.injectFunction)
+    // pg timestamp(p)/timestamptz(p) fractional-second rounding
+    graft.functions.PgTimestampPrecision.functions.foreach(e.injectFunction)
   }
 }

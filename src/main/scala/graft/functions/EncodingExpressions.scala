@@ -127,8 +127,14 @@ object PgEncodingImpl {
       val out = new java.io.ByteArrayOutputStream(filtered.length * 3 / 4)
       var i = 0
       while (i < filtered.length) {
-        if (filtered.length - i < 4)
+        if (filtered.length - i < 4) {
+          // a '=' inside an incomplete final chunk is reported as the
+          // symbol error, not the truncation error (encoding.rs Base64)
+          if (filtered.substring(i).contains('='))
+            throw new IllegalArgumentException(
+              "unexpected \"=\" while decoding base64 sequence")
           throw new IllegalArgumentException("invalid base64 end sequence")
+        }
         val c1 = filtered.charAt(i); val c2 = filtered.charAt(i + 1)
         val c3 = filtered.charAt(i + 2); val c4 = filtered.charAt(i + 3)
         if (c3 == '=' && c4 == '=') {

@@ -4,7 +4,7 @@ import java.util.regex.Pattern
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -90,7 +90,10 @@ object PgRegexpFunctions {
           case other => throw new IllegalArgumentException(
             s"invalid regular expression flag: $other")
         }
-        val f = if (insensitive) Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE else 0
+        // the reference's regexes default dot_matches_new_line=true
+        // (src/repr/src/adt/regex.rs:74-78)
+        val f = Pattern.DOTALL |
+          (if (insensitive) Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE else 0)
         val p = Pattern.compile(re, f)
         cached = (re, flags, p)
         p
@@ -131,7 +134,22 @@ object PgRegexpFunctions {
       (args: Seq[Expression]) =>
         if (args.length == 3 || args.length == 4) PgRegexpReplace(args)
         else throw new IllegalArgumentException(
-          s"pg_regexp_replace expects (source, pattern, replacement[, flags]), got ${args.length}")))
+          s"pg_regexp_replace expects (source, pattern, replacement[, flags]), got ${args.length}")),
+    (new FunctionIdentifier("regexp_matches"),
+      new ExpressionInfo(getClass.getName, "regexp_matches"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.Explode(PgRegexpMatchesArr(args))),
+    (new FunctionIdentifier("regexp_match"),
+      new ExpressionInfo(getClass.getName, "regexp_match"),
+      (args: Seq[Expression]) =>
+        // first match (or NULL): element 1 of the non-global match list
+        org.apache.spark.sql.catalyst.expressions.ElementAt(
+          PgRegexpMatchesArr(args, global0 = Some(false), wholeFallback = true),
+          org.apache.spark.sql.catalyst.expressions.Literal(1),
+          None, failOnError = false)),
+    (new FunctionIdentifier("pg_array_text"),
+      new ExpressionInfo(getClass.getName, "pg_array_text"),
+      (args: Seq[Expression]) => PgArrayText(args.head)))
 }
 
 /** pg `regexp_split_to_array(string, pattern[, flags])` field splitting
@@ -159,7 +177,7 @@ case class PgRegexpSplit(children: Seq[Expression])
     if (vs.take(2).exists(_ == null)) return null
     val s = vs(0).toString
     val flags = if (vs.length > 2 && vs(2) != null) vs(2).toString else ""
-    var f = 0
+    var f = Pattern.DOTALL // reference regex.rs dot_matches_new_line default
     flags.foreach {
       case 'g' => ()
       case 'i' => f |= Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE
@@ -194,4 +212,97 @@ case class PgRegexpSplit(children: Seq[Expression])
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+/** All matches of `pattern` in `string` as an array of per-match capture
+  * arrays — the backing value for pg's `regexp_matches` SRF (one row per
+  * match via Explode) and `regexp_match` (first element or NULL).
+  * Per pg: a pattern without capture groups yields the whole match as the
+  * single element; non-participating groups are NULL; the 'g' flag
+  * selects all matches, otherwise just the first
+  * (reference src/expr/src/relation/func.rs RegexpMatches). */
+case class PgRegexpMatchesArr(children: Seq[Expression], global0: Option[Boolean] = None,
+    wholeFallback: Boolean = false)
+    extends Expression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.types.ArrayType
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(StringType, containsNull = true), containsNull = false)
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def prettyName: String = "regexp_matches"
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    // strict: NULL in ANY argument (incl. flags) yields NULL, per pg
+    if (vs.exists(_ == null)) return null
+    val s = vs(0).toString
+    val flags = if (vs.length > 2) vs(2).toString else ""
+    var f = Pattern.DOTALL // reference regex.rs dot_matches_new_line default
+    var global = global0.getOrElse(false)
+    flags.foreach {
+      case 'g' => global = global0.getOrElse(true)
+      case 'i' => f |= Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE
+      case 'c' => f &= ~(Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE)
+      case other => throw new IllegalArgumentException(
+        s"invalid regular expression flag: $other")
+    }
+    val m = Pattern.compile(vs(1).toString, f).matcher(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[ArrayData]
+    var go = m.find()
+    var first = true
+    while (go && (first || global)) {
+      // the reference's SRF packs ONLY capture groups (func.rs:2990 skip(1)
+      // — a groupless pattern yields {}); scalar regexp_match falls back to
+      // the whole match, as pg does
+      val groups: Array[Any] =
+        if (m.groupCount() == 0 && wholeFallback)
+          Array(UTF8String.fromString(m.group()))
+        else (1 to m.groupCount()).map(i =>
+          Option(m.group(i)).map(UTF8String.fromString).orNull: Any).toArray
+      out += new GenericArrayData(groups)
+      first = false
+      // zero-length match: advance by one so the scan terminates
+      go = if (m.end() == m.start()) {
+        if (m.end() >= s.length) false else m.find(m.end() + 1)
+      } else m.find()
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+/** pg text rendering of a string array — `{a,b}`, quoting an element that
+  * is empty, spells NULL, or contains delimiters/quotes/backslashes/
+  * whitespace (pg arrays.c array_out). Used where the corpus casts an
+  * array-producing expression to text. */
+case class PgArrayText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "pg_array_text"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val parts = (0 until arr.numElements()).map { i =>
+      if (arr.isNullAt(i)) "NULL"
+      else {
+        val s = arr.getUTF8String(i).toString
+        if (s.isEmpty || s.equalsIgnoreCase("null") ||
+            s.exists(c => c == ',' || c == '"' || c == '\\' || c == '{' ||
+              c == '}' || c.isWhitespace))
+          "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        else s
+      }
+    }
+    UTF8String.fromString(parts.mkString("{", ",", "}"))
+  }
+  override protected def withNewChildInternal(c: Expression): PgArrayText =
+    copy(child = c)
 }

@@ -124,6 +124,7 @@ object SltRunner {
     // oid → string: its jsonb/text renderings quote it like an identifier,
     // and equality/joins on it are string-compatible
     ("""(?i)::\s*oid\b""".r, "::string"),
+    ("""(?i)\bdouble\s+precision\b""".r, "double"),
     ("""(?i)\bbytea\b""".r, "binary"),
     // cockroach collated strings: en_u_ks_level1 is ICU primary strength
     // (case- and accent-insensitive) = Spark 4's en_CI_AI collation
@@ -1108,6 +1109,19 @@ object SltRunner {
         .replaceAllIn(out, m => Regex.quoteReplacement(
           s"concat('\\x', lower(hex(${m.group(1)})))"))
     }
+    // pg text->bytea CAST decodes the bytea input format ('a\\b'::text::
+    // bytea is the 3 bytes a,\,b — strconv.rs parse_bytes); Spark's
+    // string->binary cast takes the raw UTF-8 text. The ::text::bytea::text
+    // chain additionally renders pg's hex output form.
+    if ("""(?i)\b(binary|bytea|bytes)\b""".r.findFirstIn(out).isDefined &&
+        out.contains("::")) {
+      out = """(?i)('(?:[^']|'')*'|\w+)\s*::\s*(?:string|text|varchar)\s*::\s*(?:binary|bytea|bytes)\s*::\s*(?:string|text|varchar)\b""".r
+        .replaceAllIn(out, m => Regex.quoteReplacement(
+          s"concat('\\x', lower(hex(pg_bytea_in(${m.group(1)}::string))))"))
+      out = """(?i)('(?:[^']|'')*'|\w+)\s*::\s*(?:string|text|varchar)\s*::\s*(?:binary|bytea|bytes)\b""".r
+        .replaceAllIn(out, m => Regex.quoteReplacement(
+          s"pg_bytea_in(${m.group(1)}::string)"))
+    }
     // pg hex-form bytea literals decode to BYTES ('\x0b0b'::bytea is two
     // 0x0b bytes); Spark's string->binary cast takes the UTF-8 text
     if (out.contains("\\x")) {
@@ -1116,6 +1130,12 @@ object SltRunner {
     }
     // bytea-producing function results cast to text render `\x<hex>` too
     // (pgcrypto corpus: digest/hmac/decode)
+    if (out.contains("::") && out.toLowerCase.contains("regexp_match")) {
+      // the corpus casts the text[] result to text expecting pg's {..}
+      // array form; Spark's array->string cast renders [..]
+      out = """(?i)\b(regexp_match\s*\((?:[^()']|'[^']*'|\([^()]*\))*\))\s*::\s*(?:string|text|varchar)\b""".r
+        .replaceAllIn(out, m => Regex.quoteReplacement(s"pg_array_text(${m.group(1)})"))
+    }
     if (out.contains("::") &&
         """(?i)\b(digest|hmac|pg_decode|sha384)\s*\(""".r.findFirstIn(out).isDefined) {
       out = """(?i)\b((?:digest|hmac|pg_decode|sha384)\s*\((?:[^()']|'[^']*'|\([^()]*\))*\))\s*::\s*(?:string|text|varchar)\b""".r
@@ -1329,7 +1349,96 @@ object SltRunner {
       Regex.quoteReplacement(lits(m.group(1).toInt)))
   }
 
-  private def shim(sql0rawIn: String, crdb: Boolean): String = {
+  /** pg E'...' escape-string literals: process the C-style escapes at
+    * parse time into an ordinary literal (the session runs with
+    * escapedStringLiterals=true, so Spark keeps backslashes verbatim —
+    * which is right for standard-conforming '...' strings and wrong for
+    * E-strings). Embedded newlines/tabs become REAL characters inside the
+    * literal; `\'` and `''` stay doubled so the literal re-parses. */
+  private def rewriteEStrings(sql: String): String =
+    // the [eE] must START the token: a preceding quote or word char means
+    // it's the tail of an ordinary literal ('e',...) or an identifier
+    """(?s)(?<!['\w])[eE]'((?:[^'\\]|\\.|'')*)'""".r.replaceAllIn(sql, m => {
+      val b = m.group(1)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < b.length) {
+        val c = b.charAt(i)
+        if (c == '\\' && i + 1 < b.length) {
+          b.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 'b' => sb.append('\b'); i += 2
+            case 'f' => sb.append('\f'); i += 2
+            case '\\' =>
+              // escapedStringLiterals=true keeps backslashes verbatim, so
+              // ONE backslash in the output literal IS one literal backslash
+              sb.append('\\'); i += 2
+            case '\'' => sb.append("''"); i += 2
+            case 'u' if i + 5 < b.length + 1 &&
+                b.length >= i + 6 &&
+                b.substring(i + 2, i + 6).forall(ch => Character.digit(ch, 16) >= 0) =>
+              sb.append(Integer.parseInt(b.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case d if d >= '0' && d <= '7' =>
+              var j = i + 1
+              while (j < b.length && j < i + 4 && b.charAt(j) >= '0' && b.charAt(j) <= '7') j += 1
+              sb.append(Integer.parseInt(b.substring(i + 1, j), 8).toChar)
+              i = j
+            case other => sb.append(other); i += 2
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      Regex.quoteReplacement("'" + sb.toString + "'")
+    })
+
+  /** Under escapedStringLiterals=true Spark keeps a doubled `''` INSIDE a
+    * literal as two verbatim chars (and `\'` as both chars) — there is no
+    * in-literal spelling of one quote. Any literal containing a doubled
+    * quote is rebuilt as a chr(39) concat: `'it''s'` →
+    * `('it'||chr(39)||'s')`. Runs as the shim's LAST pass so every earlier
+    * literal-shaped regex still sees ordinary literals. */
+  private def rewriteDoubledQuotes(sql: String): String = {
+    val sb = new StringBuilder(sql.length + 16)
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '"' || c == '`') { // skip quoted identifiers verbatim
+        val close = sql.indexOf(c, i + 1)
+        val end = if (close < 0) n else close + 1
+        sb.append(sql.substring(i, end)); i = end
+      } else if (c != '\'') { sb.append(c); i += 1 }
+      else {
+        var j = i + 1
+        val body = new StringBuilder
+        var closed = false
+        while (j < n && !closed) {
+          val cj = sql.charAt(j)
+          if (cj == '\'') {
+            if (j + 1 < n && sql.charAt(j + 1) == '\'') { body.append("''"); j += 2 }
+            else { closed = true; j += 1 }
+          } else { body.append(cj); j += 1 }
+        }
+        if (!closed) { sb.append(sql.substring(i)); i = n }
+        else {
+          val b = body.toString
+          if (!b.contains("''")) sb.append(sql.substring(i, j))
+          else sb.append(b.split("''", -1).map(p => s"'$p'")
+            .mkString("(", "||chr(39)||", ")"))
+          i = j
+        }
+      }
+    }
+    sb.toString
+  }
+
+  private def shim(sql0rawIn0: String, crdb: Boolean): String = {
+    val sql0rawIn =
+      if (!sql0rawIn0.contains("'")) sql0rawIn0
+      else if (!"""(?s)(?<!['\w])[eE]'""".r.findFirstIn(sql0rawIn0).isDefined) sql0rawIn0
+      else rewriteEStrings(sql0rawIn0)
     // pg_catalog./information_schema. qualification: the introspection views
     // register as unqualified temp views (Spark has no pg_catalog schema)
     val sql0rawPg0 =
@@ -1398,11 +1507,25 @@ object SltRunner {
             case None => Regex.quoteReplacement(m.matched)
           }
         })
+    // the remaining timestamp(p)/timestamptz(p) cast shapes: literal
+    // timestamptz (engine parse handles loose offsets + rounding) and
+    // column operands (round the stored micros)
+    val sql0rawTsp2 =
+      if (!"""(?i)::\s*timestamp(?:tz)?\s*\(""".r.findFirstIn(sql0rawTsp).isDefined)
+        sql0rawTsp
+      else {
+        val lit = """'([^']*)'\s*::\s*timestamp(?:tz)?\s*\(\s*(\d)\s*\)""".r
+          .replaceAllIn(sql0rawTsp, m => Regex.quoteReplacement(
+            s"pg_ts_ingest('${m.group(1)}', ${m.group(2)})"))
+        """(?i)\b((?:\w+\.)?\w+)\s*::\s*timestamp(?:tz)?\s*\(\s*(\d)\s*\)""".r
+          .replaceAllIn(lit, m => Regex.quoteReplacement(
+            s"pg_ts_round(${m.group(1)}, ${m.group(2)})"))
+      }
     // bare ANSI keyword forms resolve to Spark's builtin CurrentUser —
     // parenthesize so the engine's session-identity functions answer
     val sql0rawId =
-      if (!sql0rawTsp.toLowerCase.contains("_user")) sql0rawTsp
-      else rewriteOutsideLits(sql0rawTsp)(
+      if (!sql0rawTsp2.toLowerCase.contains("_user")) sql0rawTsp2
+      else rewriteOutsideLits(sql0rawTsp2)(
         """(?i)\b(current_user|session_user)\b(?!\s*\()""".r.replaceAllIn(_, "$1()"))
     // pg regexp_replace (first-match default, flags arg) — the engine's
     // pg-semantics expression, not Spark's replace-all builtin
@@ -1442,13 +1565,22 @@ object SltRunner {
     // interval.slt run through the engine's mz_interval parser/renderer.
     // Whole-statement anchored so interval arithmetic elsewhere (timestamp +
     // INTERVAL ...) keeps Spark's native literal path.
+    // pg DROP ... CASCADE/RESTRICT: Spark's DROP has no drop-behavior
+    // keyword — strip it (the corpus' CASCADE drops either have no
+    // dependents or the dependents' later reads dialect-skip; leaving the
+    // keyword poisons the TARGET and cascades skips much wider)
+    val sql0rawRe2 =
+      if (!"""(?i)\b(CASCADE|RESTRICT)\b""".r.findFirstIn(sql0rawRe).isDefined) sql0rawRe
+      else rewriteOutsideLits(sql0rawRe)(
+        """(?is)\b(DROP\s+(?:TABLE|VIEW|MATERIALIZED\s+VIEW|INDEX|SOURCE|SINK)\b[^;]*?)\s+(?:CASCADE|RESTRICT)\b""".r
+          .replaceAllIn(_, "$1"))
     // date_bin's stride argument: the engine expression parses the pg
     // interval TEXT itself (MzInterval) — drop the ::interval cast whose
     // Spark CalendarInterval parse would NULL out on pg spellings ('5 min')
     val sql0rawDb =
-      if (!sql0rawRe.toLowerCase.contains("date_bin")) sql0rawRe
+      if (!sql0rawRe2.toLowerCase.contains("date_bin")) sql0rawRe2
       else """(?i)\b(date_bin(?:_hopping)?\s*\(\s*)('[^']*'|"\w+"|\w+)\s*::\s*interval\b""".r
-        .replaceAllIn(sql0rawRe, m => Regex.quoteReplacement(m.group(1) + m.group(2)))
+        .replaceAllIn(sql0rawRe2, m => Regex.quoteReplacement(m.group(1) + m.group(2)))
     val sql0rawDon0 =
       if (!"""(?is)\bDISTINCT\s+ON\s*\(""".r.findFirstIn(sql0rawDb).isDefined) sql0rawDb
       else rewriteDistinctOn(sql0rawDb)
@@ -1504,11 +1636,16 @@ object SltRunner {
           val tz = """(?i)\btimestamp\s+with(?:out)?\s+time\s+zone\b""".r
             .replaceAllIn(ui, "timestamp")
           val tz2 = """(?i)\btimestamptz\b""".r.replaceAllIn(tz, "timestamp")
+          // timestamp(p) columns: Spark has no parameterized TIMESTAMP —
+          // store plain timestamp + a precision marker so INSERT
+          // canonicalization rounds the fraction to p digits like pg
+          val tsp = """(?i)\btimestamp\s*\(\s*(\d)\s*\)""".r.replaceAllIn(tz2, m =>
+            Regex.quoteReplacement(s"timestamp COMMENT 'graft_tsp_${m.group(1)}'"))
           // TYPE position only: `time` directly before a delimiter or a
           // column constraint — a COLUMN named time (aoc_1206 `time INT`)
           // is followed by its type word and must keep its name
           """(?i)\btime\b(?!stamp)(?=\s*[,()]|\s+(?:NOT|NULL|PRIMARY|UNIQUE|DEFAULT|CHECK)\b)""".r
-            .replaceAllIn(tz2, "string")
+            .replaceAllIn(tsp, "string")
         } else st
       }.mkString(";")
     // TIMESTAMPTZ typed literals: Spark has no TIMESTAMPTZ keyword — cast
@@ -1644,7 +1781,26 @@ object SltRunner {
     // (temp-view dependents resolve lazily here, so CASCADE is a no-op)
     val dropNorm = """(?is)^(\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?[\w",\s]*?)\s+(?:CASCADE|RESTRICT)\s*;?\s*$""".r
       .replaceAllIn(addNullsOrdering(viewCols), "$1")
-    dropNorm match {
+    // pg allows scalar subqueries inside INSERT ... VALUES; Spark's VALUES
+    // rows take only foldable expressions — rewrite each row to a SELECT
+    // (UNION ALL between rows) so the subqueries run in query position
+    val insSubq =
+      if (!"""(?is)^\s*INSERT\s+INTO\b.*\bVALUES\b.*\(\s*SELECT\b""".r
+          .findFirstIn(dropNorm).isDefined) dropNorm
+      else {
+        val InsValues =
+          """(?is)^\s*(INSERT\s+INTO\s+["`]?[\w.]+["`]?(?:\s*\([^()]*\))?)\s*VALUES\s*(.+?);?\s*$""".r
+        dropNorm match {
+          case InsValues(head, rows) =>
+            val parts = splitTopLevel(rows, ',').map(_.trim).filter(_.nonEmpty)
+            if (parts.forall(p => p.startsWith("(") && p.endsWith(")")))
+              head + " " + parts.map(p => "SELECT " + p.substring(1, p.length - 1))
+                .mkString(" UNION ALL ")
+            else dropNorm
+          case _ => dropNorm
+        }
+      }
+    val shimmed = insSubq match {
       // pg/crdb multi-table DROP: Spark drops one table per statement —
       // split (execution runs each via splitStatements)
       case MultiDropTable(ife, list) =>
@@ -1653,6 +1809,7 @@ object SltRunner {
           .mkString("; ")
       case s => s
     }
+    if (shimmed.contains("''")) rewriteDoubledQuotes(shimmed) else shimmed
   }
 
   /** Zero-pad a pg-loose trailing zone offset ('-6' / '+4:30' / 'z') into
@@ -1808,6 +1965,11 @@ object SltRunner {
             case Some(c) if c.startsWith("graft_uint") =>
               val k = c.stripPrefix("graft_")
               Some(f.name.toLowerCase -> ((cell: String) => s" pg_$k($cell)"))
+            case Some(c) if c.startsWith("graft_tsp_") =>
+              // timestamp(p) column: pg parses + ROUNDS the fraction to p
+              // digits on ingest (Spark's cast truncates at micros)
+              val p = c.stripPrefix("graft_tsp_")
+              Some(f.name.toLowerCase -> ((cell: String) => s" pg_ts_ingest($cell, $p)"))
             case _ => None
           }
         }.toMap
@@ -2697,7 +2859,10 @@ object SltRunner {
     case n: Number =>
       if (t == 'R') "%.3f".format(n.doubleValue) else n.toString
     case s: String =>
-      if (s.isEmpty) "" else s.replaceAll(" 00:00:00$", "") // midnight ≡ date, as in canonCell
+      // embedded newlines print as the corpus' visible marker (mz
+      // sqllogictest renders multi-line cells with U+23CE)
+      if (s.isEmpty) ""
+      else s.replace("\n", "\u23ce").replaceAll(" 00:00:00$", "") // midnight ≡ date
     case seq: scala.collection.Seq[_] => // pg array literal form {a,b}
       seq.map { e =>
         val s = if (e == null) "NULL" else renderActual('T', e)
@@ -2737,14 +2902,19 @@ object SltRunner {
     * delimiters. */
   private def pgRecord(row: org.apache.spark.sql.Row): String =
     (0 until row.length).map { i =>
-      val v = row.get(i) match {
+      val raw = row.get(i)
+      val v = raw match {
         case null => ""
         case b: Boolean => if (b) "t" else "f"
         case r: org.apache.spark.sql.Row => pgRecord(r)
         case other => renderActual('T', other)
       }
-      if (v.exists(c => ",()\"".contains(c)))
-        "\"" + v.replace("\"", "\"\"") + "\""
+      // pg record_out quotes an element that is an empty string or
+      // contains ( ) , " \ or whitespace (incl. the newline the renderer
+      // has already folded to U+23CE)
+      if (raw != null && (v.isEmpty ||
+          v.exists(c => ",()\"\\⏎".contains(c) || c.isWhitespace)))
+        "\"" + v.replace("\\", "\\\\").replace("\"", "\"\"") + "\""
       else v
     }.mkString("(", ",", ")")
 

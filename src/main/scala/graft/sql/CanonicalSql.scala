@@ -108,7 +108,9 @@ object CanonicalSql {
   }
 
   private val CreateTableRe =
-    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?((?:"[^"]*"|[\w$]+)(?:\s*\.\s*(?:"[^"]*"|[\w$]+)){0,2})\s*\((.*)\)\s*(WITH\s*\(.*\))?\s*;?\s*$""".r
+    // the column list is LAZY so a trailing WITH (...) options clause
+    // isn't swallowed into it (greedy .* would eat up to the last paren)
+    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?((?:"[^"]*"|[\w$]+)(?:\s*\.\s*(?:"[^"]*"|[\w$]+)){0,2})\s*\((.*?)\)\s*(WITH\s*\(.*\))?\s*;?\s*$""".r
 
   /** Canonicalize a recorded CREATE TABLE statement, or None when the text
     * carries constructs outside the canonical single-line regime. */

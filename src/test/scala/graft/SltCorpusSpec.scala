@@ -228,7 +228,7 @@ class SltCorpusSpec extends SparkSpec {
     "autogenerated/mz_introspection.slt",
     "autogenerated/all_parts_essential.slt")
 
-  test("reference SLT corpus subset: 0 failures, >=10750 green assertions") {
+  test("reference SLT corpus subset: 0 failures, >=15775 green assertions") {
     assume(Files.isDirectory(Paths.get(corpus)), "reference corpus not present")
     val reports = SltRunner.runFiles(spark,
       files.map(f => s"$corpus/$f").filter(p => Files.exists(Paths.get(p))))
@@ -243,6 +243,6 @@ class SltCorpusSpec extends SparkSpec {
     total.failures.take(25).foreach(f => info(s"FAIL: $f"))
     assert(total.failed == 0,
       s"${total.failed} SLT failures:\n${total.failures.take(25).mkString("\n")}")
-    assert(total.passed >= 10750, s"only ${total.passed} SLT passes")
+    assert(total.passed >= 15775, s"only ${total.passed} SLT passes")
   }
 }

@@ -437,12 +437,15 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(views.contains("sqlsurf_show_v"))
       assert(!views.contains("sqlsurf_show_mv"))
       intercept[Exception](spark.sql("SHOW CREATE VIEW no_such_view_xyz").collect())
-      // SHOW CREATE TABLE answers with the recorded statement text
+      // SHOW CREATE TABLE answers with the reference's canonical rendering:
+      // fully-qualified materialize.public.* name (show.rs ShowCreate); a
+      // statement outside the canonical regime (USING parquet) falls back
+      // to the recorded user text
       spark.sql("DROP TABLE IF EXISTS sqlsurf_show_t")
       spark.sql("CREATE TABLE sqlsurf_show_t (id BIGINT, v DOUBLE) USING parquet")
       try {
         val ct = spark.sql("SHOW CREATE TABLE sqlsurf_show_t").collect().head
-        assert(ct.getString(0) == "sqlsurf_show_t")
+        assert(ct.getString(0) == "materialize.public.sqlsurf_show_t")
         assert(ct.getString(1).startsWith("CREATE TABLE sqlsurf_show_t"))
       } finally spark.sql("DROP TABLE IF EXISTS sqlsurf_show_t")
     } finally {
