@@ -49,6 +49,37 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
+    // --- machine calibration ------------------------------------------------
+    // Three rounds of ~9% total drift with untouched hot paths (r10-r13) were
+    // adjudicated as noise but never attributed. These two probes are
+    // code-independent — their cost cannot change when engine code changes —
+    // so if they drift round-over-round in step with the totals, the cause is
+    // the machine (co-tenant load / CPU frequency / page cache), not a plan
+    // regression. calib_cpu: single-threaded xorshift64 loop. calib_spark: a
+    // fixed shuffle+agg over spark.range (no engine operators involved).
+    val loadStart = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+    def timeS(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val calibCpu = {
+      def lap(): Double = timeS {
+        var x = 0x9e3779b97f4a7c15L; var i = 0L
+        while (i < 400000000L) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        if (x == 42L) println("") // defeat dead-code elimination
+      }
+      lap(); math.min(lap(), lap()) // first lap warms JIT; min-of-2 after
+    }
+    val calibSpark = {
+      def lap(): Double = timeS {
+        spark.range(0, 50000000L, 1, 32)
+          .selectExpr("id % 97 AS k", "id AS v")
+          .groupBy("k").sum("v")
+          .write.format("noop").mode("overwrite").save()
+      }
+      lap(); math.min(lap(), lap())
+    }
+
     // optional arg: time only queries whose name contains the filter
     // (local iteration; the driver passes no args and times everything)
     val nameFilter: String => Boolean =
@@ -61,6 +92,9 @@ object Bench {
     // cores inflated one round's artifact 2×), and min-of-2 recovers the
     // un-contended cost without hiding real plan regressions.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // all pass durations per query, kept for the detail file: pass1 >> pass3
+    // everywhere = warmth; random spikes across passes = contention
+    val passTimes = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     // (name, min seconds, first error if ALL passes failed, count of failed passes)
     val results = SparkEntry.queries.toSeq.filter(q => nameFilter(q._1))
       .sortBy(_._1).map { case (name, fn) =>
@@ -71,6 +105,7 @@ object Bench {
         }
         ((System.nanoTime() - t0) / 1e9, err)
       }
+      passTimes(name) = timed.map(_._1)
       val ok = timed.filter(_._2.isEmpty)
       val nFail = timed.count(_._2.nonEmpty)
       if (ok.nonEmpty) (name, ok.map(_._1).min, None, nFail)
@@ -127,8 +162,11 @@ object Bench {
     // startup noise gets re-measured away instead of reading as a regression.
     // letrec_reachability/tpch_q22 joined r13: +58%/+45% in r12 with their
     // source files untouched — JIT-warmth noise, same class as the others.
+    // incremental_join_delta3 joined r14: cross-round history 1.33-4.48 s with
+    // its source untouched — the widest bouncer on the board.
     val bouncy = Set("sink_envelope_roundtrip", "media_image_decode",
-      "media_audio_decode", "letrec_reachability", "tpch_q22")
+      "media_audio_decode", "letrec_reachability", "tpch_q22",
+      "incremental_join_delta3")
     val suspects = results.filter { case (name, t, err, _) =>
       val factor = if (bouncy.contains(name)) 1.2 else 2.0
       val slack = if (bouncy.contains(name)) 0.2 else 0.5
@@ -175,8 +213,11 @@ object Bench {
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
     def jsonFor(qs: Seq[(String, Double, Option[String], Int)], detail: String): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":${finalResults.count(_._3.isEmpty)},"n_err":${finalResults.count(_._3.nonEmpty)},"loadavg":${r3(load)},"errors":$errs,"flaky":$flaky,"remeasured":$remeasuredJson,"queries":${qmap(qs)},"sf":"$sfDir"$detail}"""
-    val full = jsonFor(finalResults, "")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":${finalResults.count(_._3.isEmpty)},"n_err":${finalResults.count(_._3.nonEmpty)},"loadavg":${r3(load)},"loadavg_start":${r3(loadStart)},"calib_cpu":${r3(calibCpu)},"calib_spark":${r3(calibSpark)},"errors":$errs,"flaky":$flaky,"remeasured":$remeasuredJson,"queries":${qmap(qs)},"sf":"$sfDir"$detail}"""
+    val passesJson = passTimes
+      .map { case (k, ts) => "\"" + k + "\":[" + ts.map(r3).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val full = jsonFor(finalResults, s""","passes":$passesJson""")
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")).toAbsolutePath
     java.nio.file.Files.writeString(out, full)

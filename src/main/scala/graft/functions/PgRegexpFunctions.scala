@@ -178,8 +178,10 @@ case class PgRegexpSplit(children: Seq[Expression])
     val s = vs(0).toString
     val flags = if (vs.length > 2 && vs(2) != null) vs(2).toString else ""
     var f = Pattern.DOTALL // reference regex.rs dot_matches_new_line default
+    // regexp_split_to_array goes through the reference's build_regex
+    // (scalar/func.rs:2624-2639): 'i'/'c' toggle case-insensitivity (last
+    // wins, as pg); anything else — including 'g' — is InvalidRegexFlag
     flags.foreach {
-      case 'g' => ()
       case 'i' => f |= Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE
       case 'c' => f &= ~(Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE)
       case other => throw new IllegalArgumentException(
@@ -242,10 +244,15 @@ case class PgRegexpMatchesArr(children: Seq[Expression], global0: Option[Boolean
     val flags = if (vs.length > 2) vs(2).toString else ""
     var f = Pattern.DOTALL // reference regex.rs dot_matches_new_line default
     var global = global0.getOrElse(false)
+    // two distinct reference flag parsers: the SRF regexp_matches goes
+    // through AnalyzedRegexOpts (relation/func.rs:3384-3392, only 'i'/'g');
+    // scalar regexp_match (wholeFallback) goes through build_regex
+    // (scalar/func.rs:2624-2639, only 'i'/'c' last-wins — 'g' rejected)
     flags.foreach {
-      case 'g' => global = global0.getOrElse(true)
+      case 'g' if !wholeFallback => global = global0.getOrElse(true)
       case 'i' => f |= Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE
-      case 'c' => f &= ~(Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE)
+      case 'c' if wholeFallback =>
+        f &= ~(Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE)
       case other => throw new IllegalArgumentException(
         s"invalid regular expression flag: $other")
     }

@@ -1379,12 +1379,16 @@ object SltRunner {
             case 'u' if i + 5 < b.length + 1 &&
                 b.length >= i + 6 &&
                 b.substring(i + 2, i + 6).forall(ch => Character.digit(ch, 16) >= 0) =>
-              sb.append(Integer.parseInt(b.substring(i + 2, i + 6), 16).toChar)
+              // a decoded quote must be re-doubled like the \' case, or the
+              // rebuilt literal ends unbalanced and corrupts later shim passes
+              val u = Integer.parseInt(b.substring(i + 2, i + 6), 16).toChar
+              if (u == '\'') sb.append("''") else sb.append(u)
               i += 6
             case d if d >= '0' && d <= '7' =>
               var j = i + 1
               while (j < b.length && j < i + 4 && b.charAt(j) >= '0' && b.charAt(j) <= '7') j += 1
-              sb.append(Integer.parseInt(b.substring(i + 1, j), 8).toChar)
+              val o = Integer.parseInt(b.substring(i + 1, j), 8).toChar
+              if (o == '\'') sb.append("''") else sb.append(o)
               i = j
             case other => sb.append(other); i += 2
           }
@@ -1514,7 +1518,7 @@ object SltRunner {
       if (!"""(?i)::\s*timestamp(?:tz)?\s*\(""".r.findFirstIn(sql0rawTsp).isDefined)
         sql0rawTsp
       else {
-        val lit = """'([^']*)'\s*::\s*timestamp(?:tz)?\s*\(\s*(\d)\s*\)""".r
+        val lit = """(?i)'([^']*)'\s*::\s*timestamp(?:tz)?\s*\(\s*(\d)\s*\)""".r
           .replaceAllIn(sql0rawTsp, m => Regex.quoteReplacement(
             s"pg_ts_ingest('${m.group(1)}', ${m.group(2)})"))
         """(?i)\b((?:\w+\.)?\w+)\s*::\s*timestamp(?:tz)?\s*\(\s*(\d)\s*\)""".r
@@ -1943,45 +1947,14 @@ object SltRunner {
   private def canonJsonbInsert(spark: SparkSession, sql: String): String = {
     val InsertRe =
       """(?is)^\s*INSERT\s+INTO\s+["`]?(\w+)["`]?\s*(\([^)]*\))?\s*VALUES\s*(.*?);?\s*$""".r
+    // the shim's scalar-subquery rewrite turns VALUES rows into
+    // SELECT ... UNION ALL SELECT ... — those rows still target tagged
+    // columns and must get the same ingest canonicalization
+    val InsertSelRe =
+      """(?is)^\s*INSERT\s+INTO\s+["`]?(\w+)["`]?\s*(\([^)]*\))?\s*(SELECT\b.*?);?\s*$""".r
     sql match {
       case InsertRe(table, colList, valuesText) =>
-        val schema =
-          try spark.table(table).schema
-          catch { case _: Throwable => return sql }
-        // column -> canonicalizing wrapper (jsonb and range columns both
-        // canonicalize on ingest, like pg)
-        val wrapper: Map[String, String => String] = schema.fields.flatMap { f =>
-          // bytea columns: pg decodes the text input form on ingest
-          // (\x-hex or traditional escapes) — Spark's string->binary cast
-          // would store the literal text's bytes instead
-          if (f.dataType == org.apache.spark.sql.types.BinaryType)
-            Some(f.name.toLowerCase -> ((cell: String) => s" pg_bytea_in($cell)"))
-          else f.getComment() match {
-            case Some(c) if c.contains("graft_jsonb") =>
-              Some(f.name.toLowerCase -> ((cell: String) => s" jsonb_canon($cell)"))
-            case Some(c) if c.startsWith("graft_range_") =>
-              val kind = c.stripPrefix("graft_range_")
-              Some(f.name.toLowerCase -> ((cell: String) => s" pg_$kind($cell)"))
-            case Some(c) if c.startsWith("graft_uint") =>
-              val k = c.stripPrefix("graft_")
-              Some(f.name.toLowerCase -> ((cell: String) => s" pg_$k($cell)"))
-            case Some(c) if c.startsWith("graft_tsp_") =>
-              // timestamp(p) column: pg parses + ROUNDS the fraction to p
-              // digits on ingest (Spark's cast truncates at micros)
-              val p = c.stripPrefix("graft_tsp_")
-              Some(f.name.toLowerCase -> ((cell: String) => s" pg_ts_ingest($cell, $p)"))
-            case _ => None
-          }
-        }.toMap
-        if (wrapper.isEmpty) return sql
-        val ordered: Seq[String] = Option(colList) match {
-          case Some(cl) => cl.stripPrefix("(").stripSuffix(")").split(",")
-            .map(_.trim.stripPrefix("\"").stripSuffix("\"").toLowerCase).toSeq
-          case None => schema.fields.map(_.name.toLowerCase).toSeq
-        }
-        val wrapAt: Map[Int, String => String] = ordered.zipWithIndex.collect {
-          case (n, i) if wrapper.contains(n) => i -> wrapper(n)
-        }.toMap
+        val wrapAt = ingestWrapAt(spark, table, Option(colList))
         if (wrapAt.isEmpty) return sql
         val rows = splitTopLevel(valuesText, ',').map { r0 =>
           val r = r0.trim
@@ -1994,8 +1967,123 @@ object SltRunner {
           }
         }
         s"INSERT INTO $table ${Option(colList).getOrElse("")} VALUES ${rows.mkString(", ")}"
+      case InsertSelRe(table, colList, body) =>
+        val wrapAt = ingestWrapAt(spark, table, Option(colList))
+        if (wrapAt.isEmpty) return sql
+        // only the shim-generated shape: plain SELECT lists (no FROM) joined
+        // by top-level UNION ALL; a corpus-authored INSERT...SELECT query
+        // keeps its original (pre-existing) behavior
+        val branches = splitTopLevelUnionAll(body)
+        val simple = branches.forall { b =>
+          b.trim.toUpperCase.startsWith("SELECT") && !hasTopLevelFrom(b)
+        }
+        if (!simple) sql
+        else {
+          val rebuilt = branches.map { b =>
+            val cells = splitTopLevel(b.trim.substring(6), ',')
+            "SELECT " + cells.zipWithIndex.map { case (c, i) =>
+              wrapAt.get(i).map(_(c)).getOrElse(c)
+            }.mkString(",")
+          }
+          s"INSERT INTO $table ${Option(colList).getOrElse("")} ${rebuilt.mkString(" UNION ALL ")}"
+        }
       case _ => sql
     }
+  }
+
+  /** Per-position ingest canonicalizers for INSERTs into `table` — jsonb,
+    * range, uint, timestamp(p) and bytea columns all canonicalize their
+    * text input form on ingest, as pg does. Empty when the table has no
+    * tagged columns (or does not exist). */
+  private def ingestWrapAt(spark: SparkSession, table: String,
+      colList: Option[String]): Map[Int, String => String] = {
+    val schema =
+      try spark.table(table).schema
+      catch { case _: Throwable => return Map.empty }
+    val wrapper: Map[String, String => String] = schema.fields.flatMap { f =>
+      // bytea columns: pg decodes the text input form on ingest
+      // (\x-hex or traditional escapes) — Spark's string->binary cast
+      // would store the literal text's bytes instead
+      if (f.dataType == org.apache.spark.sql.types.BinaryType)
+        Some(f.name.toLowerCase -> ((cell: String) => s" pg_bytea_in($cell)"))
+      else f.getComment() match {
+        case Some(c) if c.contains("graft_jsonb") =>
+          Some(f.name.toLowerCase -> ((cell: String) => s" jsonb_canon($cell)"))
+        case Some(c) if c.startsWith("graft_range_") =>
+          val kind = c.stripPrefix("graft_range_")
+          Some(f.name.toLowerCase -> ((cell: String) => s" pg_$kind($cell)"))
+        case Some(c) if c.startsWith("graft_uint") =>
+          val k = c.stripPrefix("graft_")
+          Some(f.name.toLowerCase -> ((cell: String) => s" pg_$k($cell)"))
+        case Some(c) if c.startsWith("graft_tsp_") =>
+          // timestamp(p) column: pg parses + ROUNDS the fraction to p
+          // digits on ingest (Spark's cast truncates at micros)
+          val p = c.stripPrefix("graft_tsp_")
+          Some(f.name.toLowerCase -> ((cell: String) => s" pg_ts_ingest($cell, $p)"))
+        case _ => None
+      }
+    }.toMap
+    if (wrapper.isEmpty) return Map.empty
+    val ordered: Seq[String] = colList match {
+      case Some(cl) => cl.stripPrefix("(").stripSuffix(")").split(",")
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"").toLowerCase).toSeq
+      case None => schema.fields.map(_.name.toLowerCase).toSeq
+    }
+    ordered.zipWithIndex.collect {
+      case (n, i) if wrapper.contains(n) => i -> wrapper(n)
+    }.toMap
+  }
+
+  /** Split on top-level `UNION ALL` (outside parens and quotes). */
+  private def splitTopLevelUnionAll(s: String): List[String] = {
+    val out = mutable.ListBuffer.empty[String]
+    val up = s.toUpperCase
+    var depth = 0; var inQ = false; var start = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false; i += 1 }
+      else c match {
+        case '\'' => inQ = true; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case 'U' | 'u' if depth == 0 && up.startsWith("UNION", i) &&
+            (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) && {
+              val ws = s.substring(i + 5).takeWhile(_.isWhitespace).length
+              ws > 0 && up.startsWith("ALL", i + 5 + ws) &&
+                (i + 8 + ws >= s.length ||
+                  !Character.isLetterOrDigit(s.charAt(i + 8 + ws)))
+            } =>
+          out += s.substring(start, i)
+          val ws = s.substring(i + 5).takeWhile(_.isWhitespace).length
+          i = i + 8 + ws // past "UNION<ws>ALL"
+          start = i
+        case _ => i += 1
+      }
+    }
+    out += s.substring(start)
+    out.toList
+  }
+
+  /** True when `s` contains a FROM keyword outside parens and quotes. */
+  private def hasTopLevelFrom(s: String): Boolean = {
+    val up = s.toUpperCase
+    var depth = 0; var inQ = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'F' | 'f' if depth == 0 && up.startsWith("FROM", i) &&
+            (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+            (i + 4 >= s.length || !Character.isLetterOrDigit(s.charAt(i + 4))) =>
+          return true
+        case _ => ()
+      }
+      i += 1
+    }
+    false
   }
 
   /** Table targeted by a mutating statement, for state-poison tracking. */

@@ -226,7 +226,12 @@ class SltCorpusSpec extends SparkSpec {
     // mz_schemas/mz_comments to the reference's ambient shape)
     "autogenerated/mz_catalog.slt", "autogenerated/mz_internal.slt",
     "autogenerated/mz_introspection.slt",
-    "autogenerated/all_parts_essential.slt")
+    "autogenerated/all_parts_essential.slt",
+    // round 14: the SHOW CREATE payoff files over CanonicalSql (the bulk of
+    // each is `onlyif cockroach` — skipped by the reference's runner too)
+    "cockroach/show_create.slt", "cockroach/show_create_all_tables.slt",
+    "cockroach/show_create_all_tables_builtin.slt",
+    "cockroach/show_create_redact.slt")
 
   test("reference SLT corpus subset: 0 failures, >=15775 green assertions") {
     assume(Files.isDirectory(Paths.get(corpus)), "reference corpus not present")

@@ -1,0 +1,51 @@
+package graft.slt
+
+import graft.SparkSpec
+
+/** Unit coverage for shim edge cases fixed in round 14: the
+  * INSERT-with-scalar-subquery rewrite must still receive per-cell ingest
+  * canonicalization, and E-string escapes that decode to a quote must be
+  * re-doubled inside the rebuilt literal. */
+class SltShimSpec extends SparkSpec {
+
+  test("E-string octal/unicode escapes decoding to a quote stay balanced") {
+    val oct = SltRunner.testShim("""SELECT E'a\047b'""", crdb = false)
+    assert(oct.count(_ == '\'') % 2 == 0, s"unbalanced quotes in: $oct")
+    val uni = SltRunner.testShim("SELECT E'a\\u0027b'", crdb = false)
+    assert(uni.count(_ == '\'') % 2 == 0, s"unbalanced quotes in: $uni")
+  }
+
+  test("INSERT VALUES with scalar subquery keeps ingest canonicalization") {
+    spark.sql("DROP TABLE IF EXISTS shim_jsonb_t")
+    spark.sql(
+      "CREATE TABLE shim_jsonb_t (k INT, j STRING COMMENT 'graft_jsonb') USING parquet")
+    try {
+      // the parse-time shim turns the VALUES row into SELECT ... UNION ALL
+      val shimmed = SltRunner.testShim(
+        "INSERT INTO shim_jsonb_t VALUES (1, (SELECT '{\"b\":2,\"a\":1}')), (2, '{\"z\": 0}')",
+        crdb = false)
+      assert(shimmed.toUpperCase.contains("UNION ALL"), shimmed)
+      // ...and the exec-time canonicalizer must still wrap the jsonb cell
+      val canon = SltRunner.testCanonInsert(spark, shimmed)
+      assert(canon.contains("jsonb_canon"), canon)
+      spark.sql(canon)
+      val got = spark.sql("SELECT j FROM shim_jsonb_t ORDER BY k")
+        .collect().map(_.getString(0)).toSeq
+      assert(got == Seq("""{"a":1,"b":2}""", """{"z":0}"""), got)
+    } finally spark.sql("DROP TABLE IF EXISTS shim_jsonb_t")
+  }
+
+  test("plain INSERT VALUES canonicalization is unchanged") {
+    spark.sql("DROP TABLE IF EXISTS shim_jsonb_p")
+    spark.sql(
+      "CREATE TABLE shim_jsonb_p (k INT, j STRING COMMENT 'graft_jsonb') USING parquet")
+    try {
+      val canon = SltRunner.testCanonInsert(spark,
+        "INSERT INTO shim_jsonb_p VALUES (1, '{\"b\":2, \"a\":1}')")
+      assert(canon.contains("jsonb_canon"), canon)
+      spark.sql(canon)
+      val got = spark.sql("SELECT j FROM shim_jsonb_p").collect().head.getString(0)
+      assert(got == """{"a":1,"b":2}""", got)
+    } finally spark.sql("DROP TABLE IF EXISTS shim_jsonb_p")
+  }
+}
