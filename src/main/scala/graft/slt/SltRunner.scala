@@ -521,6 +521,13 @@ object SltRunner {
   private val customTypes =
     scala.collection.concurrent.TrieMap.empty[String, SltSession.CustomType]
 
+  /** Tables whose CREATE TABLE declared interval-typed columns (stored as
+    * mz-canonical text, reference src/repr/src/adt/interval.rs Display).
+    * INSERTs into these get their INTERVAL literals routed through the
+    * mz_interval engine at parse time; populated like [[rangeColumns]]. */
+  private val intervalTables =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
   /** Names created as MATERIALIZED VIEW in the current file (the runner
     * stores them as temp views; mz_comments still reports the mz kind). */
   private val sltMvNames =
@@ -560,6 +567,7 @@ object SltRunner {
     rangeColumns.clear(); customTypes.clear(); sltMvNames.clear()
     nanDoubleTables.clear(); mvClusters.clear()
     realColumns.clear(); dblColumns.clear(); byteaColumns.clear()
+    intervalTables.clear()
   }
 
   /** Session custom types as pg_type rows: named lists carry typelem
@@ -716,9 +724,18 @@ object SltRunner {
     * semantics, not a hint — without this the records are unorderable
     * skips. A bare range-column key sorts by pg's range order. DESC /
     * multi-key forms are left for the known-diff census. */
-  private[slt] def rewriteOrderedArrayAgg(sql: String): String = {
+  private[slt] def rewriteOrderedArrayAgg(sql0: String): String = {
+    if (!sql0.toLowerCase.contains("array_agg")) return sql0
+    // `(array_agg(..))::string` expects pg's {..} array text (quoting
+    // elements with spaces), not Spark's [..] — route through pg_array_text
+    // BEFORE the ordered-agg rewrite so the trailing-cast guard below
+    // doesn't bail on the rewritten spelling
+    val sql =
+      if (!sql0.contains("::")) sql0
+      else """(?i)\(\s*(array_agg\s*\((?:[^()']|'[^']*'|\([^()]*\))*\))\s*\)\s*::\s*(?:string|text|varchar)\b""".r
+        .replaceAllIn(sql0, m => Regex.quoteReplacement(
+          s"pg_array_text(CAST((${m.group(1)}) AS ARRAY<STRING>))"))
     val loc = sql.toLowerCase
-    if (!loc.contains("array_agg")) return sql
     val sb = new StringBuilder
     var pos = 0
     var idx = loc.indexOf("array_agg")
@@ -1606,8 +1623,13 @@ object SltRunner {
     // to the CREATE TABLE statement so casts elsewhere stay untouched.
     val sqlTagged =
       if ("""(?is)\bCREATE\s+TABLE\b""".r.findFirstIn(sql0raw).isEmpty) sql0raw
-      else sql0raw.split(";", -1).map { st =>
-        if ("""(?is)^\s*CREATE\s+TABLE\b""".r.findFirstIn(st).isDefined) {
+      else sql0raw.split(";", -1).map { st0 =>
+        if ("""(?is)^\s*CREATE\s+TABLE\b""".r.findFirstIn(st0).isDefined) {
+          // crdb partial-index clauses carry literals (INDEX idx (b) WHERE
+          // b > 'P3Y') — strip here at whole-statement level; the
+          // outside-literals pass later can't see across the literal
+          val st = """(?i),\s*(?:UNIQUE\s+)?(?:INVERTED\s+)?INDEX\s+[\w"]+\s*\([^)]*\)(?:\s+STORING\s*\([^)]*\))?(?:\s+WHERE\s+(?:[^,()']|'[^']*')*)?""".r
+            .replaceAllIn(st0, "")
           // column-type registries for pg literal/overload resolution (see
           // realColumns/dblColumns/byteaColumns)
           """(?i)["`]?(\w+)["`]?\s+(real|float4|float8|float|double(?:\s+precision)?)\b""".r
@@ -1635,10 +1657,23 @@ object SltRunner {
             }
             Regex.quoteReplacement(s"${m.group(1)} $ty COMMENT 'graft_$k'")
           })
+          // interval columns: Spark cannot store CalendarInterval in a
+          // table — store mz-canonical interval TEXT (MzInterval renders
+          // the reference's adt/interval.rs Display form) + an ingest
+          // marker. The lookahead keeps INTERVAL '...' literals (e.g. in
+          // DEFAULT clauses) untouched.
+          val iv = """(?i)(["`]?\w+["`]?)\s+interval\b(?!\s*')""".r
+            .replaceAllIn(ui, m => {
+              """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?(\w+)""".r
+                .findFirstMatchIn(st)
+                .foreach(t => intervalTables.put(t.group(1).toLowerCase, ()))
+              Regex.quoteReplacement(
+                s"${m.group(1)} string COMMENT 'graft_interval'")
+            })
           // normalize the ANSI long forms FIRST so the `time` rewrite below
           // can never mangle "timestamp with time zone"
           val tz = """(?i)\btimestamp\s+with(?:out)?\s+time\s+zone\b""".r
-            .replaceAllIn(ui, "timestamp")
+            .replaceAllIn(iv, "timestamp")
           val tz2 = """(?i)\btimestamptz\b""".r.replaceAllIn(tz, "timestamp")
           // timestamp(p) columns: Spark has no parameterized TIMESTAMP —
           // store plain timestamp + a precision marker so INSERT
@@ -1650,14 +1685,25 @@ object SltRunner {
           // is followed by its type word and must keep its name
           """(?i)\btime\b(?!stamp)(?=\s*[,()]|\s+(?:NOT|NULL|PRIMARY|UNIQUE|DEFAULT|CHECK)\b)""".r
             .replaceAllIn(tsp, "string")
-        } else st
+        } else st0
       }.mkString(";")
+    // INSERTs into interval-column tables: route INTERVAL literals through
+    // the mz_interval engine so the stored text is mz-canonical (plain text
+    // cells canonicalize at exec time via the graft_interval ingest marker)
+    val sqlIvIns = {
+      val tgt = """(?is)^\s*INSERT\s+INTO\s+["`]?(\w+)""".r
+        .findFirstMatchIn(sqlTagged).map(_.group(1).toLowerCase)
+      if (!tgt.exists(intervalTables.contains)) sqlTagged
+      else s"(?i)\\bINTERVAL\\s+'([^']*)'(\\s+($IntervalQual))?".r
+        .replaceAllIn(sqlTagged, m => Regex.quoteReplacement(
+          s"mz_interval('${m.group(1)}', '${Option(m.group(3)).getOrElse("")}')"))
+    }
     // TIMESTAMPTZ typed literals: Spark has no TIMESTAMPTZ keyword — cast
     // the string, zero-padding pg's loose zone offsets ('-6' -> '-06:00')
     // so Spark's timestamp parser accepts them
     val sqlTstz =
-      if (!sqlTagged.toUpperCase.contains("TIMESTAMPTZ")) sqlTagged
-      else """(?i)\bTIMESTAMPTZ\s+'([^']*)'""".r.replaceAllIn(sqlTagged, m =>
+      if (!sqlIvIns.toUpperCase.contains("TIMESTAMPTZ")) sqlIvIns
+      else """(?i)\bTIMESTAMPTZ\s+'([^']*)'""".r.replaceAllIn(sqlIvIns, m =>
         Regex.quoteReplacement(s"CAST('${padZoneOffset(m.group(1))}' AS TIMESTAMP)"))
     // pg_typeof over a range cast/constructor is a static fact — fold it
     // before the cast rewrite erases the type name
@@ -1744,7 +1790,7 @@ object SltRunner {
       // crdb inline secondary-index clauses in CREATE TABLE — physical
       // access paths, not schema; content is unaffected (arrangement
       // emulation covers CREATE INDEX proper)
-      sql = """(?i),\s*(?:UNIQUE\s+)?(?:INVERTED\s+)?INDEX\s+[\w"]*\s*\([^)]*\)(?:\s+STORING\s*\([^)]*\))?""".r
+      sql = """(?i),\s*(?:UNIQUE\s+)?(?:INVERTED\s+)?INDEX\s+[\w"]*\s*\([^)]*\)(?:\s+STORING\s*\([^)]*\))?(?:\s+WHERE\s+[^,()]*)?""".r
         .replaceAllIn(sql, "")
       // pg/crdb zero-column tables (CREATE TABLE nullary ()): Spark needs
       // at least one column. A hidden dummy keeps the same observable
@@ -2020,6 +2066,10 @@ object SltRunner {
           // digits on ingest (Spark's cast truncates at micros)
           val p = c.stripPrefix("graft_tsp_")
           Some(f.name.toLowerCase -> ((cell: String) => s" pg_ts_ingest($cell, $p)"))
+        case Some(c) if c == "graft_interval" =>
+          // interval column: parse the pg text input form + store the
+          // mz-canonical rendering (idempotent over already-canonical text)
+          Some(f.name.toLowerCase -> ((cell: String) => s" mz_interval($cell, '')"))
         case _ => None
       }
     }.toMap

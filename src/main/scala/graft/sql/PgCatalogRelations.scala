@@ -267,6 +267,24 @@ object PgCatalogRelations {
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), indexSchema)
   }
 
+  private val indexesSchema = StructType(Seq(
+    StructField("table_catalog", StringType, nullable = false),
+    StructField("schemaname", StringType, nullable = false),
+    StructField("tablename", StringType, nullable = false),
+    StructField("indexname", StringType, nullable = false),
+    StructField("tablespace", StringType, nullable = true),
+    StructField("indexdef", StringType, nullable = true)))
+
+  /** pg_catalog.pg_indexes (reference builtin/pg_catalog.rs:1419): one row
+    * per index with NULL tablespace/indexdef, exactly as the reference's
+    * view renders them. */
+  def pgIndexes(spark: SparkSession, sltIndexes: Seq[(String, String)]): DataFrame = {
+    val rows = (GraftSqlCatalog.indexesFor(spark).toSeq.map(e => (e._1, e._2.rel)) ++
+      sltIndexes).map { case (n, on) => Row("materialize", "public", on, n, null, null) }
+    spark.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), indexesSchema)
+  }
+
   private val mzObjSchema = StructType(Seq(
     StructField("id", StringType, nullable = false),
     StructField("oid", IntegerType, nullable = false),
@@ -356,6 +374,7 @@ object PgCatalogRelations {
   /** Names a query must mention for registration to trigger. */
   val relationNames: Seq[String] = Seq(
     "pg_type", "pg_class", "pg_attribute", "pg_namespace", "pg_index",
+    "pg_indexes",
     "mz_tables", "mz_views", "mz_objects", "mz_indexes",
     "mz_columns", "mz_schemas",
     "pg_description", "mz_comments",
@@ -400,6 +419,7 @@ object PgCatalogRelations {
     attr.createOrReplaceTempView("pg_attribute")
     pgNamespace(spark).createOrReplaceTempView("pg_namespace")
     pgIndex(spark, sltIndexes).createOrReplaceTempView("pg_index")
+    pgIndexes(spark, sltIndexes).createOrReplaceTempView("pg_indexes")
     pgDescription(spark).createOrReplaceTempView("pg_description")
     comments.createOrReplaceTempView("mz_comments")
     tabs.createOrReplaceTempView("mz_tables")
