@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{DataType, DecimalType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, DecimalType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** pg text/formatting functions the reference exposes (both are ordinary
@@ -117,6 +117,43 @@ object PgTextFunctions {
     Cast(Pmod(asLong, Literal(4294967296L)), StringType)
   }
 
+  /** `'name'::regclass` (reference src/repr/src/scalar.rs RegClass): a
+    * relation name resolved to its oid. Numeric input passes through (pg
+    * trusts the number); names resolve against the same oid assignment the
+    * emulated catalog uses — the ambient pg_catalog relations and user
+    * tables hash through userOid (matching pg_class/pg_attribute rows),
+    * builtin mz relations take their published oid from the census
+    * (matching mz_objects). */
+  case class PgRegclass(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "pg_regclass"
+    private val ambient =
+      Set("pg_type", "pg_class", "pg_attribute", "pg_namespace", "pg_index")
+    override protected def nullSafeEval(v: Any): Any = {
+      val raw = v.toString.trim
+      if (raw.matches("-?\\d+")) raw.toInt
+      else {
+        val parts = raw.replace("\"", "").split("\\.")
+        val name = parts.last.toLowerCase
+        val schema = if (parts.length > 1) parts(parts.length - 2).toLowerCase else ""
+        if (ambient.contains(name)) graft.sql.PgCatalogRelations.userOid(name)
+        else {
+          val census =
+            if (schema.nonEmpty)
+              graft.sql.MzCatalogCensus.objectOids.get((schema, name))
+            else graft.sql.MzCatalogCensus.objectOids.collectFirst {
+              case ((_, n), oid) if n == name && oid != 0 => oid
+            }
+          census.filter(_ != 0)
+            .getOrElse(graft.sql.PgCatalogRelations.userOid(name))
+        }
+      }
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** (identifier, info, builder) triples for SparkSessionExtensions. */
   def functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
@@ -155,6 +192,8 @@ object PgTextFunctions {
       (FunctionIdentifier("quote_ident"), info("quote_ident"), quoteIdent _),
       (FunctionIdentifier("pg_size_pretty"), info("pg_size_pretty"), pgSizePretty _),
       (FunctionIdentifier("pg_oid"), info("pg_oid"), pgOid _),
+      (FunctionIdentifier("pg_regclass"), info("pg_regclass"),
+        (args: Seq[Expression]) => PgRegclass(Cast(args.head, StringType))),
       (FunctionIdentifier("pg_time"), info("pg_time"),
         (args: Seq[Expression]) => PgTimeCast(Cast(args.head, StringType))),
       (FunctionIdentifier("pg_name"), info("pg_name"),

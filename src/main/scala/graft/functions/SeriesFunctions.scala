@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan, OneRowRelation}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan, OneRowRelation, Project}
 import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
 
 /** `generate_series(start, stop [, step])` — the reference's core table
@@ -39,8 +40,13 @@ object SeriesFunctions {
 
   def tableFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
     (FunctionIdentifier(name), info, (args: Seq[Expression]) =>
-      Generate(Explode(seriesArray(args)), unrequiredChildIndex = Nil, outer = false,
-        qualifier = None, generatorOutput = Nil, child = OneRowRelation()))
+      // pg names an aliasless SRF's output column after the function
+      // (`SELECT generate_series FROM generate_series(1, 3)`); Explode's
+      // default is `col` — re-project under the pg name
+      Project(
+        Seq(Alias(UnresolvedAttribute("col"), name)()),
+        Generate(Explode(seriesArray(args)), unrequiredChildIndex = Nil, outer = false,
+          qualifier = None, generatorOutput = Nil, child = OneRowRelation())))
 
   /** The un-exploded array form, for the SLT shim's multi-SRF lockstep
     * rewrite (`inline(arrays_zip(graft_series_array(..), ..))` — pg zips
