@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, NullType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** pg-semantic array accessors (reference `src/expr/src/scalar/func.rs`
   * array_index / array_remove / array_position; pg array semantics):
@@ -55,23 +56,96 @@ case class PgArrayDim(left: Expression, right: Expression, kind: String)
     copy(left = l, right = r)
 }
 
+/** pg N-dimensional array subscripting: `a[i][j]...` applies as ONE
+  * operation (pg array semantics; the SLT shim flattens chained subscripts
+  * into one call). Rules: 1-based, NULL for a NULL / fractional /
+  * out-of-bounds index, and NULL when the access is UNDER-indexed (fewer
+  * subscripts than dimensions — pg yields NULL for `a[2]` on a 2-D array,
+  * since array elements are never themselves arrays in pg). */
+case class PgSubscriptN(children: Seq[Expression])
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  private def arr = children.head
+  private def idxs = children.tail
+  private def peel(dt: org.apache.spark.sql.types.DataType, n: Int):
+      org.apache.spark.sql.types.DataType =
+    if (n == 0) dt else dt match {
+      case org.apache.spark.sql.types.ArrayType(et, _) => peel(et, n - 1)
+      case other => other
+    }
+  override def dataType: org.apache.spark.sql.types.DataType =
+    peel(arr.dataType, idxs.length)
+  override def nullable: Boolean = true
+  /** pg 14 jsonb subscripting (`('[1,2]'::jsonb)[0]`, 0-based, negative
+    * wraps, text keys coerce to array indexes) — the engine stores jsonb as
+    * canonical text, so a string-typed operand takes this path. */
+  private def evalJsonb(input: org.apache.spark.sql.catalyst.InternalRow,
+      root: Any): Any = {
+    var node = try JsonbValue.parse(root.toString) catch { case _: Throwable => return null }
+    idxs.foreach { idxe =>
+      val raw = idxe.eval(input)
+      if (raw == null) return null
+      val isText = idxe.dataType == org.apache.spark.sql.types.StringType
+      val keyText = raw.toString
+      if (node.isArray) {
+        val i0 =
+          if (keyText.matches("-?\\d+")) keyText.toInt
+          else return null
+        val i = if (i0 < 0) node.size + i0 else i0
+        if (i < 0 || i >= node.size) return null
+        node = node.get(i)
+      } else if (node.isObject && isText) {
+        val n = node.get(keyText)
+        if (n == null) return null
+        node = n
+      } else return null
+    }
+    UTF8String.fromString(JsonbValue.render(node))
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    if (arr.dataType == org.apache.spark.sql.types.StringType) {
+      val root = arr.eval(input)
+      return if (root == null) null else evalJsonb(input, root)
+    }
+    // under-indexed multi-dim access is NULL regardless of the indices
+    if (dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) return null
+    var cur = arr.eval(input)
+    var dt = arr.dataType
+    idxs.foreach { idxe =>
+      if (cur == null) return null
+      val et = dt match {
+        case org.apache.spark.sql.types.ArrayType(e, _) => e
+        case _ => return null // over-indexed: subscripting a non-array
+      }
+      val raw = idxe.eval(input)
+      if (raw == null) return null
+      val d = raw match {
+        case n: Number => n.doubleValue
+        case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+        case other => try other.toString.toDouble catch { case _: Throwable => return null }
+      }
+      val i = d.toInt
+      if (i.toDouble != d) return null // fractional subscript
+      val a = cur.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      if (i < 1 || i > a.numElements) return null
+      cur = if (a.isNullAt(i - 1)) null else a.get(i - 1, et)
+      dt = et
+    }
+    cur
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
 object PgArrayFunctions {
 
   private def info(name: String) = new ExpressionInfo(getClass.getName, name)
 
   private def pgSubscript(args: Seq[Expression]): Expression = args match {
-    case Seq(arr, idx) =>
-      val i = Cast(idx, IntegerType)
-      // the integral check makes fractional subscripts (`arr[3.5]`) NULL —
-      // a bare int cast would truncate and silently hit the wrong element
-      If(
-        And(
-          And(GreaterThanOrEqual(i, Literal(1)), LessThanOrEqual(i, Size(arr))),
-          EqualTo(Cast(idx, DoubleType), Cast(i, DoubleType))),
-        ElementAt(arr, i, None, failOnError = false),
-        Literal.create(null, NullType))
+    case s if s.length >= 2 => PgSubscriptN(s)
     case other => throw new IllegalArgumentException(
-      s"pg_subscript expects (array, index), got ${other.length} args")
+      s"pg_subscript expects (array, index...), got ${other.length} args")
   }
 
   private def arrayRemove(args: Seq[Expression]): Expression = args match {
@@ -99,6 +173,15 @@ object PgArrayFunctions {
       s"array_position expects (array, element[, start]), got ${other.length} args")
   }
 
+  private def arrayCat(args: Seq[Expression]): Expression = args match {
+    case Seq(a, b) =>
+      // pg array_cat returns the other operand when one is NULL (Spark's
+      // concat returns NULL)
+      If(IsNull(a), b, If(IsNull(b), a, Concat(Seq(a, b))))
+    case other => throw new IllegalArgumentException(
+      s"array_cat expects (array, array), got ${other.length} args")
+  }
+
   private def arrayDim(args: Seq[Expression], kind: String): Expression = args match {
     case Seq(arr, dim) => PgArrayDim(arr, Cast(dim, IntegerType), kind)
     case other => throw new IllegalArgumentException(
@@ -116,5 +199,6 @@ object PgArrayFunctions {
       (FunctionIdentifier("array_lower"), info("array_lower"),
         (a: Seq[Expression]) => arrayDim(a, "lower")),
       (FunctionIdentifier("array_length"), info("array_length"),
-        (a: Seq[Expression]) => arrayDim(a, "length")))
+        (a: Seq[Expression]) => arrayDim(a, "length")),
+      (FunctionIdentifier("array_cat"), info("array_cat"), arrayCat _))
 }

@@ -154,6 +154,58 @@ object PgTextFunctions {
       copy(child = newChild)
   }
 
+  /** `'...'::uuid` (reference src/repr/src/adt/uuid.rs / strconv): accepts
+    * hyphenated, bare-hex, braced, and urn:uuid: forms in any case; renders
+    * the canonical lowercase 8-4-4-4-12 text. Invalid input errors with
+    * pg's message. The engine stores uuid as its canonical text. */
+  case class PgUuidCast(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "pg_uuid"
+    override protected def nullSafeEval(v: Any): Any = {
+      val raw = v.toString.trim
+      var s = raw.toLowerCase
+      if (s.startsWith("urn:uuid:")) s = s.substring(9)
+      if (s.startsWith("{") && s.endsWith("}")) s = s.substring(1, s.length - 1)
+      val hex = s.replace("-", "")
+      if (hex.length != 32 || !hex.forall(c => c.isDigit || (c >= 'a' && c <= 'f')))
+        throw new ArithmeticException(
+          s"""invalid input syntax for type uuid: "$raw"""")
+      UTF8String.fromString(
+        s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-${hex.substring(12, 16)}-${hex.substring(16, 20)}-${hex.substring(20)}")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `uuid_generate_v5(namespace_uuid, name)` — RFC 4122 §4.3 name-based
+    * UUID as a pure built-in expression tree (same construction as
+    * [[graft.functions.PgFunctions.uuidV5]], here over raw Catalyst
+    * expressions so the SQL surface resolves it; reference
+    * `src/expr/src/scalar/func/binary.rs` UuidGenerateV5). */
+  private def uuidGenerateV5(args: Seq[Expression]): Expression = {
+    val ns = StringReplace(Cast(args(0), StringType), Literal("-"), Literal(""))
+    val nm = Cast(args(1), StringType)
+    val h = Sha1(Concat(Seq(Unhex(ns), Encode(nm, Literal("UTF-8")))))
+    def sub(p: Int, l: Int) = Substring(h, Literal(p), Literal(l))
+    val variantDigit = Lower(Conv(
+      Cast(
+        Add(
+          Remainder(Cast(Conv(sub(17, 1), Literal(16), Literal(10)), IntegerType),
+            Literal(4)),
+          Literal(8)),
+        StringType),
+      Literal(10), Literal(16)))
+    val uuid = ConcatWs(Seq(Literal("-"),
+      sub(1, 8), sub(9, 4),
+      Concat(Seq(Literal("5"), sub(14, 3))),
+      Concat(Seq(variantDigit, sub(18, 3))),
+      sub(21, 12)))
+    // ConcatWs skips NULL pieces — a NULL operand must yield NULL, not ""
+    If(Or(IsNull(args(0)), IsNull(args(1))),
+      Literal.create(null, StringType), uuid)
+  }
+
   /** (identifier, info, builder) triples for SparkSessionExtensions. */
   def functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
@@ -194,6 +246,10 @@ object PgTextFunctions {
       (FunctionIdentifier("pg_oid"), info("pg_oid"), pgOid _),
       (FunctionIdentifier("pg_regclass"), info("pg_regclass"),
         (args: Seq[Expression]) => PgRegclass(Cast(args.head, StringType))),
+      (FunctionIdentifier("pg_uuid"), info("pg_uuid"),
+        (args: Seq[Expression]) => PgUuidCast(Cast(args.head, StringType))),
+      (FunctionIdentifier("uuid_generate_v5"), info("uuid_generate_v5"),
+        uuidGenerateV5 _),
       (FunctionIdentifier("pg_time"), info("pg_time"),
         (args: Seq[Expression]) => PgTimeCast(Cast(args.head, StringType))),
       (FunctionIdentifier("pg_name"), info("pg_name"),

