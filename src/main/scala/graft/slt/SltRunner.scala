@@ -595,7 +595,7 @@ object SltRunner {
     rangeColumns.clear(); customTypes.clear(); sltMvNames.clear()
     nanDoubleTables.clear(); mvClusters.clear()
     realColumns.clear(); dblColumns.clear(); byteaColumns.clear()
-    intervalTables.clear()
+    intervalTables.clear(); SchemaEmulation.reset()
   }
 
   /** Session custom types as pg_type rows: named lists carry typelem
@@ -1528,10 +1528,21 @@ object SltRunner {
         return s"SELECT raise_error('$msg') AS graft_cast_fidelity"
       case None => ()
     }
+    // user-schema references flatten to their canonical names (the
+    // registries were populated by classify, in record order); created
+    // members are noted for DROP SCHEMA ... CASCADE
+    val sql0rawSch =
+      if (SchemaEmulation.isEmpty) sql0rawIn0
+      else {
+        val m = rewriteOutsideLits(sql0rawIn0)(SchemaEmulation.mangle)
+        """(?is)\bCREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?(?:TEMP(?:ORARY)?\s+)?(?:MATERIALIZED\s+)?(?:TABLE|VIEW)\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?(gfts\d+_\w+__\w+)""".r
+          .findAllMatchIn(m).foreach(x => SchemaEmulation.noteCreate(x.group(1).toLowerCase))
+        m
+      }
     val sql0rawIn =
-      if (!sql0rawIn0.contains("'")) sql0rawIn0
-      else if (!"""(?s)(?<!['\w])[eE]'""".r.findFirstIn(sql0rawIn0).isDefined) sql0rawIn0
-      else rewriteEStrings(sql0rawIn0)
+      if (!sql0rawSch.contains("'")) sql0rawSch
+      else if (!"""(?s)(?<!['\w])[eE]'""".r.findFirstIn(sql0rawSch).isDefined) sql0rawSch
+      else rewriteEStrings(sql0rawSch)
     // pg_catalog./information_schema. qualification: the introspection views
     // register as unqualified temp views (Spark has no pg_catalog schema)
     val sql0rawPg0 =
@@ -2353,6 +2364,42 @@ object SltRunner {
     }
   }
 
+  /** pg ORDER-BY-output-name ambiguity (reference plan_order_by_or_
+    * distinct_expr, src/sql/src/plan/query.rs:2988): a bare ORDER BY name
+    * matching TWO output columns with DIFFERENT source expressions is
+    * ambiguous (identical expressions are fine per SQL92). Conservative:
+    * star-free single-SELECT shapes only. */
+  private def ambiguousOrderByAlias(sql: String): Option[String] = {
+    if ("""(?i)\bORDER\s+BY\b""".r.findFirstIn(sql).isEmpty) return None
+    val Shape =
+      """(?is)^\s*SELECT\s+(?:DISTINCT\s+)?(.*?)\s+FROM\s+.*\bORDER\s+BY\s+([\w\s,."`]+?)(?:LIMIT|OFFSET|;|$).*$""".r
+    sql match {
+      case Shape(selList, oby) if !selList.contains("*") &&
+          !selList.toUpperCase.contains("SELECT") =>
+        // (output name, normalized source text) per select item
+        val items = splitTopLevel(selList, ',').flatMap { it0 =>
+          val it = it0.trim
+          """(?is)^(.*?)\s+AS\s+["`]?(\w+)["`]?\s*$""".r.findFirstMatchIn(it) match {
+            case Some(m) => Some((m.group(2).toLowerCase, m.group(1).trim.toLowerCase))
+            case None =>
+              // a bare (possibly qualified) column ref names its last part
+              if (it.matches("""(?s)[\w."`]+"""))
+                Some((it.split("\\.").last.replaceAll("[\"`]", "").toLowerCase,
+                  it.toLowerCase.replaceAll("[\"`]", "")))
+              else None
+          }
+        }
+        val obyNames = oby.split(",").map(_.trim.replaceAll("[\"`]", "").toLowerCase)
+          .filter(_.matches("[a-z_]\\w*"))
+        obyNames.find { n =>
+          val exprs = items.filter(_._1 == n)
+            .map(_._2.split("\\.").last).distinct
+          exprs.size > 1
+        }
+      case _ => None
+    }
+  }
+
   /** Table targeted by a mutating statement, for state-poison tracking. */
   private def mutationTarget(sql: String): Option[String] = {
     val m = """(?i)^\s*(?:UPDATE\s+|DELETE\s+FROM\s+|INSERT\s+INTO\s+)["`]?(\w+)""".r
@@ -2934,6 +2981,16 @@ object SltRunner {
 
   private def classify(sqlRaw: String, crdb: Boolean): Record = {
     val up = sqlRaw.trim.toUpperCase
+    // user-schema DDL: emulated by name-flattening (SchemaEmulation) —
+    // classify-time registry mutation, exec-time pass/reject via marker
+    if (up.startsWith("CREATE SCHEMA") || up.startsWith("DROP SCHEMA") ||
+        up.startsWith("ALTER SCHEMA")) {
+      SchemaEmulation.classify(sqlRaw) match {
+        case Some(marker) => return Statement(marker, expectError = false)
+        case None => return Unsupported(
+          s"no Spark analog: ${up.takeWhile(_ != ' ')}", mutating = false, sql = sqlRaw)
+      }
+    }
     // UPDATE/DELETE run through the emulation in applyMutation (Spark v1
     // tables have no native UPDATE/DELETE); unsupported shapes fall back to
     // a dialect skip that poisons the target, as before
@@ -3059,7 +3116,12 @@ object SltRunner {
         i += 1
       }
       else if (line.startsWith("mode ") || line.startsWith("hash-threshold")) i += 1
-      else if (line == "reset-server") { out += ResetServer; i += 1 }
+      else if (line == "reset-server") {
+        // schema registry state is parse-time (classify order) — a
+        // mid-file server reset clears it here, in stream order
+        SchemaEmulation.reset()
+        out += ResetServer; i += 1
+      }
       else if (line.startsWith("copy ")) {
         val parts = line.split("\\s+")
         if (parts.length >= 3) emit(CopyLoad(parts(1), parts(2))) else emit(
@@ -3398,6 +3460,10 @@ object SltRunner {
         """(?i)pg_oid\s*\(\s*pg_regclass\s*\(\s*'[^']*[A-Za-z_]|'[^']*[A-Za-z_][^']*'\s*::\s*regclass\s*::\s*oid""".r,
         "a name-resolved regclass oid RENDERS mz's allocation-order id " +
           "(emulated oids only join consistently, their values differ)"),
+      (".*",
+        """(?i)\bSHOW\s+CREATE\b[\s\S]*\bgfts\d+_""".r,
+        "SHOW CREATE of a schema-qualified relation renders the reference's " +
+          "materialize.<schema>.<name>; the flattened emulation name differs"),
       ("outer_join.slt",
         """(?i),\s*LATERAL\s*\(SELECT[^)]*\)\s*\w*\s+NATURAL\s+RIGHT\s+JOIN""".r,
         "pg binds JOIN tighter than comma: 'a, b NATURAL RIGHT JOIN c' " +
@@ -4130,6 +4196,28 @@ object SltRunner {
             tally(s"copy TSV load failed: ${e.getClass.getSimpleName}")
             poisonedTables += table.toLowerCase // un-loaded table is empty, not absent
         }
+      case Statement(sql, expectError) if sql.startsWith("GRAFT_SCHEMA_DDL|") =>
+        // user-schema DDL marker (SchemaEmulation.classify). The reference's
+        // schema catalog changed (or was asked to) — the introspection
+        // relations don't model user schemas, so they poison either way.
+        poisonedTables ++= PgCatalogRelations.relationNames
+        SchemaEmulation.parseMarker(sql) match {
+          case Some((true, _, drops)) =>
+            drops.foreach { d =>
+              try { if (!applyMutation(spark, d)) { spark.sql(d).collect(); () } }
+              catch { case _: Throwable =>
+                try { spark.sql(d.replace("DROP TABLE", "DROP VIEW")).collect(); () }
+                catch { case _: Throwable => () }
+              }
+            }
+            if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+            else passed += 1
+          case Some((false, _, _)) =>
+            if (expectError) passed += 1
+            else { skipped += 1; tally("schema DDL the reference rejects", sql) }
+          case None =>
+            skipped += 1; tally("schema DDL marker parse failure", sql)
+        }
       case Statement(sql, expectError) if isSingle(sql) && SltSession.Prepare.findFirstMatchIn(sql).isDefined =>
         val m = SltSession.Prepare.findFirstMatchIn(sql).get
         if (expectError) {
@@ -4160,13 +4248,22 @@ object SltRunner {
         txnDdl.foreach(poisonedTables += _)
         txnClear()
       case Statement(sql, expectError) if isSingle(sql) && SltSession.Begin.findFirstMatchIn(sql).isDefined =>
-        // nested BEGIN is a pg warning, not an error — the txn continues
-        if (!txnActive) {
-          txnActive = true; txnAborted = false; txnQueryRan = false
-          txnReadOnly = """(?is)\bREAD\s+ONLY\b""".r.findFirstIn(sql).isDefined
+        // nested BEGIN is a pg warning, not an error — the txn continues.
+        // But access-mode tails on the nested BEGIN are rejected once a
+        // query ran ('transaction read-write mode must be set before any
+        // query', corpus transactions.slt:547)
+        if (txnActive && txnQueryRan &&
+            """(?is)\bREAD\s+(?:WRITE|ONLY)\b""".r.findFirstIn(sql).isDefined) {
+          if (expectError) passed += 1
+          else { skipped += 1; tally("txn mode change the reference rejects", sql) }
+        } else {
+          if (!txnActive) {
+            txnActive = true; txnAborted = false; txnQueryRan = false
+            txnReadOnly = """(?is)\bREAD\s+ONLY\b""".r.findFirstIn(sql).isDefined
+          }
+          if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+          else passed += 1
         }
-        if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
-        else passed += 1
       case Statement(sql, expectError) if isSingle(sql) && SltSession.Commit.findFirstMatchIn(sql).isDefined =>
         if (txnAborted) txnRestore() // COMMIT of an aborted txn rolls back
         txnClear()
@@ -4244,6 +4341,11 @@ object SltRunner {
         if (name == "transaction_isolation" && txnActive && txnQueryRan) {
           // reference: 'SET TRANSACTION ISOLATION LEVEL must be called
           // before any query' (corpus transactions.slt:788)
+          if (expectError) passed += 1
+          else { skipped += 1; tally("SET value the reference rejects", sql); varTainted += name }
+        } else if (name == "cluster" && txnActive) {
+          // reference: 'SET cluster cannot be called in an active
+          // transaction' (corpus transactions.slt:975)
           if (expectError) passed += 1
           else { skipped += 1; tally("SET value the reference rejects", sql); varTainted += name }
         } else {
@@ -4672,6 +4774,9 @@ object SltRunner {
           // ambiguous (reference src/sql/src/plan/query.rs) — Spark groups
           // happily, so the reference's rejection is enforced here
           for (a <- ambiguousGroupByAlias(spark, qSql))
+            throw new IllegalStateException(
+              s"""column reference "$a" is ambiguous""")
+          for (a <- ambiguousOrderByAlias(qSql))
             throw new IllegalStateException(
               s"""column reference "$a" is ambiguous""")
           // a mutation query record (INSERT/UPDATE/DELETE ... RETURNING)
