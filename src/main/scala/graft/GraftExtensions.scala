@@ -19,6 +19,7 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     // and FROM position — the reference's core table function
     e.injectFunction(graft.functions.SeriesFunctions.scalarFunction)
     e.injectTableFunction(graft.functions.SeriesFunctions.tableFunction)
+    e.injectTableFunction(graft.functions.SeriesFunctions.unnestTableFunction)
     e.injectFunction(graft.functions.SeriesFunctions.arrayFunction)
     // pg-semantic array accessors: 1-based NULL-safe subscript, NOT
     // DISTINCT FROM removal, NULL-when-absent position

@@ -31,6 +31,13 @@ case class PgArrayDim(left: Expression, right: Expression, kind: String)
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def dataType: org.apache.spark.sql.types.DataType = IntegerType
   override def nullable: Boolean = true
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == NullType)
+      // pg rejects a bare untyped NULL argument (polymorphic anyarray)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "could not determine polymorphic type because input has type unknown")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   override protected def nullSafeEval(arr: Any, dim: Any): Any = {
     val d = dim.asInstanceOf[Int]
     if (d < 1) return null

@@ -57,6 +57,54 @@ object SeriesFunctions {
 
   // silence the unused warning if FunctionRegistry ends up unreferenced
   locally { val _ = FunctionRegistry }
+
+  /** `FROM unnest(arr)` — pg's array-to-rows table function (reference
+    * `src/expr/src/relation/func.rs` TableFunc::UnnestArray). pg flattens
+    * ALL dimensions in row-major order (a 2-D array yields scalars), so the
+    * argument goes through [[FlattenAll]] before Explode; the output column
+    * carries pg's function name. */
+  def unnestTableFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("unnest"),
+      new ExpressionInfo(classOf[Explode].getName, "unnest"),
+      (args: Seq[Expression]) =>
+        Project(
+          Seq(Alias(UnresolvedAttribute("col"), "unnest")()),
+          Generate(Explode(FlattenAll(args.head)), unrequiredChildIndex = Nil,
+            outer = false, qualifier = None, generatorOutput = Nil,
+            child = OneRowRelation())))
+}
+
+/** Flattens nested arrays to a single level of the innermost element type
+  * (pg multi-dim arrays unnest row-major to scalars). A flat array passes
+  * through unchanged; NULL sub-arrays contribute nothing. */
+case class FlattenAll(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.{ArrayType, DataType}
+  private def innermost(dt: DataType): DataType = dt match {
+    case ArrayType(e, _) => innermost(e)
+    case o => o
+  }
+  override def dataType: DataType = ArrayType(innermost(child.dataType))
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def walk(a: Any, dt: DataType): Unit = dt match {
+      case ArrayType(e, _) =>
+        val ad = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        var i = 0
+        while (i < ad.numElements) {
+          if (ad.isNullAt(i)) { if (!e.isInstanceOf[ArrayType]) out += null }
+          else walk(ad.get(i, e), e)
+          i += 1
+        }
+      case _ => out += a
+    }
+    walk(v, child.dataType)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** 3-arg `generate_series(start, stop, step)` with pg semantics, dispatching

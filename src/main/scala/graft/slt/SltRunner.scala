@@ -1656,15 +1656,101 @@ object SltRunner {
         case None => sql0rawMath0
       }
     }
-    // pg has no char_length over numbers (no implicit numeric->text):
-    // a numeric-literal argument is statically rejectable
-    val sql0rawClen =
-      """(?i)\b(char_length|character_length)\s*\(\s*-?\d+(?:\.\d+)?\s*\)""".r
-        .findFirstIn(sql0rawMath) match {
-        case Some(_) =>
-          return "SELECT raise_error('function char_length(integer) does not exist') AS graft_fn_fidelity"
-        case None => sql0rawMath
+    // statically-rejectable function shapes the reference's planner refuses
+    // (each a raise_error so `query error` records reproduce the rejection):
+    //  - char_length over a numeric literal (no implicit numeric->text)
+    //  - single-argument string_agg (pg's is (value, delimiter))
+    //  - two-argument count (pg count takes one argument or *)
+    //  - avg(NULL) — bare unknown-typed NULL has no polymorphic resolution
+    //  - array_agg over an array argument (reference: not yet supported)
+    //  - chr(<non-positive literal>) — outside the character repertoire
+    //  - date/::date of a short digit-only literal (pg needs 8 ISO digits
+    //    or separators: 'invalid input syntax for type date')
+    //  - boolean literal operand of || (no boolean concat operator)
+    val fnFidelity: Option[String] =
+      if ("""(?i)\b(char_length|character_length)\s*\(\s*-?\d+(?:\.\d+)?\s*\)""".r
+            .findFirstIn(sql0rawMath).isDefined)
+        Some("function char_length(integer) does not exist")
+      else if ("""(?i)\bstring_agg\s*\(\s*(?:[\w.]+|'[^']*')\s*\)""".r
+            .findFirstIn(sql0rawMath).isDefined)
+        Some("function string_agg(text) does not exist")
+      else if ("""(?i)\bcount\s*\(\s*(?:[\w.]+|\*)\s*,""".r
+            .findFirstIn(sql0rawMath).isDefined)
+        Some("function count(text, text) does not exist")
+      else if ("""(?i)\bavg\s*\(\s*null\s*\)""".r.findFirstIn(sql0rawMath).isDefined)
+        Some("unable to determine which implementation to use for avg")
+      else if ("""(?i)\barray_agg\s*\(\s*array\s*[(\[]""".r
+            .findFirstIn(sql0rawMath).isDefined)
+        Some("array_agg on arrays not yet supported")
+      else if ("""(?i)\bchr\s*\(\s*(?:-\d+|0)\s*\)""".r
+            .findFirstIn(sql0rawMath).isDefined)
+        Some("requested character not valid for encoding")
+      else if ("""(?i)(?:\bdate\s*\(\s*'\d{1,7}'\s*\)|'\d{1,7}'\s*::\s*date\b)""".r
+            .findFirstIn(sql0rawMath).isDefined)
+        Some("invalid input syntax for type date")
+      else if ("""(?is)^\s*SELECT\s+(?:true|false)\s*\|\|\s*(?:true|false)\s*;?\s*$""".r
+            .findFirstIn(sql0rawMath).isDefined)
+        Some("operator does not exist: boolean || boolean")
+      else if ("""(?i)\bEXTRACT\s*\(\s*(?:HOUR|MINUTE|SECOND|MILLISECONDS?|MICROSECONDS?)S?\s+FROM\s+DATE\b""".r
+            .findFirstIn(sql0rawMath).isDefined)
+        // pg: time-of-day units are not supported for type date
+        Some("unit not supported for type date")
+      else if ("""(?is)^\s*SELECT\s+(?:array|case|cast|select|where)\s+FROM\b""".r
+            .findFirstIn(sql0rawMath).isDefined)
+        // fully-reserved words cannot be bare column references
+        Some("syntax error at or near reserved word")
+      else if ("""(?i)::\s*(?:text|string)\s+IS\s+(?:NOT\s+)?(?:TRUE|FALSE|UNKNOWN)\b""".r
+            .findFirstIn(sql0rawMath).isDefined)
+        Some("argument of IS TRUE must have type boolean, not type text")
+      else if ("""(?i)\b(?:lower|upper)\s*\(\s*'[^']*'\s*::\s*interval\s*\)""".r
+            .findFirstIn(sql0rawMath).isDefined)
+        Some("function lower(interval) does not exist")
+      else if ("""(?i)\bgenerate_series\s*\(\s*-?\d+\s*,\s*-?\d+\s*,\s*0\s*\)""".r
+            .findFirstIn(sql0rawMath).isDefined)
+        Some("step size cannot equal zero")
+      else {
+        // literal real arithmetic computes in FLOAT4 (pg): overflow /
+        // underflow-to-zero of nonzero operands is an error where Spark's
+        // float/float promotion to double silently succeeds
+        val realArith =
+          """(?i)'(-?[0-9.]+(?:e[+-]?\d+)?)'\s*::\s*(?:real|float4)\s*([*/])\s*'(-?[0-9.]+(?:e[+-]?\d+)?)'\s*::\s*(?:real|float4)""".r
+            .findFirstMatchIn(sql0rawMath).flatMap { m =>
+              try {
+                val a = m.group(1).toFloat; val b = m.group(3).toFloat
+                val r = if (m.group(2) == "*") a * b else a / b
+                if (r.isInfinite) Some("value out of range: overflow")
+                else if (r == 0.0f && a != 0.0f && b != 0.0f)
+                  Some("value out of range: underflow")
+                else None
+              } catch { case _: Throwable => None }
+            }
+        // literal unsigned arithmetic: pg errors outside [0, 2^bits)
+        val uintArith = realArith.orElse {
+          """(?i)(\d+)\s*::\s*uint([248])\s*([-+*])\s*(\d+)\s*::\s*uint\2""".r
+            .findFirstMatchIn(sql0rawMath).flatMap { m =>
+              try {
+                val a = BigInt(m.group(1)); val b = BigInt(m.group(4))
+                val r = m.group(3) match {
+                  case "+" => a + b; case "-" => a - b; case _ => a * b
+                }
+                val hi = m.group(2) match {
+                  case "2" => BigInt(65535)
+                  case "4" => BigInt(4294967295L)
+                  case _ => (BigInt(1) << 64) - 1
+                }
+                if (r < 0 || r > hi)
+                  Some(s""""$r" uint${m.group(2)} out of range""")
+                else None
+              } catch { case _: Throwable => None }
+            }
+        }
+        uintArith
       }
+    val sql0rawClen = fnFidelity match {
+      case Some(msg) =>
+        return s"SELECT raise_error('$msg') AS graft_fn_fidelity"
+      case None => sql0rawMath
+    }
     // pg float-literal range fidelity (reference src/repr/src/strconv.rs:
     // 2117): a literal that overflows or underflows its float type is an
     // error at parse, where Spark saturates to inf / rounds to zero
