@@ -1708,6 +1708,12 @@ object SltRunner {
       else if ("""(?i)\bgenerate_series\s*\(\s*-?\d+\s*,\s*-?\d+\s*,\s*0\s*\)""".r
             .findFirstIn(sql0rawMath).isDefined)
         Some("step size cannot equal zero")
+      else if ("""(?i)\bUSING\s*\(\s*([\w\s,"]+)\)""".r.findAllMatchIn(sql0rawMath)
+            .exists { m =>
+              val cols = m.group(1).split(",").map(_.trim.toLowerCase)
+              cols.distinct.length != cols.length
+            })
+        Some("column name appears more than once in USING clause")
       else {
         // literal real arithmetic computes in FLOAT4 (pg): overflow /
         // underflow-to-zero of nonzero operands is an error where Spark's
@@ -2475,11 +2481,16 @@ object SltRunner {
               else None
           }
         }
-        val obyNames = oby.split(",").map(_.trim.replaceAll("[\"`]", "").toLowerCase)
+        val obyNames = oby.split(",").map(_.trim.replaceAll("[\"`]", "").toLowerCase
+            .replaceAll("""\s+nulls\s+(?:first|last)\s*$""", "")
+            .replaceAll("""\s+(?:asc|desc)\s*$""", "").trim)
           .filter(_.matches("[a-z_]\\w*"))
         obyNames.find { n =>
+          // identical target expressions are not ambiguous (SQL92); strip
+          // whitespace/parens so `a` and `(a)` compare equal — erring
+          // toward equality keeps the check conservative
           val exprs = items.filter(_._1 == n)
-            .map(_._2.split("\\.").last).distinct
+            .map(_._2.split("\\.").last.replaceAll("[\\s()]", "")).distinct
           exprs.size > 1
         }
       case _ => None
