@@ -145,19 +145,36 @@ private[slt] object SltSession {
       // zero, and sub-millisecond durations are invalid values), and SHOW
       // re-renders it with spaces between unit groups ("1m30s" -> "1m 30s")
       val durStr = v.stripPrefix("bounded staleness").trim
-      val comp = """(\d+)\s*(ns|us|ms|s|m|h|d)""".r
+      // humantime also accepts long unit spellings ('1 minute', '2 hours');
+      // longest-first alternation so 'ms' wins over 'm'+stray 's'
+      val comp = ("""(\d+)\s*(nsec|ns|usec|us|msec|ms|seconds|second|secs|sec|s|""" +
+        """minutes|minute|mins|min|m|hours|hour|hrs|hr|h|days|day|d|weeks|week|w)\b""").r
       val parts = comp.findAllMatchIn(durStr).toList
       val residue = comp.replaceAllIn(durStr, "").replaceAll("\\s+", "")
       if (parts.isEmpty || residue.nonEmpty) Invalid
       else {
-        val ns = parts.map(m => m.group(1).toLong * (m.group(2) match {
+        def compact(u: String): String = u match {
+          case "nsec" | "ns" => "ns"
+          case "usec" | "us" => "us"
+          case "msec" | "ms" => "ms"
+          case u if u.startsWith("s") => "s"
+          case u if u.startsWith("m") => "m"
+          case u if u.startsWith("h") => "h"
+          case u if u.startsWith("d") => "d"
+          case _ => "w"
+        }
+        val ns = parts.map(m => m.group(1).toLong * (compact(m.group(2)) match {
           case "ns" => 1L; case "us" => 1000L; case "ms" => 1000000L
           case "s" => 1000000000L; case "m" => 60000000000L
-          case "h" => 3600000000000L; case _ => 86400000000000L
+          case "h" => 3600000000000L; case "d" => 86400000000000L
+          case _ => 604800000000000L
         })).sum
         if (ns < 1000000L) Invalid
         else Accepted(
-          "bounded staleness " + parts.map(m => m.group(1) + m.group(2)).mkString(" "))
+          "bounded staleness " + parts.map { m =>
+            val u = compact(m.group(2))
+            if (u == "w") (m.group(1).toLong * 7) + "d" else m.group(1) + u
+          }.mkString(" "))
       }
     case _ => Invalid
   }
