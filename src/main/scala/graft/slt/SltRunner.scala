@@ -1266,6 +1266,34 @@ object SltRunner {
     else sql
   }
 
+  /** mz evaluates a numerically-REVERSED window frame (start bound after
+    * end bound, e.g. `ROWS BETWEEN 0 PRECEDING AND 1 PRECEDING`) as the
+    * EMPTY frame: value functions yield NULL, count 0, array_agg {}
+    * (reference corpus window_funcs.slt "x PRECEDING AND y PRECEDING,
+    * where x < y" sections). Spark rejects those frames at analysis with
+    * SPECIFIED_WINDOW_FRAME_WRONG_COMPARISON — rewrite to a Spark-legal
+    * frame with identical empty semantics. */
+  private def rewriteEmptyFrames(sql: String): String = {
+    if (!"""(?i)\b(ROWS|RANGE|GROUPS)\s+BETWEEN\b""".r.findFirstIn(sql).isDefined)
+      return sql
+    val Frame = ("""(?i)\b(ROWS|RANGE|GROUPS)\s+BETWEEN\s+""" +
+      """(UNBOUNDED\s+PRECEDING|CURRENT\s+ROW|\d+\s+(?:PRECEDING|FOLLOWING))\s+AND\s+""" +
+      """(UNBOUNDED\s+FOLLOWING|UNBOUNDED\s+PRECEDING|CURRENT\s+ROW|\d+\s+(?:PRECEDING|FOLLOWING))""").r
+    def boundVal(b: String): Option[BigInt] = {
+      val t = b.trim.toUpperCase.replaceAll("\\s+", " ")
+      if (t == "CURRENT ROW") Some(BigInt(0))
+      else if (t.startsWith("UNBOUNDED")) None
+      else if (t.endsWith("PRECEDING")) Some(-BigInt(t.split(" ")(0)))
+      else Some(BigInt(t.split(" ")(0)))
+    }
+    rewriteOutsideLits(sql)(s => Frame.replaceAllIn(s, m =>
+      (boundVal(m.group(2)), boundVal(m.group(3))) match {
+        case (Some(lo), Some(hi)) if lo > hi =>
+          "ROWS BETWEEN CURRENT ROW AND 1 PRECEDING"
+        case _ => Regex.quoteReplacement(m.matched)
+      }))
+  }
+
   private def rewriteIntervalSelects(sql: String): String = {
     if (!sql.toUpperCase.contains("INTERVAL")) return sql
     def esc(s: String) = s.replace("'", "''")
@@ -1886,9 +1914,9 @@ object SltRunner {
       if (!"""(?is),\s*generate_series\s*\(""".r.findFirstIn(sql0rawDon0).isDefined)
         sql0rawDon0
       else rewriteCommaSeries(sql0rawDon0)
-    val sql0raw0 = rewriteWindowFnAliases(rewriteUsingAlias(
+    val sql0raw0 = rewriteEmptyFrames(rewriteWindowFnAliases(rewriteUsingAlias(
       rewriteIntervalSelects(rewriteCharVarcharCmp(rewriteNanNumeric(
-        rewriteFloatByteaOps(sql0rawDon))))))
+        rewriteFloatByteaOps(sql0rawDon)))))))
     // bare (length-less) varchar is pg's unbounded form ≡ text; Spark's
     // VARCHAR demands a length. After rewriteCharVarcharCmp so bpchar
     // comparison resolution keeps seeing the varchar spelling.
@@ -2064,6 +2092,10 @@ object SltRunner {
       //   LIMIT n (default 1);  OFFSET n LIMIT m -> LIMIT m OFFSET n
       //   (Spark's queryOrganization only accepts LIMIT-then-OFFSET)
       if ("""(?i)\b(OFFSET|FETCH)\b""".r.findFirstIn(sql).isDefined) {
+        // pg casts a NUMERIC row count to bigint, i.e. rounds: OFFSET (0.4)
+        // -> OFFSET 0; Spark rejects non-integral limit-like expressions
+        sql = """(?i)\b(OFFSET|LIMIT)\s+\(?\s*(\d+\.\d+)\s*\)?""".r.replaceAllIn(sql,
+          m => m.group(1).toUpperCase + " " + math.round(m.group(2).toDouble))
         sql = """(?i)\bOFFSET\s+(\d+)\s+ROWS?\b""".r.replaceAllIn(sql, "OFFSET $1")
         sql = """(?i)\bFETCH\s+(?:FIRST|NEXT)\s+(\d+|\((?:[^()]*)\))?\s*ROWS?\s+ONLY\b""".r
           .replaceAllIn(sql, m => "LIMIT " + Option(m.group(1)).getOrElse("1"))
@@ -2077,7 +2109,16 @@ object SltRunner {
       // (collect_list drops them — collect structs and re-project) and
       // yields NULL, not {}, on empty input. Complex/ordered forms are left
       // native (order-sensitive ones are documented dialect skips).
-      sql = """(?i)\barray_agg\s*\(\s*((?:[\w.]+|\d+|NULL)(?:\s*::\s*\w+)?)\s*\)""".r
+      // window form first: the CASE must wrap PER-EXPRESSION window calls
+      // (`CASE .. END OVER (w)` is not valid syntax)
+      sql = ("""(?i)\barray_agg\s*\(\s*((?:[\w.]+|\d+|NULL)(?:\s*::\s*\w+)?)\s*\)""" +
+        """\s*OVER\s*(\((?:[^()]|\([^()]*\))*\))""").r
+        .replaceAllIn(sql, m => scala.util.matching.Regex.quoteReplacement(
+          s"CASE WHEN count(1) OVER ${m.group(2)} = 0 THEN NULL ELSE " +
+            // the reference renders window array_agg VALUE-sorted, NULLs
+            // last (window_funcs.slt frame fixtures), not frame-ordered
+            s"array_sort(transform(collect_list(named_struct('v', ${m.group(1)})) OVER ${m.group(2)}, s -> s.v)) END"))
+      sql = """(?i)\barray_agg\s*\(\s*((?:[\w.]+|\d+|NULL)(?:\s*::\s*\w+)?)\s*\)(?!\s*OVER\b)""".r
         .replaceAllIn(sql, m => scala.util.matching.Regex.quoteReplacement(
           s"CASE WHEN count(1) = 0 THEN NULL ELSE " +
             s"transform(collect_list(named_struct('v', ${m.group(1)})), s -> s.v) END"))
@@ -3499,6 +3540,113 @@ object SltRunner {
     "(?i)\\border\\s+by\\b".r.findFirstIn(top.toString).isDefined
   }
 
+  /** Start offset of the first `kw` match at paren-depth 0 outside string
+    * literals, or -1. */
+  private def topLevelIndexOf(sql: String, kw: Regex, from: Int = 0): Int = {
+    var depth = 0
+    var inStr = false
+    var i = 0
+    val depthAt = new Array[Int](sql.length + 1)
+    while (i < sql.length) {
+      depthAt(i) = if (inStr) Int.MaxValue else depth
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ => ()
+      }
+      i += 1
+    }
+    kw.findAllMatchIn(sql).find(m => m.start >= from && depthAt(m.start) == 0)
+      .map(_.start).getOrElse(-1)
+  }
+
+  /** pg names an unaliased function-call output column after the FUNCTION
+    * (reference behavior: `SELECT lead(x) OVER (..) FROM t ORDER BY lead`
+    * orders by that output column; Spark names the column from the full
+    * expression text, so the bare name fails to resolve). Rescue rewrite:
+    * when a top-level ORDER BY item is a bare identifier matching exactly
+    * one unaliased `ident(...)` select item, alias that item with the
+    * identifier. Returns None when nothing applies. */
+  private[slt] def aliasImplicitFnNames(sql: String): Option[String] = {
+    val obAt = topLevelIndexOf(sql, """(?i)\bORDER\s+BY\b""".r)
+    if (obAt < 0) return None
+    val selAt = topLevelIndexOf(sql, """(?i)\bSELECT\b""".r)
+    if (selAt < 0 || selAt > obAt) return None
+    var fromAt = topLevelIndexOf(sql, """(?i)\bFROM\b""".r, selAt)
+    if (fromAt < 0 || fromAt > obAt) fromAt = obAt
+    val obTail = sql.substring(obAt).replaceFirst("""(?is)^ORDER\s+BY""", "")
+    val obBody = sql.substring(obAt) match { case _ =>
+      val t = obTail.takeWhile(c => c != ';')
+      val cut = topLevelIndexOf(t, """(?i)\b(LIMIT|OFFSET|FETCH)\b""".r)
+      if (cut >= 0) t.substring(0, cut) else t
+    }
+    val wanted: List[String] = splitTopLevel(obBody, ',').flatMap { item =>
+      """(?is)^\s*([A-Za-z_]\w*)\s*(?:ASC|DESC|NULLS\s+\w+|\s)*$""".r
+        .findFirstMatchIn(item).map(_.group(1).toLowerCase)
+    }.distinct
+    if (wanted.isEmpty) return None
+    val selHead = sql.substring(selAt + 6)
+    val listLen = fromAt - (selAt + 6)
+    val selList = selHead.substring(0, listLen)
+    val items = splitTopLevel(selList, ',')
+    var changed = false
+    val newItems = items.map { it => it } .toArray
+    wanted.foreach { n =>
+      // skip when some item already carries the name (alias or bare column)
+      val taken = items.exists { it =>
+        val t = it.trim.toLowerCase
+        t == n || t.endsWith(" " + n) || t.endsWith("\"" + n + "\"")
+      }
+      val hits = items.zipWithIndex.filter { case (it, _) =>
+        val t = it.trim
+        t.toLowerCase.startsWith(n + "(") || t.toLowerCase.startsWith(n + " (") ||
+          t.toLowerCase.matches("(?s)^" + java.util.regex.Pattern.quote(n) + "\\s*\\(.*")
+      }.filter(_._1.trim.endsWith(")"))
+      if (!taken && hits.length == 1) {
+        val (it, idx) = hits.head
+        newItems(idx) = it + " AS " + n
+        changed = true
+      }
+    }
+    if (!changed) None
+    else Some(sql.substring(0, selAt + 6) + newItems.mkString(",") + " " +
+      sql.substring(fromAt))
+  }
+
+  /** When EVERY top-level ORDER BY item is an output column (bare name,
+    * unique case-insensitive match, or ordinal), return their 0-based
+    * indexes — the key prefix that SQL guarantees; tie order within equal
+    * keys is engine-defined. None when any item is an expression or
+    * resolves outside the output list. */
+  private def orderByOutputCols(sql: String, cols: Array[String]): Option[List[Int]] = {
+    val obAt = topLevelIndexOf(sql, """(?i)\bORDER\s+BY\b""".r)
+    if (obAt < 0) return None
+    val tail0 = sql.substring(obAt).replaceFirst("""(?is)^ORDER\s+BY""", "")
+    val tail1 = tail0.takeWhile(c => c != ';')
+    val cut = topLevelIndexOf(tail1, """(?i)\b(LIMIT|OFFSET|FETCH)\b""".r)
+    val body = if (cut >= 0) tail1.substring(0, cut) else tail1
+    val lower = cols.map(_.toLowerCase)
+    val items = splitTopLevel(body, ',')
+    if (items.isEmpty) return None
+    val ix = items.map { item =>
+      """(?is)^\s*("?[A-Za-z_]\w*"?|\d+)\s*(?:ASC|DESC|NULLS\s+\w+|\s)*$""".r
+        .findFirstMatchIn(item).flatMap { m =>
+          val t = m.group(1).stripPrefix("\"").stripSuffix("\"")
+          if (t.forall(_.isDigit)) {
+            val i = t.toInt - 1
+            if (i >= 0 && i < cols.length) Some(i) else None
+          } else {
+            val hits = lower.zipWithIndex.filter(_._1 == t.toLowerCase)
+            if (hits.length == 1) Some(hits.head._2) else None
+          }
+        }
+    }
+    if (ix.forall(_.isDefined)) Some(ix.flatten) else None
+  }
+
   private def splitExpected(line: String, n: Int): Option[List[String]] = {
     if (n == 1) return Some(List(line.trim))
     val t1 = line.trim.split("\\s+").toList
@@ -3983,6 +4131,11 @@ object SltRunner {
         """(?is)\blag\(x\)\s*over\s*\(\s*order\s+by\s+x\b""".r,
         "lag/first/last_value over ORDER BY x on t7, which holds duplicate " +
           "x values: which tied row precedes is engine-defined"),
+      ("window_funcs.slt",
+        """(?is)\bsum\(y\)\s*over\s*\(\s*order\s+by\s+x\s+nulls\s+last\s+rows\s+between\s+(?:unbounded\s+preceding\s+and\s+current\s+row|current\s+row\s+and\s+unbounded\s+following)""".r,
+        "running ROWS frame over ORDER BY x on t7, which holds duplicate " +
+          "x values: the frame CONTENT depends on which tied row comes " +
+          "first (the reference's own fixture notes the order is undefined)"),
       ("window_funcs.slt",
         """(?is)\blast_value\(f\d\)\s*over\s*\(partition\s+by\s+f2\s+order\s+by\s+f1\s+nulls\s+last\s*\)""".r,
         "last_value over ORDER BY f1 alone: f1 repeats within the f2 " +
@@ -4926,7 +5079,21 @@ object SltRunner {
           val df = applyMutationResult(spark, qSql) match {
             case Some(Some(ret)) => ret
             case Some(None) => spark.emptyDataFrame
-            case None => spark.sql(qSql)
+            case None =>
+              try spark.sql(qSql)
+              catch {
+                // multi-level correlated subqueries: Spark resolves outer
+                // references one level up only — rescue via the nested-
+                // correlation flattening rewrite (plans/
+                // NestedCorrelationFlatten). Not for expected-error
+                // records: those must keep erroring.
+                case e: Throwable if !q.expectError &&
+                    Option(e.getMessage).exists(_.contains("UNRESOLVED_COLUMN")) =>
+                  aliasImplicitFnNames(qSql)
+                    .flatMap(s2 => scala.util.Try(spark.sql(s2)).toOption)
+                    .orElse(graft.plans.NestedCorrelationFlatten.rescue(spark, qSql))
+                    .getOrElse(throw e)
+              }
           }
           val rows = df.collect()
           if (q.expectError) { // accepted-but-reference-rejects
@@ -5045,6 +5212,16 @@ object SltRunner {
                   val effSort =
                     if (q.sortMode == "nosort" && !hasTopLevelOrderBy(q.sql))
                       "rowsort"
+                    else if (q.sortMode == "nosort")
+                      // ORDER BY fixes row order only UP TO its keys: when
+                      // every order item is an output column, tied blocks
+                      // are engine-defined (the reference's own fixtures
+                      // note "ordering of these rows is undefined") —
+                      // compare them as multisets via partialsort on those
+                      // columns
+                      orderByOutputCols(q.sql, df.columns)
+                        .map(ix => "partialsort(" + ix.map(_ + 1).mkString(",") + ")")
+                        .getOrElse(q.sortMode)
                     else q.sortMode
                   def prep(v: List[List[String]]): List[String] = effSort match {
                     case "rowsort" => v.map(_.mkString("|")).sorted
@@ -5101,6 +5278,7 @@ object SltRunner {
   }
 
   private[slt] def testShim(sql: String, crdb: Boolean): String = shim(sql, crdb)
+  def testAliasImplicit(sql: String): Option[String] = aliasImplicitFnNames(sql)
   private[slt] def testCanonInsert(spark: SparkSession, sql: String): String =
     canonJsonbInsert(spark, sql)
   private[slt] def testRegisterRangeCol(c: String, k: String): Unit = {

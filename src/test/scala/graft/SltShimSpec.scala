@@ -35,6 +35,38 @@ class SltShimSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS shim_jsonb_t")
   }
 
+  test("reversed window frames rewrite to the empty frame") {
+    val s = SltRunner.testShim(
+      "SELECT first_value(x) OVER (ORDER BY x ROWS BETWEEN 0 PRECEDING AND 1 PRECEDING) FROM t",
+      crdb = false)
+    assert(s.toUpperCase.contains("ROWS BETWEEN CURRENT ROW AND 1 PRECEDING"), s)
+    // a well-ordered frame is untouched
+    val ok = SltRunner.testShim(
+      "SELECT first_value(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND 0 PRECEDING) FROM t",
+      crdb = false)
+    assert(ok.toUpperCase.contains("ROWS BETWEEN 1 PRECEDING AND 0 PRECEDING"), ok)
+  }
+
+  test("implicit pg output name rescues bare ORDER BY references") {
+    val got = SltRunner.testAliasImplicit(
+      "WITH t (x, y) AS (VALUES ('a', 1)) SELECT lead(x) OVER (PARTITION BY y ORDER BY x), x FROM t ORDER BY x, lead")
+    assert(got.exists(_.contains("AS lead")), got)
+    // item at the END of the select list keeps a space before FROM
+    val tail = SltRunner.testAliasImplicit(
+      "WITH t (x, y) AS (VALUES ('a', 1)) SELECT x, last_value(x) OVER (PARTITION BY y ORDER BY x) FROM t ORDER BY last_value")
+    assert(tail.exists(_.matches("(?s).*AS last_value\\s+FROM.*")), tail)
+    // no unaliased matching item -> no rewrite
+    assert(SltRunner.testAliasImplicit("SELECT x FROM t ORDER BY x").isEmpty)
+  }
+
+  test("window array_agg wraps per-expression, value-sorted") {
+    val s = SltRunner.testShim(
+      "SELECT array_agg(v) OVER (ORDER BY o1) FROM t8", crdb = true)
+    assert(s.contains("OVER (ORDER BY o1"), s)
+    assert(s.contains("array_sort"), s)
+    assert(!s.contains("END OVER"), s)
+  }
+
   test("plain INSERT VALUES canonicalization is unchanged") {
     spark.sql("DROP TABLE IF EXISTS shim_jsonb_p")
     spark.sql(
