@@ -593,6 +593,88 @@ object SltRunner {
   private val byteaColumns =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
 
+  /** Load-generator sources created in the current file: canonical source
+    * name -> generator kind (AUCTION/COUNTER/TPCH/...), consulted by the
+    * CREATE TABLE .. FROM SOURCE classify branch. */
+  private val sourceGenKinds =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private val SltCreateSourceGen: Regex =
+    ("""(?is)^\s*CREATE\s+SOURCE\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?([\w.]+)["`]?""" +
+      """(?:\s+IN\s+CLUSTER\s+["`]?\w+["`]?)?\s+FROM\s+LOAD\s+GENERATOR\s+""" +
+      """(AUCTION|COUNTER|TPCH|MARKETING|CLOCK|DATUMS|KEY\s+VALUE)\b.*$""").r
+
+  private val SltCreateTableFromSource: Regex =
+    ("""(?is)^\s*CREATE\s+TABLE\s+["`]?([\w.]+)["`]?\s+FROM\s+SOURCE\s+""" +
+      """["`]?([\w.]+)["`]?\s*(?:\(\s*REFERENCE\s+["`]?([\w.]+)["`]?\s*\))?\s*;?\s*$""").r
+
+  /** Deterministic SQL body for a load-generator relation, with the
+    * reference's schema (load_generator.rs views()): region/nation carry
+    * their TPC-H-spec fixed rows; sized TPCH relations are schema-true and
+    * empty (row content is SF- and seed-dependent in the reference, and
+    * the gated fixtures assert statements, not rows). */
+  private def loadGenViewSql(kind: String, ref: Option[String]): Option[String] = {
+    def empty(cols: (String, String)*): String =
+      "SELECT " + cols.map { case (n, t) => s"CAST(NULL AS $t) AS $n" }
+        .mkString(", ") + " WHERE 1=0"
+    kind match {
+      case "COUNTER" if ref.isEmpty || ref.contains("counter") =>
+        Some("SELECT id + 1 AS counter FROM range(3)")
+      case "AUCTION" => ref.collect {
+        case "organizations" =>
+          "SELECT id AS id, concat('Org #', id) AS name FROM range(1, 11)"
+        case "users" =>
+          "SELECT id AS id, (id % 10) + 1 AS org_id, concat('user ', id) AS name FROM range(1, 26)"
+        case "accounts" =>
+          "SELECT id AS id, ((id - 1) % 10) + 1 AS org_id, (id * 37) % 10000 AS balance FROM range(1, 26)"
+        case "auctions" =>
+          "SELECT id AS id, ((id * 7) % 25) + 1 AS seller, " +
+            "element_at(array('book','car','gem','art','toy'), CAST(id % 5 AS INT) + 1) AS item, " +
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,CAST(id AS INT),0) AS end_time FROM range(1, 11)"
+        case "bids" =>
+          "SELECT id AS id, ((id * 11) % 25) + 1 AS buyer, ((id - 1) % 10) + 1 AS auction_id, " +
+            "CAST((id * 13) % 100 AS INT) AS amount, " +
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,CAST(id % 10 AS INT),CAST(id AS INT) % 60) AS bid_time FROM range(1, 51)"
+      }
+      case "TPCH" => ref.collect {
+        case "region" =>
+          "SELECT * FROM VALUES (0,'AFRICA',''),(1,'AMERICA',''),(2,'ASIA',''),(3,'EUROPE',''),(4,'MIDDLE EAST','') " +
+            "AS t(r_regionkey, r_name, r_comment)"
+        case "nation" =>
+          "SELECT * FROM VALUES (0,'ALGERIA',0,''),(1,'ARGENTINA',1,''),(2,'BRAZIL',1,''),(3,'CANADA',1,'')," +
+            "(4,'EGYPT',4,''),(5,'ETHIOPIA',0,''),(6,'FRANCE',3,''),(7,'GERMANY',3,''),(8,'INDIA',2,'')," +
+            "(9,'INDONESIA',2,''),(10,'IRAN',4,''),(11,'IRAQ',4,''),(12,'JAPAN',2,''),(13,'JORDAN',4,'')," +
+            "(14,'KENYA',0,''),(15,'MOROCCO',0,''),(16,'MOZAMBIQUE',0,''),(17,'PERU',1,''),(18,'CHINA',2,'')," +
+            "(19,'ROMANIA',3,''),(20,'SAUDI ARABIA',4,''),(21,'VIETNAM',2,''),(22,'RUSSIA',3,'')," +
+            "(23,'UNITED KINGDOM',3,''),(24,'UNITED STATES',1,'') " +
+            "AS t(n_nationkey, n_name, n_regionkey, n_comment)"
+        case "customer" => empty("c_custkey" -> "BIGINT", "c_name" -> "STRING",
+          "c_address" -> "STRING", "c_nationkey" -> "BIGINT", "c_phone" -> "STRING",
+          "c_acctbal" -> "DECIMAL(15,2)", "c_mktsegment" -> "STRING", "c_comment" -> "STRING")
+        case "orders" => empty("o_orderkey" -> "BIGINT", "o_custkey" -> "BIGINT",
+          "o_orderstatus" -> "STRING", "o_totalprice" -> "DECIMAL(15,2)",
+          "o_orderdate" -> "DATE", "o_orderpriority" -> "STRING", "o_clerk" -> "STRING",
+          "o_shippriority" -> "INT", "o_comment" -> "STRING")
+        case "lineitem" => empty("l_orderkey" -> "BIGINT", "l_partkey" -> "BIGINT",
+          "l_suppkey" -> "BIGINT", "l_linenumber" -> "INT", "l_quantity" -> "DECIMAL(15,2)",
+          "l_extendedprice" -> "DECIMAL(15,2)", "l_discount" -> "DECIMAL(15,2)",
+          "l_tax" -> "DECIMAL(15,2)", "l_returnflag" -> "STRING", "l_linestatus" -> "STRING",
+          "l_shipdate" -> "DATE", "l_commitdate" -> "DATE", "l_receiptdate" -> "DATE",
+          "l_shipinstruct" -> "STRING", "l_shipmode" -> "STRING", "l_comment" -> "STRING")
+        case "part" => empty("p_partkey" -> "BIGINT", "p_name" -> "STRING",
+          "p_mfgr" -> "STRING", "p_brand" -> "STRING", "p_type" -> "STRING",
+          "p_size" -> "INT", "p_container" -> "STRING",
+          "p_retailprice" -> "DECIMAL(15,2)", "p_comment" -> "STRING")
+        case "partsupp" => empty("ps_partkey" -> "BIGINT", "ps_suppkey" -> "BIGINT",
+          "ps_availqty" -> "INT", "ps_supplycost" -> "DECIMAL(15,2)", "ps_comment" -> "STRING")
+        case "supplier" => empty("s_suppkey" -> "BIGINT", "s_name" -> "STRING",
+          "s_address" -> "STRING", "s_nationkey" -> "BIGINT", "s_phone" -> "STRING",
+          "s_acctbal" -> "DECIMAL(15,2)", "s_comment" -> "STRING")
+      }
+      case _ => None
+    }
+  }
+
   /** Tables that later receive a `'NaN'` INSERT in the current file. pg
     * numeric admits NaN (reference `src/repr/src/adt/numeric.rs`); Spark
     * DecimalType has no NaN, so these tables' numeric columns are stored as
@@ -606,7 +688,7 @@ object SltRunner {
     rangeColumns.clear(); customTypes.clear(); sltMvNames.clear()
     nanDoubleTables.clear(); mvClusters.clear()
     realColumns.clear(); dblColumns.clear(); byteaColumns.clear()
-    intervalTables.clear(); SchemaEmulation.reset()
+    intervalTables.clear(); sourceGenKinds.clear(); SchemaEmulation.reset()
   }
 
   /** Session custom types as pg_type rows: named lists carry typelem
@@ -1772,6 +1854,31 @@ object SltRunner {
                 cols.distinct.length != cols.length
             })
         Some("column name appears more than once in USING clause")
+      else if (hitOutsideLit(
+          ("""(?i)\b(?:sum|min|max|count|avg|array_agg|string_agg|stddev|variance)\s*\((?:[^()]|\([^()]*\))*\)\s+OVER\s*\((?:[^()]|\([^()]*\))*?""" +
+            """\b(?:ROWS|RANGE|GROUPS)\s+BETWEEN\s+(?:UNBOUNDED\s+(?:PRECEDING|FOLLOWING)\s+AND\s+\d+\s+(?:PRECEDING|FOLLOWING)|\d+\s+(?:PRECEDING|FOLLOWING)\s+AND\s+UNBOUNDED\s+(?:PRECEDING|FOLLOWING))""").r))
+        // reference relation.rs WindowFrame: aggregates reject frames that
+        // mix an UNBOUNDED bound with a numeric offset
+        Some("mixed unbounded - offset frames not yet supported")
+      else if (hitOutsideLit(
+          """(?i)\bmake_timestamp\s*\(\s*0\s*,""".r))
+        Some("date field value out of range")
+      else if (hitOutsideLit("""(?i)\b(?:upper|lower)\s*\(\s*-?\d+\.?\d*\s*\)""".r))
+        Some("function upper(numeric) does not exist")
+      else if (hitOutsideLit(
+          """(?i)\bsplit_part\s*\(\s*\d+\s*,\s*\d+\s*,\s*\d+\s*\)""".r))
+        Some("function split_part(integer, integer, integer) does not exist")
+      else if ({
+        // literal logarithm domain (reference: cannot take logarithm of
+        // zero / of a negative number — double AND numeric arguments)
+        """(?i)\b(?:log10|log|ln)\s*\(\s*'?([+-]?(?:\d+\.?\d*|\.\d+))'?(?:\s*::\s*\w+(?:\s+precision)?)?\s*\)""".r
+          .findAllMatchIn(sql0rawMath)
+          .exists(m => !insideLiteral(sql0rawMath, m.start) && m.group(1).toDouble <= 0)
+      }) {
+        val neg = """(?i)\b(?:log10|log|ln)\s*\(\s*'?-""".r.findFirstIn(sql0rawMath).isDefined
+        Some(if (neg) "cannot take logarithm of a negative number"
+        else "cannot take logarithm of zero")
+      }
       else {
         // literal real arithmetic computes in FLOAT4 (pg): overflow /
         // underflow-to-zero of nonzero operands is an error where Spark's
@@ -1789,8 +1896,32 @@ object SltRunner {
                 else None
               } catch { case _: Throwable => None }
             }
+        // literal pow/power domain + range fidelity (reference: zero to a
+        // negative power, negative base with fractional exponent, and
+        // overflow/underflow of the checked float/numeric pow)
+        val powLit: Option[String] = {
+          val ty = """(?:\s*::\s*\w+(?:\s+precision)?(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)?"""
+          (s"""(?i)\\b(?:pow|power)\\s*\\(\\s*'?([+-]?(?:\\d+\\.?\\d*|\\.\\d+))'?$ty\\s*,\\s*'?([+-]?(?:\\d+\\.?\\d*|\\.\\d+))'?$ty\\s*\\)""").r
+            .findAllMatchIn(sql0rawMath)
+            .find(m => !insideLiteral(sql0rawMath, m.start)).flatMap { m =>
+              try {
+                val a = m.group(1).toDouble; val b = m.group(2).toDouble
+                if (a == 0 && b < 0)
+                  Some("zero raised to a negative power is undefined")
+                else if (a < 0 && b != math.floor(b))
+                  Some("a negative number raised to a non-integer power yields a complex result")
+                else {
+                  val r = math.pow(a, b)
+                  if (r.isInfinite) Some("value out of range: overflow")
+                  else if (r == 0.0 && a != 0.0 && b != 0.0)
+                    Some("value out of range: underflow")
+                  else None
+                }
+              } catch { case _: Throwable => None }
+            }
+        }
         // literal unsigned arithmetic: pg errors outside [0, 2^bits)
-        val uintArith = realArith.orElse {
+        val uintArith = powLit.orElse(realArith).orElse {
           """(?i)(\d+)\s*::\s*uint([248])\s*([-+*])\s*(\d+)\s*::\s*uint\2""".r
             .findAllMatchIn(sql0rawMath)
             .find(m => !insideLiteral(sql0rawMath, m.start)).flatMap { m =>
@@ -3193,11 +3324,45 @@ object SltRunner {
       case _ => Unsupported("DROP TYPE shape not supported", mutating = false, sql = sqlRaw)
     }
     else if (graft.sql.GraftSqlParser.CreateSourceLoadGen
-        .findFirstMatchIn(sqlRaw).isDefined)
+        .findFirstMatchIn(sqlRaw).isDefined) {
       // the engine's own CREATE SOURCE ... LOAD GENERATOR path
       // (GraftCommands.CreateSourceCommand) — registers a named relation the
       // introspection views list, exactly like the reference's source
+      SltCreateSourceGen.findFirstMatchIn(sqlRaw)
+        .foreach(m => sourceGenKinds.put(m.group(1).toLowerCase,
+          m.group(2).toUpperCase.replaceAll("\\s+", " ")))
       Statement(sqlRaw.trim.stripSuffix(";"), expectError = false)
+    }
+    else if (SltCreateSourceGen.findFirstMatchIn(sqlRaw).isDefined) {
+      // load-generator CREATE SOURCE shapes the engine parser does not
+      // take (IN CLUSTER placement, TPCH SCALE FACTOR, MARKETING...):
+      // record the generator kind so CREATE TABLE .. FROM SOURCE can
+      // materialize its referenced relation (reference
+      // src/sql/src/plan/statement/ddl.rs plan_create_source)
+      val m = SltCreateSourceGen.findFirstMatchIn(sqlRaw).get
+      sourceGenKinds.put(m.group(1).toLowerCase,
+        m.group(2).toUpperCase.replaceAll("\\s+", " "))
+      Statement("SELECT 1 AS graft_source_registered", expectError = false)
+    }
+    else if (SltCreateTableFromSource.findFirstMatchIn(sqlRaw).isDefined) {
+      // CREATE TABLE <t> FROM SOURCE <s> (REFERENCE <r>) — a source-fed
+      // table (reference ddl.rs plan_create_table_from_source). Backed
+      // here by a deterministic generator view with the reference's
+      // relation schema (load_generator.rs views()).
+      val m = SltCreateTableFromSource.findFirstMatchIn(sqlRaw).get
+      val t = m.group(1)
+      val src = m.group(2).toLowerCase
+      val ref = Option(m.group(3)).map(_.toLowerCase)
+      sourceGenKinds.get(src.split('.').last)
+        .flatMap(kind => loadGenViewSql(kind, ref)) match {
+        case Some(gen) =>
+          Statement(s"CREATE OR REPLACE TEMPORARY VIEW $t AS $gen",
+            expectError = false)
+        case None =>
+          Unsupported("CREATE TABLE FROM SOURCE: unknown source or reference",
+            mutating = true, sql = sqlRaw)
+      }
+    }
     else if (skipPrefixes.exists(up.startsWith))
       Unsupported(s"no Spark analog: ${up.takeWhile(_ != ' ')}", mutating = false,
         sql = sqlRaw)
