@@ -14,6 +14,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.ReduceElisionRule)
+    // list/array ::text renders the mz {..} form, not Spark's [..]
+    e.injectResolutionRule(_ => graft.plans.ListTextCastRule)
     e.injectParser((session, delegate) => new graft.sql.GraftSqlParser(session, delegate))
     // generate_series in both scalar position (SELECT generate_series(..))
     // and FROM position — the reference's core table function
@@ -53,5 +55,9 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.PgEncodingFunctions.functions.foreach(e.injectFunction)
     // pg timestamp(p)/timestamptz(p) fractional-second rounding
     graft.functions.PgTimestampPrecision.functions.foreach(e.injectFunction)
+    // mz LIST type text boundary (parse / canonical render / length_max)
+    graft.functions.MzListExpressions.functions.foreach(e.injectFunction)
+    // mz MAP type text boundary
+    graft.functions.MzMapExpressions.functions.foreach(e.injectFunction)
   }
 }

@@ -69,6 +69,9 @@ object GraftSession {
       // Hive-style ${...} variable substitution would swallow Rust-regex
       // ${N} replacement groups inside string literals
       .config("spark.sql.variable.substitute", "false")
+      // mz map constructors keep the LAST duplicate key (reference
+      // adt/map.rs); Spark's default raises DUPLICATED_MAP_KEY
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

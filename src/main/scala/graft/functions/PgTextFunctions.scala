@@ -281,7 +281,9 @@ case class PgTypeof(child: Expression)
   override def nullable: Boolean = false
   override def foldable: Boolean = true
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
-    UTF8String.fromString(PgTypeof.pgName(child.dataType))
+    UTF8String.fromString(
+      if (PgTypeof.isListExpr(child)) PgTypeof.listName(child.dataType)
+      else PgTypeof.pgName(child.dataType))
   override protected def withNewChildInternal(newChild: Expression): PgTypeof =
     copy(child = newChild)
 }
@@ -307,6 +309,25 @@ object PgTypeof {
     case MapType(k, v, _) => s"map[${pgName(k)}=>${pgName(v)}]"
     case _: StructType => "record"
     case other => other.simpleString
+  }
+
+  /** A LIST-producing expression (the engine backs mz lists with Spark
+    * arrays; these markers are the only type-identity difference). */
+  def isListExpr(e: Expression): Boolean = e match {
+    case _: MzListExpressions.MzListIn | _: MzListExpressions.MzListTag |
+         _: MzListExpressions.MzListAppend | _: MzListExpressions.MzListCat |
+         _: MzListExpressions.MzListCast | _: MzListExpressions.MzListSubscript => true
+    case _: MzListExpressions.MzListRemove => true
+    case r: MzListExpressions.MzListRoundCast => isListExpr(r.child)
+    // a cast of a list stays a list
+    case c: Cast => isListExpr(c.child)
+    case _ => false
+  }
+
+  /** pg name with every array dimension spelled as ` list`. */
+  def listName(dt: DataType): String = dt match {
+    case ArrayType(e, _) => listName(e) + " list"
+    case t => pgName(t)
   }
 }
 

@@ -65,9 +65,77 @@ object PgTimestampPrecision {
           else ldt.plusSeconds(offSecs.toLong)
         }
         ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + fracMicros
-      case _ => throw new IllegalArgumentException(
-        s"""invalid input syntax for type timestamp: "$s0"""")
+      case _ => parseExtended(s0, p)
     }
+  }
+
+  // ---- extended pg input grammar (datatype-datetime §8.5.1): verbose
+  // 'Mon Feb 10 17:32:01.5 1997 PST', compact '19970210 173201 -0800',
+  // bare dates, named zone abbreviations ----
+
+  private val namedZoneMinutes = Map(
+    "UTC" -> 0, "GMT" -> 0, "Z" -> 0, "ZULU" -> 0,
+    "PST" -> -8 * 60, "PDT" -> -7 * 60, "MST" -> -7 * 60, "MDT" -> -6 * 60,
+    "CST" -> -6 * 60, "CDT" -> -5 * 60, "EST" -> -5 * 60, "EDT" -> -4 * 60,
+    "AKST" -> -9 * 60, "AKDT" -> -8 * 60, "HST" -> -10 * 60,
+    "BST" -> 60, "CET" -> 60, "CEST" -> 2 * 60, "EET" -> 2 * 60)
+
+  private val monthNum = Map(
+    "JAN" -> 1, "FEB" -> 2, "MAR" -> 3, "APR" -> 4, "MAY" -> 5, "JUN" -> 6,
+    "JUL" -> 7, "AUG" -> 8, "SEP" -> 9, "OCT" -> 10, "NOV" -> 11, "DEC" -> 12)
+
+  private def zoneMinutes(z: String): Int = {
+    val t = z.trim.toUpperCase
+    namedZoneMinutes.get(t).getOrElse {
+      """^([+-])(\d{1,2}):?(\d{2})?$""".r.findFirstMatchIn(t) match {
+        case Some(m) =>
+          val v = m.group(2).toInt * 60 + Option(m.group(3)).map(_.toInt).getOrElse(0)
+          if (m.group(1) == "-") -v else v
+        case None => throw new IllegalArgumentException(
+          s"""invalid input syntax for type timestamp: time zone "$z" not recognized""")
+      }
+    }
+  }
+
+  private val Verbose =
+    ("""^(?i)(?:(?:Mon|Tue|Wed|Thu|Fri|Sat|Sun)[a-z]*\s+)?""" +
+      """(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\s+(\d{1,2})\s+""" +
+      """(\d{1,2}):(\d{1,2})(?::(\d{1,2}))?(\.\d+)?\s+(\d{4})""" +
+      """(?:\s+([A-Za-z]{1,4}|[+-]\d{1,2}(?::?\d{2})?))?$""").r
+  private val Compact =
+    """^(\d{4})(\d{2})(\d{2})\s+(\d{2})(\d{2})(\d{2})(\.\d+)?(?:\s+([+-]\d{2}:?\d{2}|[A-Za-z]{1,4}))?$""".r
+  private val BareDate = """^(\d{4})-(\d{1,2})-(\d{1,2})$""".r
+  private val LooseIso =
+    ("""^(\d{4})-(\d{1,2})-(\d{1,2})[ T](\d{1,2}):(\d{1,2})(?::(\d{1,2}))?""" +
+      """(\.\d+)?\s*([A-Za-z]{1,4}|[+-]\d{1,2}(?::?\d{2})?)?$""").r
+
+  private def build(y: Int, mo: Int, d: Int, h: Int, mi: Int, se: Int,
+      fr: String, zone: String, p: Int): Long = {
+    val frac = BigDecimal(Option(fr).getOrElse(".0"))
+      .setScale(math.min(p, 6), BigDecimal.RoundingMode.HALF_UP)
+    val carry = if (frac >= 1) 1 else 0
+    val fracMicros = if (frac >= 1) 0L else (frac * 1000000).toLongExact
+    var ldt = java.time.LocalDateTime.of(y, mo, d, h, mi, se)
+      .plusSeconds(carry.toLong)
+    if (zone != null && zone.trim.nonEmpty)
+      ldt = ldt.minusMinutes(zoneMinutes(zone).toLong)
+    ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + fracMicros
+  }
+
+  private def parseExtended(s0: String, p: Int): Long = s0.trim match {
+    case e if e.equalsIgnoreCase("epoch") => 0L
+    case Verbose(mon, d, h, mi, se, fr, y, zone) =>
+      build(y.toInt, monthNum(mon.toUpperCase.take(3)), d.toInt, h.toInt,
+        mi.toInt, Option(se).map(_.toInt).getOrElse(0), fr, zone, p)
+    case Compact(y, mo, d, h, mi, se, fr, zone) =>
+      build(y.toInt, mo.toInt, d.toInt, h.toInt, mi.toInt, se.toInt, fr, zone, p)
+    case BareDate(y, mo, d) =>
+      build(y.toInt, mo.toInt, d.toInt, 0, 0, 0, null, null, p)
+    case LooseIso(y, mo, d, h, mi, se, fr, zone) =>
+      build(y.toInt, mo.toInt, d.toInt, h.toInt, mi.toInt,
+        Option(se).map(_.toInt).getOrElse(0), fr, zone, p)
+    case _ => throw new IllegalArgumentException(
+      s"""invalid input syntax for type timestamp: "$s0"""")
   }
 
   case class PgTsIngest(children: Seq[Expression])
@@ -82,6 +150,9 @@ object PgTimestampPrecision {
       if (v == null || p == null) return null
       v match {
         case micros: java.lang.Long => roundMicros(micros, p.toString.toInt)
+        case days: java.lang.Integer
+            if children(0).dataType == org.apache.spark.sql.types.DateType =>
+          days.toLong * 86400000000L
         case other => parseRound(other.toString, p.toString.toInt)
       }
     }
@@ -105,11 +176,46 @@ object PgTimestampPrecision {
         newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
   }
 
+  /** mz timestamptz canonical text at UTC: `2007-02-01 15:04:05+00`
+    * (fraction trimmed). */
+  case class PgTstzOut(child: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(child)
+    override def foldable: Boolean = child.foldable
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override def nullable: Boolean = true
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) return null
+      val us = v.asInstanceOf[java.lang.Long].longValue
+      val ldt = java.time.LocalDateTime.ofEpochSecond(
+        java.lang.Math.floorDiv(us, 1000000L),
+        (java.lang.Math.floorMod(us, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+      val base = ldt.format(java.time.format.DateTimeFormatter.ofPattern(
+        "yyyy-MM-dd HH:mm:ss" + (if (ldt.getNano != 0) ".SSSSSS" else "")))
+        .replaceAll("(\\.\\d*?)0+$", "$1").stripSuffix(".")
+      org.apache.spark.unsafe.types.UTF8String.fromString(base + "+00")
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(child = newChildren(0))
+  }
+
   def functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("pg_ts_ingest"),
       new ExpressionInfo(classOf[PgTsIngest].getName, "pg_ts_ingest"),
       (args: Seq[Expression]) => PgTsIngest(args)),
     (new FunctionIdentifier("pg_ts_round"),
       new ExpressionInfo(classOf[PgTsRound].getName, "pg_ts_round"),
-      (args: Seq[Expression]) => PgTsRound(args)))
+      (args: Seq[Expression]) => PgTsRound(args)),
+    // one-arg ingest form for PLAIN timestamp columns: the full pg input
+    // grammar at micro precision
+    (new FunctionIdentifier("pg_ts_in"),
+      new ExpressionInfo(classOf[PgTsIngest].getName, "pg_ts_in"),
+      (args: Seq[Expression]) => PgTsIngest(args :+
+        org.apache.spark.sql.catalyst.expressions.Literal(6))),
+    (new FunctionIdentifier("pg_tstz_out"),
+      new ExpressionInfo(classOf[PgTstzOut].getName, "pg_tstz_out"),
+      (args: Seq[Expression]) => PgTstzOut(args.head)))
 }

@@ -66,12 +66,20 @@ object SeriesFunctions {
   def unnestTableFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
     (FunctionIdentifier("unnest"),
       new ExpressionInfo(classOf[Explode].getName, "unnest"),
-      (args: Seq[Expression]) =>
+      (args: Seq[Expression]) => {
+        // mz LISTS unnest ONE nesting level (a list-of-lists yields the
+        // sublists — reference TableFunc::UnnestList), unlike pg arrays,
+        // which flatten row-major to scalars; list-producing arguments are
+        // recognizable by their marker expressions
+        val arg = args.head
+        val isList = arg.exists(PgTypeof.isListExpr)
+        val src = if (isList) arg else FlattenAll(arg)
         Project(
           Seq(Alias(UnresolvedAttribute("col"), "unnest")()),
-          Generate(Explode(FlattenAll(args.head)), unrequiredChildIndex = Nil,
+          Generate(Explode(src), unrequiredChildIndex = Nil,
             outer = false, qualifier = None, generatorOutput = Nil,
-            child = OneRowRelation())))
+            child = OneRowRelation()))
+      })
 }
 
 /** Flattens nested arrays to a single level of the innermost element type

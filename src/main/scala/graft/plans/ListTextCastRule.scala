@@ -1,0 +1,41 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.Cast
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** `list::text` renders the mz-canonical `{..}` form (reference
+  * strconv.rs format_list), not Spark's `[..]` cast rendering — swap the
+  * Cast for the dedicated renderer during resolution. pg array-to-text
+  * shares the same brace form, so plain arrays take this path too.
+  * Likewise array casts whose elements cross a floating -> integral
+  * boundary take pg's ROUNDING semantics (Spark truncates). */
+object ListTextCastRule extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.trees.TreePattern
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // resolution rules run every analyzer iteration — skip whole plans
+    // without casts/concats (TPC-H/bench paths) via tree-pattern bits
+    if (!plan.containsAnyPattern(TreePattern.CAST, TreePattern.CONCAT))
+      return plan
+    plan.transformAllExpressions {
+      case Cast(child, _: StringType, _, _) if child.resolved &&
+          child.dataType.isInstanceOf[ArrayType] =>
+        graft.functions.MzListExpressions.MzListOut(child)
+      case Cast(child, _: StringType, _, _) if child.resolved &&
+          child.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
+        graft.functions.MzMapExpressions.MzMapOut(child)
+      case Cast(child, at: ArrayType, _, _) if child.resolved &&
+          child.dataType.isInstanceOf[ArrayType] &&
+          graft.functions.MzListExpressions.crossesFloatToInt(child.dataType, at) =>
+        graft.functions.MzListExpressions.MzListRoundCast(child, at)
+      case c: org.apache.spark.sql.catalyst.expressions.Concat
+          if c.children.length == 2 && c.children.forall(_.resolved) &&
+            c.children.forall(_.dataType.isInstanceOf[ArrayType]) &&
+            c.children.exists(graft.functions.PgTypeof.isListExpr) =>
+        // `list || list` keeps pg NULL semantics (NULL || l == l) and
+        // numeric promotion, unlike Spark's Concat (NULL-propagating)
+        graft.functions.MzListExpressions.MzListCat(c.children(0), c.children(1))
+    }
+  }
+}
