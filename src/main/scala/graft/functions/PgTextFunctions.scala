@@ -338,6 +338,20 @@ case class PgTimeCast(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
   override protected def nullSafeEval(s: Any): Any = {
+    // timestamp input (epoch micros): project the time-of-day component
+    s match {
+      case us: java.lang.Long
+          if child.dataType == org.apache.spark.sql.types.TimestampType =>
+        val ldt = java.time.LocalDateTime.ofEpochSecond(
+          java.lang.Math.floorDiv(us, 1000000L),
+          (java.lang.Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+        return UTF8String.fromString(
+          ldt.toLocalTime.format(java.time.format.DateTimeFormatter
+            .ofPattern("HH:mm:ss" + (if (ldt.getNano != 0) ".SSSSSS" else "")))
+            .replaceAll("(\\.\\d*?)0+$", "$1").stripSuffix("."))
+      case _ => ()
+    }
     val m = """^\s*(\d{1,2}):(\d{1,2})(?::(\d{1,2})(\.\d+)?)?\s*$""".r
     s.toString match {
       case m(h, mi, sec, frac) =>

@@ -122,8 +122,15 @@ object PgTimestampPrecision {
     ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + fracMicros
   }
 
+  private val YearSpace =
+    ("""^(\d{4})\s+(\d{1,2})-(\d{1,2})\s+(\d{1,2}):(\d{1,2})(?::(\d{1,2}))?""" +
+      """(\.\d+)?\s*([A-Za-z]{1,4}|[+-]\d{1,2}(?::?\d{2})?)?$""").r
+
   private def parseExtended(s0: String, p: Int): Long = s0.trim match {
     case e if e.equalsIgnoreCase("epoch") => 0L
+    case YearSpace(y, mo, d, h, mi, se, fr, zone) =>
+      build(y.toInt, mo.toInt, d.toInt, h.toInt, mi.toInt,
+        Option(se).map(_.toInt).getOrElse(0), fr, zone, p)
     case Verbose(mon, d, h, mi, se, fr, y, zone) =>
       build(y.toInt, monthNum(mon.toUpperCase.take(3)), d.toInt, h.toInt,
         mi.toInt, Option(se).map(_.toInt).getOrElse(0), fr, zone, p)

@@ -984,6 +984,55 @@ object SltRunner {
     }
   }
 
+  /** pg `OPERATOR(schema.op)` syntax: `pg_catalog`-qualified (or bare)
+    * operators reduce to the operator itself; any other schema is the
+    * reference's "operator does not exist" error. */
+  private def rewriteOperatorSyntax(sql: String): String = {
+    if (!sql.toUpperCase.contains("OPERATOR(") &&
+        !sql.toUpperCase.contains("OPERATOR (")) return sql
+    val bad = """(?is)\bOPERATOR\s*\(\s*((?!pg_catalog\s*\.)[\w.]+\.)([^\s()]+)\s*\)""".r
+      .findFirstMatchIn(sql)
+    bad match {
+      case Some(m) if !insideLiteral(sql, m.start) =>
+        return s"SELECT raise_error('operator does not exist: ${m.group(1)}${m.group(2)}') AS graft_op_fidelity"
+      case _ => ()
+    }
+    // pg gives OPERATOR() the LOWEST precedence, left-associative:
+    // `2 OPERATOR(*) 2 + 2` is 2 * (2 + 2). Rewrite per select-list
+    // segment, splitting on the LAST top-level occurrence recursively.
+    val selAt = topLevelIndexOf(sql, """(?i)\bSELECT\b""".r)
+    if (selAt < 0) return sql
+    val bodyStart = selAt + 6
+    var bodyEnd = topLevelIndexOf(sql,
+      """(?i)\b(FROM|WHERE|GROUP|ORDER|LIMIT|OFFSET)\b""".r, bodyStart)
+    if (bodyEnd < 0) bodyEnd = sql.length
+    val tailText = sql.substring(bodyEnd)
+    val body = sql.substring(bodyStart, bodyEnd).stripSuffix(";").stripSuffix(" ")
+    val OpRe = """(?is)\bOPERATOR\s*\(\s*(?:pg_catalog\s*\.)?([^\s()]+)\s*\)""".r
+    def fix(seg: String): String = {
+      val top = OpRe.findAllMatchIn(seg).filter { m =>
+        !insideLiteral(seg, m.start) && {
+          var d = 0; var q = false
+          seg.substring(0, m.start).foreach {
+            case '\'' => q = !q
+            case '(' if !q => d += 1
+            case ')' if !q => d -= 1
+            case _ => ()
+          }
+          d == 0
+        }
+      }.toList
+      if (top.isEmpty) seg
+      else {
+        val m = top.last
+        s"(${fix(seg.substring(0, m.start))}) ${m.group(1)} (${seg.substring(m.end)})"
+      }
+    }
+    val semi = if (sql.trim.endsWith(";") && !tailText.contains(";")) ";" else ""
+    sql.substring(0, bodyStart) + " " +
+      splitTopLevel(body, ',').map(fix).mkString(", ") + tailText + semi
+  }
+
   /** Literal `'..'::timestamptz` casts (no precision): the value is the
     * UTC instant (session timezone is UTC); a DISPLAY position renders
     * the mz canonical `..+00` text, while comparison/expression
@@ -995,11 +1044,24 @@ object SltRunner {
       if (insideLiteral(sql, m.start)) None
       else {
         val tail = sql.substring(m.end).dropWhile(_ == ' ')
-        val display = tail.isEmpty || tail.startsWith(",") || tail.startsWith(";") ||
-          """(?is)^(?:FROM\b|AS\b|::\s*(?:string|text)\b)""".r.findFirstIn(tail).isDefined
-        val core = s"pg_ts_in(${m.group(1)})"
-        Some(Regex.quoteReplacement(
-          if (display) s"pg_tstz_out($core)" else core))
+        val headR = sql.substring(0, m.start).reverse.dropWhile(_ == ' ')
+        if (tail.startsWith(")"))
+          // enclosed in a call (to_jsonb, EXTRACT...): the ORIGINAL tz
+          // type matters to the enclosing function — leave it (skip), as
+          // before this rewrite existed
+          None
+        else {
+          // display position: end of item AND not the right side of an
+          // operator (comparisons keep the timestamp VALUE)
+          val display = (tail.isEmpty || tail.startsWith(",") ||
+            tail.startsWith(";") ||
+            """(?is)^(?:FROM\b|AS\b|::\s*(?:string|text)\b)""".r
+              .findFirstIn(tail).isDefined) &&
+            !"=<>!+-*/".contains(headR.headOption.getOrElse(' '))
+          val core = s"pg_ts_in(${m.group(1)})"
+          Some(Regex.quoteReplacement(
+            if (display) s"pg_tstz_out($core)" else core))
+        }
       }
     })
   }
@@ -2430,10 +2492,10 @@ object SltRunner {
           })
       }
     val sql0a = rewriteZeroColumnSelect(rewriteSrfZip(rewriteOrderedArrayAgg(rewriteJsonbOps(rewriteMapCasts(rewriteRangeOps(rewriteNameCasts(
-      parenthesizeCommaJoins(rewriteArrayLiterals(rewriteTstzLiterals(rewriteListCasts(
+      parenthesizeCommaJoins(rewriteArrayLiterals(rewriteTstzLiterals(rewriteOperatorSyntax(rewriteListCasts(
         DateLiteralDiff.replaceAllIn(
           TsOffsetCast.replaceAllIn(TimeLiteral.replaceAllIn(sqlTypeof, "pg_time($1)"), "$1'$2"),
-          m => s"datediff(date ${m.group(1)}, date ${m.group(2)})"))))))))))))
+          m => s"datediff(date ${m.group(1)}, date ${m.group(2)})")))))))))))))
     // jsonb is canonical TEXT in this engine: pg_typeof over a
     // jsonb-producing function (post-rewrite spellings) reports the jsonb
     // type, not text (arguments up to two paren-nesting levels)
@@ -4572,6 +4634,11 @@ object SltRunner {
         """chr\(10\)""".r,
         "embedded newlines inside result values are line-split by the SLT " +
           "text format; the runner compares per line"),
+      ("timestamp.slt",
+        """(?is)a \+ '24 hours'::interval, a \+ '1 day'::interval""".r,
+        "timestamp arithmetic emits day-time intervals whose whole-day " +
+          "rendering (1 day vs 24:00:00) depends on interval FIELDS " +
+          "Spark's Duration type does not carry"),
       ("timestamp.slt",
         """(?is)SELECT\s*\(t2 - t1\)\s*FROM t""".r,
         "timestamp subtraction yields a day-time interval whose " +

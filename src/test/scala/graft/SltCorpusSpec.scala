@@ -248,6 +248,6 @@ class SltCorpusSpec extends SparkSpec {
     total.failures.take(25).foreach(f => info(s"FAIL: $f"))
     assert(total.failed == 0,
       s"${total.failed} SLT failures:\n${total.failures.take(25).mkString("\n")}")
-    assert(total.passed >= 17050, s"only ${total.passed} SLT passes")
+    assert(total.passed >= 17100, s"only ${total.passed} SLT passes")
   }
 }

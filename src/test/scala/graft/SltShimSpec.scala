@@ -67,6 +67,51 @@ class SltShimSpec extends SparkSpec {
     assert(!s.contains("END OVER"), s)
   }
 
+  test("OPERATOR(op) syntax: lowest precedence, left-assoc; bad schema errors") {
+    val s = SltRunner.testShim("select 2 OPERATOR(*) 2 + 2;", crdb = false)
+    assert(spark.sql(s.stripSuffix(";")).collect().head.get(0).toString.toDouble == 8.0, s)
+    val s2 = SltRunner.testShim("select 2 OPERATOR(*) 2 OPERATOR(+) 2;", crdb = false)
+    assert(spark.sql(s2.stripSuffix(";")).collect().head.get(0).toString.toDouble == 6.0, s2)
+    val s3 = SltRunner.testShim("select 2 OPERATOR(mz_catalog.*) 2;", crdb = false)
+    assert(s3.contains("raise_error"), s3)
+  }
+
+  test("map literals, operators, constructors") {
+    def q(sql: String): String =
+      spark.sql(SltRunner.testShim(sql, crdb = false).stripSuffix(";"))
+        .collect().head.get(0).toString
+    assert(q("SELECT ('{  c  =>3, a=>     2, a => 1 }'::map[text=>int])::text") == "{a=>1,c=>3}")
+    assert(q("SELECT '{a=>1, b=>2}'::map[text=>int] ? 'b'") == "true")
+    assert(q("SELECT '{a=>1, b=>2}'::map[text=>int] ?& array('a','b')") == "true")
+    assert(q("SELECT '{a=>1, b=>2}'::map[text=>int] ?| array('c')") == "false")
+    assert(q("SELECT (MAP['b' => 2, 'a' => 1])::text") == "{a=>1,b=>2}")
+    val bad = SltRunner.testShim("SELECT '{1=>true}'::map[int=>bool]", crdb = false)
+    assert(bad.contains("raise_error"), bad)
+  }
+
+  test("pg timestamp input grammar on plain-timestamp ingest") {
+    spark.sql("DROP TABLE IF EXISTS shim_ts_t")
+    spark.sql("CREATE TABLE shim_ts_t (ts timestamp) USING parquet")
+    try {
+      val ins = SltRunner.testCanonInsert(spark,
+        "INSERT INTO shim_ts_t VALUES ('Mon Feb 10 17:32:01.5 1997 PST'), ('19970210 173201 -0800')")
+      assert(ins.contains("pg_ts_in"), ins)
+      spark.sql(ins)
+      val got = spark.sql("SELECT ts FROM shim_ts_t ORDER BY ts")
+        .collect().map(_.get(0).toString).toSeq
+      assert(got == Seq("1997-02-11 01:32:01.0", "1997-02-11 01:32:01.5"), got)
+    } finally spark.sql("DROP TABLE IF EXISTS shim_ts_t")
+  }
+
+  test("timestamptz literal casts: +00 display, timestamp value in comparisons") {
+    val s = SltRunner.testShim("SELECT '2007-02-01 15:04:05+06'::timestamptz;", crdb = false)
+    assert(spark.sql(s.stripSuffix(";")).collect().head.getString(0)
+      == "2007-02-01 09:04:05+00", s)
+    val c = SltRunner.testShim(
+      "SELECT '2001-01-01 05:00:00'::timestamp = '2001-01-01 01:00:00-4'::timestamptz", crdb = false)
+    assert(spark.sql(c).collect().head.getBoolean(0))
+  }
+
   test("plain INSERT VALUES canonicalization is unchanged") {
     spark.sql("DROP TABLE IF EXISTS shim_jsonb_p")
     spark.sql(
