@@ -44,7 +44,7 @@ object PgTimestampPrecision {
     * fraction to `p` digits, return epoch micros in UTC. Throws on
     * unparseable input (the caller's dialect-skip path handles it like any
     * other rejected statement). */
-  def parseRound(s0: String, p: Int): Long = {
+  def parseRound(s0: String, p: Int, convertZone: Boolean = false): Long = {
     val s = s0.trim
     s match {
       case TsText(y, mo, d, h, mi, se, fr, sign, oh, om) =>
@@ -59,13 +59,15 @@ object PgTimestampPrecision {
           else (frac * 1000000).toLongExact
         var ldt = java.time.LocalDateTime.of(y.toInt, mo.toInt, d.toInt,
           h.toInt, mi.toInt, secs).plusSeconds(carry.toLong)
-        if (sign != null) {
+        // pg DISCARDS the zone on timestamp-without-time-zone input;
+        // only the timestamptz path converts to UTC
+        if (sign != null && convertZone) {
           val offSecs = oh.toInt * 3600 + Option(om).map(_.toInt * 60).getOrElse(0)
           ldt = if (sign == "+") ldt.minusSeconds(offSecs.toLong)
           else ldt.plusSeconds(offSecs.toLong)
         }
         ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + fracMicros
-      case _ => parseExtended(s0, p)
+      case _ => parseExtended(s0, p, convertZone)
     }
   }
 
@@ -86,6 +88,12 @@ object PgTimestampPrecision {
 
   private def zoneMinutes(z: String): Int = {
     val t = z.trim.toUpperCase
+    // POSIX decoration ABBREV+N: N hours WEST of UTC (sign inverted)
+    """^([A-Za-z]{1,4})([+-])(\d{1,2})(?::?(\d{2}))?$""".r.findFirstMatchIn(t)
+      .foreach { m =>
+        val v = m.group(3).toInt * 60 + Option(m.group(4)).map(_.toInt).getOrElse(0)
+        return if (m.group(2) == "+") -v else v
+      }
     namedZoneMinutes.get(t).getOrElse {
       """^([+-])(\d{1,2}):?(\d{2})?$""".r.findFirstMatchIn(t) match {
         case Some(m) =>
@@ -97,28 +105,50 @@ object PgTimestampPrecision {
     }
   }
 
+  private val ZoneAlt = """[A-Za-z_]+/[A-Za-z_]+|[A-Za-z]{1,4}[+-]\d{1,2}(?::?\d{2})?|[A-Za-z]{1,4}|[+-]\d{1,2}(?::?\d{2})?"""
   private val Verbose =
     ("""^(?i)(?:(?:Mon|Tue|Wed|Thu|Fri|Sat|Sun)[a-z]*\s+)?""" +
       """(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\s+(\d{1,2})\s+""" +
-      """(\d{1,2}):(\d{1,2})(?::(\d{1,2}))?(\.\d+)?\s+(\d{4})""" +
-      """(?:\s+([A-Za-z]{1,4}|[+-]\d{1,2}(?::?\d{2})?))?$""").r
+      """(\d{1,2}):(\d{1,2})(?::(\d{1,2}))?(\.\d+)?\s*([AP]M)?\s+(\d{4})""" +
+      s"""(?:\\s+($ZoneAlt))?$$""").r
   private val Compact =
-    """^(\d{4})(\d{2})(\d{2})\s+(\d{2})(\d{2})(\d{2})(\.\d+)?(?:\s+([+-]\d{2}:?\d{2}|[A-Za-z]{1,4}))?$""".r
+    s"""^(\\d{4})(\\d{2})(\\d{2})\\s+(\\d{2})(\\d{2})(\\d{2})(\\.\\d+)?(?:\\s+($ZoneAlt))?$$""".r
   private val BareDate = """^(\d{4})-(\d{1,2})-(\d{1,2})$""".r
   private val LooseIso =
-    ("""^(\d{4})-(\d{1,2})-(\d{1,2})[ T](\d{1,2}):(\d{1,2})(?::(\d{1,2}))?""" +
-      """(\.\d+)?\s*([A-Za-z]{1,4}|[+-]\d{1,2}(?::?\d{2})?)?$""").r
+    ("""^(\d{4})[-/](\d{1,2})[-/](\d{1,2})[ T](\d{1,2}):(\d{1,2})(?::(\d{1,2}))?""" +
+      s"""(\\.\\d+)?\\s*([AP]M)?\\s*($ZoneAlt)?$$""").r
+  private val YearDoy =
+    ("""^(\d{4})\.(\d{1,3})\s+(\d{1,2}):(\d{1,2})(?::(\d{1,2}))?(\.\d+)?""" +
+      s"""\\s*($ZoneAlt)?$$""").r
 
   private def build(y: Int, mo: Int, d: Int, h: Int, mi: Int, se: Int,
-      fr: String, zone: String, p: Int): Long = {
+      fr: String, zone: String, p: Int, ampm: String = null,
+      convertZone: Boolean = false): Long = {
     val frac = BigDecimal(Option(fr).getOrElse(".0"))
       .setScale(math.min(p, 6), BigDecimal.RoundingMode.HALF_UP)
     val carry = if (frac >= 1) 1 else 0
     val fracMicros = if (frac >= 1) 0L else (frac * 1000000).toLongExact
-    var ldt = java.time.LocalDateTime.of(y, mo, d, h, mi, se)
-      .plusSeconds(carry.toLong)
-    if (zone != null && zone.trim.nonEmpty)
-      ldt = ldt.minusMinutes(zoneMinutes(zone).toLong)
+    val h2 = Option(ampm).map(_.toUpperCase) match {
+      case Some("PM") if h < 12 => h + 12
+      case Some("AM") if h == 12 => 0
+      case _ => h
+    }
+    var ldt =
+      try java.time.LocalDateTime.of(y, mo, d, h2, mi, se).plusSeconds(carry.toLong)
+      catch { case e: java.time.DateTimeException =>
+        throw new IllegalArgumentException(
+          s"date/time field value out of range: ${e.getMessage}") }
+    if (zone != null && zone.trim.nonEmpty && convertZone) {
+      val t = zone.trim
+      ldt = if (t.contains("/")) {
+        // full IANA zone name: DST-aware conversion at the LOCAL datetime
+        val zid = try java.time.ZoneId.of(t) catch { case _: Exception =>
+          throw new IllegalArgumentException(
+            s"""invalid input syntax for type timestamp: time zone "$t" not recognized""") }
+        java.time.LocalDateTime.ofInstant(
+          ldt.atZone(zid).toInstant, java.time.ZoneOffset.UTC)
+      } else ldt.minusMinutes(zoneMinutes(t).toLong)
+    }
     ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + fracMicros
   }
 
@@ -126,26 +156,30 @@ object PgTimestampPrecision {
     ("""^(\d{4})\s+(\d{1,2})-(\d{1,2})\s+(\d{1,2}):(\d{1,2})(?::(\d{1,2}))?""" +
       """(\.\d+)?\s*([A-Za-z]{1,4}|[+-]\d{1,2}(?::?\d{2})?)?$""").r
 
-  private def parseExtended(s0: String, p: Int): Long = s0.trim match {
+  private def parseExtended(s0: String, p: Int, cz: Boolean): Long = s0.trim match {
     case e if e.equalsIgnoreCase("epoch") => 0L
     case YearSpace(y, mo, d, h, mi, se, fr, zone) =>
       build(y.toInt, mo.toInt, d.toInt, h.toInt, mi.toInt,
-        Option(se).map(_.toInt).getOrElse(0), fr, zone, p)
-    case Verbose(mon, d, h, mi, se, fr, y, zone) =>
+        Option(se).map(_.toInt).getOrElse(0), fr, zone, p, null, cz)
+    case Verbose(mon, d, h, mi, se, fr, ampm, y, zone) =>
       build(y.toInt, monthNum(mon.toUpperCase.take(3)), d.toInt, h.toInt,
-        mi.toInt, Option(se).map(_.toInt).getOrElse(0), fr, zone, p)
+        mi.toInt, Option(se).map(_.toInt).getOrElse(0), fr, zone, p, ampm, cz)
     case Compact(y, mo, d, h, mi, se, fr, zone) =>
-      build(y.toInt, mo.toInt, d.toInt, h.toInt, mi.toInt, se.toInt, fr, zone, p)
+      build(y.toInt, mo.toInt, d.toInt, h.toInt, mi.toInt, se.toInt, fr, zone, p, null, cz)
     case BareDate(y, mo, d) =>
-      build(y.toInt, mo.toInt, d.toInt, 0, 0, 0, null, null, p)
-    case LooseIso(y, mo, d, h, mi, se, fr, zone) =>
+      build(y.toInt, mo.toInt, d.toInt, 0, 0, 0, null, null, p, null, cz)
+    case LooseIso(y, mo, d, h, mi, se, fr, ampm, zone) =>
       build(y.toInt, mo.toInt, d.toInt, h.toInt, mi.toInt,
-        Option(se).map(_.toInt).getOrElse(0), fr, zone, p)
+        Option(se).map(_.toInt).getOrElse(0), fr, zone, p, ampm, cz)
+    case YearDoy(y, doy, h, mi, se, fr, zone) =>
+      val ld = java.time.LocalDate.ofYearDay(y.toInt, doy.toInt)
+      build(ld.getYear, ld.getMonthValue, ld.getDayOfMonth, h.toInt, mi.toInt,
+        Option(se).map(_.toInt).getOrElse(0), fr, zone, p, null, cz)
     case _ => throw new IllegalArgumentException(
       s"""invalid input syntax for type timestamp: "$s0"""")
   }
 
-  case class PgTsIngest(children: Seq[Expression])
+  case class PgTsIngest(children: Seq[Expression], convert: Boolean = false)
       extends Expression with CodegenFallback {
     override def foldable: Boolean = children.forall(_.foldable)
     override def dataType: DataType = TimestampType
@@ -160,7 +194,7 @@ object PgTimestampPrecision {
         case days: java.lang.Integer
             if children(0).dataType == org.apache.spark.sql.types.DateType =>
           days.toLong * 86400000000L
-        case other => parseRound(other.toString, p.toString.toInt)
+        case other => parseRound(other.toString, p.toString.toInt, convert)
       }
     }
     override protected def withNewChildrenInternal(
@@ -222,6 +256,13 @@ object PgTimestampPrecision {
       new ExpressionInfo(classOf[PgTsIngest].getName, "pg_ts_in"),
       (args: Seq[Expression]) => PgTsIngest(args :+
         org.apache.spark.sql.catalyst.expressions.Literal(6))),
+    (new FunctionIdentifier("pg_tstz_ingest"),
+      new ExpressionInfo(classOf[PgTsIngest].getName, "pg_tstz_ingest"),
+      (args: Seq[Expression]) => PgTsIngest(args, convert = true)),
+    (new FunctionIdentifier("pg_tstz_in"),
+      new ExpressionInfo(classOf[PgTsIngest].getName, "pg_tstz_in"),
+      (args: Seq[Expression]) => PgTsIngest(args :+
+        org.apache.spark.sql.catalyst.expressions.Literal(6), convert = true)),
     (new FunctionIdentifier("pg_tstz_out"),
       new ExpressionInfo(classOf[PgTstzOut].getName, "pg_tstz_out"),
       (args: Seq[Expression]) => PgTstzOut(args.head)))

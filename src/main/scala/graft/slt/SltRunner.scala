@@ -1045,8 +1045,14 @@ object SltRunner {
       else {
         val tail = sql.substring(m.end).dropWhile(_ == ' ')
         val headR = sql.substring(0, m.start).reverse.dropWhile(_ == ' ')
-        if (tail.startsWith(")"))
-          // enclosed in a call (to_jsonb, EXTRACT...): the ORIGINAL tz
+        if (tail.startsWith(")") &&
+            """(?is)(?:extract\s*\(\s*\w+\s+from|date_part\s*\(\s*'\w+'\s*,)\s*$""".r
+              .findFirstIn(sql.substring(0, m.start)).isDefined)
+          // EXTRACT/date_part read FIELDS of the UTC instant — the value
+          // form gives the same answer
+          Some(Regex.quoteReplacement(s"pg_tstz_in(${m.group(1)})"))
+        else if (tail.startsWith(")"))
+          // enclosed in any other call (to_jsonb...): the ORIGINAL tz
           // type matters to the enclosing function — leave it (skip), as
           // before this rewrite existed
           None
@@ -1058,7 +1064,7 @@ object SltRunner {
             """(?is)^(?:FROM\b|AS\b|::\s*(?:string|text)\b)""".r
               .findFirstIn(tail).isDefined) &&
             !"=<>!+-*/".contains(headR.headOption.getOrElse(' '))
-          val core = s"pg_ts_in(${m.group(1)})"
+          val core = s"pg_tstz_in(${m.group(1)})"
           Some(Regex.quoteReplacement(
             if (display) s"pg_tstz_out($core)" else core))
         }
@@ -2424,10 +2430,17 @@ object SltRunner {
                 s"${m.group(1)} string COMMENT 'graft_interval'")
             })
           // normalize the ANSI long forms FIRST so the `time` rewrite below
-          // can never mangle "timestamp with time zone"
-          val tz = """(?i)\btimestamp\s+with(?:out)?\s+time\s+zone\b""".r
-            .replaceAllIn(iv, "timestamp")
-          val tz2 = """(?i)\btimestamptz\b""".r.replaceAllIn(tz, "timestamp")
+          // can never mangle "timestamp with time zone". WITH-time-zone
+          // columns carry a tag: their INSERT ingest CONVERTS zone-suffixed
+          // input to UTC, where plain timestamps DISCARD the zone (pg).
+          val tzA = """(?i)\btimestamp(\s*\(\s*\d\s*\))?\s+with\s+time\s+zone\b""".r
+            .replaceAllIn(iv, "timestamptz$1")
+          val tzB = """(?i)\btimestamp\s+without\s+time\s+zone\b""".r
+            .replaceAllIn(tzA, "timestamp")
+          val tzC = """(?i)\btimestamptz\s*\(\s*(\d)\s*\)""".r.replaceAllIn(tzB, m =>
+            Regex.quoteReplacement(s"timestamp COMMENT 'graft_tsptz_${m.group(1)}'"))
+          val tz2 = """(?i)\btimestamptz\b""".r
+            .replaceAllIn(tzC, "timestamp COMMENT 'graft_tstz'")
           // timestamp(p) columns: Spark has no parameterized TIMESTAMP —
           // store plain timestamp + a precision marker so INSERT
           // canonicalization rounds the fraction to p digits like pg
@@ -2867,9 +2880,14 @@ object SltRunner {
       if (f.dataType == org.apache.spark.sql.types.BinaryType)
         Some(f.name.toLowerCase -> ((cell: String) => s" pg_bytea_in($cell)"))
       else if (f.dataType == org.apache.spark.sql.types.TimestampType &&
-          f.getComment().forall(c => !c.startsWith("graft_tsp_")))
+          f.getComment().contains("graft_tstz"))
+        // timestamptz columns CONVERT zone-suffixed input to UTC
+        Some(f.name.toLowerCase -> ((cell: String) => s" pg_tstz_in($cell)"))
+      else if (f.dataType == org.apache.spark.sql.types.TimestampType &&
+          f.getComment().forall(c => !c.startsWith("graft_ts")))
         // plain timestamp columns take pg's FULL input grammar (verbose
-        // 'Mon Feb 10 ..', compact, named zones) — Spark's cast rejects it
+        // 'Mon Feb 10 ..', compact, named zones), DISCARDING any zone —
+        // Spark's cast rejects most of these forms
         Some(f.name.toLowerCase -> ((cell: String) => s" pg_ts_in($cell)"))
       else f.getComment() match {
         case Some(c) if c.contains("graft_jsonb") =>
@@ -2885,6 +2903,10 @@ object SltRunner {
           // digits on ingest (Spark's cast truncates at micros)
           val p = c.stripPrefix("graft_tsp_")
           Some(f.name.toLowerCase -> ((cell: String) => s" pg_ts_ingest($cell, $p)"))
+        case Some(c) if c.startsWith("graft_tsptz_") =>
+          // timestamptz(p): round to p digits AND convert zone to UTC
+          val p = c.stripPrefix("graft_tsptz_")
+          Some(f.name.toLowerCase -> ((cell: String) => s" pg_tstz_ingest($cell, $p)"))
         case Some(c) if c == "graft_interval" =>
           // interval column: parse the pg text input form + store the
           // mz-canonical rendering (idempotent over already-canonical text)
@@ -3687,6 +3709,13 @@ object SltRunner {
     else if (skipPrefixes.exists(up.startsWith))
       Unsupported(s"no Spark analog: ${up.takeWhile(_ != ' ')}", mutating = false,
         sql = sqlRaw)
+    else if (graft.sql.GraftSqlParser.CommentOn.findFirstMatchIn(sqlRaw).exists { m =>
+      // COMMENT ON COLUMN of a session-registered custom (record) type:
+      // the type registry lives here, not in the engine catalog
+      m.group(1).equalsIgnoreCase("COLUMN") &&
+        customTypes.contains(SltSession.normName(m.group(2).split("\\.").head))
+    })
+      Statement("SELECT 1 AS graft_type_column_comment", expectError = false)
     else Statement(shim(sqlRaw, crdb), expectError = false)
   }
 

@@ -284,6 +284,11 @@ case class CommentOnCommand(kind: String, target: String, text: Option[String])
         // index DDL may live in the session layer (the SLT runner's no-op
         // registry) rather than the engine registry — accept unvalidated
         (GraftSqlCatalog.normId(target), None)
+      case "DATABASE" | "SCHEMA" | "CLUSTER" | "CLUSTER REPLICA" | "ROLE" |
+           "SECRET" | "CONNECTION" | "FUNC" | "NETWORK POLICY" =>
+        // non-relation namespaces live outside the relation catalog
+        // (database/cluster emulation is session state) — store unvalidated
+        (GraftSqlCatalog.normId(target), None)
       case _ =>
         val n = GraftSqlCatalog.normId(target)
         if (!relExists(n)) throw new IllegalArgumentException(

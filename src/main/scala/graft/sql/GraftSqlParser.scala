@@ -309,8 +309,9 @@ object GraftSqlParser {
   /** `COMMENT ON <kind> <name> IS '<text>' | NULL` (reference
     * `src/sql/src/plan/statement/ddl.rs` plan_comment). */
   val CommentOn: Regex =
-    ("(?is)^\\s*COMMENT\\s+ON\\s+(TABLE|VIEW|MATERIALIZED\\s+VIEW|INDEX|TYPE|SOURCE|SINK|COLUMN)\\s+" +
-      "(\"?[\\w]+\"?(?:\\s*\\.\\s*\"?[\\w]+\"?)?)\\s+IS\\s+(NULL|'(?:[^']|'')*')\\s*;?\\s*$").r
+    ("(?is)^\\s*COMMENT\\s+ON\\s+(TABLE|VIEW|MATERIALIZED\\s+VIEW|INDEX|TYPE|SOURCE|SINK|COLUMN|" +
+      "DATABASE|SCHEMA|CLUSTER\\s+REPLICA|CLUSTER|ROLE|SECRET|CONNECTION|FUNC|NETWORK\\s+POLICY)\\s+" +
+      "(\"?[\\w]+\"?(?:\\s*\\.\\s*\"?[\\w]+\"?){0,2})\\s+IS\\s+(NULL|'(?:[^']|'')*')\\s*;?\\s*$").r
   val Identifier: Regex = "[A-Za-z_][A-Za-z0-9_]*".r
   /** `'...'` with doubled-quote escapes, as Spark's lexer tokenizes them. */
   val StringLiteral: Regex = "'(?:[^']|'')*'".r
