@@ -16,6 +16,8 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.ReduceElisionRule)
     // list/array ::text renders the mz {..} form, not Spark's [..]
     e.injectResolutionRule(_ => graft.plans.ListTextCastRule)
+    // pg: a FROM-position SRF's table alias names its output column
+    e.injectResolutionRule(_ => graft.plans.SrfAliasRule)
     e.injectParser((session, delegate) => new graft.sql.GraftSqlParser(session, delegate))
     // generate_series in both scalar position (SELECT generate_series(..))
     // and FROM position — the reference's core table function
@@ -26,6 +28,8 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     // pg-semantic array accessors: 1-based NULL-safe subscript, NOT
     // DISTINCT FROM removal, NULL-when-absent position
     graft.functions.PgArrayFunctions.functions.foreach(e.injectFunction)
+    // pg array_fill (bounds-carrying arrays ride a struct type)
+    graft.functions.GraftArrayFill.functions.foreach(e.injectFunction)
     // pg text/format functions: quote_ident, pg_size_pretty
     graft.functions.PgTextFunctions.functions.foreach(e.injectFunction)
     // jsonb family: canonical pg rendering, accessors, containment,

@@ -195,6 +195,9 @@ object MzListExpressions {
         .replaceAll("(\\.\\d*?)0+$", "$1").stripSuffix(".")
     case (d: org.apache.spark.sql.types.Decimal, _) =>
       d.toJavaBigDecimal.stripTrailingZeros.toPlainString
+    case (b: Array[Byte], _) =>
+      // pg bytea hex output form (strconv.rs format_bytes)
+      b.map(x => f"$x%02x").mkString("\\x", "", "")
     case (row: org.apache.spark.sql.catalyst.InternalRow, st: StructType) =>
       // pg record text: (f1,f2,..) with NULL fields empty
       st.fields.zipWithIndex.map { case (f, i) =>

@@ -41,8 +41,20 @@ case class PgArrayDim(left: Expression, right: Expression, kind: String)
   override protected def nullSafeEval(arr: Any, dim: Any): Any = {
     val d = dim.asInstanceOf[Int]
     if (d < 1) return null
-    var cur = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    var dt = left.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    // bounds-carrying arrays (array_fill with explicit lower bounds): the
+    // bound vector rides in the struct value; lower/upper shift by it
+    val (arr0, dt0, lbs) = GraftArrayFill.boundedType(left.dataType) match {
+      case Some((at, _)) =>
+        val (lb, data) = GraftArrayFill.unpack(
+          arr.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+        (data, at, lb)
+      case None =>
+        (arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+          left.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType],
+          Seq.empty[Int])
+    }
+    var cur = arr0
+    var dt = dt0
     var level = 1
     while (level < d) {
       if (cur.numElements == 0) return null
@@ -55,8 +67,10 @@ case class PgArrayDim(left: Expression, right: Expression, kind: String)
         case _ => return null
       }
     }
+    val lo = lbs.applyOrElse(d - 1, (_: Int) => 1)
     if (cur.numElements == 0) null
-    else if (kind == "lower") 1
+    else if (kind == "lower") lo
+    else if (kind == "upper") lo + cur.numElements - 1
     else cur.numElements
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): PgArrayDim =
@@ -80,8 +94,12 @@ case class PgSubscriptN(children: Seq[Expression])
       case org.apache.spark.sql.types.ArrayType(et, _) => peel(et, n - 1)
       case other => other
     }
+  /** Bounds-carrying arrays (array_fill with lower bounds) subscript on
+    * their data with indexes shifted by the bound vector. */
+  private def boundedBase: Option[org.apache.spark.sql.types.ArrayType] =
+    GraftArrayFill.boundedType(arr.dataType).map(_._1)
   override def dataType: org.apache.spark.sql.types.DataType =
-    peel(arr.dataType, idxs.length)
+    peel(boundedBase.getOrElse(arr.dataType), idxs.length)
   override def nullable: Boolean = true
   /** pg 14 jsonb subscripting (`('[1,2]'::jsonb)[0]`, 0-based, negative
     * wraps, text keys coerce to array indexes) — the engine stores jsonb as
@@ -119,6 +137,13 @@ case class PgSubscriptN(children: Seq[Expression])
     if (dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) return null
     var cur = arr.eval(input)
     var dt = arr.dataType
+    var lbs: Seq[Int] = Seq.empty
+    if (cur != null) boundedBase.foreach { at =>
+      val (lb, data) = GraftArrayFill.unpack(
+        cur.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+      cur = data; dt = at; lbs = lb
+    }
+    var level = 0
     idxs.foreach { idxe =>
       if (cur == null) return null
       val et = dt match {
@@ -132,12 +157,15 @@ case class PgSubscriptN(children: Seq[Expression])
         case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
         case other => try other.toString.toDouble catch { case _: Throwable => return null }
       }
-      val i = d.toInt
-      if (i.toDouble != d) return null // fractional subscript
+      val i0 = d.toInt
+      if (i0.toDouble != d) return null // fractional subscript
+      // a lower-bound vector shifts the pg index into 1-based storage
+      val i = i0 - lbs.applyOrElse(level, (_: Int) => 1) + 1
       val a = cur.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       if (i < 1 || i > a.numElements) return null
       cur = if (a.isNullAt(i - 1)) null else a.get(i - 1, et)
       dt = et
+      level += 1
     }
     cur
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan, OneRowRelation, Project}
-import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, CalendarIntervalType, DataType, DateType, DayTimeIntervalType, DecimalType, IntegerType, LongType, ShortType, StringType, TimestampNTZType, TimestampType, YearMonthIntervalType}
 
 /** `generate_series(start, stop [, step])` — the reference's core table
   * function (`src/expr/src/relation/func.rs` TableFunc::GenerateSeriesInt64
@@ -139,10 +139,35 @@ case class PgSeries(start: Expression, stop: Expression, stepE: Expression)
   override lazy val replacement: Expression = {
     val integral = children.forall(c =>
       Seq(ByteType, ShortType, IntegerType, LongType).contains(c.dataType))
+    val temporal = Seq(start, stop).exists(c => c.dataType match {
+      case TimestampType | TimestampNTZType | DateType => true
+      case _ => false
+    })
     // the replacement bypasses ResolveTimeZone — Sequence is
     // TimeZoneAwareExpression and stays unresolved without an explicit id
     val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
-    if (!integral) TryEval(Sequence(start, stop, Some(stepE), tz))
+    if (temporal && !integral) {
+      // pg iterates `cur := cur + step` (month-add clamps to month end at
+      // EACH step: Jan 31 → Feb 28 → Mar 28), unlike Spark Sequence's
+      // `start + i*step` (which would give Mar 31) — a dedicated iterative
+      // expression, reference src/expr/src/relation/func.rs
+      // GenerateSeriesTimestamp. The replacement tree sits outside the
+      // analyzer's implicit-cast reach, so endpoint/step coercions
+      // (date→timestamp, string step→interval text) are explicit here.
+      val outT: DataType = Seq(start, stop).map(_.dataType).collectFirst {
+        case t @ (TimestampType | TimestampNTZType) => t
+      }.getOrElse(TimestampType)
+      def ep(e: Expression): Expression =
+        if (e.dataType == outT) e else Cast(e, outT, tz)
+      // a step written `'1day'::interval` arrives as Cast(text, interval);
+      // Spark's interval grammar NULLs on pg spellings like '1day' — feed
+      // the raw text to the pg-grammar parser inside the expression instead
+      val step = stepE match {
+        case Cast(c, CalendarIntervalType, _, _) if c.dataType == StringType => c
+        case e => e
+      }
+      GenerateSeriesTimestamp(ep(start), ep(stop), step)
+    } else if (!integral) TryEval(Sequence(start, stop, Some(stepE), tz))
     else {
       val dec = DecimalType(38, 0)
       val aD = Cast(start, dec)
@@ -168,4 +193,74 @@ case class PgSeries(start: Expression, stop: Expression, stepE: Expression)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(start = newChildren(0), stop = newChildren(1), stepE = newChildren(2))
+}
+
+/** `generate_series(timestamp, timestamp, interval)` with pg's ITERATIVE
+  * stepping (reference `src/expr/src/relation/func.rs:3566-3581`
+  * TableFunc::GenerateSeriesTimestamp): each element is the previous plus
+  * the step, so month arithmetic clamps to month-end at every hop
+  * (`'2021-01-31' + '1 month'` → Feb 28 → Mar 28 → ...), where a
+  * `start + i*step` formulation (Spark `Sequence`) would yield Mar 31.
+  * Direction follows pg's interval sign (months flattened at 30 days);
+  * a zero step raises pg's error; a step pointing away from `stop`
+  * yields the empty set. The step accepts interval TEXT (this engine's
+  * SLT dialect carries intervals as pg-canonical strings through
+  * [[MzInterval]]) or any Spark interval type. */
+case class GenerateSeriesTimestamp(start: Expression, stop: Expression, stepE: Expression)
+    extends TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def first: Expression = start
+  override def second: Expression = stop
+  override def third: Expression = stepE
+  override def prettyName: String = "generate_series"
+  override def dataType: DataType = ArrayType(start.dataType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private val MicrosPerDay = 86400000000L
+  private val MaxElems = 16 * 1024 * 1024
+
+  override protected def nullSafeEval(a: Any, b: Any, s: Any): Any = {
+    val (months, days, micros): (Long, Long, Long) = stepE.dataType match {
+      case StringType =>
+        MzInterval.parse(s.toString, None) match {
+          case scala.util.Right(iv) => (iv.months, iv.days, iv.micros.toLong)
+          case scala.util.Left(err) => throw new IllegalArgumentException(err)
+        }
+      case CalendarIntervalType =>
+        val ci = s.asInstanceOf[org.apache.spark.unsafe.types.CalendarInterval]
+        (ci.months.toLong, ci.days.toLong, ci.microseconds)
+      case _: DayTimeIntervalType => (0L, 0L, s.asInstanceOf[Long])
+      case _: YearMonthIntervalType => (s.asInstanceOf[Int].toLong, 0L, 0L)
+      case other => throw new IllegalArgumentException(
+        s"generate_series step must be an interval, got ${other.sql}")
+    }
+    // pg orders intervals by flattening months at 30 days (interval_cmp)
+    val sign = java.lang.Long.signum(
+      months * 30L * MicrosPerDay + days * MicrosPerDay + micros)
+    if (sign == 0)
+      throw new IllegalArgumentException("step size cannot equal zero")
+    val stopM = b.asInstanceOf[Long]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var cur = a.asInstanceOf[Long]
+    while (if (sign > 0) cur <= stopM else cur >= stopM) {
+      buf += cur
+      if (buf.size > MaxElems) throw new IllegalStateException(
+        s"generate_series would produce more than $MaxElems rows")
+      // timestamp + interval: months first (clamped), then days, then the
+      // sub-day component — calendar arithmetic on the zoneless wall time
+      // (session zone is UTC; TimestampNTZ micros share the representation)
+      var ldt = java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(cur, 1000000L),
+        (Math.floorMod(cur, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+      ldt = ldt.plusMonths(months).plusDays(days)
+        .plus(micros, java.time.temporal.ChronoUnit.MICROS)
+      cur = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000L
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buf.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, sec: Expression, t: Expression): Expression =
+    copy(start = f, stop = sec, stepE = t)
 }

@@ -23,7 +23,14 @@ object ListTextCastRule extends Rule[LogicalPlan] {
           child.dataType.isInstanceOf[ArrayType] =>
         graft.functions.MzListExpressions.MzListOut(child)
       case Cast(child, _: StringType, _, _) if child.resolved &&
-          child.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
+          (child.dataType match {
+            // mz maps are always text-keyed; a non-text-keyed Spark map
+            // (legal native SQL, e.g. cast(map(1,'a') AS STRING)) must fall
+            // through to Spark's cast — renderMap reads keys as UTF8String
+            // and would misread an UnsafeMapData int key slot
+            case org.apache.spark.sql.types.MapType(StringType, _, _) => true
+            case _ => false
+          }) =>
         graft.functions.MzMapExpressions.MzMapOut(child)
       case Cast(child, at: ArrayType, _, _) if child.resolved &&
           child.dataType.isInstanceOf[ArrayType] &&
@@ -36,6 +43,30 @@ object ListTextCastRule extends Rule[LogicalPlan] {
         // `list || list` keeps pg NULL semantics (NULL || l == l) and
         // numeric promotion, unlike Spark's Concat (NULL-propagating)
         graft.functions.MzListExpressions.MzListCat(c.children(0), c.children(1))
+      case c: org.apache.spark.sql.catalyst.expressions.Concat
+          if c.children.length == 2 && c.children.forall(_.resolved) &&
+            c.children.exists(e =>
+              graft.functions.GraftArrayFill.boundedType(e.dataType).isDefined) &&
+            c.children.forall(e =>
+              e.dataType.isInstanceOf[ArrayType] ||
+              graft.functions.GraftArrayFill.boundedType(e.dataType).isDefined) =>
+        // `||` over a bounds-carrying array (array_fill with lower bounds)
+        graft.functions.GraftBoundedCat(c.children(0), c.children(1))
+      case Cast(child, at @ ArrayType(et, _), _, _) if child.resolved &&
+          (child.dataType match {
+            case ArrayType(org.apache.spark.sql.types.NullType, _) =>
+              et != org.apache.spark.sql.types.NullType
+            case _ => false
+          }) =>
+        // pg `array[]::int[]` / `ARRAY[NULL]::int[]`: Spark has no cast
+        // from array<void>; element-wise null cast is always legal
+        org.apache.spark.sql.catalyst.expressions.ArrayTransform(
+          child,
+          org.apache.spark.sql.catalyst.expressions.LambdaFunction(
+            Cast(org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable(
+              Seq("graft_eac_x")), et),
+            Seq(org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable(
+              Seq("graft_eac_x")))))
     }
   }
 }

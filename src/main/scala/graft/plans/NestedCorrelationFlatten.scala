@@ -208,6 +208,8 @@ object NestedCorrelationFlatten extends PredicateHelper {
     "regr_intercept", "regr_r2", "regr_slope", "regr_sxx", "regr_sxy",
     "regr_syy", "string_agg", "array_agg", "jsonb_agg", "jsonb_object_agg",
     "map_agg", "list_agg", "listagg", "collect_list", "collect_set",
+    "json_agg", "json_object_agg", "json_arrayagg", "json_objectagg",
+    "xmlagg",
     "mode", "median", "percentile", "percentile_approx", "percentile_cont",
     "percentile_disc", "approx_count_distinct", "approx_percentile",
     "bit_and", "bit_or", "bit_xor", "bitmap_construct_agg", "bitmap_or_agg",

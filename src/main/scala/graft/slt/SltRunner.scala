@@ -1058,8 +1058,28 @@ object SltRunner {
           None
         else {
           // display position: end of item AND not the right side of an
-          // operator (comparisons keep the timestamp VALUE)
-          val display = (tail.isEmpty || tail.startsWith(",") ||
+          // operator (comparisons keep the timestamp VALUE). A ','-tail
+          // only counts as a display position at paren depth 0 — inside a
+          // call (`age('..'::timestamptz, ..)`) the literal is a non-final
+          // ARGUMENT and must keep the value form, mirroring the ')'-tail
+          // skip for final arguments.
+          val parenDepth = {
+            var d = 0; var i = 0; var q = false
+            while (i < m.start) {
+              val c = sql.charAt(i)
+              if (q) { if (c == '\'') q = false }
+              else c match {
+                case '\'' => q = true
+                case '(' => d += 1
+                case ')' => d -= 1
+                case _ => ()
+              }
+              i += 1
+            }
+            d
+          }
+          val display = (tail.isEmpty ||
+            (tail.startsWith(",") && parenDepth == 0) ||
             tail.startsWith(";") ||
             """(?is)^(?:FROM\b|AS\b|::\s*(?:string|text)\b)""".r
               .findFirstIn(tail).isDefined) &&
@@ -2347,10 +2367,11 @@ object SltRunner {
     val sql0rawDon0 =
       if (!"""(?is)\bDISTINCT\s+ON\s*\(""".r.findFirstIn(sql0rawDb).isDefined) sql0rawDb
       else rewriteDistinctOn(sql0rawDb)
+    val sql0rawDonRf = rewriteRowsFromOrdinality(sql0rawDon0)
     val sql0rawDon =
-      if (!"""(?is),\s*generate_series\s*\(""".r.findFirstIn(sql0rawDon0).isDefined)
-        sql0rawDon0
-      else rewriteCommaSeries(sql0rawDon0)
+      if (!"""(?is),\s*generate_series\s*\(""".r.findFirstIn(sql0rawDonRf).isDefined)
+        sql0rawDonRf
+      else rewriteCommaSeries(sql0rawDonRf)
     val sql0raw0 = rewriteEmptyFrames(rewriteWindowFnAliases(rewriteUsingAlias(
       rewriteIntervalSelects(rewriteCharVarcharCmp(rewriteNanNumeric(
         rewriteFloatByteaOps(sql0rawDon)))))))
@@ -3085,10 +3106,188 @@ object SltRunner {
     * or FROM) is never touched. */
   private def rewriteCommaSeries(sql: String): String =
     ("""(?is),\s*generate_series\s*\(((?:[^()']|'[^']*'|\([^()]*\))*)\)""" +
-      """\s+(?:AS\s+)?["`]?(\w+)["`]?""" +
+      """(?:\s+(?:AS\s+)?(?!WHERE\b|GROUP\b|ORDER\b|HAVING\b|LIMIT\b|UNION\b|INTERSECT\b|EXCEPT\b|LATERAL\b|WITH\b|ON\b|JOIN\b|LEFT\b|RIGHT\b|INNER\b|CROSS\b|FULL\b)["`]?(\w+)["`]?)?""" +
       """(?=\s*(?:,\s*generate_series|\)|$|WHERE\b|GROUP\b|ORDER\b|HAVING\b|LIMIT\b|UNION\b|INTERSECT\b|EXCEPT\b|LATERAL\b))""").r
-      .replaceAllIn(sql, m => Regex.quoteReplacement(
-        s" LATERAL VIEW explode(graft_series_array(${m.group(1)})) graft_lv_${m.group(2)} AS ${m.group(2)}"))
+      .replaceAllIn(sql, m => {
+        // aliasless form keeps pg's default output-column name
+        val a = Option(m.group(2)).getOrElse("generate_series")
+        Regex.quoteReplacement(
+          s" LATERAL VIEW explode(graft_series_array(${m.group(1)})) graft_lv_$a AS $a")
+      })
+
+  /** pg `ROWS FROM (f(..), g(..))` and `srf(..) WITH ORDINALITY` FROM
+    * items (pg SRF syntax; reference `src/sql/src/plan/query.rs` plans
+    * both onto the same zipped table-function lowering). Spark has
+    * neither — rewrite onto `posexplode`/`arrays_zip`, whose
+    * zip-and-NULL-pad is exactly the pg lockstep semantics and whose
+    * `pos` output is the 1-based ordinality minus one. A match directly
+    * after a comma join emits a LATERAL subquery so correlated arguments
+    * (`FROM t, generate_series(t.a, t.b) WITH ORDINALITY`) still
+    * resolve. Table-valued `WITH ORDINALITY` over plain relations is NOT
+    * rewritten (the row order pg numbers there is engine-defined). */
+  private def rewriteRowsFromOrdinality(sql: String): String = {
+    if (!"""(?i)\bROWS\s+FROM\s*\(|\bWITH\s+ORDINALITY\b|\bFROM\s+[A-Za-z_]\w*\s*\(""".r
+          .findFirstIn(sql).isDefined)
+      return sql
+    val srfArrayForms = Map(
+      "generate_series" -> "graft_series_array",
+      "jsonb_array_elements" -> "graft_jsonb_arr_elements",
+      "jsonb_array_elements_text" -> "graft_jsonb_arr_elements_text",
+      "jsonb_object_keys" -> "graft_jsonb_arr_keys",
+      "regexp_split_to_table" -> "regexp_split_to_array")
+    val FnItem = """(?is)^\s*([A-Za-z_]\w*)\s*\((.*)\)\s*$""".r
+    // (array-valued expr, pg default output-column name)
+    // pg/mz name jsonb_array_elements(_text)'s output column "value"
+    val defaultColName = Map(
+      "jsonb_array_elements" -> "value",
+      "jsonb_array_elements_text" -> "value")
+    def toArrayForm(item: String): (String, String) = item.trim match {
+      case FnItem(fn, args) if srfArrayForms.contains(fn.toLowerCase) =>
+        (s"${srfArrayForms(fn.toLowerCase)}($args)",
+          defaultColName.getOrElse(fn.toLowerCase, fn.toLowerCase))
+      case FnItem(fn, args) if fn.equalsIgnoreCase("unnest") =>
+        (args, "unnest")
+      case FnItem(fn, _) => (s"array(${item.trim})", fn.toLowerCase)
+      case bare if bare.matches("[A-Za-z_]\\w*") => (s"array($bare)", bare.toLowerCase)
+      case other => (s"array($other)", "column1")
+    }
+    def subquery(arrays: Seq[(String, String)], withOrd: Boolean,
+        aliasName: Option[String], aliasCols: Seq[String]): String = {
+      val defaults = arrays.map(_._2) ++ (if (withOrd) Seq("ordinality") else Nil)
+      // too-many-aliases is only a certain error when every item is a
+      // single-column function this rewrite models (an unmapped function
+      // like _pg_expandarray may contribute several columns)
+      val allKnown = arrays.forall(a =>
+        a._1.startsWith("graft_") || a._1.startsWith("regexp_split_to_array"))
+      if (aliasCols.length > defaults.length && allKnown)
+        // mz: "t has 3 columns available but 4 columns specified"
+        return s"(SELECT raise_error('${aliasName.getOrElse("t")} has " +
+          s"${defaults.length} columns available but ${aliasCols.length} " +
+          s"columns specified') AS graft_rf_err)"
+      val names = defaults.zipWithIndex.map { case (d, i) =>
+        aliasCols.lift(i).getOrElse(d)
+      }
+      val dataCols: Seq[String] =
+        if (arrays.length == 1) Seq("graft_z")
+        else arrays.indices.map(i => s"graft_z.`$i`")
+      val src =
+        if (arrays.length == 1) arrays.head._1
+        else s"arrays_zip(${arrays.map(_._1).mkString(", ")})"
+      val inner =
+        if (withOrd) s"SELECT posexplode($src) AS (graft_p, graft_z)"
+        else s"SELECT explode($src) AS graft_z"
+      val sel = (dataCols ++ (if (withOrd) Seq("graft_p + 1") else Nil))
+        .zip(names).map { case (c, n) => s"$c AS `$n`" }.mkString(", ")
+      s"(SELECT $sel FROM ($inner))" + aliasName.map(a => s" AS $a").getOrElse("")
+    }
+    // optional [WITH ORDINALITY] [AS alias[(cols)]] tail after a match
+    val Tail = ("""(?is)^(\s*WITH\s+ORDINALITY\b)?""" +
+      """(?:\s+(?:AS\s+)?(?!WHERE\b|GROUP\b|ORDER\b|HAVING\b|LIMIT\b|UNION\b|INTERSECT\b|EXCEPT\b|LATERAL\b|ON\b|JOIN\b|LEFT\b|RIGHT\b|INNER\b|CROSS\b|FULL\b|WITH\b|USING\b)([A-Za-z_]\w*)\s*(?:\(\s*([^()]*?)\s*\))?)?""").r
+    def lateralPrefix(s: String, start: Int): String = {
+      var i = start - 1
+      while (i >= 0 && s.charAt(i).isWhitespace) i -= 1
+      if (i >= 0 && s.charAt(i) == ',') "LATERAL " else ""
+    }
+    // balanced close-paren scan (quote-aware) from just after an open paren
+    def closeOf(s: String, open: Int): Int = {
+      var i = open + 1; var d = 1; var q = false
+      while (i < s.length && d > 0) {
+        val c = s.charAt(i)
+        if (q) { if (c == '\'') q = false }
+        else c match {
+          case '\'' => q = true
+          case '(' => d += 1
+          case ')' => d -= 1
+          case _ => ()
+        }
+        i += 1
+      }
+      if (d == 0) i - 1 else -1
+    }
+    var out = sql
+    // pass 1: ROWS FROM ( items ) [WITH ORDINALITY] [alias]
+    var guard = 0
+    var m1 = """(?i)\bROWS\s+FROM\s*\(""".r.findFirstMatchIn(out)
+    while (m1.isDefined && guard < 8) {
+      guard += 1
+      val m = m1.get
+      val close = closeOf(out, m.end - 1)
+      if (close < 0) m1 = None
+      else {
+        val items = splitTopLevel(out.substring(m.end, close), ',').map(toArrayForm)
+        val tm = Tail.findFirstMatchIn(out.substring(close + 1)).get
+        val withOrd = tm.group(1) != null
+        val aliasName = Option(tm.group(2))
+        val aliasCols = Option(tm.group(3)).map(splitTopLevel(_, ',').map(_.trim)
+          .filter(_.nonEmpty)).getOrElse(Nil)
+        val repl = lateralPrefix(out, m.start) +
+          subquery(items, withOrd, aliasName, aliasCols)
+        out = out.substring(0, m.start) + repl + out.substring(close + 1 + tm.end)
+        m1 = """(?i)\bROWS\s+FROM\s*\(""".r.findFirstMatchIn(out)
+      }
+    }
+    // pass 2: srf(args) WITH ORDINALITY [alias]
+    val Srf2 = ("""(?is)\b(generate_series|unnest|jsonb_array_elements_text|jsonb_array_elements|jsonb_object_keys|regexp_split_to_table)""" +
+      """\s*\(((?:[^()']|'(?:[^']|'')*'|\((?:[^()']|'(?:[^']|'')*')*\))*)\)""" +
+      """\s*(?=WITH\s+ORDINALITY\b)""").r
+    guard = 0
+    var m2 = Srf2.findFirstMatchIn(out)
+    while (m2.isDefined && guard < 8) {
+      guard += 1
+      val m = m2.get
+      val tm = Tail.findFirstMatchIn(out.substring(m.end)).get
+      val aliasName = Option(tm.group(2))
+      val aliasCols = Option(tm.group(3)).map(splitTopLevel(_, ',').map(_.trim)
+        .filter(_.nonEmpty)).getOrElse(Nil)
+      val repl = lateralPrefix(out, m.start) +
+        subquery(Seq(toArrayForm(m.matched)), withOrd = true, aliasName, aliasCols)
+      out = out.substring(0, m.start) + repl + out.substring(m.end + tm.end)
+      m2 = Srf2.findFirstMatchIn(out)
+    }
+    // pass 3: mz scalar functions in table position — `FROM length('str')
+    // [WITH ORDINALITY] [AS x[(a)]]` is a one-row relation whose column
+    // carries the function (or alias) name. Direct-after-FROM occurrences
+    // only (all the corpus shapes); the bare table alias renames the
+    // COLUMN, pg's SRF alias rule.
+    val tvfNames = srfArrayForms.keySet ++ Set("unnest", "range", "values",
+      "lateral", "rows", "explode", "posexplode", "inline", "stack",
+      "regexp_matches", "csv_extract", "table")
+    val FromFn = """(?is)\bFROM\s+([A-Za-z_]\w*)\s*\(""".r
+    guard = 0
+    var m3 = FromFn.findAllMatchIn(out).find(m =>
+      !tvfNames.contains(m.group(1).toLowerCase) &&
+        !m.group(1).toLowerCase.startsWith("graft_") &&
+        !m.group(1).toLowerCase.startsWith("jsonb_") &&
+        !insideLiteral(out, m.start))
+    while (m3.isDefined && guard < 8) {
+      guard += 1
+      val m = m3.get
+      val close = closeOf(out, m.end - 1)
+      if (close < 0) m3 = None
+      else {
+        val fn = m.group(1)
+        val args = out.substring(m.end, close)
+        val tm = Tail.findFirstMatchIn(out.substring(close + 1)).get
+        val withOrd = tm.group(1) != null
+        val aliasName = Option(tm.group(2))
+        val aliasCols = Option(tm.group(3)).map(splitTopLevel(_, ',').map(_.trim)
+          .filter(_.nonEmpty)).getOrElse(Nil)
+        // bare `AS x` renames the single data column (pg SRF alias rule)
+        val col = aliasCols.headOption.orElse(aliasName).getOrElse(fn.toLowerCase)
+        val ordCol = aliasCols.lift(1).getOrElse("ordinality")
+        val sel = s"$fn($args) AS `$col`" +
+          (if (withOrd) s", 1 AS `$ordCol`" else "")
+        val repl = s"FROM (SELECT $sel)" + aliasName.map(a => s" AS $a").getOrElse("")
+        out = out.substring(0, m.start) + repl + out.substring(close + 1 + tm.end)
+        m3 = FromFn.findAllMatchIn(out).find(m =>
+          !tvfNames.contains(m.group(1).toLowerCase) &&
+            !m.group(1).toLowerCase.startsWith("graft_") &&
+            !m.group(1).toLowerCase.startsWith("jsonb_") &&
+            !insideLiteral(out, m.start))
+      }
+    }
+    out
+  }
 
   /** pg `SELECT DISTINCT ON (exprs) list FROM ... ORDER BY ...` — first row
     * of each ON-group in ORDER BY order (pg docs SELECT DISTINCT ON;
@@ -4002,6 +4201,26 @@ object SltRunner {
       if (us != 0 && us % 86400000000L == 0) // whole days render as "N days"
         pgInterval(0L, 0L, us / 86400000000L, 0L)
       else pgInterval(0L, 0L, 0L, us)
+    case row: org.apache.spark.sql.Row
+        if row.schema != null && row.length == 2 &&
+          row.schema.fieldNames.sameElements(Array(
+            graft.functions.GraftArrayFill.LB_FIELD,
+            graft.functions.GraftArrayFill.DATA_FIELD)) =>
+      // bounds-carrying array (array_fill with lower bounds): pg text
+      // decorates non-default bounds as [l:u][l2:u2]={..}
+      val lb = row.getSeq[Int](0)
+      val data = row.get(1)
+      // per-level extents off the (rectangular) nested value
+      def extents(v: Any): List[Int] = v match {
+        case s: scala.collection.Seq[_] =>
+          s.length :: s.headOption.map(extents).getOrElse(Nil)
+        case _ => Nil
+      }
+      val ext = extents(data)
+      val deco =
+        if (lb.forall(_ == 1) || ext.headOption.contains(0)) ""
+        else lb.zip(ext).map { case (l, n) => s"[$l:${l + n - 1}]" }.mkString + "="
+      deco + renderActual(t, data)
     case row: org.apache.spark.sql.Row => pgRecord(row)
     case b: Array[Byte] =>
       // bytea in a text column: valid UTF-8 renders as its text, anything
@@ -4453,7 +4672,7 @@ object SltRunner {
       ("builtin_function.slt|numeric.slt",
         """(?i)\blog\s*\(""".r,
         "pg log() is log10; Spark log() is ln"),
-      ("builtin_function.slt",
+      ("builtin_function.slt|srfs.slt|scalar-func-table-position.slt",
         """(?i)current_schema""".r,
         "catalog namespace naming (public vs default)"),
       ("hash.slt|bytea.slt",

@@ -17,6 +17,28 @@ class SeriesAndMutationSpec extends SparkSpec {
       == Seq(5L, 4L, 3L))
   }
 
+  test("generate_series over timestamps steps iteratively with pg month clamping") {
+    def run(q: String): Seq[String] =
+      spark.sql(q).collect().toSeq.map(r => String.valueOf(r.get(0)))
+    // plain hourly series through spark.sql (SQL-surface path)
+    assert(run("SELECT * FROM generate_series(CAST('2021-01-01 00:00:00' AS TIMESTAMP), " +
+      "CAST('2021-01-01 02:00:00' AS TIMESTAMP), '1 hour') ORDER BY 1")
+      == Seq("2021-01-01 00:00:00.0", "2021-01-01 01:00:00.0", "2021-01-01 02:00:00.0"))
+    // pg ITERATIVE month stepping: Jan 31 → Feb 28 → Mar 28 (NOT Mar 31)
+    assert(run("SELECT * FROM generate_series(CAST('2021-01-31 03:00:00' AS TIMESTAMP), " +
+      "CAST('2021-04-30 00:00:00' AS TIMESTAMP), '1 month') ORDER BY 1")
+      == Seq("2021-01-31 03:00:00.0", "2021-02-28 03:00:00.0",
+        "2021-03-28 03:00:00.0", "2021-04-28 03:00:00.0"))
+    // wrong-direction step → pg empty set
+    assert(run("SELECT generate_series(CAST('2021-01-03' AS TIMESTAMP), " +
+      "CAST('2021-01-01' AS TIMESTAMP), '1 day')").isEmpty)
+    // descending
+    assert(run("SELECT generate_series(CAST('2021-01-01 03:00:00' AS TIMESTAMP), " +
+      "CAST('2021-01-01 00:00:00' AS TIMESTAMP), '-1 hour') ORDER BY 1")
+      == Seq("2021-01-01 00:00:00.0", "2021-01-01 01:00:00.0",
+        "2021-01-01 02:00:00.0", "2021-01-01 03:00:00.0"))
+  }
+
   test("SLT shim: ARRAY[...] literals become array(...) calls") {
     assert(graft.slt.SltTestHooks.shimFor("SELECT ARRAY[1, 2, 3]", crdb = false)
       .contains("array(1, 2, 3)"))
