@@ -18,6 +18,8 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectResolutionRule(_ => graft.plans.ListTextCastRule)
     // pg: a FROM-position SRF's table alias names its output column
     e.injectResolutionRule(_ => graft.plans.SrfAliasRule)
+    // pg: ranking window functions permit an unordered window
+    e.injectResolutionRule(_ => graft.plans.UnorderedWindowRule)
     e.injectParser((session, delegate) => new graft.sql.GraftSqlParser(session, delegate))
     // generate_series in both scalar position (SELECT generate_series(..))
     // and FROM position — the reference's core table function

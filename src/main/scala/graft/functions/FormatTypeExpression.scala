@@ -99,6 +99,52 @@ object FormatTypeExpression {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Type-name spellings → OID, for `'date'::regtype` resolution
+    * (pg internal typnames + SQL-standard aliases; reference scalar.rs
+    * RegType resolves against the catalog the same way). */
+  def typeOids: Map[String, Int] = graft.sql.PgCatalogRelations.oidOfTypname
+
+  /** `'name'::regtype` / `oid::regtype` (reference scalar.rs RegType):
+    * numeric text passes through; a type-name spelling resolves to its
+    * oid; anything else raises pg's error. Displays as the oid number. */
+  case class PgRegtype(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "pg_regtype"
+    override protected def nullSafeEval(v: Any): Any = {
+      val raw = v.toString.trim
+      if (raw.matches("-?\\d+")) raw.toLong.toInt
+      else {
+        // pg_catalog./public. qualifiers name the same builtin types
+        val n = raw.toLowerCase.replace("\"", "")
+          .stripPrefix("pg_catalog.").stripPrefix("public.")
+        typeOids.get(n).getOrElse(throw new IllegalArgumentException(
+          s"""type "$raw" does not exist"""))
+      }
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `regtype::text`: the internal type name (mz spelling: int4,
+    * timestamptz) for a known oid, the number otherwise (mz renders
+    * unknown type oids numerically). */
+  case class PgRegtypeOut(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "pg_regtype_out"
+    override protected def nullSafeEval(v: Any): Any = {
+      val oid = v.asInstanceOf[Int]
+      UTF8String.fromString(
+        graft.sql.PgCatalogRelations.typnameOfOid.get(oid)
+          .getOrElse(oid.toString))
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
 
   def functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -110,5 +156,13 @@ object FormatTypeExpression {
         case Seq(o) => FormatType(Cast(o, IntegerType), Literal(null, IntegerType))
         case other => throw new IllegalArgumentException(
           s"format_type expects (oid, typmod), got ${other.length} args")
-      }))
+      }),
+    (new FunctionIdentifier("pg_regtype"),
+      new ExpressionInfo(getClass.getName, "pg_regtype"),
+      (args: Seq[Expression]) => PgRegtype(Cast(args.head, StringType))),
+    (new FunctionIdentifier("pg_regtype_out"),
+      new ExpressionInfo(getClass.getName, "pg_regtype_out"),
+      // compose the resolver so both 'date'::regtype::text and
+      // 1082::regtype::text reach the renderer as an oid
+      (args: Seq[Expression]) => PgRegtypeOut(PgRegtype(Cast(args.head, StringType)))))
 }

@@ -126,28 +126,32 @@ object PgTextFunctions {
     * (matching mz_objects). */
   case class PgRegclass(child: Expression)
       extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = IntegerType
+    override def dataType: DataType = LongType
     override def prettyName: String = "pg_regclass"
     private val ambient =
       Set("pg_type", "pg_class", "pg_attribute", "pg_namespace", "pg_index")
     override protected def nullSafeEval(v: Any): Any = {
       val raw = v.toString.trim
-      if (raw.matches("-?\\d+")) raw.toInt
+      // numeric input is an oid: pg's uint32, wrapping negatives
+      if (raw.matches("-?\\d+"))
+        java.lang.Long.parseLong(raw) & 0xFFFFFFFFL
       else {
         val parts = raw.replace("\"", "").split("\\.")
         val name = parts.last.toLowerCase
         val schema = if (parts.length > 1) parts(parts.length - 2).toLowerCase else ""
-        if (ambient.contains(name)) graft.sql.PgCatalogRelations.userOid(name)
-        else {
-          val census =
-            if (schema.nonEmpty)
-              graft.sql.MzCatalogCensus.objectOids.get((schema, name))
-            else graft.sql.MzCatalogCensus.objectOids.collectFirst {
-              case ((_, n), oid) if n == name && oid != 0 => oid
-            }
-          census.filter(_ != 0)
-            .getOrElse(graft.sql.PgCatalogRelations.userOid(name))
-        }
+        val oid =
+          if (ambient.contains(name)) graft.sql.PgCatalogRelations.userOid(name)
+          else {
+            val census =
+              if (schema.nonEmpty)
+                graft.sql.MzCatalogCensus.objectOids.get((schema, name))
+              else graft.sql.MzCatalogCensus.objectOids.collectFirst {
+                case ((_, n), oid) if n == name && oid != 0 => oid
+              }
+            census.filter(_ != 0)
+              .getOrElse(graft.sql.PgCatalogRelations.userOid(name))
+          }
+        oid.toLong
       }
     }
     override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -71,6 +71,14 @@ object SeriesFunctions {
         // sublists — reference TableFunc::UnnestList), unlike pg arrays,
         // which flatten row-major to scalars; list-producing arguments are
         // recognizable by their marker expressions
+        if (args.length != 1) throw new IllegalArgumentException(
+          s"unnest expects 1 argument, got ${args.length}")
+        args.head match {
+          case Literal(null, org.apache.spark.sql.types.NullType) =>
+            throw new IllegalArgumentException(
+              "could not determine polymorphic type because input has type unknown")
+          case _ => ()
+        }
         val arg = args.head
         val isList = arg.exists(PgTypeof.isListExpr)
         val src = if (isList) arg else FlattenAll(arg)

@@ -32,13 +32,142 @@ object SchemaEmulation {
   /** canonical prefix -> flat member names (for DROP ... CASCADE) */
   private val members = mutable.Map.empty[String, mutable.Set[String]]
   private var counter = 0
+  /** `SET search_path` state (pg resolution order; default public only).
+    * Parse-time like every other registry. */
+  private var searchPath: Seq[String] = Seq("public")
+  /** bare names of relations created in the public schema this file
+    * (parse-time; lets bare-name resolution walk the path pg-style) */
+  private val publicRels = mutable.Set.empty[String]
 
   /** Ambient schemas — not creatable/droppable/renamable-to. */
   private val ambient = Set("public", "mz_catalog", "pg_catalog", "mz_internal",
     "information_schema", "mz_unsafe", "mz_catalog_unstable", "mz_introspection",
     "mz_temp")
 
-  def reset(): Unit = { canon.clear(); members.clear(); counter = 0 }
+  def reset(): Unit = {
+    canon.clear(); members.clear(); counter = 0
+    searchPath = Seq("public"); publicRels.clear(); typesBySchema.clear()
+  }
+
+  /** Parse-time `SET search_path = a, b` hook (pg: schemas need not
+    * exist; resolution simply skips unknown ones). */
+  def setSearchPath(raw: String): Unit = {
+    val parts = raw.split(",").map(norm).filter(_.nonEmpty).toSeq
+    searchPath = if (parts.isEmpty) Seq("public") else parts
+  }
+  def resetSearchPath(): Unit = searchPath = Seq("public")
+  def currentSearchPath: Seq[String] = searchPath
+
+  /** First schema on the path that CONTAINS a relation with this bare
+    * name: Some(flatName). `None` when it resolves to public (or nowhere —
+    * leave the bare spelling for Spark to resolve/reject). */
+  def resolveBare(bare: String): Option[String] = {
+    val n = norm(bare)
+    searchPath.iterator.flatMap {
+      case "public" => if (publicRels.contains(n)) Some(Left(n)) else None
+      case s => canon.get(s).flatMap { c =>
+        val flat = s"${c}__$n"
+        if (members.get(c).exists(_.contains(flat))) Some(Right(flat)) else None
+      }
+    }.nextOption().flatMap { case Right(f) => Some(f); case Left(_) => None }
+  }
+
+  /** The schema a bare CREATE lands in: the first path entry that exists
+    * (pg's first valid creation schema); None = public. */
+  def creationPrefix: Option[String] =
+    searchPath.iterator.flatMap {
+      case "public" => Some(None)
+      case s => canon.get(s).map(Some(_))
+    }.nextOption().flatten
+
+  /** Resolve a possibly-qualified relation spelling to its flat name:
+    * Right(flat) or Left(pg error text). */
+  def resolveRelation(spelling: String): Either[String, String] = {
+    val parts = spelling.replace("\"", "").split("\\.").map(_.trim).toSeq
+      .filter(_.nonEmpty)
+    def strip(p: Seq[String]) =
+      if (p.length > 2 && (p.head.equalsIgnoreCase("materialize"))) p.tail else p
+    strip(parts) match {
+      case Seq(bare) =>
+        val n = norm(bare)
+        resolveBare(n) match {
+          case Some(flat) => Right(flat)
+          case None =>
+            if (searchPath.contains("public") && publicRels.contains(n)) Right(n)
+            else Left(s"""relation "$spelling" does not exist""")
+        }
+      case Seq(schema, rel) =>
+        val s = norm(schema); val n = norm(rel)
+        if (s == "public") {
+          if (publicRels.contains(n)) Right(n)
+          else Left(s"""relation "$spelling" does not exist""")
+        } else canon.get(s) match {
+          case Some(c) if members.get(c).exists(_.contains(s"${c}__$n")) =>
+            Right(s"${c}__$n")
+          case Some(_) => Left(s"""relation "$spelling" does not exist""")
+          case None => Left(s"""unknown schema '$s'""")
+        }
+      case _ => Left(s"""relation "$spelling" does not exist""")
+    }
+  }
+
+  /** pg regclass::text rendering: the bare name when the path resolves it
+    * to the same relation, else the qualified spelling. */
+  def visibleName(spelling: String, flat: String): String = {
+    val bare = norm(spelling.replace("\"", "").split("\\.").last)
+    val bareFlat = resolveBare(bare) match {
+      case Some(f) => Some(f)
+      case None if searchPath.contains("public") && publicRels.contains(bare) =>
+        Some(bare)
+      case None => None
+    }
+    if (bareFlat.contains(flat)) bare
+    else {
+      // qualify with the owning schema's visible name
+      val i = flat.indexOf("__")
+      if (i > 0) {
+        val prefix = flat.substring(0, i)
+        canon.collectFirst { case (vis, c) if c == prefix => s"$vis.$bare" }
+          .getOrElse(spelling)
+      } else s"public.$bare"
+    }
+  }
+
+  /** Record a public (unprefixed) relation created this file. */
+  def notePublic(bare: String): Unit = publicRels += norm(bare)
+
+  /** visible schema -> bare custom-type names (CREATE TYPE registry view,
+    * for regtype::text's search_path-sensitive rendering). */
+  private val typesBySchema = mutable.Map.empty[String, mutable.Set[String]]
+
+  def noteType(spelling: String): Unit = {
+    val parts = spelling.replace("\"", "").split("\\.").filter(_.trim.nonEmpty)
+    val sch = if (parts.length >= 2) norm(parts(parts.length - 2)) else "public"
+    typesBySchema.getOrElseUpdate(sch, mutable.Set.empty) += norm(parts.last)
+  }
+
+  /** pg regtype::text: bare when the path resolves the bare spelling to
+    * the same type, else the qualified input spelling. */
+  def visibleTypeName(spelling: String): String = {
+    val parts = spelling.replace("\"", "").split("\\.").filter(_.trim.nonEmpty).toSeq
+    if (parts.length != 2) return spelling.replace("\"", "")
+    val sch = norm(parts.head); val n = norm(parts.last)
+    val first = searchPath.find(s => typesBySchema.get(s).exists(_.contains(n)))
+    if (first.contains(sch)) n else spelling.replace("\"", "")
+  }
+
+  /** pg current_schema(): the first schema on the path that exists. */
+  def currentSchemaVisible: Option[String] =
+    searchPath.find(s =>
+      s == "public" || ambient.contains(s) || canon.contains(s))
+
+  /** pg current_schemas(include_implicit). */
+  def currentSchemasVisible(implicitToo: Boolean): Seq[String] = {
+    val existing = searchPath.filter(s =>
+      s == "public" || ambient.contains(s) || canon.contains(s))
+    (if (implicitToo) Seq("mz_catalog", "pg_catalog") ++ existing
+     else existing).distinct
+  }
 
   def isEmpty: Boolean = canon.isEmpty
 
@@ -117,8 +246,39 @@ object SchemaEmulation {
     if (canon.isEmpty) return seg
     val names = canon.keys.map(java.util.regex.Pattern.quote).mkString("|")
     val re = s"""(?i)\\b(?:materialize\\s*\\.\\s*)?($names)\\s*\\.\\s*(?=[\\w"])""".r
-    re.replaceAllIn(seg, m =>
+    val qualified = re.replaceAllIn(seg, m =>
       scala.util.matching.Regex.quoteReplacement(canon(norm(m.group(1))) + "__"))
+    bareMangle(qualified)
+  }
+
+  /** search_path-aware bare-name pass: when a user schema PRECEDES public
+    * on the path, a bare relation reference resolves into it (pg
+    * resolution order). CREATE targets land in the path's first schema.
+    * No-op on the default path. */
+  private def bareMangle(seg: String): String = {
+    if (searchPath == Seq("public")) return seg
+    var out = seg
+    // CREATE lands in the first (existing) path schema
+    creationPrefix.foreach { prefix =>
+      val CreateRe2 =
+        """(?is)\b(CREATE\s+(?:TEMP(?:ORARY)?\s+)?(?:TABLE|MATERIALIZED\s+VIEW|VIEW)\s+(?:IF\s+NOT\s+EXISTS\s+)?)([A-Za-z_]\w*)\b(?!\s*\.)""".r
+      out = CreateRe2.replaceAllIn(out, m =>
+        scala.util.matching.Regex.quoteReplacement(
+          m.group(1) + prefix + "__" + norm(m.group(2))))
+    }
+    // bare references that the path resolves into a user schema
+    val renames: Map[String, String] = (for {
+      (vis, c) <- canon.toSeq
+      if searchPath.contains(vis)
+      flat <- members.getOrElse(c, mutable.Set.empty)
+      bare = flat.substring(flat.indexOf("__") + 2)
+      resolved <- resolveBare(bare)
+    } yield bare -> resolved).toMap
+    if (renames.isEmpty) return out
+    val nameAlt = renames.keys.map(java.util.regex.Pattern.quote).mkString("|")
+    val bareRe = s"""(?i)(?<![\\w".])($nameAlt)(?![\\w".(])""".r
+    bareRe.replaceAllIn(out, m =>
+      scala.util.matching.Regex.quoteReplacement(renames(norm(m.group(1)))))
   }
 
   /** Record a created member (called by the runner after mangling, from the
@@ -129,7 +289,8 @@ object SchemaEmulation {
       val prefix = mangled.substring(0, i)
       if (canon.values.exists(_ == prefix))
         members.getOrElseUpdate(prefix, mutable.Set.empty) += mangled
-    }
+      else publicRels += norm(mangled)
+    } else publicRels += norm(mangled)
   }
 
   /** Parsed marker: (isOk, errMsg, memberDrops). */

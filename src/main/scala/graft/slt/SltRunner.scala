@@ -142,6 +142,20 @@ object SltRunner {
     // pg array-type suffix `type[]` → Spark array<type> (cast position)
     ("""(?i)::\s*(string|int|integer|bigint|smallint|real|double|boolean|date|timestamp)\s*\[\s*\]""".r,
       "::array<$1>"),
+    // ... and in COLUMN-TYPE position (`a int[]`): the suffix only ever
+    // follows a type KEYWORD (subscripts follow identifiers/parens)
+    ("""(?i)\b(string|int|integer|bigint|smallint|real|double|boolean|date|timestamp|decimal|numeric)\s*\[\s*\]""".r,
+      "array<$1>"),
+    // uuid columns store canonical text (the ::uuid cast positions were
+    // already rewritten to checked pg_uuid calls); uuid() the function is
+    // left alone
+    ("""(?i)\buuid\b(?!\s*\()""".r, "string"),
+    // pg bare CHAR is char(1) (bpchar); Spark demands a length. Only in
+    // TYPE positions — cast tails and column definitions — since `char`
+    // is also a legal identifier/alias; the QUOTED "char" type (oid 18)
+    // stays untouched.
+    ("""(?i)::\s*char\b(?!\s*[(\w"])""".r, "::char(1)"),
+    ("""(?i)([(,]\s*"?\w+"?\s+)char\b(?=\s*[,)])""".r, "$1char(1)"),
     // oid → string: its jsonb/text renderings quote it like an identifier,
     // and equality/joins on it are string-compatible
     ("""(?i)::\s*oid\b""".r, "::string"),
@@ -416,7 +430,8 @@ object SltRunner {
       "int4range" -> "pg_int4range", "int8range" -> "pg_int8range",
       "numrange" -> "pg_numrange", "daterange" -> "pg_daterange",
       "tstzrange" -> "pg_tstzrange", "tsrange" -> "pg_tsrange",
-      "time" -> "pg_time")
+      "time" -> "pg_time", "regtype" -> "pg_regtype",
+      "regtype_out" -> "pg_regtype_out")
 
   /** Operand start for a CHECKED-cast wrap (uint casts): like
     * castOperandStart, but also accepts a (possibly signed) numeric literal
@@ -466,8 +481,271 @@ object SltRunner {
     } else j + 1
   }
 
+  /** regclass/regtype literal casts (reference `src/repr/src/scalar.rs`
+    * RegClass/RegType; corpus regclass.slt / regtype.slt): a LITERAL
+    * `'name'::regclass` resolves at parse time through the schema
+    * emulation's search_path-aware name flattening — `'t'::regclass` and
+    * `'s.t'::regclass` reach pg_regclass with DISTINCT flat names, so
+    * their oids differ exactly as pg's do. `::regclass::text` renders the
+    * search-path-visible spelling (computed here — it is a parse-time
+    * constant); unknown relations raise pg's error. regtype `::text`
+    * chains route through pg_regtype_out (the name for known type oids).
+    * Non-literal operands keep the generic pg_regclass/pg_regtype cast. */
+  private def rewriteRegCasts(sql: String): String = {
+    if (!"""(?i)::\s*(?:pg_catalog\s*\.\s*)?reg(class|type)\b""".r
+          .findFirstIn(sql).isDefined) return sql
+    def isCatalogRel(lit: String): Boolean = {
+      val parts = lit.replace("\"", "").split("\\.").map(_.trim.toLowerCase)
+      parts.last.startsWith("pg_") || parts.last.startsWith("mz_") ||
+        (parts.length > 1 && Set("pg_catalog", "mz_catalog", "mz_internal",
+          "information_schema").contains(parts(parts.length - 2)))
+    }
+    def nParts(lit: String): Int = {
+      val p = lit.replace("\"", "").split("\\.").filter(_.trim.nonEmpty)
+      if (p.length > 2 && p.head.equalsIgnoreCase("materialize")) p.length - 1
+      else p.length
+    }
+    // a flat name that starts with a digit must stay quoted for the
+    // runtime resolver (numeric passthrough would swallow it)
+    def q(flat: String): String =
+      if (flat.headOption.exists(_.isDigit)) "\"" + flat + "\"" else flat
+    var out = sql
+    // mz: text::regclass must be a valid IDENTIFIER (an all-digit string
+    // is not one, unlike pg); a name parses like the direct literal cast
+    out = """(?is)('(?:[^']|'')*')\s*::\s*text\s*::\s*(?:pg_catalog\s*\.\s*)?regclass\b""".r
+      .replaceSomeIn(out, m =>
+        if (insideLiteral(out, m.start)) None
+        else {
+          val lit = m.group(1).drop(1).dropRight(1).replace("''", "'").trim
+          Some(Regex.quoteReplacement(
+            if (lit.matches("-?\\d+"))
+              s"""raise_error('string is not a valid identifier: "$lit"')"""
+            else s"${m.group(1)}::regclass"))
+        })
+    def isCustomType(lit: String): Boolean = {
+      val last = SltSession.normName(lit.split("\\.").last)
+      customTypes.contains(last) ||
+        customTypes.contains(SltSession.normName(lit))
+    }
+    def isBuiltinType(lit: String): Boolean =
+      graft.functions.FormatTypeExpression.typeOids
+        .contains(lit.toLowerCase.replace("\"", ""))
+    // custom-type regtype ::text renders the search_path-visible NAME —
+    // a parse-time constant, exactly like regclass::text
+    out = """(?is)('(?:[^']|'')*')\s*::\s*(?:pg_catalog\s*\.\s*)?regtype\s*::\s*(?:text|string)\b""".r
+      .replaceSomeIn(out, m =>
+        if (insideLiteral(out, m.start)) None
+        else {
+          val lit = m.group(1).drop(1).dropRight(1).replace("''", "'").trim
+          if (!lit.matches("-?\\d+") && !isBuiltinType(lit) &&
+              (isCustomType(lit) || nParts(lit) >= 3))
+            Some(Regex.quoteReplacement(
+              s"'${SchemaEmulation.visibleTypeName(lit)}'"))
+          else None
+        })
+    // regtype ::text tail → the name-rendering cast
+    out = """(?i)::\s*(?:pg_catalog\s*\.\s*)?regtype\s*::\s*(?:text|string)\b""".r
+      .replaceAllIn(out, "::regtype_out")
+    // numeric operand for the synthesized regtype_out (the generic cast
+    // rewriter does not wrap bare numeric operands)
+    out = """(?i)\b(\d+)\s*::\s*regtype_out\b""".r
+      .replaceSomeIn(out, m =>
+        if (insideLiteral(out, m.start)) None
+        else Some(Regex.quoteReplacement(s"pg_regtype_out('${m.group(1)}')")))
+    // user-defined types resolve to ALLOCATION-ORDER oids — route through
+    // pg_oid(pg_regclass(..)) whose rendering difference is a documented
+    // known-diff (values differ, identity joins hold)
+    out = """(?is)('(?:[^']|'')*')\s*::\s*(?:pg_catalog\s*\.\s*)?regtype\b(?!\s*::\s*(?:text|string)|_out)""".r
+      .replaceSomeIn(out, m =>
+        if (insideLiteral(out, m.start)) None
+        else {
+          val lit = m.group(1).drop(1).dropRight(1).replace("''", "'").trim
+          if (!lit.matches("-?\\d+") && !isBuiltinType(lit) && isCustomType(lit))
+            Some(Regex.quoteReplacement(s"pg_oid(pg_regclass(${m.group(1)}))"))
+          else None
+        })
+    // literal ::regclass::text → the visible name (a parse-time constant)
+    val RcText =
+      """(?is)('(?:[^']|'')*')\s*::\s*(?:pg_catalog\s*\.\s*)?regclass\s*::\s*(?:text|string)\b""".r
+    out = RcText.replaceSomeIn(out, m =>
+      if (insideLiteral(out, m.start)) None
+      else {
+        val lit = m.group(1).drop(1).dropRight(1).replace("''", "'").trim
+        val repl =
+          if (lit.matches("-?\\d+")) s"'$lit'"
+          else if (nParts(lit) >= 3) s"'$lit'" // other-database spelling
+          else SchemaEmulation.resolveRelation(lit) match {
+            case scala.util.Right(flat) =>
+              s"'${SchemaEmulation.visibleName(lit, flat)}'"
+            case scala.util.Left(_) if isCatalogRel(lit) => s"'$lit'"
+            case scala.util.Left(err) =>
+              s"raise_error('${err.replace("'", "''")}')"
+          }
+        Some(Regex.quoteReplacement(repl))
+      })
+    // literal ::regclass (non-text tails): resolve the name, keep the oid
+    val Rc =
+      """(?is)('(?:[^']|'')*')\s*::\s*(?:pg_catalog\s*\.\s*)?regclass\b""".r
+    out = Rc.replaceSomeIn(out, m =>
+      if (insideLiteral(out, m.start)) None
+      else {
+        val lit = m.group(1).drop(1).dropRight(1).replace("''", "'").trim
+        val repl =
+          if (lit.matches("-?\\d+")) s"pg_regclass('$lit')"
+          else if (nParts(lit) >= 3) s"pg_regclass('$lit')"
+          else SchemaEmulation.resolveRelation(lit) match {
+            case scala.util.Right(flat) => s"pg_regclass('${q(flat)}')"
+            case scala.util.Left(_) if isCatalogRel(lit) => s"pg_regclass('$lit')"
+            case scala.util.Left(err) =>
+              s"raise_error('${err.replace("'", "''")}')"
+          }
+        Some(Regex.quoteReplacement(repl))
+      })
+    // bare numeric ::regclass (`2::regclass` displays its number)
+    out = """(?i)\b(\d+)\s*::\s*(?:pg_catalog\s*\.\s*)?regclass\b""".r
+      .replaceSomeIn(out, m =>
+        if (insideLiteral(out, m.start)) None
+        else Some(Regex.quoteReplacement(s"pg_regclass('${m.group(1)}')")))
+    out
+  }
+
+  /** pg record-star projection `(rel).*` / `(rel.col).*` (pg composite
+    * expansion; reference expands whole-row vars the same way). Spark
+    * spells both `rel.*` / `rel.col.*`. */
+  private def rewriteRecordStar(sql: String): String = {
+    if (!sql.contains(").*")) return sql
+    rewriteOutsideLits(sql)(s =>
+      """\(\s*([A-Za-z_][\w.]*)\s*\)\s*\.\s*\*""".r.replaceAllIn(s, "$1.*"))
+  }
+
+  /** pg quantified comparisons over SUBQUERIES — `x OP ANY/SOME/ALL
+    * (SELECT ..)` (pg docs 9.23; the reference plans them as
+    * exists/select lowerings, src/sql/src/plan/expr.rs). Spark only
+    * parses IN/EXISTS: `= ANY` IS pg's IN and `<> ALL` its NOT IN (same
+    * 3VL null semantics); the remaining operators lower onto EXISTS with
+    * the comparison inside, pg's own lowering shape. */
+  private def rewriteQuantifiedSubquery(sql: String): String = {
+    if (!"""(?i)\b(ANY|ALL|SOME)\s*\(\s*(SELECT|VALUES|WITH|TABLE)\b""".r
+          .findFirstIn(sql).isDefined) return sql
+    val Head = """(?i)(=|<>|!=|<=|>=|<|>)\s*(ANY|ALL|SOME)\s*\((?=\s*(?:SELECT|VALUES|WITH|TABLE)\b)""".r
+    var out = sql
+    var guard = 0
+    var m0 = Head.findFirstMatchIn(out)
+    while (m0.isDefined && guard < 12) {
+      guard += 1
+      val m = m0.get
+      if (insideLiteral(out, m.start)) { m0 = None }
+      else {
+        // balanced scan of the subquery
+        var i = m.end; var d = 1; var q = false
+        while (i < out.length && d > 0) {
+          val c = out.charAt(i)
+          if (q) { if (c == '\'') q = false }
+          else c match {
+            case '\'' => q = true
+            case '(' => d += 1
+            case ')' => d -= 1
+            case _ => ()
+          }
+          i += 1
+        }
+        val sub = out.substring(m.end, i - 1)
+        val op = m.group(1)
+        val quant = m.group(2).toUpperCase
+        // Spark's IN-subquery in a PROJECTION renders false where pg's
+        // = ANY yields NULL (no match + null rows) — every operator goes
+        // through the exact 3VL CASE instead
+        locally {
+            // lift the LHS operand into an EXISTS comparison
+            val pre = new StringBuilder(out.substring(0, m.start))
+            while (pre.nonEmpty && pre.last == ' ') pre.setLength(pre.length - 1)
+            val st = castOperandStart(pre)
+            if (st < 0) { m0 = None }
+            else {
+              val lhs = out.substring(st, m.start).trim
+              val cmp = s"($lhs) $op graft_qv"
+              def ex(cond: String) =
+                s"EXISTS (SELECT 1 FROM ($sub) AS graft_qs(graft_qv) WHERE $cond)"
+              // pg 3VL: ANY = true if any comparison true, else NULL if
+              // any unknown, else false; ALL dually (pg docs 9.23.3-4)
+              val repl =
+                if (quant == "ALL")
+                  s"(CASE WHEN ${ex(s"NOT($cmp)")} THEN false " +
+                    s"WHEN ${ex(s"($cmp) IS NULL")} THEN CAST(NULL AS BOOLEAN) " +
+                    "ELSE true END)"
+                else
+                  s"(CASE WHEN ${ex(cmp)} THEN true " +
+                    s"WHEN ${ex(s"($cmp) IS NULL")} THEN CAST(NULL AS BOOLEAN) " +
+                    "ELSE false END)"
+              out = out.substring(0, st) + repl + out.substring(i)
+            }
+        }
+        if (m0.isDefined) m0 = Head.findFirstMatchIn(out)
+      }
+    }
+    out
+  }
+
+  /** pg-standard-conforming string literals whose content ends in an ODD
+    * run of backslashes (`VALUES ('\')`, the standard_conforming_strings
+    * surface): Spark's lexer grammar consumes `\'` as an escaped quote
+    * regardless of the escapedStringLiterals setting, so the statement
+    * never parses. Rewrite `'...\'` → `('...' || chr(92))`, scanning
+    * literals pg-style ('' doubles, backslash plain). */
+  private def rewriteTrailingBackslashLiterals(sql: String): String = {
+    val sb = new StringBuilder(sql.length + 16)
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        val start = i
+        i += 1
+        val content = new StringBuilder
+        var closed = false
+        while (i < sql.length && !closed) {
+          val ch = sql.charAt(i)
+          if (ch == '\'') {
+            if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+              content ++= "''"; i += 2
+            } else { closed = true; i += 1 }
+          } else { content += ch; i += 1 }
+        }
+        val s = content.toString
+        var k = 0
+        while (k < s.length && s.charAt(s.length - 1 - k) == '\\') k += 1
+        if (closed && k % 2 == 1)
+          sb ++= s"('${s.dropRight(1)}' || chr(92))"
+        else sb ++= sql.substring(start, i)
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** `current_schema()` / `current_schemas(bool)` are SEARCH-PATH
+    * functions (pg docs; reference `src/sql/src/func.rs` CurrentSchema):
+    * with the path honored at parse time their value is a parse-time
+    * constant — the first EXISTING path schema (NULL when none), and the
+    * existing-path list with the implicit mz_catalog/pg_catalog pair.
+    * current_schemas stays mz-only (crdb's implicit list differs). */
+  private def rewriteCurrentSchema(sql: String, crdb: Boolean): String = {
+    if (!sql.toLowerCase.contains("current_schema")) return sql
+    var out = rewriteOutsideLits(sql)(s =>
+      """(?i)\bcurrent_schema\s*\(\s*\)|\bcurrent_schema\b(?!s|\s*\()""".r
+        .replaceAllIn(s, _ => Regex.quoteReplacement(
+          SchemaEmulation.currentSchemaVisible
+            .map(n => s"'$n'").getOrElse("CAST(NULL AS STRING)"))))
+    if (!crdb)
+      out = rewriteOutsideLits(out)(s =>
+        """(?i)\bcurrent_schemas\s*\(\s*(true|false)\s*\)""".r
+          .replaceAllIn(s, m => Regex.quoteReplacement(
+            SchemaEmulation.currentSchemasVisible(
+              m.group(1).equalsIgnoreCase("true"))
+              .map(n => s"'$n'").mkString("array(", ", ", ")"))))
+    out
+  }
+
   private[slt] def rewriteNameCasts(sql: String): String = {
-    if ("""(?i)::\s*_?(name|jsonb?|oid|time|uuid|uint[248]|int4range|int8range|numrange|daterange|tsrange|tstzrange)\b(?!stamp)"""
+    if ("""(?i)::\s*_?(name|jsonb?|oid|time|uuid|uint[248]|int4range|int8range|numrange|daterange|tsrange|tstzrange|regclass|regtype(_out)?)\b(?!stamp)"""
       .r.findFirstIn(sql).isEmpty) return sql
     val sb = new StringBuilder(sql.length)
     var i = 0
@@ -1808,6 +2086,34 @@ object SltRunner {
         m.group(1).split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       Regex.quoteReplacement(s"USING (${m.group(1)})")
     })
+    // pg: two USING aliases with the same name IN THE SAME SCOPE collide
+    // like table names — keep the rejection the stripped form would
+    // silently lose (same-name aliases in different subqueries are fine,
+    // approximated by paren depth)
+    locally {
+      def depthAt(pos: Int): Int = {
+        var d = 0; var i = 0; var q = false
+        while (i < pos) {
+          val c = sql.charAt(i)
+          if (q) { if (c == '\'') q = false }
+          else c match {
+            case '\'' => q = true
+            case '(' => d += 1
+            case ')' => d -= 1
+            case _ => ()
+          }
+          i += 1
+        }
+        d
+      }
+      val seen = scala.collection.mutable.Set.empty[(String, Int)]
+      UsingAlias.findAllMatchIn(sql).foreach { m =>
+        val key = (m.group(2).toLowerCase, depthAt(m.start))
+        if (seen.contains(key))
+          return s"""SELECT raise_error('table name "${key._1}" specified more than once') AS graft_using_fidelity"""
+        seen += key
+      }
+    }
     aliases.foldLeft(stripped) { case (acc, (alias, cols)) =>
       val starRewritten = (s"(?i)\\b$alias\\s*\\.\\s*\\*").r
         .replaceAllIn(acc, Regex.quoteReplacement(cols.mkString(", ")))
@@ -1996,18 +2302,27 @@ object SltRunner {
     // user-schema references flatten to their canonical names (the
     // registries were populated by classify, in record order); created
     // members are noted for DROP SCHEMA ... CASCADE
-    val sql0rawSch =
-      if (SchemaEmulation.isEmpty) sql0rawIn0
-      else {
-        val m = rewriteOutsideLits(sql0rawIn0)(SchemaEmulation.mangle)
-        """(?is)\bCREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?(?:TEMP(?:ORARY)?\s+)?(?:MATERIALIZED\s+)?(?:TABLE|VIEW)\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?(gfts\d+_\w+__\w+)""".r
-          .findAllMatchIn(m).foreach(x => SchemaEmulation.noteCreate(x.group(1).toLowerCase))
-        m
-      }
-    val sql0rawIn =
+    val sql0rawSch = {
+      val m =
+        if (SchemaEmulation.isEmpty) sql0rawIn0
+        else rewriteOutsideLits(sql0rawIn0)(SchemaEmulation.mangle)
+      // note EVERY created relation (schema members AND public bare names)
+      // so search_path bare-name resolution can walk the path
+      """(?is)\bCREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?(?:TEMP(?:ORARY)?\s+)?(?:MATERIALIZED\s+)?(?:TABLE|VIEW)\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?(\w+)""".r
+        .findAllMatchIn(m).foreach(x => SchemaEmulation.noteCreate(x.group(1).toLowerCase))
+      m
+    }
+    val sql0rawIn0e =
       if (!sql0rawSch.contains("'")) sql0rawSch
       else if (!"""(?s)(?<!['\w])[eE]'""".r.findFirstIn(sql0rawSch).isDefined) sql0rawSch
       else rewriteEStrings(sql0rawSch)
+    // pg standard-conforming literals ending in an ODD run of backslashes
+    // (`'\'`) break Spark's LEXER (its grammar always eats \' as an
+    // escaped quote, independent of escapedStringLiterals) — move one
+    // trailing backslash out as chr(92)
+    val sql0rawIn =
+      if (!sql0rawIn0e.contains("\\'")) sql0rawIn0e
+      else rewriteTrailingBackslashLiterals(sql0rawIn0e)
     // pg_catalog./information_schema. qualification: the introspection views
     // register as unqualified temp views (Spark has no pg_catalog schema)
     val sql0rawPg0 =
@@ -2171,7 +2486,7 @@ object SltRunner {
           """(?i)\b(?:lower|upper)\s*\(\s*'[^']*'\s*::\s*interval\s*\)""".r))
         Some("function lower(interval) does not exist")
       else if (hitOutsideLit(
-          """(?i)\bgenerate_series\s*\(\s*-?\d+\s*,\s*-?\d+\s*,\s*0\s*\)""".r))
+          """(?i)\bgenerate_series\s*\(\s*-?[\w.]+\s*,\s*-?[\w.]+\s*,\s*0\s*\)""".r))
         Some("step size cannot equal zero")
       else if ("""(?i)\bUSING\s*\(\s*([\w\s,"]+)\)""".r.findAllMatchIn(sql0rawMath)
             .exists { m =>
@@ -2372,9 +2687,42 @@ object SltRunner {
       if (!"""(?is),\s*generate_series\s*\(""".r.findFirstIn(sql0rawDonRf).isDefined)
         sql0rawDonRf
       else rewriteCommaSeries(sql0rawDonRf)
+    // pg rejects a bare NON-INTEGER constant as an ORDER BY column
+    // reference (crdb order_by.slt); Spark orders by the constant
+    locally {
+      val ObLit = """(?i)\bORDER\s+BY\s+(-?\d+\.\d+)\s*(?:NULLS\s+\w+)?\s*(?:[,;)]|$)""".r
+      ObLit.findFirstMatchIn(sql0rawDon).foreach { m =>
+        if (!insideLiteral(sql0rawDon, m.start))
+          return s"SELECT raise_error('unable to parse column reference in ORDER BY clause: ${m.group(1)}') AS graft_ob_fidelity"
+      }
+      // pg: the same table name twice in one FROM without aliases is
+      // "table name X specified more than once"; Spark self-joins silently
+      val SelfJoin = """(?i)\b([A-Za-z_]\w*)\s+(?:INNER\s+|CROSS\s+|NATURAL\s+)*JOIN\s+\1\s*(?=USING\b|ON\b|\)|;|$)""".r
+      SelfJoin.findFirstMatchIn(sql0rawDon).foreach { m =>
+        if (!insideLiteral(sql0rawDon, m.start) &&
+            !Set("select", "values", "lateral").contains(m.group(1).toLowerCase))
+          return s"""SELECT raise_error('table name "${m.group(1).toLowerCase}" specified more than once') AS graft_selfjoin_fidelity"""
+      }
+    }
+    // `'1'::char(1)::interval`: the char cast truncates the TEXT before
+    // pg's interval parser reads it — apply the truncation at parse time
+    // so the plain `'..'::interval` machinery takes over
+    val sql0rawDonCi =
+      if (!"""(?i)::\s*(?:char|character|bpchar)\b""".r.findFirstIn(sql0rawDon).isDefined)
+        sql0rawDon
+      else """(?i)'((?:[^']|'')*)'\s*::\s*(?:char|character|bpchar)\s*(?:\(\s*(\d+)\s*\))?\s*::\s*interval\b""".r
+        .replaceSomeIn(sql0rawDon, m =>
+          if (insideLiteral(sql0rawDon, m.start)) None
+          else {
+            val n = Option(m.group(2)).map(_.toInt).getOrElse(1)
+            val content = m.group(1).replace("''", "'")
+            val trunc = content.take(n).replace("'", "''")
+            Some(Regex.quoteReplacement(s"'$trunc'::interval"))
+          })
     val sql0raw0 = rewriteEmptyFrames(rewriteWindowFnAliases(rewriteUsingAlias(
       rewriteIntervalSelects(rewriteCharVarcharCmp(rewriteNanNumeric(
-        rewriteFloatByteaOps(sql0rawDon)))))))
+        rewriteFloatByteaOps(rewriteCurrentSchema(
+          rewriteRecordStar(rewriteQuantifiedSubquery(sql0rawDonCi)), crdb))))))))
     // pg CASTS to varchar(n) TRUNCATE to n chars (explicit casts never
     // error on length); Spark's VARCHAR(n) keeps/errors instead
     val sql0rawVcT =
@@ -2525,11 +2873,11 @@ object SltRunner {
             else Regex.quoteReplacement(m.matched)
           })
       }
-    val sql0a = rewriteZeroColumnSelect(rewriteSrfZip(rewriteOrderedArrayAgg(rewriteJsonbOps(rewriteMapCasts(rewriteRangeOps(rewriteNameCasts(
+    val sql0a = rewriteZeroColumnSelect(rewriteSrfZip(rewriteOrderedArrayAgg(rewriteJsonbOps(rewriteMapCasts(rewriteRangeOps(rewriteNameCasts(rewriteRegCasts(
       parenthesizeCommaJoins(rewriteArrayLiterals(rewriteTstzLiterals(rewriteOperatorSyntax(rewriteListCasts(
         DateLiteralDiff.replaceAllIn(
           TsOffsetCast.replaceAllIn(TimeLiteral.replaceAllIn(sqlTypeof, "pg_time($1)"), "$1'$2"),
-          m => s"datediff(date ${m.group(1)}, date ${m.group(2)})")))))))))))))
+          m => s"datediff(date ${m.group(1)}, date ${m.group(2)})"))))))))))))))
     // jsonb is canonical TEXT in this engine: pg_typeof over a
     // jsonb-producing function (post-rewrite spellings) reports the jsonb
     // type, not text (arguments up to two paren-nesting levels)
@@ -3108,11 +3456,17 @@ object SltRunner {
     ("""(?is),\s*generate_series\s*\(((?:[^()']|'[^']*'|\([^()]*\))*)\)""" +
       """(?:\s+(?:AS\s+)?(?!WHERE\b|GROUP\b|ORDER\b|HAVING\b|LIMIT\b|UNION\b|INTERSECT\b|EXCEPT\b|LATERAL\b|WITH\b|ON\b|JOIN\b|LEFT\b|RIGHT\b|INNER\b|CROSS\b|FULL\b)["`]?(\w+)["`]?)?""" +
       """(?=\s*(?:,\s*generate_series|\)|$|WHERE\b|GROUP\b|ORDER\b|HAVING\b|LIMIT\b|UNION\b|INTERSECT\b|EXCEPT\b|LATERAL\b))""").r
-      .replaceAllIn(sql, m => {
-        // aliasless form keeps pg's default output-column name
-        val a = Option(m.group(2)).getOrElse("generate_series")
-        Regex.quoteReplacement(
-          s" LATERAL VIEW explode(graft_series_array(${m.group(1)})) graft_lv_$a AS $a")
+      .replaceSomeIn(sql, m => {
+        // only FROM-position comma SRFs: a select list `SELECT g1(..),
+        // g2(..)` (no FROM before the comma) belongs to the ZIP rewrite
+        if (!"""(?i)\bFROM\b""".r.findFirstIn(sql.substring(0, m.start)).isDefined)
+          None
+        else {
+          // aliasless form keeps pg's default output-column name
+          val a = Option(m.group(2)).getOrElse("generate_series")
+          Some(Regex.quoteReplacement(
+            s" LATERAL VIEW explode(graft_series_array(${m.group(1)})) graft_lv_$a AS $a"))
+        }
       })
 
   /** pg `ROWS FROM (f(..), g(..))` and `srf(..) WITH ORDINALITY` FROM
@@ -3333,16 +3687,21 @@ object SltRunner {
     val rest = body.substring(fromIdx)
     val obIdx = topLevelIndexOf(rest, "ORDER")
     val limIdx = topLevelIndexOf(rest, "LIMIT")
+    // a statement-trailing `;` rides inside `body` when the SELECT spans
+    // to end-of-statement — it must not survive into the subquery
     val fromPart =
       (if (obIdx >= 0) rest.substring(0, obIdx)
        else if (limIdx >= 0) rest.substring(0, limIdx)
-       else rest).trim
+       else rest).trim.stripSuffix(";").trim
     val orderPart =
       if (obIdx >= 0) {
         val o = if (limIdx > obIdx) rest.substring(obIdx, limIdx) else rest.substring(obIdx)
         """(?is)^ORDER\s+BY\s*""".r.replaceFirstIn(o.trim, "")
+          .stripSuffix(";").trim
       } else ""
-    val limitPart = if (limIdx >= 0) " " + rest.substring(limIdx).trim else ""
+    val limitPart =
+      if (limIdx >= 0) " " + rest.substring(limIdx).trim.stripSuffix(";").trim
+      else ""
     // ON / ORDER items resolve like pg's ORDER BY: select-list ordinals and
     // output aliases take precedence over underlying columns — and the
     // window subquery sees neither, so fold them to the aliased expressions
@@ -3837,6 +4196,17 @@ object SltRunner {
           s"no Spark analog: ${up.takeWhile(_ != ' ')}", mutating = false, sql = sqlRaw)
       }
     }
+    // SET search_path mutates the parse-time resolution registry (pg
+    // accepts unknown schemas with a warning) — then falls through to the
+    // normal session-variable SET handling for SHOW to read back
+    """(?is)^\s*SET\s+(?:SESSION\s+)?search_path\s*(?:=|TO)\s*([^;]+);?\s*$""".r
+      .findFirstMatchIn(sqlRaw).foreach { m =>
+        val v = m.group(1).trim
+        if (v.equalsIgnoreCase("DEFAULT")) SchemaEmulation.resetSearchPath()
+        else SchemaEmulation.setSearchPath(v.replace("'", "").replace("\"", ""))
+      }
+    if ("""(?is)^\s*RESET\s+search_path\s*;?\s*$""".r.findFirstIn(sqlRaw).isDefined)
+      SchemaEmulation.resetSearchPath()
     // UPDATE/DELETE run through the emulation in applyMutation (Spark v1
     // tables have no native UPDATE/DELETE); unsupported shapes fall back to
     // a dialect skip that poisons the target, as before
@@ -3924,7 +4294,10 @@ object SltRunner {
     def attempt(name: String, ct: SltSession.CustomType): Record = {
       val n = SltSession.normName(name)
       SltSession.validateType(ct, customTypes) match {
-        case Right(()) => customTypes.put(n, ct); TypeDdl(ok = true, "")
+        case Right(()) =>
+          customTypes.put(n, ct)
+          SchemaEmulation.noteType(name) // regtype::text rendering
+          TypeDdl(ok = true, "")
         case Left(err) => TypeDdl(ok = false, err)
       }
     }
@@ -4481,9 +4854,21 @@ object SltRunner {
     // skipped (never passed) with the reason recorded here:
     val knownDialectDiffs: List[(String, Regex, String)] = List(
       (".*",
-        """(?i)pg_oid\s*\(\s*pg_regclass\s*\(\s*'[^']*[A-Za-z_]|'[^']*[A-Za-z_][^']*'\s*::\s*regclass\s*::\s*oid""".r,
+        """(?i)pg_oid\s*\(\s*pg_regclass\s*\(\s*'[^']*[A-Za-z_]|'[^']*[A-Za-z_][^']*'\s*::\s*regclass\s*::\s*oid|pg_regclass\s*\(\s*'[^']*[A-Za-z_][^']*'\s*\)\s*::\s*oid""".r,
         "a name-resolved regclass oid RENDERS mz's allocation-order id " +
           "(emulated oids only join consistently, their values differ)"),
+      ("regtype.slt",
+        """(?i)VALUES\s*\(\s*pg_regtype\s*\(""".r,
+        "a regtype VALUE loses its name identity through a relation " +
+          "(the engine stores the oid; text coercion renders the number)"),
+      ("pgoidtype.slt",
+        """(?i)\brelname\b[\s\S]*pg_regclass\s*\(""".r,
+        "quoted mixed-case relation names fold to lowercase in the Spark " +
+          "catalog; pg_class.relname renders the folded spelling"),
+      ("subquery_correlated.slt",
+        """(?i)\(\s*NULL\s*,\s*NULL\s*\)\s*IN\s*\(|WHERE\s+a\s*>\s*i\s+OR\s+a\s+IS\s+NULL""".r,
+        "pg row-IN with NULL fields yields NULL; Spark's struct IN " +
+          "compares null-safe and yields false"),
       (".*",
         """(?i)\bSHOW\s+CREATE\b[\s\S]*\bgfts\d+_""".r,
         "SHOW CREATE of a schema-qualified relation renders the reference's " +
@@ -5521,12 +5906,35 @@ object SltRunner {
           if (expectError) passed += 1
           else { skipped += 1; tally("CREATE INDEX on unknown relation", sql) }
         } else {
-          Option(m.group(1)).foreach { n =>
-            indexNames += SltSession.normName(n)
-            indexOn(SltSession.normName(n)) = rel.toLowerCase
+          // expected-error records: reproduce the rejections the
+          // reference raises that a registry no-op would hide —
+          // duplicate index name, unknown column, opclass decoration
+          val dupName = Option(m.group(1))
+            .exists(n => indexNames.contains(SltSession.normName(n)))
+          lazy val tableCols =
+            try spark.table(rel).schema.fieldNames.map(_.toLowerCase).toSet
+            catch { case _: Throwable => Set.empty[String] }
+          val colList = """(?is)\(([^()]*)\)\s*(?:WHERE\b.*)?;?\s*$""".r
+            .findFirstMatchIn(sql).map(_.group(1)).getOrElse("")
+          val items = colList.split(",").map(_.trim).filter(_.nonEmpty)
+          val badItem = items.exists { it =>
+            val words = it.split("\\s+").toSeq
+            val head = words.head.toLowerCase.replace("\"", "")
+            val decorations = words.tail.map(_.toUpperCase)
+            val opclassy = decorations.exists(w =>
+              !Set("ASC", "DESC", "NULLS", "FIRST", "LAST").contains(w))
+            (head.matches("[a-z_]\\w*") && tableCols.nonEmpty &&
+              !tableCols.contains(head)) || opclassy
           }
-          if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
-          else passed += 1
+          if (expectError && (dupName || badItem)) passed += 1
+          else {
+            Option(m.group(1)).foreach { n =>
+              indexNames += SltSession.normName(n)
+              indexOn(SltSession.normName(n)) = rel.toLowerCase
+            }
+            if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+            else passed += 1
+          }
         }
       case Statement(sql, expectError) if isSingle(sql) &&
           SltSession.DropIndexStmt.findFirstMatchIn(sql).isDefined =>

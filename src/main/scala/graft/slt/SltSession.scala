@@ -218,9 +218,19 @@ private[slt] object SltSession {
       case "intervalstyle" => if (v.equalsIgnoreCase("postgres")) Accepted("postgres") else Unhonored
       case "database" => if (v == "materialize") Accepted(v) else Unhonored
       case "search_path" =>
-        if (v.replace("\"", "").split(",").map(_.trim).forall(s =>
-          s == "public" || s == "mz_catalog" || s == "pg_catalog")) Accepted(v.replace("\"", ""))
-        else Unhonored
+        // honored: SchemaEmulation consumes the path at parse time (bare
+        // names resolve through it); pg accepts unknown schemas silently.
+        // SHOW renders pg identifier style: bare when lowercase-simple,
+        // double-quoted otherwise.
+        Accepted(splitQuoted(v).map { e0 =>
+          val e = e0.trim
+          val bare =
+            if ((e.startsWith("'") && e.endsWith("'")) ||
+                (e.startsWith("\"") && e.endsWith("\"")))
+              e.substring(1, e.length - 1)
+            else e
+          if (bare.matches("[a-z_][a-z0-9_$]*")) bare else "\"" + bare + "\""
+        }.mkString(", "))
       case "client_encoding" =>
         if (v.replace("-", "").equalsIgnoreCase("UTF8")) Accepted("UTF8") else Unhonored
       case "standard_conforming_strings" => if (v == "on") Accepted(v) else Unhonored
@@ -237,6 +247,24 @@ private[slt] object SltSession {
            "welcome_message" | "failpoints" => Accepted(v)
       case _ => Unhonored
     }
+  }
+
+  /** Split on commas outside SINGLE- and DOUBLE-quoted runs (search_path
+    * element lists quote either way). */
+  def splitQuoted(s: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var q: Char = 0
+    s.foreach { c =>
+      if (q != 0) { if (c == q) q = 0; cur += c }
+      else c match {
+        case '\'' | '"' => q = c; cur += c
+        case ',' => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+    }
+    out += cur.toString
+    out.toList.filter(_.trim.nonEmpty)
   }
 
   /** Split a comma-separated list at top level (outside quotes/parens). */
@@ -268,14 +296,14 @@ private[slt] object SltSession {
   final case class RecordType(fields: List[(String, String)]) extends CustomType
 
   val CreateTypeList: Regex =
-    """(?is)^\s*CREATE\s+TYPE\s+("?[\w]+"?)\s+AS\s+LIST\s*\(\s*ELEMENT\s+TYPE\s*=?\s*("?[\w ]+"?)\s*\)\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+TYPE\s+("?[\w.]+"?)\s+AS\s+LIST\s*\(\s*ELEMENT\s+TYPE\s*=?\s*("?[\w ]+"?)\s*\)\s*;?\s*$""".r
   val CreateTypeMap: Regex =
-    ("""(?is)^\s*CREATE\s+TYPE\s+("?[\w]+"?)\s+AS\s+MAP\s*\(\s*KEY\s+TYPE\s*=?\s*("?[\w ]+"?)\s*,""" +
+    ("""(?is)^\s*CREATE\s+TYPE\s+("?[\w.]+"?)\s+AS\s+MAP\s*\(\s*KEY\s+TYPE\s*=?\s*("?[\w ]+"?)\s*,""" +
       """\s*VALUE\s+TYPE\s*=?\s*("?[\w ]+"?)\s*\)\s*;?\s*$""").r
   val CreateTypeRecord: Regex =
-    """(?is)^\s*CREATE\s+TYPE\s+("?[\w]+"?)\s+AS\s*\((.*)\)\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+TYPE\s+("?[\w.]+"?)\s+AS\s*\((.*)\)\s*;?\s*$""".r
   val DropType: Regex =
-    """(?is)^\s*DROP\s+TYPE\s+(?:IF\s+EXISTS\s+)?("?[\w]+"?)\s*;?\s*$""".r
+    """(?is)^\s*DROP\s+TYPE\s+(?:IF\s+EXISTS\s+)?("?[\w.]+"?)\s*;?\s*$""".r
 
   /** Built-in scalar type names resolvable as a list/map element or record
     * field (pg + mz spellings). */

@@ -69,6 +69,10 @@ object PgCatalogRelations {
     base ++ alias.flatMap { case (a, n) => base.get(n).map(a -> _) }
   }
 
+  /** Oid -> internal typname (regtype::text rendering; mz spells type
+    * names the pg-internal way: int4, timestamptz, ...). */
+  val typnameOfOid: Map[Int, String] = builtinTypes.map(t => t._1 -> t._2).toMap
+
   /** Deterministic user oid >= 20000 (reference user-oid floor). */
   def userOid(name: String): Int =
     20000 + (scala.util.hashing.MurmurHash3.stringHash(name) & 0x7fffffff) % 979983
