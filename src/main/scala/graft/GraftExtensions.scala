@@ -18,8 +18,9 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectResolutionRule(_ => graft.plans.ListTextCastRule)
     // pg: a FROM-position SRF's table alias names its output column
     e.injectResolutionRule(_ => graft.plans.SrfAliasRule)
-    // pg: ranking window functions permit an unordered window
-    e.injectResolutionRule(_ => graft.plans.UnorderedWindowRule)
+    // (unordered ranking windows are normalized at parse time inside
+    // GraftSqlParser — Spark's ResolveWindowOrder throws before injected
+    // resolution rules run, so a resolution rule cannot catch them)
     e.injectParser((session, delegate) => new graft.sql.GraftSqlParser(session, delegate))
     // generate_series in both scalar position (SELECT generate_series(..))
     // and FROM position — the reference's core table function

@@ -191,11 +191,50 @@ object PgArrayFunctions {
       s"array_remove expects (array, element), got ${other.length} args")
   }
 
+  /** pg: array_position searches LINEARLY and rejects multidimensional
+    * inputs ("searching for elements in multidimensional arrays is not
+    * supported", pg array_funcs.c array_position). Transparent value
+    * passthrough; the typecheck is the whole point. */
+  case class PgNoMultidim(child: Expression) extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: org.apache.spark.sql.types.DataType = child.dataType
+    override def nullable: Boolean = child.nullable
+    override def checkInputDataTypes():
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+            _: org.apache.spark.sql.types.ArrayType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            "searching for elements in multidimensional arrays is not supported")
+        case _ =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      }
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      child.eval(input)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   private def arrayPosition(args: Seq[Expression]): Expression = args match {
-    case Seq(arr, elem) =>
+    case Seq(arr0, elem) =>
+      val arr = PgNoMultidim(arr0)
       val p = ArrayPosition(arr, elem)
       If(EqualTo(p, Literal(0L)), Literal.create(null, NullType), p)
-    case Seq(arr, elem, from) =>
+    case Seq(arr0, elem, from) =>
+      val arr = PgNoMultidim(arr0)
+      def isNullLit(e: Expression): Boolean = e match {
+        case Literal(null, _) => true
+        case Cast(c, _, _, _) => isNullLit(c)
+        case _ => false
+      }
+      // pg: "initial position must not be null" — but a NULL array or
+      // NULL element short-circuits to NULL first (strict eval order)
+      from match {
+        case Literal(null, _) if !isNullLit(arr0) && !isNullLit(elem) =>
+          throw new IllegalArgumentException(
+            "initial position must not be null")
+        case _ => ()
+      }
       // pg 3-arg form: first match at-or-after `from` (a sub-1 start scans
       // the whole array, matching the reference corpus expectations)
       val start = Greatest(Seq(Cast(from, IntegerType), Literal(1)))

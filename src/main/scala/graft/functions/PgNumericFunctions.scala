@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Round}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{DataType, Decimal, DoubleType, FloatType}
+import org.apache.spark.sql.types.{DataType, Decimal, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType}
 
 /** pg float rounding family: `ceil(float8) -> float8`, `floor(float8) ->
   * float8` (reference `src/expr/src/scalar/func.rs` CeilFloat64/FloorFloat64;
@@ -68,6 +68,32 @@ object PgNumericFunctions {
             case "sin" => math.sin(d); case "cos" => math.cos(d)
             case "tan" => math.tan(d); case _ => 1.0 / math.tan(d)
           }
+        case "asin" | "acos" =>
+          // pg: NaN-producing inverse-trig input raises (float.c asin/acos)
+          if (d.isNaN) Double.NaN
+          else if (d < -1 || d > 1) throw new ArithmeticException(
+            "input is out of range")
+          else if (kind == "asin") math.asin(d) else math.acos(d)
+        case "atanh" =>
+          if (d.isNaN) Double.NaN
+          else if (d < -1 || d > 1) throw new ArithmeticException(
+            "input is out of range")
+          else math.log((1 + d) / (1 - d)) / 2
+        case "acosh" =>
+          if (d.isNaN) Double.NaN
+          else if (d < 1) throw new ArithmeticException(
+            "input is out of range")
+          else math.log(d + math.sqrt(d * d - 1))
+        case "exp" =>
+          // pg float8 exp raises instead of rounding to 0 / inf
+          // (float.c dexp: ERANGE overflow/underflow errors)
+          val r = math.exp(d)
+          if (!d.isNaN && d.isInfinite && d < 0) 0.0 // exp(-inf) = 0, legal
+          else if (r.isInfinite && !d.isInfinite) throw new ArithmeticException(
+            "value out of range: overflow")
+          else if (r == 0.0 && !d.isInfinite) throw new ArithmeticException(
+            "value out of range: underflow")
+          else r
         case _ =>
           if (d < 0) throw new ArithmeticException(
             s"function $kind is not defined for negative numbers")
@@ -104,6 +130,136 @@ object PgNumericFunctions {
       copy(left = newChildren(0), right = newChildren(1))
   }
 
+  /** pg cast fidelity for FOLDABLE numeric casts (literal pipelines — the
+    * corpus' cast records; non-foldable column casts keep Spark's native
+    * codegen'd cast so hot paths are untouched). Reference
+    * `src/expr/src/scalar/func/impls/float64.rs` CastFloat64ToInt32 et al:
+    * float->int rounds HALF EVEN and range-checks; numeric->int rounds
+    * half away from zero; float8->float4 and text->float raise on
+    * overflow/underflow instead of saturating; float->numeric raises
+    * `numeric field overflow` where the 39-digit type can't hold the
+    * value. */
+  case class PgCheckedCast(child: Expression, to: DataType)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = true
+    override def dataType: DataType = to
+    override def prettyName: String = "pg_checked_cast"
+
+    private def renderDouble(d: Double): String = {
+      if (d == d.longValue.toDouble && math.abs(d) < 1e18) d.longValue.toString
+      else {
+        val bd = new java.math.BigDecimal(d)
+        bd.toPlainString.replaceAll("\\.0+$", "")
+      }
+    }
+    private def intName(t: DataType): String = t match {
+      case ShortType => "smallint"
+      case IntegerType => "integer"
+      case _ => "bigint"
+    }
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) return null
+      (v, to) match {
+        case (d: java.lang.Number, ShortType | IntegerType | LongType)
+            if child.dataType == DoubleType || child.dataType == FloatType =>
+          val dv = d.doubleValue
+          if (dv.isNaN || dv.isInfinite)
+            throw new ArithmeticException(s"${intName(to)} out of range")
+          val r = math.rint(dv) // pg float->int rounds half even
+          val (lo, hi) = to match {
+            case ShortType => (Short.MinValue.toDouble, Short.MaxValue.toDouble)
+            case IntegerType => (Int.MinValue.toDouble, Int.MaxValue.toDouble)
+            case _ => (Long.MinValue.toDouble, Long.MaxValue.toDouble)
+          }
+          // the Long bound check must be strict on the high side: 2^63
+          // rounds to itself in double and overflows
+          if (r < lo || r > hi || (to == LongType && r >= 9.223372036854776e18))
+            throw new ArithmeticException(
+              s""""${renderDouble(dv)}" ${intName(to)} out of range""")
+          to match {
+            case ShortType => r.toShort
+            case IntegerType => r.toInt
+            case _ => r.toLong
+          }
+        case (dec: Decimal, ShortType | IntegerType | LongType) =>
+          // pg numeric->int rounds half AWAY from zero
+          val r = dec.toJavaBigDecimal.setScale(0, java.math.RoundingMode.HALF_UP)
+          def fits(lo: Long, hi: Long): Boolean =
+            r.compareTo(java.math.BigDecimal.valueOf(lo)) >= 0 &&
+              r.compareTo(java.math.BigDecimal.valueOf(hi)) <= 0
+          val ok = to match {
+            case ShortType => fits(Short.MinValue, Short.MaxValue)
+            case IntegerType => fits(Int.MinValue, Int.MaxValue)
+            case _ => fits(Long.MinValue, Long.MaxValue)
+          }
+          if (!ok) throw new ArithmeticException(
+            s""""${dec.toJavaBigDecimal.toPlainString}" ${intName(to)} out of range""")
+          to match {
+            case ShortType => r.shortValueExact
+            case IntegerType => r.intValueExact
+            case _ => r.longValueExact
+          }
+        case (d: java.lang.Number, FloatType) if child.dataType == DoubleType =>
+          val dv = d.doubleValue
+          val f = dv.toFloat
+          if (dv.isNaN || dv.isInfinite) f
+          else if (f.isInfinite) throw new ArithmeticException(
+            s""""${renderDouble(dv)}" real out of range""")
+          else if (f == 0.0f && dv != 0.0) throw new ArithmeticException(
+            s""""${renderDouble(dv)}" real out of range""")
+          else f
+        case (s: Any, FloatType | DoubleType) if child.dataType == StringType =>
+          val raw = s.toString.trim
+          val lower = raw.toLowerCase
+          val special = Set("nan", "inf", "+inf", "-inf", "infinity",
+            "+infinity", "-infinity")
+          if (special.contains(lower)) {
+            val d = lower match {
+              case "nan" => Double.NaN
+              case l if l.startsWith("-") => Double.NegativeInfinity
+              case _ => Double.PositiveInfinity
+            }
+            if (to == FloatType) d.toFloat else d
+          } else {
+            val d =
+              try raw.toDouble
+              catch { case _: Exception => throw new IllegalArgumentException(
+                s"""invalid input syntax for type ${
+                  if (to == FloatType) "real" else "double precision"}: "$raw"""") }
+            val zeroLiteral = """^[+-]?0*\.?0*(?:[eE][+-]?\d+)?$""".r
+              .pattern.matcher(raw).matches
+            val out = if (to == FloatType) d.toFloat.toDouble else d
+            if (!zeroLiteral && (out == 0.0 || out.isInfinite))
+              throw new ArithmeticException(
+                s""""$raw" is out of range for type ${
+                  if (to == FloatType) "real" else "double precision"}""")
+            if (to == FloatType) d.toFloat else d
+          }
+        case (d: java.lang.Number, dt: DecimalType)
+            if child.dataType == DoubleType || child.dataType == FloatType =>
+          val dv = d.doubleValue
+          if (dv.isNaN || dv.isInfinite) throw new ArithmeticException(
+            "numeric field overflow")
+          val dec = Decimal(dv)
+          if (!dec.changePrecision(dt.precision, dt.scale))
+            throw new ArithmeticException("numeric field overflow")
+          if (dec.toJavaBigDecimal.signum == 0 && dv != 0.0)
+            throw new ArithmeticException("numeric field overflow")
+          dec
+        case _ =>
+          // shape the resolution rule shouldn't have routed here — fall
+          // back to Spark's cast semantics
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            Literal(v, child.dataType), to).eval(null)
+      }
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(child = newChildren(0))
+  }
+
   def functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("pg_ceil"),
       new ExpressionInfo(getClass.getName, "pg_ceil"),
@@ -129,6 +285,21 @@ object PgNumericFunctions {
     (new FunctionIdentifier("pg_cot"),
       new ExpressionInfo(getClass.getName, "pg_cot"),
       (args: Seq[Expression]) => PgCheckedMath(args.head, "cot")),
+    (new FunctionIdentifier("pg_asin"),
+      new ExpressionInfo(getClass.getName, "pg_asin"),
+      (args: Seq[Expression]) => PgCheckedMath(args.head, "asin")),
+    (new FunctionIdentifier("pg_acos"),
+      new ExpressionInfo(getClass.getName, "pg_acos"),
+      (args: Seq[Expression]) => PgCheckedMath(args.head, "acos")),
+    (new FunctionIdentifier("pg_atanh"),
+      new ExpressionInfo(getClass.getName, "pg_atanh"),
+      (args: Seq[Expression]) => PgCheckedMath(args.head, "atanh")),
+    (new FunctionIdentifier("pg_acosh"),
+      new ExpressionInfo(getClass.getName, "pg_acosh"),
+      (args: Seq[Expression]) => PgCheckedMath(args.head, "acosh")),
+    (new FunctionIdentifier("pg_exp"),
+      new ExpressionInfo(getClass.getName, "pg_exp"),
+      (args: Seq[Expression]) => PgCheckedMath(args.head, "exp")),
     (new FunctionIdentifier("pg_round"),
       new ExpressionInfo(getClass.getName, "pg_round"),
       (args: Seq[Expression]) =>

@@ -245,6 +245,13 @@ object PgTextFunctions {
         (args: Seq[Expression]) => DateBinExpr(
           if (args.length == 3) args
           else args :+ Literal(0L, org.apache.spark.sql.types.TimestampType))),
+      // pg date_trunc over the full field list (checked unknown units)
+      (FunctionIdentifier("pg_date_trunc"), info("pg_date_trunc"),
+        (args: Seq[Expression]) => PgDateTrunc(args)),
+      // pg parse_ident(text[, strict]) -> text[]
+      (FunctionIdentifier("parse_ident"), info("parse_ident"),
+        (args: Seq[Expression]) => ParseIdent(args.head,
+          args.lift(1).getOrElse(Literal(true)))),
       (FunctionIdentifier("quote_ident"), info("quote_ident"), quoteIdent _),
       (FunctionIdentifier("pg_size_pretty"), info("pg_size_pretty"), pgSizePretty _),
       (FunctionIdentifier("pg_oid"), info("pg_oid"), pgOid _),
@@ -408,6 +415,143 @@ case class GetBit(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** pg `parse_ident(text[, strict])` — split a qualified identifier into
+  * its parts (pg utils/adt/misc.c parse_ident; the corpus transliterates
+  * postgres' name.sql): unquoted parts downcase, quoted parts keep case
+  * with `""` escapes, whitespace around parts and dots is insignificant,
+  * and `strict=false` permits (and ignores) trailing garbage after a
+  * complete identifier. Returns text[]. */
+case class ParseIdent(text: Expression, strict: Expression)
+    extends Expression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.InternalRow
+  override def children: Seq[Expression] = Seq(text, strict)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "parse_ident"
+
+  override def eval(input: InternalRow): Any = {
+    val t0 = text.eval(input)
+    val st0 = strict.eval(input)
+    if (t0 == null || st0 == null) return null
+    val s = t0.toString
+    val strictMode = st0 == true
+    def fail(): Nothing = throw new IllegalArgumentException(
+      s"""string is not a valid identifier: "$s"""")
+    val parts = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    var done = false
+    while (!done) {
+      ws()
+      if (i >= s.length) fail()
+      val c = s.charAt(i)
+      if (c == '"') {
+        i += 1
+        val sb = new StringBuilder
+        var closed = false
+        while (!closed) {
+          if (i >= s.length) fail()
+          if (s.charAt(i) == '"') {
+            if (i + 1 < s.length && s.charAt(i + 1) == '"') { sb += '"'; i += 2 }
+            else { closed = true; i += 1 }
+          } else { sb += s.charAt(i); i += 1 }
+        }
+        if (sb.isEmpty) fail()
+        parts += sb.toString
+      } else if (c.isLetter || c == '_' || c >= 0x80) {
+        // pg's scanner admits ANY non-ASCII char in identifiers
+        val start = i
+        while (i < s.length &&
+            (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_' ||
+              s.charAt(i) == '$' || s.charAt(i) >= 0x80))
+          i += 1
+        parts += s.substring(start, i).toLowerCase
+      } else fail()
+      ws()
+      if (i < s.length && s.charAt(i) == '.') { i += 1 }
+      else done = true
+    }
+    ws()
+    if (i < s.length && strictMode) fail()
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      parts.map(org.apache.spark.unsafe.types.UTF8String.fromString(_)).toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(text = newChildren(0), strict = newChildren(1))
+}
+
+/** pg `date_trunc(field, ts)` over the FULL pg field list (reference
+  * `src/expr/src/scalar/func.rs` DateTruncTo / pg timestamp.c): Spark's
+  * builtin maps the pg-only fields (microseconds, milliseconds, decade,
+  * century, millennium) to NULL and accepts unknown units as NULL — pg
+  * truncates resp. raises. Values for the shared fields match Spark's
+  * builtin exactly (UTC calendar arithmetic). */
+case class PgDateTrunc(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.InternalRow
+  override def dataType: DataType = org.apache.spark.sql.types.TimestampType
+  override def nullable: Boolean = true
+  override def prettyName: String = "date_trunc"
+
+  private def toMicros(v: Any): Long = v match {
+    case l: java.lang.Long => l.longValue
+    case i: java.lang.Integer => i.longValue * 86400000000L // DateType days
+    case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case other => throw new IllegalArgumentException(
+      s"date_trunc expects a timestamp, got $other")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val u0 = children(0).eval(input)
+    val ts = children(1).eval(input)
+    if (u0 == null || ts == null) return null
+    val us = toMicros(ts)
+    val unit = u0.toString.trim.toLowerCase.stripSuffix("s") match {
+      case "microsecond" => "microseconds"
+      case "millisecond" => "milliseconds"
+      case "centurie" => "century"
+      case o => o
+    }
+    def floorTo(stepUs: Long): Long = Math.floorDiv(us, stepUs) * stepUs
+    def ldt: java.time.LocalDateTime =
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+    def fromDate(y: Int, m: Int, d: Int): Long =
+      java.time.LocalDateTime.of(y, m, d, 0, 0, 0)
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    unit match {
+      case "microseconds" => us
+      case "milliseconds" => floorTo(1000L)
+      case "second" => floorTo(1000000L)
+      case "minute" => floorTo(60000000L)
+      case "hour" => floorTo(3600000000L)
+      case "day" => floorTo(86400000000L)
+      case "week" =>
+        val d = ldt.toLocalDate
+        val monday = d.minusDays((d.getDayOfWeek.getValue - 1).toLong)
+        fromDate(monday.getYear, monday.getMonthValue, monday.getDayOfMonth)
+      case "month" => fromDate(ldt.getYear, ldt.getMonthValue, 1)
+      case "quarter" =>
+        fromDate(ldt.getYear, ((ldt.getMonthValue - 1) / 3) * 3 + 1, 1)
+      case "year" => fromDate(ldt.getYear, 1, 1)
+      case "decade" => fromDate(Math.floorDiv(ldt.getYear, 10) * 10, 1, 1)
+      case "century" =>
+        fromDate(Math.floorDiv(ldt.getYear - 1, 100) * 100 + 1, 1, 1)
+      case "millennium" =>
+        fromDate(Math.floorDiv(ldt.getYear - 1, 1000) * 1000 + 1, 1, 1)
+      case other => throw new IllegalArgumentException(
+        s"""unit '$other' not recognized""")
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
 /** pg 14 `date_bin(stride, source, origin)` as a SQL-registered expression
   * (reference `src/expr/src/scalar/func.rs` DateBinTimestamp; pg
   * functions-datetime). Bin start = `source - ((source - origin) mod
@@ -454,9 +598,16 @@ case class DateBinExpr(children: Seq[Expression])
       case other => throw new IllegalArgumentException(
         s"date_bin expects a timestamp, got $other")
     }
+    // the reference computes in i64 NANOseconds (func.rs date_bin):
+    // strides and source-origin spans beyond 2^63 ns raise
+    if (w > Long.MaxValue / 1000L) throw new IllegalArgumentException(
+      "stride cannot exceed 2^63 nanoseconds")
     val t = micros(vs(1))
     val o = micros(vs(2))
     val delta = t - o
+    if (delta > Long.MaxValue / 1000L || delta < Long.MinValue / 1000L)
+      throw new IllegalArgumentException(
+        "source and origin must not differ more than 2^63 nanoseconds")
     val behind = ((delta % w) + w) % w
     t - behind
   }

@@ -18,6 +18,10 @@ object ListTextCastRule extends Rule[LogicalPlan] {
     // without casts/concats (TPC-H/bench paths) via tree-pattern bits
     if (!plan.containsAnyPattern(TreePattern.CAST, TreePattern.CONCAT))
       return plan
+    // pg numeric-cast semantics are a dialect opt-in (the SLT layer sets
+    // it per file); Spark API surfaces keep Spark's native cast
+    val pgNumericCasts = conf.getConfString("spark.graft.pgNumericCasts",
+      "false") == "true"
     plan.transformAllExpressions {
       case Cast(child, _: StringType, _, _) if child.resolved &&
           child.dataType.isInstanceOf[ArrayType] =>
@@ -52,6 +56,74 @@ object ListTextCastRule extends Rule[LogicalPlan] {
               graft.functions.GraftArrayFill.boundedType(e.dataType).isDefined) =>
         // `||` over a bounds-carrying array (array_fill with lower bounds)
         graft.functions.GraftBoundedCat(c.children(0), c.children(1))
+      case Cast(child, to @ (org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.LongType), _, _)
+          if pgNumericCasts && child.resolved && child.foldable &&
+            (child.dataType == org.apache.spark.sql.types.DoubleType ||
+             child.dataType == org.apache.spark.sql.types.FloatType ||
+             child.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]) =>
+        // pg float->int rounds half-even + range-checks; numeric->int
+        // rounds half away from zero (Spark truncates + wraps). Foldable
+        // only: literal pipelines — column casts keep the codegen'd cast
+        graft.functions.PgNumericFunctions.PgCheckedCast(child, to)
+      case Cast(child, to @ (org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.LongType), tz, mode)
+          if pgNumericCasts && child.resolved && !child.foldable &&
+            !child.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Round] &&
+            !child.isInstanceOf[org.apache.spark.sql.catalyst.expressions.BRound] &&
+            (child.dataType == org.apache.spark.sql.types.DoubleType ||
+             child.dataType == org.apache.spark.sql.types.FloatType ||
+             child.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]) =>
+        // column-valued casts stay whole-stage-codegen'd: pg's rounding
+        // composes from built-ins — numeric->int rounds half away from
+        // zero (Round), float->int half-even (BRound); Spark's cast then
+        // truncates the already-integral result exactly
+        val zero = org.apache.spark.sql.catalyst.expressions.Literal(0)
+        val rounded =
+          if (child.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+            org.apache.spark.sql.catalyst.expressions.Round(child, zero)
+          else org.apache.spark.sql.catalyst.expressions.BRound(child, zero)
+        Cast(rounded, to, tz, mode)
+      case Cast(child, org.apache.spark.sql.types.FloatType, _, _)
+          if pgNumericCasts && child.resolved && child.foldable &&
+            child.dataType == org.apache.spark.sql.types.DoubleType =>
+        graft.functions.PgNumericFunctions.PgCheckedCast(
+          child, org.apache.spark.sql.types.FloatType)
+      case Cast(child, to @ (org.apache.spark.sql.types.FloatType |
+          org.apache.spark.sql.types.DoubleType), _, _)
+          if pgNumericCasts && child.resolved && child.foldable &&
+            child.dataType == StringType =>
+        graft.functions.PgNumericFunctions.PgCheckedCast(child, to)
+      case Cast(child, dt: org.apache.spark.sql.types.DecimalType, _, _)
+          if pgNumericCasts && child.resolved && child.foldable &&
+            (child.dataType == org.apache.spark.sql.types.DoubleType ||
+             child.dataType == org.apache.spark.sql.types.FloatType) =>
+        graft.functions.PgNumericFunctions.PgCheckedCast(child, dt)
+      case Cast(child, at: ArrayType, _, _) if child.resolved &&
+          child.foldable && child.dataType == StringType =>
+        // pg array_in: `'{{1,2},{3,4}}'::int[]` — the literal's own brace
+        // nesting decides the Spark dimensionality (pg `int[]` names any
+        // dims); parsed once at resolution time into a typed literal
+        val txt = child.eval(null)
+        val leaf = graft.functions.PgArrayInput.leafOf(at)
+        if (txt == null)
+          org.apache.spark.sql.catalyst.expressions.Literal(null, ArrayType(leaf))
+        else {
+          val (dt, v) = graft.functions.PgArrayInput.parseTyped(txt.toString, leaf)
+          org.apache.spark.sql.catalyst.expressions.Literal(v, dt)
+        }
+      case Cast(child, at: ArrayType, _, _) if child.resolved &&
+          child.dataType.isInstanceOf[ArrayType] &&
+          graft.functions.PgArrayInput.depthOf(child.dataType) >
+            graft.functions.PgArrayInput.depthOf(at) &&
+          !graft.functions.PgArrayInput.leafOf(at).isInstanceOf[ArrayType] =>
+        // pg `ARRAY[ARRAY[..]]::int[]`: dims are value-level in pg — keep
+        // the child's dimensionality, re-type the leaves, and apply pg's
+        // zero-element normalization
+        graft.functions.PgArrayInput.PgArrayRetype(
+          child, graft.functions.PgArrayInput.leafOf(at))
       case Cast(child, at @ ArrayType(et, _), _, _) if child.resolved &&
           (child.dataType match {
             case ArrayType(org.apache.spark.sql.types.NullType, _) =>

@@ -155,13 +155,23 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       // `of`): if the FULL text parses natively, the user wrote valid Spark
       // SQL and gets exactly that. Only when the native parse rejects it is
       // the trailing `AS OF <version>` ours to interpret.
-      try delegate.parsePlan(sqlText)
+      try normalizeWindows(sqlText, delegate.parsePlan(sqlText))
       catch {
         case _: org.apache.spark.sql.catalyst.parser.ParseException =>
-          rewriteAsOf(delegate.parsePlan(inner), version.toLong)
+          rewriteAsOf(normalizeWindows(inner, delegate.parsePlan(inner)), version.toLong)
       }
-    case other => delegate.parsePlan(other)
+    case other => normalizeWindows(other, delegate.parsePlan(other))
   }
+
+  /** pg-compat: ranking/offset window functions over an unordered window
+    * and with explicit frames (both rejected by Spark's analyzer, both
+    * legal-and-ignored in pg) are normalized right after parse —
+    * resolution rules run too late (see
+    * [[graft.plans.UnorderedWindowNormalize]]). */
+  private def normalizeWindows(sqlText: String, plan: LogicalPlan): LogicalPlan =
+    if (graft.plans.UnorderedWindowNormalize.mayApply(sqlText))
+      graft.plans.UnorderedWindowNormalize(plan)
+    else plan
 
   /** Cheap pre-check so `... AS OF n` text in unrelated SQL (an alias named
     * `of`, string literals) never hijacks parsing: the stripped query must
@@ -195,7 +205,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   override def parseMultipartIdentifier(sqlText: String): Seq[String] =
     delegate.parseMultipartIdentifier(sqlText)
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(sqlText)
+    normalizeWindows(sqlText, delegate.parseQuery(sqlText))
   override def parseRoutineParam(sqlText: String): StructType =
     delegate.parseRoutineParam(sqlText)
   override def parseTableSchema(sqlText: String): StructType =

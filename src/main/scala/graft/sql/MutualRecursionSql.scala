@@ -81,6 +81,19 @@ object MutualRecursionSql {
         val schema = schemas(b.name)
         require(raw.columns.length == schema.length,
           s"binding ${b.name} declares ${schema.length} columns, query returns ${raw.columns.length}")
+        // the reference type-checks each binding against its declared
+        // signature: a text/unknown literal does NOT coerce into a numeric
+        // column ("declared types (bigint), but query returns types
+        // (text)", with_mutually_recursive.slt:653); numeric widths
+        // assignment-cast with range checks, which the coercion below
+        // already applies
+        raw.schema.fields.zip(schema.fields).foreach { case (got, decl) =>
+          import org.apache.spark.sql.types._
+          if (got.dataType == StringType && decl.dataType != StringType)
+            throw new IllegalArgumentException(
+              s"""WITH MUTUALLY RECURSIVE query "${b.name}" declared types """ +
+                s"(${decl.dataType.simpleString}), but query returns types (text)")
+        }
         val coerced = raw.select(raw.columns.toIndexedSeq.zip(schema.fields).map {
           case (c, f) =>
             org.apache.spark.sql.functions.col(s"`$c`").cast(f.dataType).as(f.name)
