@@ -86,6 +86,20 @@ object ListTextCastRule extends Rule[LogicalPlan] {
             org.apache.spark.sql.catalyst.expressions.Round(child, zero)
           else org.apache.spark.sql.catalyst.expressions.BRound(child, zero)
         Cast(rounded, to, tz, mode)
+      case Cast(org.apache.spark.sql.catalyst.expressions.Literal(s, StringType),
+          org.apache.spark.sql.types.LongType, _, _)
+          if pgNumericCasts && s != null &&
+            s.toString.matches("""\d{4}-\d{2}-\d{2}([ T].*)?""") =>
+        // mz_timestamp (logical millis, LongType here) compares against
+        // timestamp STRINGS — `mz_now() < '3000-01-01'` coerces the
+        // literal through string->bigint, which must read as epoch millis
+        // (reference mz_timestamp casts, src/repr/src/timestamp.rs)
+        val t = s.toString.trim.replace(' ', 'T')
+        val ldt = java.time.LocalDateTime.parse(
+          if (t.contains('T')) t else t + "T00:00:00")
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000L +
+            ldt.getNano / 1000000L)
       case Cast(child, org.apache.spark.sql.types.FloatType, _, _)
           if pgNumericCasts && child.resolved && child.foldable &&
             child.dataType == org.apache.spark.sql.types.DoubleType =>

