@@ -3486,6 +3486,73 @@ object SltRunner {
     if (shimmed.contains("''")) rewriteDoubledQuotes(shimmed) else shimmed
   }
 
+  /** pg: ORDER BY may repeat a windowed select item verbatim; Spark's
+    * analyzer cannot resolve a window expression in the Sort that isn't
+    * an output attribute (UNRESOLVED_COLUMN over the window function's
+    * internal name). When a top-level ORDER BY item containing OVER(..)
+    * textually equals a select-list item (modulo the trailing sort
+    * decorations), replace it with the item's ORDINAL — exactly pg's
+    * resolution. Used as an UNRESOLVED_COLUMN rescue only: an
+    * unconditional rewrite changes tie-breaking for nondeterministic
+    * window orders that Spark would otherwise re-evaluate in the Sort. */
+  private[slt] def rewriteOrderByWindowToOrdinal(sql: String): String = {
+    if (!"""(?i)\bOVER\s*\(""".r.findFirstIn(sql).isDefined ||
+        !"""(?i)\bORDER\s+BY\b""".r.findFirstIn(sql).isDefined) return sql
+    val SelHead = """(?is)^\s*SELECT\s+(?:DISTINCT\s+)?""".r
+    val hm = SelHead.findFirstMatchIn(sql).getOrElse(return sql)
+    // top-level clause boundaries
+    def topIdx(kw: String, s: String, from: Int): Int = {
+      var depth = 0; var inQ = false; var j = from
+      while (j < s.length) {
+        val c = s.charAt(j)
+        if (inQ) { if (c == '\'') inQ = false; j += 1 }
+        else c match {
+          case '\'' => inQ = true; j += 1
+          case '(' => depth += 1; j += 1
+          case ')' => depth -= 1; j += 1
+          case _ =>
+            if (depth == 0 && s.regionMatches(true, j, kw, 0, kw.length) &&
+                (j == 0 || !isWordChar(s.charAt(j - 1))) &&
+                (j + kw.length >= s.length || !isWordChar(s.charAt(j + kw.length))))
+              return j
+            j += 1
+        }
+      }
+      -1
+    }
+    val fromIdx = topIdx("FROM", sql, hm.end)
+    if (fromIdx < 0) return sql
+    val obIdx = topIdx("ORDER", sql, fromIdx)
+    if (obIdx < 0) return sql
+    val obBody0 = sql.substring(obIdx).replaceFirst("(?is)^ORDER\\s+BY\\s+", "")
+    val limIdx = topIdx("LIMIT", obBody0, 0) match {
+      case -1 => topIdx("OFFSET", obBody0, 0)
+      case x => x
+    }
+    val obBody = if (limIdx < 0) obBody0 else obBody0.substring(0, limIdx)
+    val obTail = if (limIdx < 0) "" else " " + obBody0.substring(limIdx)
+    def norm(s: String): String =
+      s.replaceAll("\\s+", " ").trim.toLowerCase
+    val selItems = splitTopLevel(sql.substring(hm.end, fromIdx), ',')
+      .map(_.trim)
+      .map(i => """(?is)\s+AS\s+[A-Za-z_"][\w"]*\s*$""".r.replaceFirstIn(i, ""))
+      .map(norm)
+    var changed = false
+    val obItems = splitTopLevel(obBody, ',').map { it0 =>
+      val it = it0.trim
+      if (!"""(?i)\bOVER\s*\(""".r.findFirstIn(it).isDefined) it0
+      else {
+        val decor = """(?is)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$""".r
+          .findFirstMatchIn(it).map(_.group(1)).getOrElse("")
+        val core = it.substring(0, it.length - decor.length)
+        val idx = selItems.indexOf(norm(core))
+        if (idx >= 0) { changed = true; s"${idx + 1}$decor" } else it0
+      }
+    }
+    if (!changed) sql
+    else sql.substring(0, obIdx) + "ORDER BY " + obItems.mkString(", ") + obTail
+  }
+
   /** Zero-pad a pg-loose trailing zone offset ('-6' / '+4:30' / 'z') into
     * the '+HH:mm[:ss]' form Spark's timestamp parser accepts. */
   private def padZoneOffset(ts0: String): String = {
@@ -6740,6 +6807,14 @@ object SltRunner {
                     Option(e.getMessage).exists(_.contains("UNRESOLVED_COLUMN")) =>
                   aliasImplicitFnNames(qSql)
                     .flatMap(s2 => scala.util.Try(spark.sql(s2)).toOption)
+                    .orElse {
+                      // ORDER BY repeating a windowed select item: pg
+                      // resolves it to the item; Spark can't name the
+                      // window expr in Sort — retry with the ordinal
+                      val s3 = rewriteOrderByWindowToOrdinal(qSql)
+                      if (s3 == qSql) None
+                      else scala.util.Try(spark.sql(s3)).toOption
+                    }
                     .orElse(graft.plans.NestedCorrelationFlatten.rescue(spark, qSql))
                     .getOrElse(throw e)
               }
