@@ -39,6 +39,37 @@ object SessionIdentity {
       }
   }
 
+  /** `mz_sleep(seconds)` argument validation (reference
+    * `src/expr/src/scalar/func/impls/float64.rs` Sleep): negative, NaN,
+    * infinite, and overflow durations raise; a valid duration returns
+    * NULL WITHOUT waiting — every read here is already at the latest
+    * timestamp, so the catch-up wait the corpus uses it for is a no-op. */
+  case class MzSleepExpression(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = org.apache.spark.sql.types.NullType
+    override def nullable: Boolean = true
+    override def prettyName: String = "mz_sleep"
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) return null
+      val d = v match {
+        case n: java.lang.Number => n.doubleValue
+        case other => other.toString.toDouble
+      }
+      def render: String =
+        if (d.isNaN) "NaN"
+        else if (d.isInfinite) "Infinity"
+        else if (d == d.longValue.toDouble && math.abs(d) < 1e15) d.longValue.toString
+        else d.toString.replace("E", "e+").replace("e+-", "e-")
+      if (d.isNaN || d.isInfinite || d < 0 || d > 2147483647.0)
+        throw new ArithmeticException(s"cannot sleep for $render seconds")
+      null
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     const("current_database", "materialize"),
     const("current_catalog", "materialize"),
@@ -47,5 +78,12 @@ object SessionIdentity {
     const("user", "materialize"),
     (new FunctionIdentifier("mz_now"),
       new ExpressionInfo(getClass.getName, "mz_now"),
-      (_: Seq[Expression]) => MzNowExpression()))
+      (_: Seq[Expression]) => MzNowExpression()),
+    // mz_unsafe.mz_sleep(n): sleeps n seconds, returns NULL — in this
+    // synchronous engine every read is already at the latest timestamp,
+    // so the timing wait is a semantic no-op (the corpus uses it to let
+    // async dataflows catch up); argument validation stays real
+    (new FunctionIdentifier("mz_sleep"),
+      new ExpressionInfo(getClass.getName, "mz_sleep"),
+      (args: Seq[Expression]) => MzSleepExpression(args.head)))
 }

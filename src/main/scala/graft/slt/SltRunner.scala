@@ -2656,7 +2656,7 @@ object SltRunner {
     val sql0rawMz0 =
       if (!sql0rawPg0.toLowerCase.contains("mz_")) sql0rawPg0
       else rewriteOutsideLits(sql0rawPg0)(
-        """(?i)\bmz_(?:internal|catalog)\s*\.\s*(?=mz_)""".r.replaceAllIn(_, ""))
+        """(?i)\bmz_(?:internal|catalog|unsafe)\s*\.\s*(?=mz_)""".r.replaceAllIn(_, ""))
     // information_schema.tables/columns -> the engine's underscore-named
     // introspection temp views (Spark temp views cannot be schema-qualified)
     val sql0rawMz =
