@@ -245,8 +245,10 @@ object PgNumericFunctions {
           val dec = Decimal(dv)
           if (!dec.changePrecision(dt.precision, dt.scale))
             throw new ArithmeticException("numeric field overflow")
-          if (dec.toJavaBigDecimal.signum == 0 && dv != 0.0)
-            throw new ArithmeticException("numeric field overflow")
+          // a nonzero double that ROUNDS to zero at this scale (1e-30 ->
+          // numeric(38,18)) is a successful rescale in the reference
+          // (CastFloat64ToNumeric only errors on invalid-operation /
+          // precision overflow) — return the rounded zero
           dec
         case _ =>
           // shape the resolution rule shouldn't have routed here — fall

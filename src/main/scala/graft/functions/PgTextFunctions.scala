@@ -240,6 +240,10 @@ object PgTextFunctions {
       // pg get_bit(bytea, offset): LSB-first within each byte
       (FunctionIdentifier("get_bit"), info("get_bit"),
         (args: Seq[Expression]) => GetBit(args(0), args(1))),
+      // participation-aware capture-group extract (mz regexp_extract
+      // table function: '' = empty match, NULL = group didn't participate)
+      (FunctionIdentifier("pg_regexp_group"), info("pg_regexp_group"),
+        (args: Seq[Expression]) => PgRegexpGroup(args(0), args(1), args(2))),
       // pg 14 date_bin(stride, source, origin)
       (FunctionIdentifier("date_bin"), info("date_bin"),
         (args: Seq[Expression]) => DateBinExpr(
@@ -394,6 +398,38 @@ case class PgNameCast(child: Expression)
   * within each byte (pg functions-binarystring; reference
   * `src/expr/src/scalar/func.rs` get_bit). Out-of-range offsets raise pg's
   * index error text. */
+/** Capture group `idx` of the FIRST match of `pattern` in `subject`,
+  * distinguishing PARTICIPATION (reference TableFunc::RegexpExtract,
+  * src/expr/src/relation/func.rs): a group that matched the empty string
+  * yields '', a non-participating group (optional/alternation branch not
+  * taken) yields NULL — java.util.regex.Matcher.group carries exactly
+  * that distinction, which Spark's regexp_extract collapses to ''. NULL
+  * when the regex doesn't match at all. */
+case class PgRegexpGroup(subject: Expression, pattern: Expression,
+    idx: Expression) extends Expression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.InternalRow
+  override def children: Seq[Expression] = Seq(subject, pattern, idx)
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pg_regexp_group"
+  @transient private lazy val compiled: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(
+      pattern.eval(null).toString) // pattern is a literal at the rewrite site
+  override def eval(input: InternalRow): Any = {
+    val s = subject.eval(input)
+    if (s == null) return null
+    val p = if (pattern.foldable) compiled
+      else java.util.regex.Pattern.compile(pattern.eval(input).toString)
+    val m = p.matcher(s.toString)
+    if (!m.find()) return null
+    val g = m.group(idx.eval(input).asInstanceOf[Number].intValue)
+    if (g == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(g)
+  }
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): PgRegexpGroup =
+    copy(subject = c(0), pattern = c(1), idx = c(2))
+}
+
 case class GetBit(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType

@@ -22,6 +22,7 @@ object ListTextCastRule extends Rule[LogicalPlan] {
     // it per file); Spark API surfaces keep Spark's native cast
     val pgNumericCasts = conf.getConfString("spark.graft.pgNumericCasts",
       "false") == "true"
+    lazy val mzNowInPlan = hasMzNow(plan)
     plan.transformAllExpressions {
       case Cast(child, _: StringType, _, _) if child.resolved &&
           child.dataType.isInstanceOf[ArrayType] =>
@@ -86,20 +87,20 @@ object ListTextCastRule extends Rule[LogicalPlan] {
             org.apache.spark.sql.catalyst.expressions.Round(child, zero)
           else org.apache.spark.sql.catalyst.expressions.BRound(child, zero)
         Cast(rounded, to, tz, mode)
-      case Cast(org.apache.spark.sql.catalyst.expressions.Literal(s, StringType),
-          org.apache.spark.sql.types.LongType, _, _)
-          if pgNumericCasts && s != null &&
-            s.toString.matches("""\d{4}-\d{2}-\d{2}([ T].*)?""") =>
+      case e if pgNumericCasts && isMzTimestampContext(e, mzNowInPlan) &&
+          e.children.exists(isDateShapedLongCast) =>
         // mz_timestamp (logical millis, LongType here) compares against
         // timestamp STRINGS — `mz_now() < '3000-01-01'` coerces the
         // literal through string->bigint, which must read as epoch millis
-        // (reference mz_timestamp casts, src/repr/src/timestamp.rs)
-        val t = s.toString.trim.replace(' ', 'T')
-        val ldt = java.time.LocalDateTime.parse(
-          if (t.contains('T')) t else t + "T00:00:00")
-        org.apache.spark.sql.catalyst.expressions.Literal(
-          ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000L +
-            ldt.getNano / 1000000L)
+        // (reference mz_timestamp casts, src/repr/src/timestamp.rs).
+        // Fires ONLY when a sibling operand carries mz_now(): a bare
+        // `SELECT '2024-01-01'::bigint` keeps the native cast (and its
+        // reference 'invalid input syntax' rejection).
+        e.withNewChildren(e.children.map {
+          case c if isDateShapedLongCast(c) =>
+            coerceDateLitToMillis(c).getOrElse(c)
+          case other => other
+        })
       case Cast(child, org.apache.spark.sql.types.FloatType, _, _)
           if pgNumericCasts && child.resolved && child.foldable &&
             child.dataType == org.apache.spark.sql.types.DoubleType =>
@@ -154,5 +155,54 @@ object ListTextCastRule extends Rule[LogicalPlan] {
             Seq(org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable(
               Seq("graft_eac_x")))))
     }
+  }
+
+  import org.apache.spark.sql.catalyst.expressions._
+
+  /** A comparison-like node in mz_timestamp context — the only place pg's
+    * mz_timestamp-vs-string coercion applies. Direct: a sibling operand
+    * carries mz_now(). Indirect: mz_now() is elsewhere in the plan (a
+    * view/CTE output attribute, `select x < '3000-01-01' from v`) and the
+    * sibling is bigint-typed. A plan with no mz_now() anywhere keeps the
+    * native cast (and its reference 'invalid input syntax' rejection). */
+  private def isMzTimestampContext(e: Expression, planHasMzNow: Boolean): Boolean =
+    e match {
+      case _: BinaryComparison | _: Greatest | _: Least =>
+        e.children.exists(_.exists(
+          _.isInstanceOf[graft.functions.SessionIdentity.MzNowExpression])) ||
+          (planHasMzNow && e.children.exists(c => c.resolved &&
+            c.dataType == org.apache.spark.sql.types.LongType &&
+            !isDateShapedLongCast(c)))
+      case _ => false
+    }
+
+  /** mz_now() anywhere in the plan, including view children and subquery
+    * expression plans. */
+  private def hasMzNow(plan: LogicalPlan): Boolean =
+    plan.exists(_.expressions.exists(_.exists {
+      case _: graft.functions.SessionIdentity.MzNowExpression => true
+      case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        hasMzNow(s.plan)
+      case _ => false
+    }))
+
+  private def isDateShapedLongCast(e: Expression): Boolean = e match {
+    case Cast(Literal(s, StringType), org.apache.spark.sql.types.LongType, _, _) =>
+      s != null && s.toString.matches("""\d{4}-\d{2}-\d{2}([ T].*)?""")
+    case _ => false
+  }
+
+  /** Epoch-millis literal for a date-shaped string cast; None when the
+    * tail is unparseable (fall through to the native cast's rejection). */
+  private def coerceDateLitToMillis(e: Expression): Option[Expression] = e match {
+    case Cast(Literal(s, StringType), org.apache.spark.sql.types.LongType, _, _) =>
+      val t = s.toString.trim.replace(' ', 'T')
+      scala.util.Try {
+        val ldt = java.time.LocalDateTime.parse(
+          if (t.contains('T')) t else t + "T00:00:00")
+        Literal(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000L +
+          ldt.getNano / 1000000L): Expression
+      }.toOption
+    case _ => None
   }
 }

@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.Alias
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreePattern.GENERATE
 
 /** pg names a FROM-position set-returning function's single output column
   * after the TABLE alias: `FROM generate_series(1, 3) AS g` exposes column
@@ -15,7 +16,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object SrfAliasRule extends Rule[LogicalPlan] {
   private val srfNames = Set("generate_series", "unnest")
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUpWithPruning(_.containsPattern(GENERATE)) {
     case sa @ SubqueryAlias(id, p @ Project(Seq(al @ Alias(c, n)), g: Generate))
         if srfNames.contains(n) && id.name != n =>
       sa.copy(child = Project(Seq(Alias(c, id.name)(exprId = al.exprId)), g))

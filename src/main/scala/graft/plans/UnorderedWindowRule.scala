@@ -37,11 +37,14 @@ object UnorderedWindowNormalize {
     case _ => false
   }
 
-  /** Cheap text gate so non-windowed SQL never pays the plan traversal. */
-  def mayApply(sqlText: String): Boolean = {
-    val l = sqlText.toLowerCase
-    l.contains("over")
-  }
+  /** Cheap text gate so non-windowed SQL never pays the plan traversal.
+    * Word-bounded: `recover`/`coverage`/`turnover` must not pay the
+    * whole-plan `transformUpWithSubqueries` walk at parse time. */
+  private val overKeyword = java.util.regex.Pattern.compile(
+    "\\bover\\b", java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  def mayApply(sqlText: String): Boolean =
+    overKeyword.matcher(sqlText).find()
 
   def apply(plan: LogicalPlan): LogicalPlan = plan.transformUpWithSubqueries {
     case p =>

@@ -1712,9 +1712,13 @@ object SltRunner {
             case '(' => depth += 1; j += 1
             case ')' => depth -= 1; j += 1
             case _ =>
+              // word boundaries only apply to word keywords — a "," after
+              // an identifier (`SELECT a, b`) must still be found
+              val word = kw.exists(isWordChar)
               if (depth == 0 && s.regionMatches(true, j, kw, 0, kw.length) &&
-                  (j == 0 || !isWordChar(s.charAt(j - 1))) &&
-                  (j + kw.length >= s.length || !isWordChar(s.charAt(j + kw.length))))
+                  (!word ||
+                    ((j == 0 || !isWordChar(s.charAt(j - 1))) &&
+                     (j + kw.length >= s.length || !isWordChar(s.charAt(j + kw.length))))))
                 return j
               j += 1
           }
@@ -1722,7 +1726,6 @@ object SltRunner {
         -1
       }
       val fromIdx = topLevelIdx("FROM", body)
-      val commaIdx = topLevelIdx(",", body) // any top-level comma = multi-item
       if (fromIdx < 0 ||
           (body.indexOf(',') >= 0 && {
             val ci = topLevelIdx(",", body.substring(0, fromIdx))
@@ -1767,7 +1770,6 @@ object SltRunner {
       val rep = s"coalesce((SELECT $ordered FROM (SELECT ($key) AS graft_as_s0, " +
         s"($item) AS graft_as_v0 FROM $rest) AS graft_as_sub), array())"
       val _2 = sorted
-      val _ = commaIdx
       out = out.substring(0, m.start) + rep + out.substring(i)
       m0 = Head.findFirstMatchIn(out).filter(m2 =>
         !insideLiteral(out, m2.start) &&
@@ -1803,7 +1805,9 @@ object SltRunner {
       }
       if (d > 0) return out
       val args = splitTopLevel(out.substring(m.end, i - 1), ',').map(_.trim)
-      if (args.length < 2) return out
+      // exactly (ArrayAny, Int32) — the reference defines no 3-arg
+      // 'reverse' overload (func.rs generate_subscripts) and rejects it
+      if (args.length != 2) return out
       val rep = s"generate_series(coalesce(array_lower(${args(0)}, ${args(1)}), 1), " +
         s"coalesce(array_upper(${args(0)}, ${args(1)}), 0))"
       out = out.substring(0, m.start) + rep + out.substring(i)
@@ -1936,8 +1940,11 @@ object SltRunner {
           // also accepts (?P<n>)
           val re2 = reLit.replace("(?P<", "(?<")
           val body = re2.stripPrefix("'").stripSuffix("'")
+          // pg_regexp_group keeps reference participation semantics:
+          // empty match -> '', non-participating group -> NULL (Spark's
+          // regexp_extract conflates both as '')
           val cols = groupNames(body).zipWithIndex.map { case (nm, i) =>
-            s"nullif(regexp_extract($expr, $re2, ${i + 1}), '') AS $nm"
+            s"pg_regexp_group($expr, $re2, ${i + 1}) AS $nm"
           }
           if (cols.isEmpty) None
           else Some(s"LATERAL (SELECT ${cols.mkString(", ")}$ord " +
