@@ -38,7 +38,7 @@ object JsonbValue {
 
   /** The reference's jsonb key order: PLAIN bytewise (`Datum::Map` sorts
     * by key bytes) — unlike pg jsonb's length-first order. */
-  private val keyOrder: Ordering[String] = (a: String, b: String) => {
+  private[functions] val keyOrder: Ordering[String] = (a: String, b: String) => {
     val ab = a.getBytes("UTF-8"); val bb = b.getBytes("UTF-8")
     var i = 0
     var r = 0
@@ -99,6 +99,21 @@ object JsonbValue {
   }
 
   def canon(s: String): String = render(parse(s))
+
+  /** jsonb numbers are mz numeric: more than 39 integral digits overflow
+    * on INPUT (reference numeric.rs max precision 39; jsonb.slt pins the
+    * cast rejection). Walk the parsed tree before rendering. */
+  def checkNumericRange(n: JsonNode): Unit = n match {
+    case o: ObjectNode => o.fields.asScala.foreach(e => checkNumericRange(e.getValue))
+    case a: ArrayNode => a.elements.asScala.foreach(checkNumericRange)
+    case x if x.isNumber =>
+      val bd = x.decimalValue.stripTrailingZeros
+      if (bd.precision - bd.scale > 39)
+        throw new IllegalArgumentException(
+          s"""invalid input syntax for type jsonb: "${bd.toPlainString}" is """ +
+            "out of range for type numeric: exceeds maximum precision 39")
+    case _ => ()
+  }
 
   /** pg `->`: object key / array index (negative wraps); NULL on scalars,
     * missing keys, out-of-range. */
@@ -267,8 +282,10 @@ abstract class JsonbUnary extends UnaryExpression with CodegenFallback {
 }
 
 case class JsonbCanon(child: Expression) extends JsonbUnary {
-  override protected def evalNode(n: JsonNode): Any =
+  override protected def evalNode(n: JsonNode): Any = {
+    JsonbValue.checkNumericRange(n)
     UTF8String.fromString(JsonbValue.render(n))
+  }
   override protected def withNewChildInternal(c: Expression): JsonbCanon = copy(child = c)
 }
 
@@ -489,6 +506,31 @@ case class JsonbElems(child: Expression, mode: String)
   override protected def withNewChildInternal(c: Expression): JsonbElems = copy(child = c)
 }
 
+/** `jsonb_each[_text]` pair array (reference func.rs JsonbEach): object
+  * fields in canonical (sorted) key order as (key, value) structs; non-
+  * object input is the empty set. `asText` unwraps string values. */
+case class JsonbPairs(child: Expression, asText: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("value", StringType))), containsNull = false)
+  override protected def nullSafeEval(s: Any): Any = {
+    val n = JsonbValue.parse(s.toString)
+    val rows: Seq[org.apache.spark.sql.catalyst.InternalRow] =
+      if (!n.isObject) Seq.empty
+      else n.fieldNames.asScala.toSeq.sorted(JsonbValue.keyOrder).map { k =>
+        val v = n.get(k)
+        val out = if (asText) JsonbValue.asText(v).orNull else JsonbValue.render(v)
+        org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(k),
+          if (out == null) null else UTF8String.fromString(out))
+      }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(rows.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): JsonbPairs =
+    copy(child = c)
+}
+
 object JsonbFunctions {
   private def info(name: String) = new ExpressionInfo(getClass.getName, name)
 
@@ -543,6 +585,13 @@ object JsonbFunctions {
         Generate(Explode(JsonbElems(args.head, mode)), unrequiredChildIndex = Nil,
           outer = false, qualifier = None, generatorOutput = Nil,
           child = OneRowRelation()))
+    } ++ Seq("jsonb_each" -> false, "jsonb_each_text" -> true).map {
+      case (n, asText) =>
+        // SETOF (key, value) via the Inline generator over the pair array
+        (FunctionIdentifier(n), info(n), (args: Seq[Expression]) =>
+          Generate(Inline(JsonbPairs(args.head, asText)),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Nil, child = OneRowRelation()))
     }
 
   def scalarSrfs: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =

@@ -200,6 +200,7 @@ object MzInterval {
     }
 
     var i = 0
+    var sawFraction = false
     var sawTimeGroupAfterPending = false
     var result: Either[String, Unit] = Right(())
     while (i < parts.length && result.isRight) {
@@ -236,11 +237,20 @@ object MzInterval {
             case None => err(s"unknown units $w")
             case Some(u) =>
               val v = bd(n) * (if (sgn == "-") -1 else 1)
-              addUnit(st, u, v, raw)
+              // pg: a fractional value is only legal on the LAST field
+              // ('1.5 second 43 microseconds' is rejected)
+              if (sawFraction)
+                err(s"""invalid input syntax for type interval: "$raw"""")
+              else {
+                if (!v.isWhole) sawFraction = true
+                addUnit(st, u, v, raw)
+              }
           }
         case Num(sgn, n) =>
           if (pending.isDefined && !pendingResolved)
             err(s"""cannot determine format of all parts: "$raw"""")
+          else if (sawFraction)
+            err(s"""invalid input syntax for type interval: "$raw"""")
           else {
             pending = Some(Pending(bd(n) * (if (sgn == "-") -1 else 1), part))
             pendingResolved = false
@@ -553,13 +563,23 @@ object MzInterval {
         identity)
     val x = p(a, qa)
     val y0 = p(b, qb)
+    // negation happens FIRST in the reference (checked_neg before
+    // checked_add): i32::MIN months/days and i64::MIN micros overflow
+    def checkNeg(v: Iv): Unit =
+      if (v.months == Int.MinValue.toLong || v.days == Int.MinValue.toLong ||
+          v.micros == BigInt(Long.MinValue))
+        throw new IllegalArgumentException("interval out of range")
+    if (negateB) checkNeg(y0)
     val y = if (negateB) Iv(-y0.months, -y0.days, -y0.micros) else y0
     val r = op match {
       case "+" => Iv(x.months + y.months, x.days + y.days, x.micros + y.micros)
-      case "-" => Iv(x.months - y.months, x.days - y.days, x.micros - y.micros)
+      case "-" =>
+        checkNeg(y)
+        Iv(x.months - y.months, x.days - y.days, x.micros - y.micros)
       case _ => throw new IllegalArgumentException(s"unsupported interval op $op")
     }
-    if (r.months.abs > Int.MaxValue || r.days.abs > Int.MaxValue)
+    if (r.months.abs > Int.MaxValue || r.days.abs > Int.MaxValue ||
+        r.micros.abs > BigInt(Long.MaxValue))
       throw new IllegalArgumentException("interval out of range")
     render(r)
   }

@@ -199,9 +199,14 @@ object MzListExpressions {
       // pg bytea hex output form (strconv.rs format_bytes)
       b.map(x => f"$x%02x").mkString("\\x", "", "")
     case (row: org.apache.spark.sql.catalyst.InternalRow, st: StructType) =>
-      // pg record text: (f1,f2,..) with NULL fields empty
+      // pg record text: (f1,f2,..) with NULL fields empty; array/list
+      // fields embed their {..} render bare (mz Datum render)
       st.fields.zipWithIndex.map { case (f, i) =>
-        if (row.isNullAt(i)) "" else scalarText(row.get(i, f.dataType), f.dataType)
+        if (row.isNullAt(i)) ""
+        else f.dataType match {
+          case at: ArrayType => renderList(row.get(i, at), at)
+          case _ => scalarText(row.get(i, f.dataType), f.dataType)
+        }
       }.mkString("(", ",", ")")
     case (o, _) => String.valueOf(o)
   }
@@ -255,6 +260,21 @@ object MzListExpressions {
       val v = child.eval(input)
       if (v == null) null
       else UTF8String.fromString(renderList(v, child.dataType))
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `record::text` — pg composite text `(f1,f2)` (NULL fields empty,
+    * array fields in their brace form). */
+  case class MzRecordOut(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) null
+      else UTF8String.fromString(scalarText(v, child.dataType))
     }
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)

@@ -177,7 +177,24 @@ object PgArrayFunctions {
 
   private def info(name: String) = new ExpressionInfo(getClass.getName, name)
 
+  /** int2vector values (canonical space-joined text) as their int2[]
+    * form; pg subscripts int2vector from ZERO, so callers shift. */
+  private def iv2arr(e: Expression): Expression = {
+    val f = UnresolvedNamedLambdaVariable(Seq("graft_iva_f"))
+    val t = UnresolvedNamedLambdaVariable(Seq("graft_iva_t"))
+    ArrayTransform(
+      ArrayFilter(
+        org.apache.spark.sql.catalyst.expressions.StringSplit(
+          e, Literal(" "), Literal(-1)),
+        LambdaFunction(Not(EqualTo(f, Literal(""))), Seq(f))),
+      LambdaFunction(Cast(t, org.apache.spark.sql.types.ShortType), Seq(t)))
+  }
+
   private def pgSubscript(args: Seq[Expression]): Expression = args match {
+    case Seq(iv: PgInt2Vector, idx) => // 0-based int2vector subscript
+      PgSubscriptN(Seq(iv2arr(iv),
+        org.apache.spark.sql.catalyst.expressions.Add(
+          Cast(idx, IntegerType), Literal(1))))
     case s if s.length >= 2 => PgSubscriptN(s)
     case other => throw new IllegalArgumentException(
       s"pg_subscript expects (array, index...), got ${other.length} args")
@@ -257,6 +274,8 @@ object PgArrayFunctions {
   }
 
   private def arrayDim(args: Seq[Expression], kind: String): Expression = args match {
+    case Seq(iv: PgInt2Vector, dim) =>
+      PgArrayDim(iv2arr(iv), Cast(dim, IntegerType), kind)
     case Seq(arr, dim) => PgArrayDim(arr, Cast(dim, IntegerType), kind)
     case other => throw new IllegalArgumentException(
       s"array_$kind expects (array, dim), got ${other.length} args")

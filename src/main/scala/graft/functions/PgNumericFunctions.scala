@@ -139,6 +139,23 @@ object PgNumericFunctions {
     * overflow/underflow instead of saturating; float->numeric raises
     * `numeric field overflow` where the 39-digit type can't hold the
     * value. */
+  /** mz numeric -> text: trailing fraction zeros stripped (reference
+    * numeric.rs rescaling on render); plain notation, never E-form. */
+  case class MzNumericText(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override def prettyName: String = "mz_numeric_text"
+    override protected def nullSafeEval(v: Any): Any = {
+      val bd = v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+        .toJavaBigDecimal.stripTrailingZeros
+      val s = if (bd.signum == 0) "0" else bd.toPlainString
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    }
+    override protected def withNewChildInternal(c: Expression): MzNumericText =
+      copy(child = c)
+  }
+
   case class PgCheckedCast(child: Expression, to: DataType)
       extends Expression with CodegenFallback {
     override def children: Seq[Expression] = Seq(child)

@@ -112,9 +112,32 @@ object PgTextFunctions {
   /** pg `oid` is a wrapping uint32; rendered as STRING so downstream
     * surfaces (to_jsonb quotes oids, text comparisons) match the
     * reference. `'-1'::oid` → "4294967295". */
-  private def pgOid(args: Seq[Expression]): Expression = {
-    val asLong = Cast(Cast(args.head, DecimalType(20, 0)), LongType)
-    Cast(Pmod(asLong, Literal(4294967296L)), StringType)
+  private def pgOid(args: Seq[Expression]): Expression = PgOidIn(args.head)
+
+  /** `::oid` checked input (reference oid.rs / strconv parse_oid): text
+    * must spell an integer in [-2147483648, 4294967295]; negatives wrap to
+    * the uint32 domain; out-of-range raises pg's input-syntax error. */
+  case class PgOidIn(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "pg_oid"
+    override protected def nullSafeEval(v: Any): Any = {
+      val isText = child.dataType == StringType
+      val s = v.toString.trim
+      val n =
+        try BigDecimal(s).setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+        catch { case _: Exception => throw new IllegalArgumentException(
+          s"""invalid input syntax for type oid: "$s"""") }
+      if (n < BigInt(Int.MinValue) || n > BigInt(4294967295L)) {
+        if (isText) throw new IllegalArgumentException(
+          s"""invalid input syntax for type oid: "$s"""")
+        else throw new ArithmeticException("OID out of range")
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        ((n.toLong + 4294967296L) % 4294967296L).toString)
+    }
+    override protected def withNewChildInternal(c: Expression): PgOidIn =
+      copy(child = c)
   }
 
   /** `'name'::regclass` (reference src/repr/src/scalar.rs RegClass): a
@@ -244,6 +267,21 @@ object PgTextFunctions {
       // table function: '' = empty match, NULL = group didn't participate)
       (FunctionIdentifier("pg_regexp_group"), info("pg_regexp_group"),
         (args: Seq[Expression]) => PgRegexpGroup(args(0), args(1), args(2))),
+      // pg normalize(text[, form]) — form pre-validated by the shim
+      (FunctionIdentifier("pg_normalize"), info("pg_normalize"),
+        (args: Seq[Expression]) => PgNormalize(args(0),
+          args.lift(1).getOrElse(Literal("NFC")))),
+      // pg string_to_array(text, delim[, null_string])
+      (FunctionIdentifier("string_to_array"), info("string_to_array"),
+        (args: Seq[Expression]) => StringToArray(args(0), args(1),
+          args.lift(2).getOrElse(Literal(null,
+            org.apache.spark.sql.types.StringType)))),
+      // mz timezone_offset(tz, timestamptz) -> (abbrev, base, dst) record
+      (FunctionIdentifier("timezone_offset"), info("timezone_offset"),
+        (args: Seq[Expression]) => TimezoneOffset(args(0), args(1))),
+      // pg int2vector text input (checked)
+      (FunctionIdentifier("pg_int2vector"), info("pg_int2vector"),
+        (args: Seq[Expression]) => PgInt2Vector(args.head)),
       // pg 14 date_bin(stride, source, origin)
       (FunctionIdentifier("date_bin"), info("date_bin"),
         (args: Seq[Expression]) => DateBinExpr(
@@ -398,6 +436,191 @@ case class PgNameCast(child: Expression)
   * within each byte (pg functions-binarystring; reference
   * `src/expr/src/scalar/func.rs` get_bit). Out-of-range offsets raise pg's
   * index error text. */
+/** pg `string_to_array(text, delim [, null_string])` (postgres
+  * varlena.c text_to_array, reference func.rs StringToArray): NULL
+  * delimiter splits into single characters, empty delimiter yields the
+  * whole string as one element, empty input yields the empty array,
+  * consecutive delimiters produce empty fields, and fields equal to
+  * null_string become NULL. Plain substring split — NOT regex. */
+case class StringToArray(str: Expression, delim: Expression,
+    nullStr: Expression) extends Expression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.InternalRow
+  override def children: Seq[Expression] = Seq(str, delim, nullStr)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "string_to_array"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{NullType, StringType => ST}
+    if (children.forall(c => c.dataType == ST || c.dataType == NullType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "function string_to_array requires text arguments") // mz: no such overload
+  }
+  override def eval(input: InternalRow): Any = {
+    val sv = str.eval(input)
+    if (sv == null) return null
+    val s = sv.toString
+    val dv = delim.eval(input)
+    val nv = nullStr.eval(input)
+    val fields: Seq[String] =
+      if (s.isEmpty) Seq.empty
+      else if (dv == null) s.map(_.toString)
+      else {
+        val d = dv.toString
+        if (d.isEmpty) Seq(s)
+        else {
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          var at = s.indexOf(d, i)
+          while (at >= 0) {
+            out += s.substring(i, at)
+            i = at + d.length
+            at = s.indexOf(d, i)
+          }
+          out += s.substring(i)
+          out.toSeq
+        }
+      }
+    val ns = if (nv == null) null else nv.toString
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      fields.map(f =>
+        if (ns != null && f == ns) null
+        else org.apache.spark.unsafe.types.UTF8String.fromString(f)).toArray)
+  }
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): StringToArray =
+    copy(str = c(0), delim = c(1), nullStr = c(2))
+}
+
+/** mz `timezone_offset(tz, timestamptz)` (reference func.rs
+  * TimezoneOffset): record (abbrev, base_utc_offset, dst_offset) for the
+  * IANA zone at the given instant. Offsets render in pg interval HH:MM:SS
+  * text; the zone name resolves case-insensitively. */
+case class TimezoneOffset(tz: Expression, ts: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = tz
+  override def right: Expression = ts
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("abbrev",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("base_utc_offset",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("dst_offset",
+      org.apache.spark.sql.types.StringType)))
+  override def prettyName: String = "timezone_offset"
+  private def fmtOffset(secs: Int): String = {
+    val a = math.abs(secs)
+    f"${if (secs < 0) "-" else ""}${a / 3600}%02d:${a / 60 % 60}%02d:${a % 60}%02d"
+  }
+  override protected def nullSafeEval(tzv: Any, tsv: Any): Any = {
+    import scala.jdk.CollectionConverters._
+    val name = tzv.toString
+    val zid = java.time.ZoneId.getAvailableZoneIds.asScala
+      .find(_.equalsIgnoreCase(name))
+      .map(java.time.ZoneId.of)
+      .getOrElse(throw new IllegalArgumentException(
+        s"invalid IANA Time Zone Database identifier: '$name'"))
+    val micros = tsv match {
+      case l: java.lang.Long => l.longValue
+      case other => PgTimestampPrecision.parseRound(other.toString, 6,
+        convertZone = true)
+    }
+    val instant = java.time.Instant.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+    val rules = zid.getRules
+    val std = rules.getStandardOffset(instant).getTotalSeconds
+    val total = rules.getOffset(instant).getTotalSeconds
+    // tzdb (the reference's chrono-tz) keeps ALPHABETIC abbreviations only
+    // for a closed set of zones; everywhere else the abbreviation is the
+    // numeric total offset (+05, +05:30). Java's CLDR short names invent
+    // legacy codes (ALMT, CHOST) tzdb dropped — accept only the tzdb set.
+    val cldr = java.time.format.DateTimeFormatter.ofPattern("zzz")
+      .withZone(zid).format(instant)
+    val abbrev =
+      if (TimezoneOffset.tzdbAlphabetic.contains(cldr)) cldr
+      else {
+        val a = math.abs(total)
+        val sign = if (total < 0) "-" else "+"
+        f"$sign${a / 3600}%02d" +
+          (if (a % 3600 != 0) f":${a / 60 % 60}%02d" else "")
+      }
+    org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(abbrev),
+      org.apache.spark.unsafe.types.UTF8String.fromString(fmtOffset(std)),
+      org.apache.spark.unsafe.types.UTF8String.fromString(fmtOffset(total - std)))
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TimezoneOffset =
+    copy(tz = newLeft, ts = newRight)
+}
+
+object TimezoneOffset {
+  /** The alphabetic abbreviations modern tzdb (2017a+) still emits — all
+    * other zones use numeric %z forms (tzdata NEWS, releases 2016f-2017a
+    * "use numeric time zone abbreviations for..."). */
+  val tzdbAlphabetic: Set[String] = Set(
+    "GMT", "UTC", "UT",
+    // North America
+    "EST", "EDT", "CST", "CDT", "MST", "MDT", "PST", "PDT",
+    "AST", "ADT", "NST", "NDT", "AKST", "AKDT", "HST", "HDT",
+    "CHST", "SST", "EWT", "EPT",
+    // Europe
+    "WET", "WEST", "CET", "CEST", "EET", "EEST", "BST", "MET", "MEST",
+    "MSK", "MSD", "IST", "GMT-1", "BDST",
+    // Africa / Middle East
+    "WAT", "CAT", "EAT", "SAST", "IDT",
+    // Asia / Pacific
+    "PKT", "WIB", "WITA", "WIT", "JST", "KST", "KDT", "HKT", "PHT",
+    "AEST", "AEDT", "ACST", "ACDT", "AWST", "NZST", "NZDT",
+    "CHAST", "CHADT", "LHST", "LHDT")
+}
+
+/** pg `int2vector` input (reference src/repr/src/adt/int2vector;
+  * pg's oidvector/int2vector family): whitespace-separated int2 tokens,
+  * stored canonically as space-joined text. Rejects non-text input
+  * (pg has no smallint[] -> int2vector cast) and non-integer tokens. */
+case class PgInt2Vector(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "pg_int2vector"
+  override protected def nullSafeEval(v: Any): Any = {
+    if (child.dataType != org.apache.spark.sql.types.StringType)
+      throw new IllegalArgumentException(
+        s"CAST does not support casting from ${child.dataType.simpleString} to int2vector")
+    val s = v.toString.trim
+    val toks = if (s.isEmpty) Array.empty[String] else s.split("\\s+")
+    val canon = toks.map { t =>
+      try java.lang.Short.parseShort(t).toString
+      catch { case _: Exception => throw new IllegalArgumentException(
+        s"""invalid input syntax for type int2vector: "$s"""") }
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(canon.mkString(" "))
+  }
+  override protected def withNewChildInternal(c: Expression): PgInt2Vector =
+    copy(child = c)
+}
+
+/** pg `normalize(text [, form])` — Unicode normalization via
+  * java.text.Normalizer (pg SQL/2023 NORMALIZE; the reference resolves the
+  * form keyword at parse time, so `form` here is always one of the four
+  * validated spellings injected by the dialect shim). */
+case class PgNormalize(text: Expression, form: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = text
+  override def right: Expression = form
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "normalize"
+  override protected def nullSafeEval(t: Any, f: Any): Any = {
+    val fm = java.text.Normalizer.Form.valueOf(f.toString.toUpperCase)
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(t.toString, fm))
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PgNormalize =
+    copy(text = newLeft, form = newRight)
+}
+
 /** Capture group `idx` of the FIRST match of `pattern` in `subject`,
   * distinguishing PARTICIPATION (reference TableFunc::RegexpExtract,
   * src/expr/src/relation/func.rs): a group that matched the empty string
@@ -528,9 +751,48 @@ case class ParseIdent(text: Expression, strict: Expression)
 case class PgDateTrunc(children: Seq[Expression])
     extends Expression with CodegenFallback {
   import org.apache.spark.sql.catalyst.InternalRow
-  override def dataType: DataType = org.apache.spark.sql.types.TimestampType
+  // interval input (mz-canonical text) truncates the INTERVAL (pg
+  // date_trunc(field, interval)) and renders interval text back
+  override def dataType: DataType =
+    if (children(1).dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.types.StringType
+    else org.apache.spark.sql.types.TimestampType
   override def nullable: Boolean = true
   override def prettyName: String = "date_trunc"
+
+  /** pg interval truncation: zero every field finer than `unit`
+    * (timestamp/interval.c interval_trunc); week is not defined for
+    * intervals. */
+  private def truncInterval(unit: String, text: String): String = {
+    val iv = MzInterval.parse(text, None) match {
+      case scala.util.Right(v) => v
+      case scala.util.Left(e) => throw new IllegalArgumentException(e)
+    }
+    val out = unit match {
+      case "microseconds" => iv
+      case "milliseconds" => iv.copy(micros = iv.micros - iv.micros % 1000)
+      case "second" => iv.copy(micros = iv.micros - iv.micros % 1000000)
+      case "minute" => iv.copy(micros = iv.micros - iv.micros % 60000000L)
+      case "hour" => iv.copy(micros = iv.micros - iv.micros % 3600000000L)
+      case "day" => iv.copy(micros = 0)
+      case "month" => iv.copy(days = 0, micros = 0)
+      case "quarter" =>
+        iv.copy(months = iv.months - iv.months % 3, days = 0, micros = 0)
+      case "year" =>
+        iv.copy(months = iv.months - iv.months % 12, days = 0, micros = 0)
+      case "decade" =>
+        iv.copy(months = iv.months - iv.months % 120, days = 0, micros = 0)
+      case "century" =>
+        iv.copy(months = iv.months - iv.months % 1200, days = 0, micros = 0)
+      case "millennium" =>
+        iv.copy(months = iv.months - iv.months % 12000, days = 0, micros = 0)
+      case "week" => throw new IllegalArgumentException(
+        "unit 'week' not supported for type interval")
+      case other => throw new IllegalArgumentException(
+        s"""unit '$other' not recognized""")
+    }
+    MzInterval.render(out)
+  }
 
   private def toMicros(v: Any): Long = v match {
     case l: java.lang.Long => l.longValue
@@ -544,12 +806,18 @@ case class PgDateTrunc(children: Seq[Expression])
     val u0 = children(0).eval(input)
     val ts = children(1).eval(input)
     if (u0 == null || ts == null) return null
-    val us = toMicros(ts)
+    lazy val us = toMicros(ts)
     val unit = u0.toString.trim.toLowerCase.stripSuffix("s") match {
       case "microsecond" => "microseconds"
       case "millisecond" => "milliseconds"
       case "centurie" => "century"
       case o => o
+    }
+    ts match {
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        return org.apache.spark.unsafe.types.UTF8String.fromString(
+          truncInterval(unit, s.toString))
+      case _ => ()
     }
     def floorTo(stepUs: Long): Long = Math.floorDiv(us, stepUs) * stepUs
     def ldt: java.time.LocalDateTime =

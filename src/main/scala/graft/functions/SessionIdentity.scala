@@ -35,7 +35,9 @@ object SessionIdentity {
       org.apache.spark.sql.internal.SQLConf.get
         .getConfString("spark.graft.mz_now", "") match {
         case "" => System.currentTimeMillis()
-        case pinned => pinned.toLong
+        case pinned if pinned.forall(_.isDigit) => pinned.toLong
+        case pinned => // temporal-view fixture pin: a timestamp string
+          java.sql.Timestamp.valueOf(pinned).getTime
       }
   }
 

@@ -27,6 +27,18 @@ object ListTextCastRule extends Rule[LogicalPlan] {
       case Cast(child, _: StringType, _, _) if child.resolved &&
           child.dataType.isInstanceOf[ArrayType] =>
         graft.functions.MzListExpressions.MzListOut(child)
+      case Cast(child, _: StringType, _, _) if pgNumericCasts &&
+          child.resolved &&
+          child.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+        // record::text renders pg composite text (dialect surfaces only —
+        // Spark API users keep Spark's struct cast rendering)
+        graft.functions.MzListExpressions.MzRecordOut(child)
+      case Cast(child, _: StringType, _, _) if pgNumericCasts &&
+          child.resolved &&
+          child.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+        // mz numeric -> text strips trailing fraction zeros (rescale-0
+        // rendering, reference numeric.rs to_string); Spark pads to scale
+        graft.functions.PgNumericFunctions.MzNumericText(child)
       case Cast(child, _: StringType, _, _) if child.resolved &&
           (child.dataType match {
             // mz maps are always text-keyed; a non-text-keyed Spark map
@@ -116,6 +128,17 @@ object ListTextCastRule extends Rule[LogicalPlan] {
             (child.dataType == org.apache.spark.sql.types.DoubleType ||
              child.dataType == org.apache.spark.sql.types.FloatType) =>
         graft.functions.PgNumericFunctions.PgCheckedCast(child, dt)
+      case Cast(iv: graft.functions.PgInt2Vector, ArrayType(
+          org.apache.spark.sql.types.ShortType, _), _, _) =>
+        // int2vector -> int2[]: split the canonical space-joined text
+        import org.apache.spark.sql.catalyst.expressions._
+        val f = UnresolvedNamedLambdaVariable(Seq("graft_iv_f"))
+        val t = UnresolvedNamedLambdaVariable(Seq("graft_iv_t"))
+        ArrayTransform(
+          ArrayFilter(
+            StringSplit(iv, Literal(" "), Literal(-1)),
+            LambdaFunction(Not(EqualTo(f, Literal(""))), Seq(f))),
+          LambdaFunction(Cast(t, org.apache.spark.sql.types.ShortType), Seq(t)))
       case Cast(child, at: ArrayType, _, _) if child.resolved &&
           child.foldable && child.dataType == StringType =>
         // pg array_in: `'{{1,2},{3,4}}'::int[]` — the literal's own brace

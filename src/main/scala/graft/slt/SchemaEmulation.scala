@@ -44,9 +44,52 @@ object SchemaEmulation {
     "information_schema", "mz_unsafe", "mz_catalog_unstable", "mz_introspection",
     "mz_temp")
 
+  // ---------------- database layer ----------------
+  // crdb logictests switch databases (`SET DATABASE = otherdb`); each
+  // database carries its own schema namespace. Same flattening treatment
+  // as schemas: a non-default current database maps every schema name to
+  // the registry key `<db>/<schema>` (the '/' can never appear in SQL
+  // identifiers here, so the keys are collision-free), and `<db>/public`
+  // registers as an ordinary canonical-prefixed schema on first use.
+  private val defaultDbs = Set("test", "materialize", "defaultdb")
+  private var currentDb = "test"
+  private def dbDefault: Boolean = defaultDbs.contains(currentDb)
+  private def dbKey(s: String): String =
+    if (dbDefault || (ambient.contains(s) && s != "public")) s
+    else s"$currentDb/$s"
+
+  def setDatabase(raw: String): Unit = {
+    currentDb = norm(raw)
+    if (!dbDefault) ensureSchemaKey(dbKey("public"))
+  }
+  def currentDatabase: String = currentDb
+  def resetDatabase(): Unit = currentDb = "test"
+
+  /** DROP DATABASE: evict every schema under it; returns the member-drop
+    * statements (the marker path executes them). */
+  def dropDatabase(raw: String): Seq[String] = {
+    val db = norm(raw)
+    val keys = canon.keys.filter(_.startsWith(s"$db/")).toSeq
+    val drops = keys.flatMap(k =>
+      members.getOrElse(canon(k), mutable.Set.empty).toSeq.sorted)
+      .map(f => s"DROP TABLE IF EXISTS $f")
+    keys.foreach { k => members.remove(canon(k)); canon.remove(k); () }
+    if (currentDb == db) currentDb = "test"
+    drops
+  }
+
+  private def ensureSchemaKey(key: String): Unit =
+    if (!canon.contains(key)) {
+      counter += 1
+      canon(key) = s"gfts${counter}_" + key.replaceAll("\\W", "_")
+      members.getOrElseUpdate(canon(key), mutable.Set.empty)
+      ()
+    }
+
   def reset(): Unit = {
     canon.clear(); members.clear(); counter = 0
     searchPath = Seq("public"); publicRels.clear(); typesBySchema.clear()
+    currentDb = "test"
   }
 
   /** Parse-time `SET search_path = a, b` hook (pg: schemas need not
@@ -63,7 +106,7 @@ object SchemaEmulation {
     * leave the bare spelling for Spark to resolve/reject). */
   def resolveBare(bare: String): Option[String] = {
     val n = norm(bare)
-    searchPath.iterator.flatMap {
+    searchPath.iterator.map(dbKey).flatMap {
       case "public" => if (publicRels.contains(n)) Some(Left(n)) else None
       case s => canon.get(s).flatMap { c =>
         val flat = s"${c}__$n"
@@ -75,7 +118,7 @@ object SchemaEmulation {
   /** The schema a bare CREATE lands in: the first path entry that exists
     * (pg's first valid creation schema); None = public. */
   def creationPrefix: Option[String] =
-    searchPath.iterator.flatMap {
+    searchPath.iterator.map(dbKey).flatMap {
       case "public" => Some(None)
       case s => canon.get(s).map(Some(_))
     }.nextOption().flatten
@@ -86,27 +129,32 @@ object SchemaEmulation {
     val parts = spelling.replace("\"", "").split("\\.").map(_.trim).toSeq
       .filter(_.nonEmpty)
     def strip(p: Seq[String]) =
-      if (p.length > 2 && (p.head.equalsIgnoreCase("materialize"))) p.tail else p
+      if (p.length > 2 && defaultDbs.contains(norm(p.head))) p.tail else p
+    def bySchemaKey(key: String, n: String): Either[String, String] =
+      if (key == "public") {
+        if (publicRels.contains(n)) Right(n)
+        else Left(s"""relation "$spelling" does not exist""")
+      } else canon.get(key) match {
+        case Some(c) if members.get(c).exists(_.contains(s"${c}__$n")) =>
+          Right(s"${c}__$n")
+        case Some(_) => Left(s"""relation "$spelling" does not exist""")
+        case None => Left(s"""unknown schema '${key.split('/').last}'""")
+      }
     strip(parts) match {
       case Seq(bare) =>
         val n = norm(bare)
         resolveBare(n) match {
           case Some(flat) => Right(flat)
           case None =>
-            if (searchPath.contains("public") && publicRels.contains(n)) Right(n)
+            if (dbDefault && searchPath.contains("public") && publicRels.contains(n))
+              Right(n)
             else Left(s"""relation "$spelling" does not exist""")
         }
       case Seq(schema, rel) =>
-        val s = norm(schema); val n = norm(rel)
-        if (s == "public") {
-          if (publicRels.contains(n)) Right(n)
-          else Left(s"""relation "$spelling" does not exist""")
-        } else canon.get(s) match {
-          case Some(c) if members.get(c).exists(_.contains(s"${c}__$n")) =>
-            Right(s"${c}__$n")
-          case Some(_) => Left(s"""relation "$spelling" does not exist""")
-          case None => Left(s"""unknown schema '$s'""")
-        }
+        bySchemaKey(dbKey(norm(schema)), norm(rel))
+      case Seq(db, schema, rel) =>
+        // explicit database qualification: default dbs were stripped above
+        bySchemaKey(s"${norm(db)}/${norm(schema)}", norm(rel))
       case _ => Left(s"""relation "$spelling" does not exist""")
     }
   }
@@ -117,17 +165,20 @@ object SchemaEmulation {
     val bare = norm(spelling.replace("\"", "").split("\\.").last)
     val bareFlat = resolveBare(bare) match {
       case Some(f) => Some(f)
-      case None if searchPath.contains("public") && publicRels.contains(bare) =>
+      case None if dbDefault && searchPath.contains("public") &&
+          publicRels.contains(bare) =>
         Some(bare)
       case None => None
     }
     if (bareFlat.contains(flat)) bare
     else {
-      // qualify with the owning schema's visible name
+      // qualify with the owning schema's visible name (db part dropped —
+      // pg renders the schema qualification only)
       val i = flat.indexOf("__")
       if (i > 0) {
         val prefix = flat.substring(0, i)
-        canon.collectFirst { case (vis, c) if c == prefix => s"$vis.$bare" }
+        canon.collectFirst { case (vis, c) if c == prefix =>
+          s"${vis.split('/').last}.$bare" }
           .getOrElse(spelling)
       } else s"public.$bare"
     }
@@ -159,12 +210,14 @@ object SchemaEmulation {
   /** pg current_schema(): the first schema on the path that exists. */
   def currentSchemaVisible: Option[String] =
     searchPath.find(s =>
-      s == "public" || ambient.contains(s) || canon.contains(s))
+      (s == "public" && dbDefault) || ambient.contains(s) ||
+        canon.contains(dbKey(s)))
 
   /** pg current_schemas(include_implicit). */
   def currentSchemasVisible(implicitToo: Boolean): Seq[String] = {
     val existing = searchPath.filter(s =>
-      s == "public" || ambient.contains(s) || canon.contains(s))
+      (s == "public" && dbDefault) || ambient.contains(s) ||
+        canon.contains(dbKey(s)))
     (if (implicitToo) Seq("mz_catalog", "pg_catalog") ++ existing
      else existing).distinct
   }
@@ -196,22 +249,22 @@ object SchemaEmulation {
       val name = norm(rawName.split("\\.").last)
       val dbPrefix = if (rawName.contains(".")) Some(norm(rawName.split("\\.").head)) else None
       Some {
-        if (dbPrefix.exists(_ != "materialize"))
+        if (dbPrefix.exists(p => p != "materialize" && p != currentDb))
           err(s"unknown database '${dbPrefix.get}'")
         else if (ambient.contains(name) || name.startsWith("mz_") || name.startsWith("pg_"))
           err(s"unacceptable schema name '$name'")
-        else if (canon.contains(name)) {
+        else if (canon.contains(dbKey(name))) {
           if (ifNot != null) ok() else err(s"schema '$name' already exists")
         } else {
           counter += 1
-          canon(name) = s"gfts${counter}_$name"
+          canon(dbKey(name)) = s"gfts${counter}_$name"
           ok()
         }
       }
     case DropRe(ifEx, rawName, cascade) =>
       val name = norm(rawName.split("\\.").last)
       Some {
-        canon.get(name) match {
+        canon.get(dbKey(name)) match {
           case None =>
             if (ifEx != null || ambient.contains(name)) ok()
             else err(s"unknown schema '$name'")
@@ -220,7 +273,7 @@ object SchemaEmulation {
             if (ms.nonEmpty && (cascade == null || !cascade.equalsIgnoreCase("CASCADE")))
               err(s"schema '$name' cannot be dropped without CASCADE while it contains objects")
             else {
-              canon.remove(name); members.remove(c)
+              canon.remove(dbKey(name)); members.remove(c)
               ok(ms.map(m => s"DROP TABLE IF EXISTS $m"))
             }
         }
@@ -228,13 +281,13 @@ object SchemaEmulation {
     case AlterRe(rawFrom, rawTo) =>
       val from = norm(rawFrom.split("\\.").last); val to = norm(rawTo)
       Some {
-        if (!canon.contains(from))
+        if (!canon.contains(dbKey(from)))
           err(s"unknown schema '$from'")
         else if (ambient.contains(to) || to.startsWith("mz_") || to.startsWith("pg_"))
           err(s"unacceptable schema name '$to'")
-        else if (canon.contains(to))
+        else if (canon.contains(dbKey(to)))
           err(s"schema '$to' already exists")
-        else { canon(to) = canon.remove(from).get; ok() }
+        else { canon(dbKey(to)) = canon.remove(dbKey(from)).get; ok() }
       }
     case _ => None
   }
@@ -244,10 +297,18 @@ object SchemaEmulation {
     * literal-free segment). Also records CREATE-d members for CASCADE. */
   def mangle(seg: String): String = {
     if (canon.isEmpty) return seg
-    val names = canon.keys.map(java.util.regex.Pattern.quote).mkString("|")
+    // visible schema spellings: the tail of each registry key, plus
+    // `public` when a non-default database scopes it
+    val visible = canon.keys.map(_.split('/').last).toSet ++
+      (if (dbDefault) Set.empty[String] else Set("public"))
+    val names = visible.map(java.util.regex.Pattern.quote).mkString("|")
     val re = s"""(?i)\\b(?:materialize\\s*\\.\\s*)?($names)\\s*\\.\\s*(?=[\\w"])""".r
     val qualified = re.replaceAllIn(seg, m =>
-      scala.util.matching.Regex.quoteReplacement(canon(norm(m.group(1))) + "__"))
+      canon.get(dbKey(norm(m.group(1)))) match {
+        case Some(c) => scala.util.matching.Regex.quoteReplacement(c + "__")
+        case None =>
+          scala.util.matching.Regex.quoteReplacement(m.matched)
+      })
     bareMangle(qualified)
   }
 
@@ -256,7 +317,7 @@ object SchemaEmulation {
     * resolution order). CREATE targets land in the path's first schema.
     * No-op on the default path. */
   private def bareMangle(seg: String): String = {
-    if (searchPath == Seq("public")) return seg
+    if (searchPath == Seq("public") && dbDefault) return seg
     var out = seg
     // CREATE lands in the first (existing) path schema
     creationPrefix.foreach { prefix =>
@@ -269,7 +330,7 @@ object SchemaEmulation {
     // bare references that the path resolves into a user schema
     val renames: Map[String, String] = (for {
       (vis, c) <- canon.toSeq
-      if searchPath.contains(vis)
+      if searchPath.map(dbKey).contains(vis)
       flat <- members.getOrElse(c, mutable.Set.empty)
       bare = flat.substring(flat.indexOf("__") + 2)
       resolved <- resolveBare(bare)

@@ -107,11 +107,11 @@ object SltRunner {
   // Statements that have no Spark analog (cluster/catalog/rbac/source ops).
   private val skipPrefixes = List(
     "ALTER ", "SHOW ", "EXPLAIN ", "GRANT ", "REVOKE ",
-    "CREATE CLUSTER", "CREATE SOURCE", "CREATE SINK",
+    "CREATE SOURCE", "CREATE SINK",
     "CREATE CONNECTION", "CREATE SECRET", "CREATE ROLE",
     "CREATE SCHEMA", "CREATE DATABASE",
-    "SUBSCRIBE", "COPY ", "DECLARE ", "FETCH ", "CLOSE ",
-    "VALIDATE ", "DROP CLUSTER", "DROP SOURCE", "DROP SCHEMA",
+    "SUBSCRIBE", "COPY ",
+    "VALIDATE ", "DROP SOURCE", "DROP SCHEMA",
     "DROP DATABASE", "DROP ROLE", "DROP OWNED", "REASSIGN", "INSPECT")
 
   private val typeRewrites: List[(Regex, String)] = List(
@@ -431,7 +431,7 @@ object SltRunner {
       "numrange" -> "pg_numrange", "daterange" -> "pg_daterange",
       "tstzrange" -> "pg_tstzrange", "tsrange" -> "pg_tsrange",
       "time" -> "pg_time", "regtype" -> "pg_regtype",
-      "regtype_out" -> "pg_regtype_out")
+      "regtype_out" -> "pg_regtype_out", "int2vector" -> "pg_int2vector")
 
   /** Operand start for a CHECKED-cast wrap (uint casts): like
     * castOperandStart, but also accepts a (possibly signed) numeric literal
@@ -756,7 +756,7 @@ object SltRunner {
   }
 
   private[slt] def rewriteNameCasts(sql: String): String = {
-    if ("""(?i)::\s*_?(name|jsonb?|oid|time|uuid|uint[248]|int4range|int8range|numrange|daterange|tsrange|tstzrange|regclass|regtype(_out)?)\b(?!stamp)"""
+    if ("""(?i)::\s*_?(name|jsonb?|oid|time|uuid|uint[248]|int2vector|int4range|int8range|numrange|daterange|tsrange|tstzrange|regclass|regtype(_out)?)\b(?!stamp)"""
       .r.findFirstIn(sql).isEmpty) return sql
     val sb = new StringBuilder(sql.length)
     var i = 0
@@ -1271,6 +1271,182 @@ object SltRunner {
       t = """(?i)\blist_prepend\s*\(""".r.replaceAllIn(t, "mz_list_prepend(")
       t
     }
+  }
+
+  /** Words that can directly precede a PREFIX `~` (bitwise not): after a
+    * keyword the tilde cannot be the binary regex-match operator. */
+  private val regexOpKeywords = Set("select", "where", "and", "or", "not",
+    "when", "then", "else", "case", "on", "by", "having", "as", "in", "is",
+    "all", "any", "some", "distinct", "from", "join", "union", "intersect",
+    "except", "limit", "offset", "between", "like", "ilike", "escape",
+    "values", "returning", "set", "order", "group", "filter", "over",
+    "partition", "exists")
+
+  /** pg regex-match operators → Spark spellings (reference func.rs
+    * IsRegexpMatch / the pg `~` operator family): binary `~` → RLIKE,
+    * `!~` → NOT RLIKE, `~*`/`!~*` → RLIKE with a `(?i)` prefix on the
+    * pattern, `~~`/`~~*`/`!~~`/`!~~*` → LIKE / ILIKE / NOT LIKE /
+    * NOT ILIKE. A tilde whose left neighbor is a keyword, a comma, or an
+    * opening paren is pg's PREFIX bitwise-not and stays untouched. */
+  private[slt] def rewriteRegexMatchOps(sql0: String): String = {
+    if (sql0.indexOf('~') < 0) return sql0
+    val s = sql0
+    val sb = new StringBuilder(s.length + 16)
+    var i = 0
+    var inQ = false
+    var inDq = false
+    def prevIsOperandEnd(j0: Int): Boolean = {
+      var j = j0 - 1
+      while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+      if (j < 0) return false
+      val c = s.charAt(j)
+      if (c == '\'' || c == '"' || c == '`' || c == ')' || c == ']') return true
+      if (!isWordChar(c)) return false
+      var k = j
+      while (k >= 0 && isWordChar(s.charAt(k))) k -= 1
+      !regexOpKeywords.contains(s.substring(k + 1, j + 1).toLowerCase)
+    }
+    /** End index (exclusive) of the RHS operand starting at/after j0:
+      * a quoted literal, a parenthesized expression, or an identifier
+      * chain with optional call parens and `::type` tails. -1 = bail. */
+    def rhsEnd(j0: Int): Int = {
+      var j = j0
+      while (j < s.length && s.charAt(j).isWhitespace) j += 1
+      if (j >= s.length) return -1
+      def literalEnd(k0: Int): Int = { // k0 at opening quote
+        var k = k0 + 1
+        while (k < s.length) {
+          if (s.charAt(k) == '\'') {
+            if (k + 1 < s.length && s.charAt(k + 1) == '\'') k += 2
+            else return k + 1
+          } else k += 1
+        }
+        -1
+      }
+      def parenEnd(k0: Int): Int = { // k0 at '('
+        var k = k0; var d = 0
+        while (k < s.length) {
+          s.charAt(k) match {
+            case '\'' =>
+              val e = literalEnd(k); if (e < 0) return -1; k = e
+            case '(' => d += 1; k += 1
+            case ')' => d -= 1; k += 1; if (d == 0) return k
+            case _ => k += 1
+          }
+        }
+        -1
+      }
+      var end =
+        if (s.charAt(j) == '\'') literalEnd(j)
+        else if (s.charAt(j) == '(') parenEnd(j)
+        else if (isWordChar(s.charAt(j))) {
+          var k = j
+          while (k < s.length && (isWordChar(s.charAt(k)) || s.charAt(k) == '.')) k += 1
+          var k2 = k
+          while (k2 < s.length && s.charAt(k2).isWhitespace) k2 += 1
+          if (k2 < s.length && s.charAt(k2) == '(') parenEnd(k2) else k
+        } else -1
+      if (end < 0) return -1
+      // chained `::type` casts bind tighter than the operator
+      var moved = true
+      while (moved) {
+        moved = false
+        var k = end
+        while (k < s.length && s.charAt(k).isWhitespace) k += 1
+        if (k + 1 < s.length && s.charAt(k) == ':' && s.charAt(k + 1) == ':') {
+          k += 2
+          while (k < s.length && s.charAt(k).isWhitespace) k += 1
+          val st = k
+          while (k < s.length && isWordChar(s.charAt(k))) k += 1
+          if (k > st) { end = k; moved = true }
+        }
+      }
+      end
+    }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { sb += c; if (c == '\'') inQ = false; i += 1 }
+      else if (inDq) { sb += c; if (c == '"') inDq = false; i += 1 }
+      else if (c == '\'') { sb += c; inQ = true; i += 1 }
+      else if (c == '"') { sb += c; inDq = true; i += 1 }
+      else if ((c == '~' || (c == '!' && i + 1 < s.length && s.charAt(i + 1) == '~')) &&
+          prevIsOperandEnd(i)) {
+        val rest = s.substring(i)
+        val op = Seq("!~~*", "!~~", "!~*", "!~", "~~*", "~~", "~*", "~")
+          .find(rest.startsWith).get
+        op match {
+          case "~~" => sb ++= " LIKE "; i += 2
+          case "~~*" => sb ++= " ILIKE "; i += 3
+          case "!~~" => sb ++= " NOT LIKE "; i += 3
+          case "!~~*" => sb ++= " NOT ILIKE "; i += 4
+          case re @ ("~" | "!~" | "~*" | "!~*") =>
+            // pg POSIX regexes are newline-INSENSITIVE by default (`.`
+            // matches \n) — Java needs (?s); `*` variants add (?i)
+            val flags = if (re.endsWith("*")) "(?is)" else "(?s)"
+            val neg = re.startsWith("!")
+            val after = i + re.length
+            val end = rhsEnd(after)
+            if (end < 0) {
+              // unextractable RHS: plain token swap (loses dotall)
+              sb ++= (if (neg) " NOT RLIKE " else " RLIKE "); i = after
+            } else {
+              val rhs = s.substring(after, end).trim
+              sb ++= (if (neg) s" NOT RLIKE concat('$flags', "
+                      else s" RLIKE concat('$flags', ")
+              sb ++= rhs
+              sb ++= ")"
+              i = end
+            }
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** pg/SQL:2023 `normalize(text [, form])` — the form is a bare KEYWORD
+    * (NFC/NFD/NFKC/NFKD, any case). Route through the engine's
+    * pg_normalize with the validated form quoted; a string-literal form is
+    * the reference's parse-time rejection. */
+  private[slt] def rewriteNormalize(sql0: String): String = {
+    if (!sql0.toLowerCase.contains("normalize")) return sql0
+    val BadForm =
+      """(?is)\bnormalize\s*\(((?:[^()']|'[^']*'|\([^()]*\))*?),\s*'([^']*)'\s*\)""".r
+    BadForm.findFirstMatchIn(sql0).filter(m => !insideLiteral(sql0, m.start)) match {
+      case Some(m) =>
+        return s"SELECT raise_error('Expected one of NFC or NFD or NFKC or " +
+          s"""NFKD, found string literal "${m.group(2)}"') AS graft_norm_fidelity"""
+      case None => ()
+    }
+    var out = sql0
+    val WithForm =
+      """(?is)\b(?<!pg_)normalize\s*\(((?:[^()']|'[^']*'|\([^()]*\))*?),\s*(NFC|NFD|NFKC|NFKD)\s*\)""".r
+    out = WithForm.replaceAllIn(out, m =>
+      Regex.quoteReplacement(
+        s"pg_normalize(${m.group(1)}, '${m.group(2).toUpperCase}')"))
+    val NoForm =
+      """(?is)\b(?<!pg_)normalize\s*\(((?:[^()']|'[^']*'|\([^()]*\))*)\)""".r
+    out = NoForm.replaceAllIn(out, m =>
+      Regex.quoteReplacement(s"pg_normalize(${m.group(1)}, 'NFC')"))
+    out
+  }
+
+  /** pg `ROW(a, b, ...)` constructor → Spark `struct(...)`: the record
+    * renders through pgRecord `(a,b)` text and compares field-wise like
+    * pg composites (reference record construction, plan/query.rs). Only
+    * the call form — `CURRENT ROW`, `ROWS BETWEEN`, and identifiers named
+    * row don't carry the trailing paren. */
+  private[slt] def rewriteRowConstructor(sql0: String): String = {
+    if (!"""(?i)\brow\s*\(""".r.findFirstIn(sql0).isDefined) return sql0
+    // two shapes stay unrewritten (their prior rejection IS the closer
+    // behavior): ROW over a relation star (`ROW(x.*)` packs a nested
+    // record pg quotes in the render) and ROW carrying bare NULL fields
+    // (pg row comparison is pairwise 3VL; Spark's struct ordering treats
+    // NULL as smallest, yielding false where pg yields NULL)
+    if ("""(?i)\brow\s*\(\s*[\w"]+\s*\.\s*\*""".r.findFirstIn(sql0).isDefined ||
+        """(?i)\brow\s*\((?:[^()]|\([^()]*\))*\bNULL\b""".r.findFirstIn(sql0).isDefined)
+      return sql0
+    rewriteOutsideLits(sql0)(s =>
+      """(?i)\brow\s*\(""".r.replaceAllIn(s, "struct("))
   }
 
   /** pg `OPERATOR(schema.op)` syntax: `pg_catalog`-qualified (or bare)
@@ -2000,8 +2176,13 @@ object SltRunner {
               else i += 1
           }
         }
-        val selectList = if (listEnd < 0) rest else rest.substring(0, listEnd)
+        val selectList0 = if (listEnd < 0) rest else rest.substring(0, listEnd)
         val after = if (listEnd < 0) "" else rest.substring(listEnd)
+        // a statement-trailing `;` rides in the last item when the SELECT
+        // has no FROM — it must not survive into a rebuilt item
+        val selectList =
+          if (after.isEmpty) selectList0.replaceAll(";\\s*$", "")
+          else selectList0
         val items = splitTopLevel(selectList, ',')
         val SrfItem =
           """(?is)^\s*((?:information_schema\.)?_pg_expandarray|generate_series|unnest|jsonb_array_elements_text|jsonb_array_elements|jsonb_object_keys)\s*\((.*)\)\s*(?:AS\s+)?([A-Za-z_]\w*)?\s*$""".r
@@ -2016,21 +2197,72 @@ object SltRunner {
           "_pg_expandarray" -> (a =>
             s"transform($a, (graft_pe_e, graft_pe_i) -> " +
               "concat('(', graft_pe_e, ',', graft_pe_i + 1, ')'))"))
-        val srfIdx = items.zipWithIndex.collect {
-          case (SrfItem(_, _, _), idx) => idx
+        // an SRF call ANYWHERE inside an item (pg computes the enclosing
+        // expression per emitted row): (prefix, fn, args, suffix) — None
+        // when the item carries no (or more than one) SRF call
+        val SrfCallRe =
+          """(?i)\b((?:information_schema\.)?_pg_expandarray|generate_series|unnest|jsonb_array_elements_text|jsonb_array_elements|jsonb_object_keys)\s*\(""".r
+        def srfParts(item: String): Option[(String, String, String, String)] = {
+          val ms = SrfCallRe.findAllMatchIn(item)
+            .filter(m => !insideLiteral(item, m.start)).toList
+          if (ms.length != 1) return None
+          val m = ms.head
+          // an SRF inside a subquery item belongs to THAT query scope
+          if ("""(?i)\bSELECT\b""".r.findFirstIn(item.substring(0, m.start)).isDefined)
+            return None
+          var d = 1; var k = m.end; var q = false
+          while (k < item.length && d > 0) {
+            val c = item.charAt(k)
+            if (q) { if (c == '\'') q = false }
+            else c match {
+              case '\'' => q = true; case '(' => d += 1; case ')' => d -= 1
+              case _ => ()
+            }
+            k += 1
+          }
+          if (d > 0) None
+          else Some((item.substring(0, m.start), m.group(1),
+            item.substring(m.end, k - 1), item.substring(k)))
         }
-        if (srfIdx.length < 2) return sql
+        def isAliasTail(post: String): Boolean =
+          post.trim.isEmpty ||
+            """(?is)^\s*(?:AS\s+)?[A-Za-z_"][\w"]*\s*;?\s*$""".r
+              .pattern.matcher(post).matches()
+        // nested context only for operator/sign expressions around the
+        // call (pg allows SRFs under operators at the select top level but
+        // rejects them inside function calls / CASE / COALESCE — paren-
+        // carrying contexts keep their existing handling or rejection);
+        // _pg_expandarray keeps its dedicated composite-text rewrite
+        def nestedOk(p: (String, String, String, String)): Boolean = {
+          val (pre, fn, _, post) = p
+          !fn.toLowerCase.contains("_pg_expandarray") &&
+            !pre.exists(c => c == '(' || c == ')') &&
+            // pg REJECTS SRFs inside CASE arms — keep the rejection path
+            !"""(?i)\b(?:CASE|WHEN|THEN|ELSE)\b""".r.findFirstIn(pre).isDefined &&
+            !post.takeWhile(_ != ';').exists(c => c == '(' || c == ')')
+        }
+        val parts0 = items.map(srfParts)
+        val parts = parts0.map {
+          case Some(p) if isAliasTail(p._4) || nestedOk(p) => Some(p)
+          case _ => None
+        }
+        val srfIdx = parts.zipWithIndex.collect { case (Some(_), idx) => idx }
+        val anyNested = parts.flatten.exists { case (pre, _, _, post) =>
+          pre.trim.nonEmpty || !isAliasTail(post)
+        }
+        // fire for the multi-SRF lockstep zip, or for a single SRF NESTED
+        // in a bigger expression (Spark rejects generators there)
+        if (srfIdx.length < 2 && !anyNested) return sql
         var n = 0
-        val newItems = items.map {
-          case SrfItem(_, _, alias) =>
-            val col = s"__z.c$n" + Option(alias).map(a => s" AS $a").getOrElse("")
+        val newItems = items.zip(parts).map {
+          case (_, Some((pre, _, _, post))) =>
+            val col = s"$pre __z.c$n $post"
             n += 1
             col
-          case other => other
+          case (other, None) => other
         }
-        val arrays = items.collect {
-          case SrfItem(fn, args, _) =>
-            arrayFnOf(fn.toLowerCase.stripPrefix("information_schema."))(args)
+        val arrays = parts.flatten.map { case (_, fn, args, _) =>
+          arrayFnOf(fn.toLowerCase.stripPrefix("information_schema."))(args)
         }
         val lateral = s" LATERAL VIEW inline(arrays_zip(${arrays.mkString(", ")})) __z AS " +
           (0 until n).map(i => s"c$i").mkString(", ")
@@ -2400,6 +2632,62 @@ object SltRunner {
     else m.get.group(1) + out.mkString(", ") + " " + tail
   }
 
+  /** Spark-parseability cache for INTERVAL typed-literal tokens. */
+  private val sparkIntervalOk =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def sparkParsesInterval(tok: String): Boolean =
+    sparkIntervalOk.computeIfAbsent(tok, t =>
+      try {
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(t)
+        true
+      } catch { case _: Throwable => false }).booleanValue
+
+  /** pg interval literal spellings Spark's typed-literal grammar rejects
+    * (`interval '1d'`, `interval '0.000001'`, `interval '-02:03'`) in
+    * ARGUMENT positions: route through the mz interval text engine (the
+    * canonical text is what pg renders in those contexts — concat_ws,
+    * comparisons against text, jsonb building). Whole-select interval
+    * arithmetic was already rewritten by rewriteIntervalSelects. */
+  private[slt] def rewriteUnparseableIntervalLiterals(sql: String): String = {
+    if (!"""(?i)\binterval\s*'""".r.findFirstIn(sql).isDefined) return sql
+    val Re = s"(?is)\\bINTERVAL\\s*('(?:[^']|'')*')(\\s+($IntervalQual))?".r
+    // step arguments of the series/bin table functions need REAL interval
+    // stepping (month-clamped iteration), not interval text
+    def inSeriesCall(pos: Int): Boolean = {
+      val stack = mutable.Stack.empty[String]
+      var i = 0; var inQ = false
+      val sb = new StringBuilder
+      while (i < pos) {
+        val c = sql.charAt(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else c match {
+          case '\'' => inQ = true
+          case '(' =>
+            val w = sb.reverseIterator.takeWhile(isWordChar).toSeq.reverse.mkString
+            stack.push(w.toLowerCase)
+          case ')' => if (stack.nonEmpty) { stack.pop(); () }
+          case _ => ()
+        }
+        sb += c
+        i += 1
+      }
+      stack.exists(n => n == "generate_series" || n == "date_bin")
+    }
+    Re.replaceAllIn(sql, m => {
+      // a trailing `::interval` keeps the typed-literal spelling: the text
+      // result would silently NULL through Spark's string->interval cast
+      val castTail = sql.substring(m.end).trim.startsWith("::")
+      if (castTail || insideLiteral(sql, m.start) ||
+          sparkParsesInterval(m.matched) || inSeriesCall(m.start))
+        Regex.quoteReplacement(m.matched)
+      else {
+        val text = m.group(1).substring(1, m.group(1).length - 1)
+        Regex.quoteReplacement(
+          s"mz_interval('$text', '${Option(m.group(3)).getOrElse("")}')")
+      }
+    })
+  }
+
   private val UsingAlias: Regex =
     """(?is)\bUSING\s*\(([^)]*)\)\s+AS\s+([A-Za-z_]\w*)""".r
 
@@ -2657,7 +2945,7 @@ object SltRunner {
     val sql0rawPg0 =
       if (!sql0rawIn.toLowerCase.contains("pg_catalog.")) sql0rawIn
       else rewriteOutsideLits(sql0rawIn)(s =>
-        """(?i)\bpg_catalog\s*\.\s*(?=pg_|generate_series\s*\(|unnest\s*\()""".r
+        """(?i)\bpg_catalog\s*\.\s*(?=pg_|int2vector\b|generate_series\s*\(|unnest\s*\()""".r
           .replaceAllIn(s, ""))
     // mz_internal./mz_catalog. qualification on the emulated mz relations
     val sql0rawMz0 =
@@ -2965,6 +3253,30 @@ object SltRunner {
         Some("date field value out of range")
       else if (hitOutsideLit("""(?i)\b(?:upper|lower)\s*\(\s*-?\d+\.?\d*\s*\)""".r))
         Some("function upper(numeric) does not exist")
+      else if (hitOutsideLit("""(?i)\blength\s*\(\s*-?\d+\.?\d*\s*\)""".r))
+        // pg has no implicit numeric->text for length (string.slt:506)
+        Some("function length(integer) does not exist")
+      else if (hitOutsideLit("""(?i)\b[lr]pad\s*\(\s*'[^']*'\s*,\s*-\d+""".r))
+        // reference lpad/rpad reject negative lengths (string.slt:864)
+        Some("lpad requested length cannot be negative")
+      else if (hitOutsideLit("""(?i)\bjson_array_length\s*\(""".r))
+        Some("function \"json_array_length\" does not exist")
+      else if (hitOutsideLit("""(?i)\bjson_build_object\s*\(""".r))
+        Some("function \"json_build_object\" does not exist")
+      else if (hitOutsideLit("""(?i)\bjson_object\s*\(""".r))
+        // mz defines only the jsonb_ spellings of these
+        Some("function \"json_object\" does not exist")
+      else if (hitOutsideLit(
+          """(?i)\barray_agg\s*\(\s*'[^']*'\s*::\s*char(?:acter)?\s*\(\s*\d+\s*\)\s*\)""".r))
+        // reference: array_agg on char not yet supported (arrays.slt:321)
+        Some("array_agg on char not yet supported")
+      else if (hitOutsideLit("""(?i)\bstring_agg\s*\([^()]*::\s*(?:binary|bytea)\b""".r) ||
+          hitOutsideLit("""(?i)\bstring_agg\s*\(\s*NULL\s*::\s*(?:binary|bytea)\b""".r))
+        // mz string_agg is (text, text) — no bytea overload
+        Some("function string_agg(bytea, bytea) does not exist")
+      else if (hitOutsideLit("""(?i)\bAS\s+"?[A-Za-z_]\w{255,}""".r))
+        // identifiers cap at 255 bytes in ALIAS position too (id_length)
+        Some("identifier length exceeds 255 bytes")
       else if (hitOutsideLit(
           """(?i)\bsplit_part\s*\(\s*\d+\s*,\s*\d+\s*,\s*\d+\s*\)""".r))
         Some("function split_part(integer, integer, integer) does not exist")
@@ -3179,9 +3491,13 @@ object SltRunner {
             Some(Regex.quoteReplacement(s"'$trunc'::interval"))
           })
     val sql0raw0 = rewriteEmptyFrames(rewriteWindowFnAliases(rewriteUsingAlias(
+      rewriteUnparseableIntervalLiterals(
       rewriteIntervalSelects(rewriteCharVarcharCmp(rewriteNanNumeric(
         rewriteFloatByteaOps(rewriteCurrentSchema(
-          rewriteRecordStar(rewriteQuantifiedSubquery(sql0rawDonCi)), crdb))))))))
+          // ROW() runs BEFORE the USING-alias star expansion so its
+          // relation-star guard still sees the original `ROW(x.*)` spelling
+          rewriteRowConstructor(
+            rewriteRecordStar(rewriteQuantifiedSubquery(sql0rawDonCi))), crdb)))))))))
     // pg CASTS to varchar(n) TRUNCATE to n chars (explicit casts never
     // error on length); Spark's VARCHAR(n) keeps/errors instead
     val sql0rawVcT =
@@ -3249,7 +3565,7 @@ object SltRunner {
           // the reference's adt/interval.rs Display form) + an ingest
           // marker. The lookahead keeps INTERVAL '...' literals (e.g. in
           // DEFAULT clauses) untouched.
-          val iv = """(?i)(["`]?\w+["`]?)\s+interval\b(?!\s*')""".r
+          val iv0 = """(?i)(["`]?\w+["`]?)\s+interval\b(?!\s*')""".r
             .replaceAllIn(ui, m => {
               """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?(\w+)""".r
                 .findFirstMatchIn(st)
@@ -3257,6 +3573,10 @@ object SltRunner {
               Regex.quoteReplacement(
                 s"${m.group(1)} string COMMENT 'graft_interval'")
             })
+          // int2vector columns: canonical space-joined text + ingest check
+          val iv = """(?i)(["`]?\w+["`]?)\s+int2vector\b""".r
+            .replaceAllIn(iv0, m => Regex.quoteReplacement(
+              s"${m.group(1)} string COMMENT 'graft_int2vector'"))
           // normalize the ANSI long forms FIRST so the `time` rewrite below
           // can never mangle "timestamp with time zone". WITH-time-zone
           // columns carry a tag: their INSERT ingest CONVERTS zone-suffixed
@@ -3332,11 +3652,11 @@ object SltRunner {
             else Regex.quoteReplacement(m.matched)
           })
       }
-    val sql0a = rewriteZeroColumnSelect(rewriteSrfZip(rewriteMzExtractSrfs(rewriteOrderedArrayAgg(rewriteJsonbOps(rewriteMapCasts(rewriteRangeOps(rewriteNameCasts(rewriteRegCasts(
+    val sql0a = rewriteRegexMatchOps(rewriteNormalize(rewriteZeroColumnSelect(rewriteSrfZip(rewriteMzExtractSrfs(rewriteOrderedArrayAgg(rewriteJsonbOps(rewriteMapCasts(rewriteRangeOps(rewriteNameCasts(rewriteRegCasts(
       parenthesizeCommaJoins(rewriteArrayLiterals(rewriteTstzLiterals(rewriteOperatorSyntax(rewriteListCasts(
         DateLiteralDiff.replaceAllIn(
           TsOffsetCast.replaceAllIn(TimeLiteral.replaceAllIn(sqlTypeof, "pg_time($1)"), "$1'$2"),
-          m => s"datediff(date ${m.group(1)}, date ${m.group(2)})")))))))))))))))
+          m => s"datediff(date ${m.group(1)}, date ${m.group(2)})")))))))))))))))))
     // jsonb is canonical TEXT in this engine: pg_typeof over a
     // jsonb-producing function (post-rewrite spellings) reports the jsonb
     // type, not text (arguments up to two paren-nesting levels)
@@ -3811,6 +4131,8 @@ object SltRunner {
           // interval column: parse the pg text input form + store the
           // mz-canonical rendering (idempotent over already-canonical text)
           Some(f.name.toLowerCase -> ((cell: String) => s" mz_interval($cell, '')"))
+        case Some(c) if c == "graft_int2vector" =>
+          Some(f.name.toLowerCase -> ((cell: String) => s" pg_int2vector($cell)"))
         case _ => None
       }
     }.toMap
@@ -4270,8 +4592,28 @@ object SltRunner {
     val windowOrd =
       if (orderPart.nonEmpty) splitTopLevel(orderPart, ',').map(resolveItem).mkString(", ")
       else onResolved
+    // pg planner: the DISTINCT ON expressions must be the leftmost ORDER
+    // BY expressions (pg SELECT docs; reference plans the same check) —
+    // statically rejectable when the DISTINCT ON spans the whole statement
+    if (orderPart.nonEmpty) {
+      def normKey(s: String): String =
+        s.replaceAll("(?is)\\s+(?:ASC|DESC)\\b", "")
+          .replaceAll("(?is)\\s+NULLS\\s+(?:FIRST|LAST)\\b", "")
+          .replaceAll("\\s+", " ").trim.toLowerCase
+      val onKeys = splitTopLevel(onCols, ',').map(resolveItem).map(normKey).toSet
+      val obHead = splitTopLevel(orderPart, ',').map(resolveItem).map(normKey)
+        .take(onKeys.size)
+      val wholeStmt = sql.substring(0, m.start).trim.isEmpty && bodyEnd >= sql.length
+      if (wholeStmt && obHead.exists(k => !onKeys.contains(k)))
+        return "SELECT raise_error('SELECT DISTINCT ON expressions must " +
+          "match initial ORDER BY expressions') AS graft_don_fidelity"
+    }
+    // a bare `*` select list must not leak the helper column — an
+    // enclosing `AS _cols(x, y)` alias list counts output columns
+    val outList =
+      if (selectList.trim == "*") "* EXCEPT (graft_don)" else selectList
     val rewrittenSelect =
-      s"SELECT $selectList FROM (SELECT *, row_number() OVER " +
+      s"SELECT $outList FROM (SELECT *, row_number() OVER " +
         s"(PARTITION BY $onResolved ORDER BY $windowOrd) AS graft_don $fromPart) " +
         s"graft_don_s WHERE graft_don = 1" +
         (if (orderPart.nonEmpty) s" ORDER BY $orderPart" else "") + limitPart
@@ -4348,12 +4690,24 @@ object SltRunner {
           _.name.equalsIgnoreCase(c.replaceAll("[\"`]", ""))).getOrElse(return false))
         case None => schema.fields.toSeq
       }
-      val casts = fields.zipWithIndex.map { case (f, i) =>
-        s"CAST(col${i + 1} AS ${f.dataType.sql}) AS `${f.name}`"
+      // cast each CELL in place: a `SELECT CAST(colN ..) FROM VALUES ..`
+      // re-hits Spark's inline-table type unification, which rejects the
+      // mixed-type rows (VALUES ('0.0'), (0)) pg coerces per assignment
+      val rows = splitTopLevel(vals, ',').map(_.trim)
+      if (!rows.forall(r => r.startsWith("(") && r.endsWith(")"))) return false
+      val castRows = rows.map { r =>
+        val cells = splitTopLevel(r.substring(1, r.length - 1), ',')
+        if (cells.length != fields.length) return false
+        "(" + cells.zip(fields).map { case (c, f) =>
+          val cell = c.trim
+          // NULL/DEFAULT keep their untyped form (pg assignment context)
+          if (cell.equalsIgnoreCase("NULL") || cell.equalsIgnoreCase("DEFAULT")) cell
+          else s"CAST(($cell) AS ${f.dataType.sql})"
+        }.mkString(", ") + ")"
       }
       val cols = colList.map(cs => cs.mkString("(", ", ", ")")).getOrElse("")
       spark.sql(
-        s"INSERT INTO `$table` $cols SELECT ${casts.mkString(", ")} FROM VALUES $vals")
+        s"INSERT INTO `$table` $cols VALUES ${castRows.mkString(", ")}")
         .collect()
       true
     } catch { case _: Throwable => false }
@@ -4747,6 +5101,24 @@ object SltRunner {
       }
     if ("""(?is)^\s*RESET\s+search_path\s*;?\s*$""".r.findFirstIn(sqlRaw).isDefined)
       SchemaEmulation.resetSearchPath()
+    // SET DATABASE re-scopes bare-name resolution (crdb logictests switch
+    // databases freely) — same parse-time registry treatment as
+    // search_path; the statement then falls through to SetVar for SHOW
+    """(?is)^\s*SET\s+(?:SESSION\s+)?DATABASE\s*(?:=|TO)\s*["']?(\w+)["']?\s*;?\s*$""".r
+      .findFirstMatchIn(sqlRaw)
+      .foreach(m => SchemaEmulation.setDatabase(m.group(1)))
+    if ("""(?is)^\s*RESET\s+database\s*;?\s*$""".r.findFirstIn(sqlRaw).isDefined)
+      SchemaEmulation.resetDatabase()
+    // CREATE DATABASE registers nothing until first use (schemas ensure on
+    // switch); DROP DATABASE evicts the database's schemas and members
+    if (up.startsWith("CREATE DATABASE"))
+      return Statement("GRAFT_SCHEMA_DDL|ok|", expectError = false)
+    """(?is)^\s*DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?["`]?(\w+)["`]?(?:\s+CASCADE|\s+RESTRICT)?\s*;?\s*$""".r
+      .findFirstMatchIn(sqlRaw).foreach { m =>
+        val drops = SchemaEmulation.dropDatabase(m.group(1))
+        return Statement("GRAFT_SCHEMA_DDL|ok|" + drops.mkString(";"),
+          expectError = false)
+      }
     // UPDATE/DELETE run through the emulation in applyMutation (Spark v1
     // tables have no native UPDATE/DELETE); unsupported shapes fall back to
     // a dialect skip that poisons the target, as before
@@ -5865,6 +6237,45 @@ object SltRunner {
     // TAINTED — a later SHOW of them must skip, never report stale state
     val sessionVars = mutable.Map.empty[String, String]
     val varTainted = mutable.Set.empty[String]
+    // cursor emulation (reference portals, src/adapter/src/client.rs):
+    // DECLARE materializes the body's rows; FETCH drains. `bad` marks a
+    // cursor whose body this dialect could not run — its FETCHes skip.
+    case class CursorState(schema: org.apache.spark.sql.types.StructType,
+        rows: mutable.Queue[org.apache.spark.sql.Row], hold: Boolean,
+        bad: Boolean)
+    val cursors = mutable.Map.empty[String, CursorState]
+    /** Query-position FETCH: drain rows from the named cursor. */
+    def fetchCursorDf(fm: scala.util.matching.Regex.Match): org.apache.spark.sql.DataFrame = {
+      val cname = fm.group(2).toLowerCase
+      if (Option(fm.group(3)).exists(_.startsWith("'-")))
+        throw new IllegalStateException(
+          "invalid TIMEOUT: cannot convert negative interval to duration")
+      cursors.get(cname) match {
+        case Some(c) if c.bad => throw new DialectSkip("FETCH from unsupported cursor")
+        case Some(c) =>
+          val n = Option(fm.group(1)).map(_.trim) match {
+            case Some(a) if a.equalsIgnoreCase("ALL") => c.rows.size
+            case Some(d) => d.toInt
+            case None => 1
+          }
+          val out = (1 to n).flatMap(_ =>
+            if (c.rows.nonEmpty) Some(c.rows.dequeue()) else None)
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](
+              scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava), c.schema)
+        case None => throw new IllegalStateException(
+          s"""cursor "$cname" does not exist""")
+      }
+    }
+    // cluster registry (semantic no-ops — placement only): name ->
+    // replica names. Seeded with the reference's ambient clusters.
+    val clusterNames = mutable.LinkedHashMap[String, mutable.LinkedHashSet[String]](
+      "mz_probe" -> mutable.LinkedHashSet.empty[String],
+      "mz_system" -> mutable.LinkedHashSet.empty[String],
+      "mz_support" -> mutable.LinkedHashSet.empty[String],
+      "quickstart" -> mutable.LinkedHashSet("r1"),
+      "mz_analytics" -> mutable.LinkedHashSet.empty[String],
+      "mz_catalog_server" -> mutable.LinkedHashSet("r1"))
     // index names created by this file (semantic no-ops — see SltSession)
     val indexNames = mutable.Set.empty[String]
     // index name -> indexed relation, for the pg_class/mz_indexes rows
@@ -5902,6 +6313,9 @@ object SltRunner {
     def txnClear(): Unit = {
       txnActive = false; txnAborted = false; txnSnapshots.clear(); txnDdl.clear()
       txnIsolation = None; txnReadOnly = false; txnQueryRan = false
+      // pg closes WITHOUT HOLD cursors at transaction end
+      cursors.filterInPlace { case (_, c) => c.hold }
+      ()
     }
     // tables touched by DDL statements while a txn is open (CREATE/DROP
     // TABLE/VIEW): immediate effect, unrestorable on rollback
@@ -6382,7 +6796,19 @@ object SltRunner {
               // the reference REJECTED this SET — its session state did not
               // change, so ours must not either
               skipped += 1; tally("statement error expected but we accept it", sql)
-            } else { sessionVars(name) = v; varTainted -= name; passed += 1 }
+            } else {
+              sessionVars(name) = v; varTainted -= name; passed += 1
+              // an honored database switch re-scopes the introspection
+              // relations' CONTENTS (user relations are handled by the
+              // parse-time database layer; the catalog views are not
+              // db-partitioned here) and the identity constants
+              if (name == "database" &&
+                  !Set("test", "materialize", "defaultdb").contains(v.toLowerCase)) {
+                poisonedTables ++= PgCatalogRelations.relationNames
+                poisonedTables += "current_database"
+                poisonedTables += "current_catalog"
+              }
+            }
           case SltSession.Invalid =>
             if (expectError) passed += 1
             else { skipped += 1; tally("SET value the reference rejects", sql); varTainted += name }
@@ -6440,6 +6866,133 @@ object SltRunner {
                 tally(s"statement dialect error: ${e.getClass.getSimpleName}", sql)
               }
           }
+        }
+      case Statement(sql, expectError) if isSingle(sql) &&
+          SltSession.DeclareCursor.findFirstMatchIn(sql).isDefined =>
+        val m = SltSession.DeclareCursor.findFirstMatchIn(sql).get
+        val name = m.group(1).toLowerCase
+        val hold = Option(m.group(2)).exists(_.trim.equalsIgnoreCase("WITH HOLD"))
+        val body = m.group(3).trim
+        if ("""(?is)^\s*SUBSCRIBE\b""".r.findFirstIn(body).isDefined ||
+            touchesPoisoned(body)) {
+          // SUBSCRIBE tails aren't emulated through cursors; a poisoned
+          // body can't be materialized honestly — FETCHes of it must skip
+          cursors(name) = CursorState(new org.apache.spark.sql.types.StructType(),
+            mutable.Queue.empty, hold, bad = true)
+          skipped += 1; tally("DECLARE CURSOR body unsupported", sql)
+        } else {
+          try {
+            val df = spark.sql(body)
+            val rows = mutable.Queue(df.collect().toIndexedSeq: _*)
+            cursors(name) = CursorState(df.schema, rows, hold, bad = false)
+            if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+            else passed += 1
+          } catch {
+            case e: Throwable =>
+              if (expectError) passed += 1
+              else {
+                cursors(name) = CursorState(new org.apache.spark.sql.types.StructType(),
+                  mutable.Queue.empty, hold, bad = true)
+                skipped += 1
+                tally(s"DECLARE CURSOR dialect error: ${e.getClass.getSimpleName}", sql)
+              }
+          }
+        }
+      case Statement(sql, expectError) if isSingle(sql) &&
+          SltSession.FetchCursor.findFirstMatchIn(sql).isDefined =>
+        val m = SltSession.FetchCursor.findFirstMatchIn(sql).get
+        val name = m.group(2).toLowerCase
+        val negTimeout = Option(m.group(3)).exists(_.startsWith("'-"))
+        cursors.get(name) match {
+          case _ if negTimeout => // reference: negative TIMEOUT rejected
+            if (expectError) passed += 1
+            else { skipped += 1; tally("FETCH TIMEOUT the reference rejects", sql) }
+          case Some(c) if c.bad =>
+            skipped += 1; tally("FETCH from unsupported cursor", sql)
+          case Some(c) =>
+            val n = Option(m.group(1)).map(_.trim) match {
+              case Some(a) if a.equalsIgnoreCase("ALL") => c.rows.size
+              case Some(d) => d.toInt
+              case None => 1
+            }
+            (1 to n).foreach(_ => if (c.rows.nonEmpty) { c.rows.dequeue(); () })
+            if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+            else passed += 1
+          case None => // unknown cursor errors, like pg
+            if (expectError) passed += 1
+            else { skipped += 1; tally("FETCH of unknown cursor", sql) }
+        }
+      case Statement(sql, expectError) if isSingle(sql) &&
+          SltSession.CloseCursor.findFirstMatchIn(sql).isDefined =>
+        val m = SltSession.CloseCursor.findFirstMatchIn(sql).get
+        if (m.group(1) != null) { // CLOSE ALL
+          cursors.clear()
+          if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+          else passed += 1
+        } else if (cursors.remove(m.group(2).toLowerCase).isDefined) {
+          if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+          else passed += 1
+        } else if (expectError) passed += 1
+        else { skipped += 1; tally("CLOSE of unknown cursor", sql) }
+      case Statement(sql, expectError) if isSingle(sql) &&
+          SltSession.DropClusterReplicaStmt.findFirstMatchIn(sql).isDefined =>
+        val m = SltSession.DropClusterReplicaStmt.findFirstMatchIn(sql).get
+        val (c, r) = (m.group(1).toLowerCase, m.group(2).toLowerCase)
+        val known = clusterNames.get(c).exists(_.remove(r))
+        if (known) {
+          graft.sql.GraftSqlCatalog.commentsFor(spark)
+            .filterInPlace((k, _) => k._1 != s"$c.$r")
+          graft.sql.GraftSqlCatalog.commentMetaFor(spark)
+            .filterInPlace((k, _) => k._1 != s"$c.$r")
+          if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+          else passed += 1
+        } else if (expectError) passed += 1
+        else { skipped += 1; tally("DROP of unknown cluster replica", sql) }
+      case Statement(sql, expectError) if isSingle(sql) &&
+          SltSession.CreateClusterReplicaStmt.findFirstMatchIn(sql).isDefined =>
+        val m = SltSession.CreateClusterReplicaStmt.findFirstMatchIn(sql).get
+        val (c, r) = (m.group(1).toLowerCase, m.group(2).toLowerCase)
+        clusterNames.get(c) match {
+          case Some(rs) if !rs.contains(r) =>
+            rs += r
+            if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+            else passed += 1
+          case _ => // unknown cluster / duplicate replica: the reference errors
+            if (expectError) passed += 1
+            else { skipped += 1; tally("cluster replica DDL the reference rejects", sql) }
+        }
+      case Statement(sql, expectError) if isSingle(sql) &&
+          SltSession.DropClusterStmt.findFirstMatchIn(sql).isDefined =>
+        val m = SltSession.DropClusterStmt.findFirstMatchIn(sql).get
+        val c = m.group(2).toLowerCase
+        if (clusterNames.remove(c).isDefined) {
+          graft.sql.GraftSqlCatalog.commentsFor(spark)
+            .filterInPlace((k, _) => k._1 != c && !k._1.startsWith(s"$c."))
+          graft.sql.GraftSqlCatalog.commentMetaFor(spark)
+            .filterInPlace((k, _) => k._1 != c && !k._1.startsWith(s"$c."))
+          if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+          else passed += 1
+        } else if (expectError) passed += 1 // unknown cluster errors, like mz
+        else if (m.group(1) != null) passed += 1 // IF EXISTS: no-op success
+        else { skipped += 1; tally("DROP of unknown cluster", sql) }
+      case Statement(sql, expectError) if isSingle(sql) &&
+          SltSession.CreateClusterStmt.findFirstMatchIn(sql).isDefined =>
+        val m = SltSession.CreateClusterStmt.findFirstMatchIn(sql).get
+        val c = m.group(1).toLowerCase
+        if (clusterNames.contains(c)) {
+          if (expectError) passed += 1
+          else { skipped += 1; tally("cluster DDL the reference rejects", sql) }
+        } else {
+          // replica names from a REPLICAS (r1 (..), r2 (..)) tail; a
+          // managed-size cluster gets the implicit r1
+          val tail = Option(m.group(2)).getOrElse("")
+          val reps = """(?is)\bREPLICAS\s*\((.*)\)""".r.findFirstMatchIn(tail)
+            .map(rm => splitTopLevel(rm.group(1), ',')
+              .map(_.trim.takeWhile(ch => isWordChar(ch))).filter(_.nonEmpty))
+            .getOrElse(List("r1"))
+          clusterNames(c) = mutable.LinkedHashSet(reps: _*)
+          if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+          else passed += 1
         }
       case Statement(sql, expectError) if isSingle(sql) &&
           SltSession.CreateDefaultIndexStmt.findFirstMatchIn(sql).isDefined =>
@@ -6684,7 +7237,10 @@ object SltRunner {
           // per-column casts to the table schema before poisoning
           case e: Throwable
               if !expectError &&
-                e.getClass.getName.toLowerCase.contains("analysis") &&
+                (e.getClass.getName.toLowerCase.contains("analysis") ||
+                  // mixed-type VALUES rows: Spark's inline-table type
+                  // unification rejects what pg assignment-casts per column
+                  Option(e.getMessage).exists(_.contains("INVALID_INLINE_TABLE"))) &&
                 typedInsertRetry(spark, sql) =>
             passed += 1
           case e: Throwable =>
@@ -6756,6 +7312,14 @@ object SltRunner {
           else s"query starts with unsupported prefix: " +
             q.sql.trim.toUpperCase.takeWhile(_ != ' ')), q.sql)
       case q: Query =>
+        // pin the logical clock per record: several mz_now() calls in
+        // one query must observe ONE timestamp (reference one-shot
+        // ExprPrepOneShot; `mz_now() = mz_now()` is true by definition)
+        val pinnedHere =
+          """(?i)\bmz_now\s*\(""".r.findFirstIn(q.sql).isDefined &&
+            spark.conf.getOption("spark.graft.mz_now").isEmpty
+        if (pinnedHere)
+          spark.conf.set("spark.graft.mz_now", System.currentTimeMillis().toString)
         try {
           // introspection relations reflect the catalog AT QUERY TIME —
           // rebuild (metadata-only, microseconds) when referenced
@@ -6770,7 +7334,7 @@ object SltRunner {
           // per-file registries (live = the temp view still exists)
           val ShowMvsSlt =
             """(?is)^\s*SHOW\s+MATERIALIZED\s+VIEWS(?:\s+IN\s+CLUSTER\s+["`]?(\w+)["`]?)?\s*;?\s*$""".r
-          val qSql = ShowMvsSlt.findFirstMatchIn(q.sql) match {
+          val qSql1 = ShowMvsSlt.findFirstMatchIn(q.sql) match {
             case Some(m) if sltMvNames.keySet.forall(n => !poisonedTables.contains(n)) =>
               val rows = sltMvNames.keySet.toSeq.sorted
                 .filter(n => spark.catalog.tableExists(n))
@@ -6787,6 +7351,23 @@ object SltRunner {
                 " AS t(name, cluster, comment)"
             case _ => q.sql
           }
+          // SHOW CLUSTERS (bare or `SELECT ... FROM (SHOW CLUSTERS)`):
+          // synthesized from the per-file cluster registry + comments
+          val qSql = SltSession.ShowClustersStmt.findFirstMatchIn(qSql1) match {
+            case Some(m) =>
+              val rows = clusterNames.keys.toSeq.map { n =>
+                (n, graft.sql.GraftSqlCatalog.commentsFor(spark)
+                  .getOrElse((n, None), ""))
+              }
+              val base = "SELECT * FROM VALUES " + rows.map { case (n, cm) =>
+                s"('$n','${cm.replace("'", "''")}')" }.mkString(",") +
+                " AS t(name, comment)"
+              Option(m.group(1)) match {
+                case Some(cols) => s"SELECT $cols FROM ($base)"
+                case None => base
+              }
+            case None => qSql1
+          }
           // pg resolves a bare GROUP BY name against output-column aliases;
           // a DUPLICATED alias that is not also a source column is
           // ambiguous (reference src/sql/src/plan/query.rs) — Spark groups
@@ -6799,7 +7380,9 @@ object SltRunner {
               s"""column reference "$a" is ambiguous""")
           // a mutation query record (INSERT/UPDATE/DELETE ... RETURNING)
           // runs through the emulation; its RETURNING rows are the result
-          val df = applyMutationResult(spark, qSql) match {
+          val df = SltSession.FetchCursor.findFirstMatchIn(qSql) match {
+            case Some(fm) => fetchCursorDf(fm)
+            case None => applyMutationResult(spark, qSql) match {
             case Some(Some(ret)) => ret
             case Some(None) => spark.emptyDataFrame
             case None =>
@@ -6825,7 +7408,7 @@ object SltRunner {
                     .orElse(graft.plans.NestedCorrelationFlatten.rescue(spark, qSql))
                     .getOrElse(throw e)
               }
-          }
+          } }
           val rows = df.collect()
           if (q.expectError) { // accepted-but-reference-rejects
             // pg float ops error on overflow ("value out of range:
@@ -7003,6 +7586,10 @@ object SltRunner {
               mutationTarget(q.sql).foreach(poisonedTables += _)
             }
             else { failed += 1; failures += s"$name query: ${q.sql.take(100)} → ${e.toString.take(150)}" }
+        } finally {
+          // drop the per-record logical-clock pin (temporal fixtures set
+          // their own pins around their whole runs — those persist)
+          if (pinnedHere) spark.conf.unset("spark.graft.mz_now")
         }
     } }
     Report(name, passed, failed, skipped, failures.toList)

@@ -186,6 +186,29 @@ private[slt] object SltSession {
   // changes query RESULTS in the reference — arrangements are a
   // performance structure; the engine's real CREATE INDEX path is
   // sql/GraftCommands.CreateIndexCommand) ----
+  // cursor emulation (pg DECLARE/FETCH/CLOSE; reference portals)
+  val DeclareCursor: Regex =
+    ("""(?is)^\s*DECLARE\s+["`]?(\w+)["`]?\s+(?:BINARY\s+)?(?:INSENSITIVE\s+)?""" +
+      """(?:NO\s+SCROLL\s+|SCROLL\s+)?CURSOR\s+(WITH\s+HOLD\s+|WITHOUT\s+HOLD\s+)?FOR\s+(.*?);?\s*$""").r
+  val FetchCursor: Regex =
+    ("""(?is)^\s*FETCH\s+(?:FORWARD\s+)?(ALL\s+|\d+\s+)?(?:FROM\s+)?["`]?(\w+)["`]?""" +
+      """\s*(?:WITH\s*\(\s*TIMEOUT\s*=?\s*('[^']*')\s*\))?\s*;?\s*$""").r
+  val CloseCursor: Regex =
+    """(?is)^\s*CLOSE\s+(?:(ALL)|["`]?(\w+)["`]?)\s*;?\s*$""".r
+
+  // cluster DDL (semantic no-ops — clusters place dataflows, never change
+  // results; the registry feeds SHOW CLUSTERS and comment validation)
+  val CreateClusterReplicaStmt: Regex =
+    """(?is)^\s*CREATE\s+CLUSTER\s+REPLICA\s+["`]?(\w+)["`]?\s*\.\s*["`]?(\w+)["`]?\b.*?;?\s*$""".r
+  val DropClusterReplicaStmt: Regex =
+    """(?is)^\s*DROP\s+CLUSTER\s+REPLICA\s+(?:IF\s+EXISTS\s+)?["`]?(\w+)["`]?\s*\.\s*["`]?(\w+)["`]?\s*;?\s*$""".r
+  val CreateClusterStmt: Regex =
+    """(?is)^\s*CREATE\s+CLUSTER\s+["`]?(\w+)["`]?\s*(\(.*\)|REPLICAS\s*\(.*\)|SIZE\b.*?)?\s*;?\s*$""".r
+  val DropClusterStmt: Regex =
+    """(?is)^\s*DROP\s+CLUSTER\s+(IF\s+EXISTS\s+)?["`]?(\w+)["`]?\s*(?:CASCADE|RESTRICT)?\s*;?\s*$""".r
+  val ShowClustersStmt: Regex =
+    """(?is)^\s*(?:SELECT\s+(.*?)\s+FROM\s*\(\s*)?SHOW\s+CLUSTERS\s*\)?\s*;?\s*$""".r
+
   val CreateIndexStmt: Regex =
     ("""(?is)^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?""" +
       """(?:("?[\w]+"?)\s+)?ON\s+["`]?(\w+)["`]?\b.*$""").r
@@ -216,7 +239,11 @@ private[slt] object SltSession {
         if (v.toUpperCase.replaceAll("\\s+", "").matches("ISO|ISO,MDY|MDY,ISO")) Accepted("ISO, MDY")
         else Unhonored
       case "intervalstyle" => if (v.equalsIgnoreCase("postgres")) Accepted("postgres") else Unhonored
-      case "database" => if (v == "materialize") Accepted(v) else Unhonored
+      case "database" =>
+        // simple word names are honored end-to-end (SchemaEmulation's
+        // parse-time database layer re-scopes bare-name resolution); only
+        // spellings that layer cannot capture stay unhonored
+        if (v.matches("\\w+")) Accepted(v) else Unhonored
       case "search_path" =>
         // honored: SchemaEmulation consumes the path at parse time (bare
         // names resolve through it); pg accepts unknown schemas silently.

@@ -295,9 +295,24 @@ case class CommentOnCommand(kind: String, target: String, text: Option[String])
           s"unknown catalog item '$n'")
         (n, None)
     }
+    // non-relational namespaces carry their declared object type into
+    // mz_comments; relations resolve their type from the catalog instead
+    val declaredKind = kind match {
+      case "DATABASE" | "SCHEMA" | "CLUSTER" | "CLUSTER REPLICA" | "ROLE" |
+           "SECRET" | "CONNECTION" | "FUNC" | "NETWORK POLICY" =>
+        Some(kind.toLowerCase.replaceAll("\\s+", "-"))
+      case _ => None
+    }
     text match {
-      case Some(t) => comments.put(key, t)
-      case None => comments.remove(key)
+      case Some(t) =>
+        comments.put(key, t)
+        GraftSqlCatalog.commentMetaFor(spark)
+          .put(key, (declaredKind, GraftSqlCatalog.nextCommentSeq()))
+        ()
+      case None =>
+        comments.remove(key)
+        GraftSqlCatalog.commentMetaFor(spark).remove(key)
+        ()
     }
     Seq(Row(key._1))
   }

@@ -104,6 +104,17 @@ object GraftSqlCatalog {
 
   def commentsFor(spark: SparkSession): TrieMap[(String, Option[Int]), String] =
     comments.getOrElseUpdate(spark.sharedState, TrieMap.empty)
+
+  /** Comment metadata: declared object type (for the non-relational
+    * namespaces — cluster, cluster-replica, database, schema, role…) and
+    * an insertion sequence so mz_comments renders in creation order. */
+  private val commentMeta =
+    TrieMap.empty[AnyRef, TrieMap[(String, Option[Int]), (Option[String], Int)]]
+  private val commentSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def commentMetaFor(spark: SparkSession): TrieMap[(String, Option[Int]), (Option[String], Int)] =
+    commentMeta.getOrElseUpdate(spark.sharedState, TrieMap.empty)
+  def nextCommentSeq(): Int = commentSeq.incrementAndGet()
 }
 
 /** Batch SUBSCRIBE: the view's changelog over its committed version

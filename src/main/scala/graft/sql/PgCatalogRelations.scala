@@ -343,9 +343,14 @@ object PgCatalogRelations {
     * n = column attnum (pg semantics; reference surfaces the same rows
     * through mz_internal.mz_comments). */
   def pgDescription(spark: SparkSession): DataFrame = {
-    val rows = GraftSqlCatalog.commentsFor(spark).toSeq.map { case ((n, col), txt) =>
-      Row(userOid(n), 1259, col.getOrElse(0), txt)
-    }
+    val meta = GraftSqlCatalog.commentMetaFor(spark)
+    val rows = GraftSqlCatalog.commentsFor(spark).toSeq
+      // non-relational namespaces (clusters, databases, roles…) have no
+      // pg_class oid — pg_description never lists them
+      .filter { case (k, _) => meta.get(k).forall(_._1.isEmpty) }
+      .map { case ((n, col), txt) =>
+        Row(userOid(n), 1259, col.getOrElse(0), txt)
+      }
     spark.createDataFrame(new java.util.ArrayList[Row](
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), descSchema)
   }
@@ -368,9 +373,14 @@ object PgCatalogRelations {
         else k match {
           case "r" => "table"; case "v" => "view"; case _ => "index" })
     }.toMap ++ sltIndexes.map(_._1 -> "index")
-    val rows = GraftSqlCatalog.commentsFor(spark).toSeq.map { case ((n, col), txt) =>
-      Row(ids.getOrElse(n, "u0"), kinds.getOrElse(n, "type"), col.orNull, txt)
-    }
+    val meta = GraftSqlCatalog.commentMetaFor(spark)
+    val rows = GraftSqlCatalog.commentsFor(spark).toSeq
+      .sortBy { case (k, _) => meta.get(k).map(_._2).getOrElse(0) }
+      .map { case ((n, col), txt) =>
+        val kind = meta.get((n, col)).flatMap(_._1)
+          .getOrElse(kinds.getOrElse(n, "type"))
+        Row(ids.getOrElse(n, "u0"), kind, col.orNull, txt)
+      }
     spark.createDataFrame(new java.util.ArrayList[Row](
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), mzCommentsSchema)
   }

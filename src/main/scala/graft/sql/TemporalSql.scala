@@ -120,11 +120,19 @@ object TemporalSql {
       stripped))
   }
 
-  /** The pinned logical clock for a statement executed now. */
-  def currentClock(spark: SparkSession): String =
-    spark.conf.getOption("spark.graft.mz_now").getOrElse(
+  /** The pinned logical clock for a statement executed now. The pin is
+    * either a timestamp string (temporal-view fixtures) or epoch millis
+    * (the SLT runner's per-query pin, MzNowExpression's native form). */
+  def currentClock(spark: SparkSession): String = {
+    def fmt(millis: Long) =
       new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
-        .format(new java.util.Date()))
+        .format(new java.util.Date(millis))
+    spark.conf.getOption("spark.graft.mz_now") match {
+      case Some(p) if p.matches("\\d+") => fmt(p.toLong)
+      case Some(p) => p
+      case None => fmt(System.currentTimeMillis())
+    }
+  }
 
   /** Materialize a (possibly unresolved) logical plan in `session`. */
   def toDf(session: SparkSession, plan: LogicalPlan): DataFrame =
