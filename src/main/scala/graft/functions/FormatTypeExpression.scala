@@ -116,9 +116,17 @@ object FormatTypeExpression {
       val raw = v.toString.trim
       if (raw.matches("-?\\d+")) raw.toLong.toInt
       else {
-        // pg_catalog./public. qualifiers name the same builtin types
-        val n = raw.toLowerCase.replace("\"", "")
-          .stripPrefix("pg_catalog.").stripPrefix("public.")
+        // pg_catalog./public. qualifiers name CATALOG types only — the
+        // grammar aliases (int, integer, bigint...) are not catalog rows,
+        // so 'pg_catalog.int' is the reference's unknown-type rejection
+        val lower = raw.toLowerCase.replace("\"", "")
+        val qualified = lower.contains(".")
+        val n = lower.stripPrefix("pg_catalog.").stripPrefix("public.")
+        val grammarAlias = Set("int", "integer", "bigint", "smallint",
+          "boolean", "decimal", "real", "double precision",
+          "character varying", "character")
+        if (qualified && grammarAlias.contains(n))
+          throw new IllegalArgumentException(s"""type "$raw" does not exist""")
         typeOids.get(n).getOrElse(throw new IllegalArgumentException(
           s"""type "$raw" does not exist"""))
       }

@@ -108,7 +108,19 @@ object MzInterval {
         st.micros += toMicros(v - whole, BigDecimal(86400))
       }
     case "HOUR" | "MINUTE" | "SECOND" | "MS" | "US" =>
-      st.mark(s"""$unit field set twice: "$raw"""", unit).map { _ =>
+      // reference datetime.rs: "Cannot set MILLISECONDS or MICROSECONDS
+      // field if SECOND field has a fraction component" — ONLY a
+      // fractional SECOND blocks the finer units (fractional ms + us is
+      // legal, interval.slt:1192-1199)
+      val alsoMarks: Seq[String] =
+        if (unit == "SECOND" && !v.isWhole) Seq("MS", "US") else Seq.empty
+      st.mark(
+        if ((unit == "MS" || unit == "US") && st.set.contains(unit) &&
+            st.set.contains("SECOND"))
+          "Cannot set MILLISECONDS or MICROSECONDS field if SECOND field " +
+            s"""has a fraction component: "$raw""""
+        else s"""$unit field set twice: "$raw"""",
+        (unit +: alsoMarks): _*).map { _ =>
         val secs = unit match {
           case "HOUR" => BigDecimal(3600)
           case "MINUTE" => BigDecimal(60)
@@ -200,7 +212,6 @@ object MzInterval {
     }
 
     var i = 0
-    var sawFraction = false
     var sawTimeGroupAfterPending = false
     var result: Either[String, Unit] = Right(())
     while (i < parts.length && result.isRight) {
@@ -237,20 +248,11 @@ object MzInterval {
             case None => err(s"unknown units $w")
             case Some(u) =>
               val v = bd(n) * (if (sgn == "-") -1 else 1)
-              // pg: a fractional value is only legal on the LAST field
-              // ('1.5 second 43 microseconds' is rejected)
-              if (sawFraction)
-                err(s"""invalid input syntax for type interval: "$raw"""")
-              else {
-                if (!v.isWhole) sawFraction = true
-                addUnit(st, u, v, raw)
-              }
+              addUnit(st, u, v, raw)
           }
         case Num(sgn, n) =>
           if (pending.isDefined && !pendingResolved)
             err(s"""cannot determine format of all parts: "$raw"""")
-          else if (sawFraction)
-            err(s"""invalid input syntax for type interval: "$raw"""")
           else {
             pending = Some(Pending(bd(n) * (if (sgn == "-") -1 else 1), part))
             pendingResolved = false

@@ -162,6 +162,12 @@ object PgTextFunctions {
         val parts = raw.replace("\"", "").split("\\.")
         val name = parts.last.toLowerCase
         val schema = if (parts.length > 1) parts(parts.length - 2).toLowerCase else ""
+        // a schema qualification must name a known schema (the reference
+        // resolves the path first: 'foo.pg_constraint' -> unknown schema)
+        if (schema.nonEmpty && !Set("pg_catalog", "mz_catalog", "mz_internal",
+            "mz_introspection", "mz_unsafe", "information_schema", "public",
+            "materialize").contains(schema))
+          throw new IllegalArgumentException(s"unknown schema '$schema'")
         val oid =
           if (ambient.contains(name)) graft.sql.PgCatalogRelations.userOid(name)
           else {
@@ -751,12 +757,16 @@ case class ParseIdent(text: Expression, strict: Expression)
 case class PgDateTrunc(children: Seq[Expression])
     extends Expression with CodegenFallback {
   import org.apache.spark.sql.catalyst.InternalRow
-  // interval input (mz-canonical text) truncates the INTERVAL (pg
-  // date_trunc(field, interval)) and renders interval text back
-  override def dataType: DataType =
-    if (children(1).dataType == org.apache.spark.sql.types.StringType)
+  // interval input (mz-canonical text or Spark's ANSI interval types)
+  // truncates the INTERVAL (pg date_trunc(field, interval)) and renders
+  // interval text back
+  override def dataType: DataType = children(1).dataType match {
+    case org.apache.spark.sql.types.StringType |
+         _: org.apache.spark.sql.types.YearMonthIntervalType |
+         _: org.apache.spark.sql.types.DayTimeIntervalType =>
       org.apache.spark.sql.types.StringType
-    else org.apache.spark.sql.types.TimestampType
+    case _ => org.apache.spark.sql.types.TimestampType
+  }
   override def nullable: Boolean = true
   override def prettyName: String = "date_trunc"
 
@@ -768,6 +778,10 @@ case class PgDateTrunc(children: Seq[Expression])
       case scala.util.Right(v) => v
       case scala.util.Left(e) => throw new IllegalArgumentException(e)
     }
+    truncIv(unit, iv)
+  }
+
+  private def truncIv(unit: String, iv: MzInterval.Iv): String = {
     val out = unit match {
       case "microseconds" => iv
       case "milliseconds" => iv.copy(micros = iv.micros - iv.micros % 1000)
@@ -817,6 +831,17 @@ case class PgDateTrunc(children: Seq[Expression])
       case s: org.apache.spark.unsafe.types.UTF8String =>
         return org.apache.spark.unsafe.types.UTF8String.fromString(
           truncInterval(unit, s.toString))
+      case _ => ()
+    }
+    children(1).dataType match {
+      case _: org.apache.spark.sql.types.YearMonthIntervalType =>
+        return org.apache.spark.unsafe.types.UTF8String.fromString(
+          truncIv(unit, MzInterval.Iv(
+            ts.asInstanceOf[Number].longValue, 0, BigInt(0))))
+      case _: org.apache.spark.sql.types.DayTimeIntervalType =>
+        return org.apache.spark.unsafe.types.UTF8String.fromString(
+          truncIv(unit, MzInterval.Iv(0, 0,
+            BigInt(ts.asInstanceOf[Number].longValue))))
       case _ => ()
     }
     def floorTo(stepUs: Long): Long = Math.floorDiv(us, stepUs) * stepUs
