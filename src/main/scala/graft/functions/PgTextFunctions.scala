@@ -124,6 +124,11 @@ object PgTextFunctions {
     override protected def nullSafeEval(v: Any): Any = {
       val isText = child.dataType == StringType
       val s = v.toString.trim
+      // text input must SPELL an integer (reference strconv parse_oid
+      // rejects '1.5'); rounding applies to numeric-typed children only
+      if (isText && !s.matches("[+-]?\\d+"))
+        throw new IllegalArgumentException(
+          s"""invalid input syntax for type oid: "$s"""")
       val n =
         try BigDecimal(s).setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
         catch { case _: Exception => throw new IllegalArgumentException(

@@ -22,7 +22,7 @@ object ListTextCastRule extends Rule[LogicalPlan] {
     // it per file); Spark API surfaces keep Spark's native cast
     val pgNumericCasts = conf.getConfString("spark.graft.pgNumericCasts",
       "false") == "true"
-    lazy val mzNowInPlan = hasMzNow(plan)
+    lazy val mzTainted = mzTaintedIds(plan)
     plan.transformAllExpressions {
       case Cast(child, _: StringType, _, _) if child.resolved &&
           child.dataType.isInstanceOf[ArrayType] =>
@@ -99,7 +99,7 @@ object ListTextCastRule extends Rule[LogicalPlan] {
             org.apache.spark.sql.catalyst.expressions.Round(child, zero)
           else org.apache.spark.sql.catalyst.expressions.BRound(child, zero)
         Cast(rounded, to, tz, mode)
-      case e if pgNumericCasts && isMzTimestampContext(e, mzNowInPlan) &&
+      case e if pgNumericCasts && isMzTimestampContext(e, mzTainted) &&
           e.children.exists(isDateShapedLongCast) =>
         // mz_timestamp (logical millis, LongType here) compares against
         // timestamp STRINGS — `mz_now() < '3000-01-01'` coerces the
@@ -184,30 +184,61 @@ object ListTextCastRule extends Rule[LogicalPlan] {
 
   /** A comparison-like node in mz_timestamp context — the only place pg's
     * mz_timestamp-vs-string coercion applies. Direct: a sibling operand
-    * carries mz_now(). Indirect: mz_now() is elsewhere in the plan (a
-    * view/CTE output attribute, `select x < '3000-01-01' from v`) and the
-    * sibling is bigint-typed. A plan with no mz_now() anywhere keeps the
-    * native cast (and its reference 'invalid input syntax' rejection). */
-  private def isMzTimestampContext(e: Expression, planHasMzNow: Boolean): Boolean =
+    * carries mz_now(). Indirect: the bigint-typed sibling's LINEAGE traces
+    * to mz_now() (a view/CTE output attribute,
+    * `select x < '3000-01-01' from v`) — tracked through Project/Aggregate
+    * aliases rather than plan-global mz_now() presence, so a query using
+    * mz_now() in one branch while comparing an UNRELATED bigint column to
+    * a date string elsewhere keeps the native cast (and its reference
+    * 'invalid input syntax' rejection). */
+  private def isMzTimestampContext(e: Expression, tainted: Set[Long]): Boolean =
     e match {
       case _: BinaryComparison | _: Greatest | _: Least =>
-        e.children.exists(_.exists(
-          _.isInstanceOf[graft.functions.SessionIdentity.MzNowExpression])) ||
-          (planHasMzNow && e.children.exists(c => c.resolved &&
-            c.dataType == org.apache.spark.sql.types.LongType &&
-            !isDateShapedLongCast(c)))
+        e.children.exists(c => c.resolved &&
+          c.dataType == org.apache.spark.sql.types.LongType &&
+          !isDateShapedLongCast(c) && exprCarriesMzNow(c, tainted))
       case _ => false
     }
 
-  /** mz_now() anywhere in the plan, including view children and subquery
-    * expression plans. */
-  private def hasMzNow(plan: LogicalPlan): Boolean =
-    plan.exists(_.expressions.exists(_.exists {
+  /** The expression contains mz_now() itself, references an
+    * mz_now()-derived attribute, or holds a scalar subquery whose plan
+    * computes mz_now(). */
+  private def exprCarriesMzNow(e: Expression, tainted: Set[Long]): Boolean =
+    e.exists {
       case _: graft.functions.SessionIdentity.MzNowExpression => true
+      case a: AttributeReference => tainted.contains(a.exprId.id)
       case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
-        hasMzNow(s.plan)
+        mzTaintedIds(s.plan).nonEmpty || s.plan.exists(_.expressions.exists(_.exists(
+          _.isInstanceOf[graft.functions.SessionIdentity.MzNowExpression])))
       case _ => false
-    }))
+    }
+
+  /** ExprIds of attributes whose defining alias (anywhere in the plan,
+    * transitively) computes from mz_now() — the mz_timestamp-typed
+    * lineage. Fixpoint over Project/Aggregate output aliases. */
+  private def mzTaintedIds(plan: LogicalPlan): Set[Long] = {
+    var tainted = Set.empty[Long]
+    var changed = true
+    while (changed) {
+      changed = false
+      plan.foreach { node =>
+        val outs = node match {
+          case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+            p.projectList
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+            a.aggregateExpressions
+          case _ => Nil
+        }
+        outs.foreach {
+          case al: Alias if !tainted.contains(al.exprId.id) &&
+              exprCarriesMzNow(al.child, tainted) =>
+            tainted += al.exprId.id; changed = true
+          case _ => ()
+        }
+      }
+    }
+    tainted
+  }
 
   private def isDateShapedLongCast(e: Expression): Boolean = e match {
     case Cast(Literal(s, StringType), org.apache.spark.sql.types.LongType, _, _) =>

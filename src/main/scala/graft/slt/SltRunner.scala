@@ -1417,17 +1417,22 @@ object SltRunner {
           s"""NFKD, found string literal "${m.group(2)}"') AS graft_norm_fidelity"""
       case None => ()
     }
-    var out = sql0
-    val WithForm =
-      """(?is)\b(?<!pg_)normalize\s*\(((?:[^()']|'[^']*'|\([^()]*\))*?),\s*(NFC|NFD|NFKC|NFKD)\s*\)""".r
-    out = WithForm.replaceAllIn(out, m =>
-      Regex.quoteReplacement(
-        s"pg_normalize(${m.group(1)}, '${m.group(2).toUpperCase}')"))
-    val NoForm =
-      """(?is)\b(?<!pg_)normalize\s*\(((?:[^()']|'[^']*'|\([^()]*\))*)\)""".r
-    out = NoForm.replaceAllIn(out, m =>
-      Regex.quoteReplacement(s"pg_normalize(${m.group(1)}, 'NFC')"))
-    out
+    // substitutions run OUTSIDE string literals only — a literal spelling
+    // 'normalize(x)' must survive untouched (injecting quotes inside it
+    // would corrupt the statement)
+    rewriteOutsideLits(sql0) { s =>
+      var out = s
+      val WithForm =
+        """(?is)\b(?<!pg_)normalize\s*\(((?:[^()']|'[^']*'|\([^()]*\))*?),\s*(NFC|NFD|NFKC|NFKD)\s*\)""".r
+      out = WithForm.replaceAllIn(out, m =>
+        Regex.quoteReplacement(
+          s"pg_normalize(${m.group(1)}, '${m.group(2).toUpperCase}')"))
+      val NoForm =
+        """(?is)\b(?<!pg_)normalize\s*\(((?:[^()']|'[^']*'|\([^()]*\))*)\)""".r
+      out = NoForm.replaceAllIn(out, m =>
+        Regex.quoteReplacement(s"pg_normalize(${m.group(1)}, 'NFC')"))
+      out
+    }
   }
 
   /** pg `ROW(a, b, ...)` constructor → Spark `struct(...)`: the record
@@ -4783,10 +4788,22 @@ object SltRunner {
       if ("""(?i)\barray_fill\s*\(""".r.findFirstIn(vals).isDefined) return false
       if (df.limit(1).count() != 0) return false
       val cols = df.schema.fieldNames.map(n => s"`$n`").mkString(", ")
+      // materialize the replacement under a TEMP name first — the same
+      // mixed/deeper VALUES that broke the INSERT can fail the CTAS too,
+      // and dropping the target before that failure would leave later
+      // statements seeing 'table not found' instead of intact-and-poisoned
+      val tmp = s"graft_deep_tmp_$table"
+      spark.sql(s"DROP TABLE IF EXISTS `$tmp`").collect()
+      try {
+        spark.sql(
+          s"CREATE TABLE `$tmp` AS SELECT * FROM (VALUES $vals) AS graft_deep($cols)")
+          .collect()
+      } catch { case t: Throwable =>
+        spark.sql(s"DROP TABLE IF EXISTS `$tmp`").collect()
+        throw t
+      }
       spark.sql(s"DROP TABLE IF EXISTS `$table`").collect()
-      spark.sql(
-        s"CREATE TABLE `$table` AS SELECT * FROM (VALUES $vals) AS graft_deep($cols)")
-        .collect()
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`").collect()
       true
     } catch { case _: Throwable => false }
   }
@@ -7469,9 +7486,14 @@ object SltRunner {
                 (n, graft.sql.GraftSqlCatalog.commentsFor(spark)
                   .getOrElse((n, None), ""))
               }
-              val base = "SELECT * FROM VALUES " + rows.map { case (n, cm) =>
-                s"('$n','${cm.replace("'", "''")}')" }.mkString(",") +
-                " AS t(name, comment)"
+              // every cluster dropped → an explicitly EMPTY relation
+              // ('FROM VALUES AS t' would be malformed SQL)
+              val base =
+                if (rows.isEmpty)
+                  "SELECT '' AS name, '' AS comment WHERE 1=0"
+                else "SELECT * FROM VALUES " + rows.map { case (n, cm) =>
+                  s"('$n','${cm.replace("'", "''")}')" }.mkString(",") +
+                  " AS t(name, comment)"
               Option(m.group(1)) match {
                 case Some(cols) => s"SELECT $cols FROM ($base)"
                 case None => base
