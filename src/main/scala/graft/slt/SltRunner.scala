@@ -5282,6 +5282,11 @@ object SltRunner {
             mutating = true, sql = sqlRaw)
       }
     }
+    else if (up.startsWith("SUBSCRIBE") && parseSubscribe(sqlRaw).isDefined)
+      // statement-position SUBSCRIBE: dispatch validates AS OF / UP TO /
+      // envelope keys like the reference (the expected-error records);
+      // plain ok-expecting ones keep the no-analog skip there
+      Statement("GRAFT_SUBSCRIBE_STMT|" + sqlRaw.trim, expectError = false)
     else if (skipPrefixes.exists(up.startsWith))
       Unsupported(s"no Spark analog: ${up.takeWhile(_ != ' ')}", mutating = false,
         sql = sqlRaw)
@@ -5771,6 +5776,189 @@ object SltRunner {
     val t2 = line.trim.split("\\s{2,}").toList
     if (t2.length == n) return Some(t2)
     if (t1.length > n) Some(t1.take(n - 1) :+ t1.drop(n - 1).mkString(" ")) else None
+  }
+
+  // ---------------- SUBSCRIBE one-shot emulation ----------------
+
+  /** Parsed SUBSCRIBE statement (reference
+    * `src/sql/src/plan/statement/dml.rs` plan_subscribe; clause grammar
+    * `doc/user/content/sql/subscribe.md`). In the SLT one-shot setting a
+    * subscription is its SNAPSHOT: every row stamped at the constant-query
+    * timestamp (u64::MAX — the reference's timestamp for constant
+    * dataflows), mz_diff = 1. */
+  private[slt] final case class SubscribeSpec(
+      body: String,
+      progress: Boolean,
+      envelope: Option[(String, Seq[String])],
+      within: Option[String],
+      asOf: Option[String],
+      upTo: Option[String])
+
+  private[slt] val SubscribeTsMax = "18446744073709551615"
+
+  /** Parse `SUBSCRIBE [TO] (query)|relation [WITH (...)] [ENVELOPE ...]
+    * [WITHIN TIMESTAMP ORDER BY ...] [AS OF [AT LEAST] e] [UP TO e]`
+    * with the trailing clauses in any order. None = not a SUBSCRIBE or a
+    * shape this emulation doesn't model. */
+  private[slt] def parseSubscribe(sql0: String): Option[SubscribeSpec] = {
+    val m = """(?is)^\s*SUBSCRIBE\s+(?:TO\s+)?(.*?);?\s*$""".r
+      .findFirstMatchIn(sql0).getOrElse(return None)
+    var rest = m.group(1).trim
+    var body: String = null
+    if (rest.startsWith("(")) {
+      var depth = 0; var i = 0; var end = -1; var inQ = false
+      while (i < rest.length && end < 0) {
+        val c = rest.charAt(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else c match {
+          case '\'' => inQ = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) end = i
+          case _ => ()
+        }
+        i += 1
+      }
+      if (end < 0) return None
+      body = rest.substring(1, end).trim
+      rest = rest.substring(end + 1).trim
+    } else {
+      val rm = """^("[^"]+"|[\w.]+)""".r.findFirstMatchIn(rest).getOrElse(return None)
+      body = s"SELECT * FROM ${rm.group(1)}"
+      rest = rest.substring(rm.group(1).length).trim
+    }
+    var progress = false
+    var envelope: Option[(String, Seq[String])] = None
+    var within: Option[String] = None
+    var asOf: Option[String] = None
+    var upTo: Option[String] = None
+    val WithOpts = """(?is)^WITH\s*\(([^)]*)\)\s*(.*)$""".r
+    val Envelope =
+      """(?is)^ENVELOPE\s+(UPSERT|DEBEZIUM)\s*\(\s*KEY\s*\(([^)]*)\)\s*\)\s*(.*)$""".r
+    val Within =
+      """(?is)^WITHIN\s+TIMESTAMP\s+ORDER\s+BY\s+(.*?)\s*((?:AS\s+OF|UP\s+TO|WITH\s*\(|ENVELOPE\s).*)?$""".r
+    val AsOf =
+      """(?is)^AS\s+OF\s+(?:AT\s+LEAST\s+)?(.*?)\s*((?:UP\s+TO|WITH\s*\(|ENVELOPE\s|WITHIN\s).*)?$""".r
+    val UpTo =
+      """(?is)^UP\s+TO\s+(.*?)\s*((?:AS\s+OF|WITH\s*\(|ENVELOPE\s|WITHIN\s).*)?$""".r
+    var guard = 0
+    while (rest.nonEmpty && guard < 8) {
+      guard += 1
+      rest match {
+        case WithOpts(opts, tail) =>
+          opts.split(",").map(_.trim.toUpperCase).foreach { o =>
+            if (o.startsWith("PROGRESS")) progress = true
+          }
+          rest = tail.trim
+        case Envelope(kind, keyList, tail) =>
+          // unquoted identifiers fold to lowercase (the reference's
+          // normalization before the duplicate-key check)
+          val keys = keyList.split(",").map(_.trim).filter(_.nonEmpty).map { k =>
+            if (k.startsWith("\"")) k.stripPrefix("\"").stripSuffix("\"")
+            else k.toLowerCase
+          }.toSeq
+          envelope = Some((kind.toUpperCase, keys))
+          rest = tail.trim
+        case Within(items, tail) =>
+          within = Some(items.trim)
+          rest = Option(tail).map(_.trim).getOrElse("")
+        case AsOf(e, tail) =>
+          asOf = Some(e.trim)
+          rest = Option(tail).map(_.trim).getOrElse("")
+        case UpTo(e, tail) =>
+          upTo = Some(e.trim)
+          rest = Option(tail).map(_.trim).getOrElse("")
+        case _ => return None
+      }
+    }
+    if (rest.nonEmpty) None
+    else Some(SubscribeSpec(body, progress, envelope, within, asOf, upTo))
+  }
+
+  /** The reference's AS OF / UP TO rejections (plan_as_of,
+    * `src/sql/src/plan/query.rs`): the bound must be castable to a
+    * NON-NULL mz_timestamp (u64), and unmaterializable functions are
+    * unsupported. None = valid. */
+  private def subscribeTsError(expr0: String): Option[String] = {
+    val e = expr0.trim.stripSuffix(";").trim
+    val castable =
+      "AS OF or UP TO should be castable to a (non-null) mz_timestamp value"
+    if (e.isEmpty) return Some(castable)
+    val lower = e.toLowerCase
+    if ("""[a-z_][\w.]*\s*\(""".r.findFirstIn(lower).isDefined)
+      return Some(
+        "calling an unmaterializable function in AS OF or UP TO not yet supported")
+    if (lower.startsWith("null")) return Some(castable)
+    val base = e.split("::")(0).trim
+    val t = base.stripPrefix("'").stripSuffix("'").trim
+    if (t.matches("\\d+") &&
+        BigInt(t) <= BigInt("18446744073709551615")) None
+    else Some(castable)
+  }
+
+  /** Raise the reference's rejection for an invalid SUBSCRIBE spec; no-op
+    * when valid. Checked at FETCH for cursors (the reference defers
+    * envelope validation to execution) and at execution for direct
+    * SUBSCRIBEs. */
+  private[slt] def subscribeValidate(spec: SubscribeSpec): Unit = {
+    spec.envelope.foreach { case (_, keys) =>
+      val dup = keys.diff(keys.distinct).headOption
+      dup.foreach { d =>
+        throw new IllegalStateException(
+          s"""column "$d" appears more than once in SUBSCRIBE ENVELOPE KEY clause""")
+      }
+    }
+    spec.asOf.foreach(e => subscribeTsError(e).foreach(msg =>
+      throw new IllegalStateException(msg)))
+    spec.upTo.foreach(e => subscribeTsError(e).foreach(msg =>
+      throw new IllegalStateException(msg)))
+    (spec.asOf, spec.upTo) match {
+      case (Some(a), Some(u)) if BigInt(numOf(a)) > BigInt(numOf(u)) =>
+        // the constant one-shot's CHOSEN lower bound is u64::MAX — the
+        // reference reports the chosen value, not the requested one
+        throw new IllegalStateException(
+          "subscription lower bound (`AS OF`) is greater than its upper " +
+            s"bound (`UP TO`): $SubscribeTsMax > ${numOf(u)}")
+      case _ => ()
+    }
+  }
+
+  private def numOf(e: String): String =
+    e.trim.split("::")(0).trim.stripPrefix("'").stripSuffix("'").trim
+
+  /** Materialize the one-shot snapshot:
+    * `(mz_timestamp [, mz_progressed] , mz_diff | mz_state envelope
+    * columns..., row...)` — the FETCH/query presentation shape. */
+  private[slt] def subscribeSnapshotDf(spark: SparkSession,
+      spec: SubscribeSpec): DataFrame = {
+    subscribeValidate(spec)
+    import org.apache.spark.sql.functions._
+    val base = spark.sql(spec.body)
+    val ts = lit(new java.math.BigDecimal(SubscribeTsMax))
+      .cast(org.apache.spark.sql.types.DecimalType(20, 0))
+    val stamped = base.select(
+      (ts.as(graft.streaming.Subscribe.TsCol) +:
+        lit(1L).as(graft.streaming.Subscribe.DiffCol) +:
+        base.columns.toIndexedSeq.map(c => col(s"`$c`"))): _*)
+    val shaped = spec.envelope match {
+      case None => stamped
+      case Some((kind, keys)) =>
+        if (kind == "UPSERT") graft.sql.SubscribeEnvelope.upsert(stamped, keys)
+        else graft.sql.SubscribeEnvelope.debezium(stamped, keys)
+    }
+    val ordered = spec.within match {
+      case Some(items) =>
+        graft.sql.SubscribeEnvelope.withinTimestampOrder(shaped, items)
+      case None => shaped
+    }
+    val renamed = ordered.withColumnRenamed(
+      graft.streaming.Subscribe.TsCol, "mz_timestamp")
+    if (!spec.progress) renamed
+    else {
+      val cols = renamed.columns.toIndexedSeq
+      renamed.select(
+        (col(s"`${cols.head}`") +: lit(false).as("mz_progressed") +:
+          cols.tail.map(c => col(s"`$c`"))): _*)
+    }
   }
 
   // ---------------- execution ----------------
@@ -6340,17 +6528,48 @@ object SltRunner {
     // cursor whose body this dialect could not run — its FETCHes skip.
     case class CursorState(schema: org.apache.spark.sql.types.StructType,
         rows: mutable.Queue[org.apache.spark.sql.Row], hold: Boolean,
-        bad: Boolean)
+        bad: Boolean,
+        pending: Option[() => org.apache.spark.sql.DataFrame] = None)
     val cursors = mutable.Map.empty[String, CursorState]
+    /** A SUBSCRIBE cursor materializes at FIRST FETCH (the reference
+      * defers body evaluation — subscribe_error.slt asserts the error at
+      * FETCH, not DECLARE). May throw the body's evaluation error. */
+    def forceCursor(cname: String, c: CursorState): CursorState = c.pending match {
+      case Some(thunk) =>
+        val df = thunk()
+        val nc = c.copy(schema = df.schema,
+          rows = mutable.Queue(df.collect().toIndexedSeq: _*), pending = None)
+        cursors(cname) = nc
+        nc
+      case None => c
+    }
+    /** pg FETCH TIMEOUT bounds: >24h is the reference's range rejection. */
+    def timeoutOutOfRange(t: Option[String]): Boolean = t.exists { raw =>
+      """^'\s*(\d+(?:\.\d+)?)\s*(ms|s|m|h|d|milliseconds?|seconds?|minutes?|hours?|days?)?\s*'$"""
+        .r.findFirstMatchIn(raw.trim).exists { tm =>
+          val n = tm.group(1).toDouble
+          val secs = Option(tm.group(2)).map(_.toLowerCase) match {
+            case Some(u) if u.startsWith("ms") || u.startsWith("milli") => n / 1000
+            case Some(u) if u.startsWith("m") => n * 60
+            case Some(u) if u.startsWith("h") => n * 3600
+            case Some(u) if u.startsWith("d") => n * 86400
+            case _ => n
+          }
+          secs > 86400
+        }
+    }
     /** Query-position FETCH: drain rows from the named cursor. */
     def fetchCursorDf(fm: scala.util.matching.Regex.Match): org.apache.spark.sql.DataFrame = {
       val cname = fm.group(2).toLowerCase
       if (Option(fm.group(3)).exists(_.startsWith("'-")))
         throw new IllegalStateException(
           "invalid TIMEOUT: cannot convert negative interval to duration")
+      if (timeoutOutOfRange(Option(fm.group(3))))
+        throw new IllegalStateException("timeout out of range")
       cursors.get(cname) match {
         case Some(c) if c.bad => throw new DialectSkip("FETCH from unsupported cursor")
-        case Some(c) =>
+        case Some(c0) =>
+          val c = forceCursor(cname, c0)
           val n = Option(fm.group(1)).map(_.trim) match {
             case Some(a) if a.equalsIgnoreCase("ALL") => c.rows.size
             case Some(d) => d.toInt
@@ -6979,16 +7198,44 @@ object SltRunner {
         }
       } =>
         passed += 1
+      case Statement(sql, expectError) if sql.startsWith("GRAFT_SUBSCRIBE_STMT|") =>
+        val orig = sql.stripPrefix("GRAFT_SUBSCRIBE_STMT|")
+        parseSubscribe(orig) match {
+          case Some(spec) if expectError =>
+            // the reference's plan-time rejections (AS OF / UP TO
+            // castability, unmaterializable functions, envelope keys)
+            if (scala.util.Try(subscribeValidate(spec)).isFailure) passed += 1
+            else { skipped += 1; tally("statement error expected but we accept it", orig) }
+          case _ =>
+            // ok-expecting statement SUBSCRIBE: a subscription stream has
+            // no statement-position analog here — honest skip, as before
+            skipped += 1; tally("no Spark analog: SUBSCRIBE", orig)
+        }
       case Statement(sql, expectError) if isSingle(sql) &&
           SltSession.DeclareCursor.findFirstMatchIn(sql).isDefined =>
         val m = SltSession.DeclareCursor.findFirstMatchIn(sql).get
         val name = m.group(1).toLowerCase
         val hold = Option(m.group(2)).exists(_.trim.equalsIgnoreCase("WITH HOLD"))
         val body = m.group(3).trim
-        if ("""(?is)^\s*SUBSCRIBE\b""".r.findFirstIn(body).isDefined ||
+        val subscribeSpec =
+          if ("""(?is)^\s*SUBSCRIBE\b""".r.findFirstIn(body).isDefined &&
+              !touchesPoisoned(body))
+            parseSubscribe(body)
+          else None
+        if (subscribeSpec.isDefined) {
+          // SUBSCRIBE cursor: one-shot snapshot, materialized lazily at
+          // first FETCH (the reference defers evaluation — a bad body
+          // errors at FETCH, and DECLARE itself always succeeds)
+          val spec = subscribeSpec.get
+          cursors(name) = CursorState(new org.apache.spark.sql.types.StructType(),
+            mutable.Queue.empty, hold, bad = false,
+            pending = Some(() => subscribeSnapshotDf(spark, spec)))
+          if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+          else passed += 1
+        } else if ("""(?is)^\s*SUBSCRIBE\b""".r.findFirstIn(body).isDefined ||
             touchesPoisoned(body)) {
-          // SUBSCRIBE tails aren't emulated through cursors; a poisoned
-          // body can't be materialized honestly — FETCHes of it must skip
+          // unparseable SUBSCRIBE tails; a poisoned body can't be
+          // materialized honestly — FETCHes of it must skip
           cursors(name) = CursorState(new org.apache.spark.sql.types.StructType(),
             mutable.Queue.empty, hold, bad = true)
           skipped += 1; tally("DECLARE CURSOR body unsupported", sql)
@@ -7019,17 +7266,30 @@ object SltRunner {
           case _ if negTimeout => // reference: negative TIMEOUT rejected
             if (expectError) passed += 1
             else { skipped += 1; tally("FETCH TIMEOUT the reference rejects", sql) }
+          case _ if timeoutOutOfRange(Option(m.group(3))) =>
+            // reference: TIMEOUT > 24h is out of range
+            if (expectError) passed += 1
+            else { skipped += 1; tally("FETCH TIMEOUT the reference rejects", sql) }
           case Some(c) if c.bad =>
             skipped += 1; tally("FETCH from unsupported cursor", sql)
-          case Some(c) =>
-            val n = Option(m.group(1)).map(_.trim) match {
-              case Some(a) if a.equalsIgnoreCase("ALL") => c.rows.size
-              case Some(d) => d.toInt
-              case None => 1
+          case Some(c0) =>
+            // a pending SUBSCRIBE body materializes here; its evaluation
+            // error is THIS statement's error (reference defers to FETCH)
+            scala.util.Try(forceCursor(name, c0)) match {
+              case scala.util.Failure(_) =>
+                cursors(name) = c0.copy(bad = true, pending = None)
+                if (expectError) passed += 1
+                else { skipped += 1; tally("FETCH of erroring SUBSCRIBE body", sql) }
+              case scala.util.Success(c) =>
+                val n = Option(m.group(1)).map(_.trim) match {
+                  case Some(a) if a.equalsIgnoreCase("ALL") => c.rows.size
+                  case Some(d) => d.toInt
+                  case None => 1
+                }
+                (1 to n).foreach(_ => if (c.rows.nonEmpty) { c.rows.dequeue(); () })
+                if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+                else passed += 1
             }
-            (1 to n).foreach(_ => if (c.rows.nonEmpty) { c.rows.dequeue(); () })
-            if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
-            else passed += 1
           case None => // unknown cursor errors, like pg
             if (expectError) passed += 1
             else { skipped += 1; tally("FETCH of unknown cursor", sql) }
@@ -7430,8 +7690,16 @@ object SltRunner {
       // SHOW in query position runs through the engine's command family
       // (GraftSqlParser SHOW TABLES/VIEWS/COLUMNS/OBJECTS/CREATE...);
       // unhandled SHOW shapes raise a ParseException = honest dialect skip
-      case q: Query if skipPrefixes.filterNot(_ == "SHOW ")
-          .exists(q.sql.trim.toUpperCase.startsWith) ||
+      case q: Query if (skipPrefixes.filterNot(_ == "SHOW ")
+          .exists(q.sql.trim.toUpperCase.startsWith) &&
+          // SUBSCRIBE snapshots we can either RUN (data assertion) or
+          // REJECT like the reference (AS OF/UP TO validation) are
+          // handled below, not prefix-skipped
+          !(q.sql.trim.toUpperCase.startsWith("SUBSCRIBE") &&
+            !touchesPoisoned(q.sql) &&
+            parseSubscribe(q.sql).exists(spec =>
+              !q.expectError ||
+                scala.util.Try(subscribeValidate(spec)).isFailure))) ||
           dialectDefinedShape(q.sql) || isKnownDiff(q.sql) =>
         skipped += 1
         tally(knownDiffReason(q.sql).map(r => s"known diff: $r").getOrElse(
@@ -7514,6 +7782,11 @@ object SltRunner {
           // runs through the emulation; its RETURNING rows are the result
           val df = SltSession.FetchCursor.findFirstMatchIn(qSql) match {
             case Some(fm) => fetchCursorDf(fm)
+            case None if qSql.trim.toUpperCase.startsWith("SUBSCRIBE") &&
+                parseSubscribe(qSql).isDefined =>
+              // one-shot SUBSCRIBE in query position: the snapshot frame
+              // (validation errors raise the reference's rejections)
+              subscribeSnapshotDf(spark, parseSubscribe(qSql).get)
             case None => applyMutationResult(spark, qSql) match {
             case Some(Some(ret)) => ret
             case Some(None) => spark.emptyDataFrame
