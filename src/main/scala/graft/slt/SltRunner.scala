@@ -3760,6 +3760,12 @@ object SltRunner {
       // pg names VALUES-derived columns column1..columnN; Spark col1..colN
       if ("""(?i)\bVALUES\b""".r.findFirstIn(sql).isDefined)
         sql = """(?i)\bcolumn(\d+)\b""".r.replaceAllIn(sql, "col$1")
+      // 3-arg datediff('unit', from, to) (reference datediff, mssql-style
+      // unit-first): Spark's datediff(UNIT, from, to) needs the unit as a
+      // bare keyword, not a string literal
+      sql = """(?i)\bdatediff\s*\(\s*'(\w+)'\s*,""".r
+        .replaceAllIn(sql, m => Regex.quoteReplacement(
+          s"datediff(${m.group(1).toUpperCase},"))
       // pg array_agg semantics for SIMPLE arguments: keeps NULL elements
       // (collect_list drops them — collect structs and re-project) and
       // yields NULL, not {}, on empty input. Complex/ordered forms are left
@@ -5925,6 +5931,93 @@ object SltRunner {
   private def numOf(e: String): String =
     e.trim.split("::")(0).trim.stripPrefix("'").stripSuffix("'").trim
 
+  /** `SUBSCRIBE <temporal view> AS OF 0`: the replay-from-zero frame stamps
+    * each row at its ACTIVATION time — the lower-bound expr of its
+    * `mz_now() >= e` conjunct (reference temporal filters,
+    * `src/expr/src/linear.rs` lower_bounds) — with the conjunct itself
+    * removed (every activation from time 0 is in the replay). None when the
+    * body has no lower-bound temporal filter, or a shape (upper bounds,
+    * non-output bound refs) this one-shot emulation can't stamp honestly. */
+  private def temporalActivationStamp(spark: SparkSession,
+      df: DataFrame): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Filter, LogicalPlan, Project, Sort, SubqueryAlias, View}
+    import org.apache.spark.sql.types.DecimalType
+    def isMzRaw(e: Expression): Boolean =
+      e.isInstanceOf[graft.functions.SessionIdentity.MzNowExpression]
+    def unwrap(e: Expression): Expression = e match {
+      case Cast(c, _, _, _) => unwrap(c)
+      case o => o
+    }
+    def isMz(e: Expression): Boolean = isMzRaw(unwrap(e))
+    val plan = df.queryExecution.analyzed
+    if (!plan.exists(_.expressions.exists(_.exists(isMzRaw)))) return None
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case o => Seq(o)
+    }
+    // thread the per-row activation (`greatest` of the lower bounds) up
+    // from the temporal Filter through the Project/alias chain to the top
+    var bad = false
+    def thread(p: LogicalPlan): (LogicalPlan, Option[Attribute]) = p match {
+      case f @ Filter(cond, child) if cond.exists(isMzRaw) =>
+        var lowers = List.empty[Expression]
+        val (temporal, rest) = conjuncts(cond).partition(_.exists(isMzRaw))
+        temporal.foreach {
+          case GreaterThanOrEqual(l, r) if isMz(l) && !r.exists(isMzRaw) =>
+            lowers ::= r
+          case LessThanOrEqual(l, r) if isMz(r) && !l.exists(isMzRaw) =>
+            lowers ::= l
+          case _ => bad = true
+        }
+        if (bad || lowers.isEmpty) { bad = true; (f, None) }
+        else {
+          val casted = lowers.reverse.map(l => Cast(l, DecimalType(20, 0)))
+          val ts = Alias(
+            if (casted.size == 1) casted.head else Greatest(casted),
+            "__graft_activates")()
+          val base = rest.reduceOption(And).map(Filter(_, child)).getOrElse(child)
+          (Project(child.output :+ ts, base), Some(ts.toAttribute))
+        }
+      case pr @ Project(list, child) =>
+        val (nc, attr) = thread(child)
+        attr match {
+          case Some(a) => (Project(list :+ a, nc), Some(a))
+          case None => (pr, None)
+        }
+      case sa: SubqueryAlias =>
+        val (nc, attr) = thread(sa.child)
+        attr match {
+          case Some(_) => (sa.copy(child = nc), attr)
+          case None => (sa, None)
+        }
+      case v: View =>
+        // the View marker pins a fixed output — inline its child to carry
+        // the threaded activation column through
+        thread(v.child)
+      case f @ Filter(cond, child) =>
+        val (nc, attr) = thread(child)
+        attr match {
+          case Some(_) => (Filter(cond, nc), attr)
+          case None => (f, None)
+        }
+      case other => (other, None)
+    }
+    val (threaded, attrOpt) = thread(plan)
+    val attr = attrOpt.getOrElse(return None)
+    if (bad) return None
+    if (threaded.exists(_.expressions.exists(_.exists(isMzRaw)))) return None
+    val tsAlias = Alias(attr, graft.streaming.Subscribe.TsCol)()
+    val diffAlias = Alias(Literal(1L), graft.streaming.Subscribe.DiffCol)()
+    val dataCols = threaded.output.filterNot(_.exprId == attr.exprId)
+    val proj = Project(Seq(tsAlias, diffAlias) ++ dataCols, threaded)
+    val sorted = Sort(Seq(SortOrder(tsAlias.toAttribute, Ascending)),
+      global = true, proj)
+    scala.util.Try(
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, sorted)).toOption
+  }
+
   /** Materialize the one-shot snapshot:
     * `(mz_timestamp [, mz_progressed] , mz_diff | mz_state envelope
     * columns..., row...)` — the FETCH/query presentation shape. */
@@ -5935,10 +6028,22 @@ object SltRunner {
     val base = spark.sql(spec.body)
     val ts = lit(new java.math.BigDecimal(SubscribeTsMax))
       .cast(org.apache.spark.sql.types.DecimalType(20, 0))
-    val stamped = base.select(
-      (ts.as(graft.streaming.Subscribe.TsCol) +:
-        lit(1L).as(graft.streaming.Subscribe.DiffCol) +:
-        base.columns.toIndexedSeq.map(c => col(s"`$c`"))): _*)
+    val stamped = (if (spec.asOf.exists(a => numOf(a) == "0"))
+      temporalActivationStamp(spark, base) else None) match {
+      case Some(t) => t
+      case None =>
+        // an AS OF replay over a temporal body this stamping can't model
+        // must SKIP, not present clock-filtered rows at the wrong ts
+        if (spec.asOf.isDefined && scala.util.Try(base.queryExecution.analyzed
+            .exists(_.expressions.exists(_.exists(
+              _.isInstanceOf[graft.functions.SessionIdentity.MzNowExpression]))))
+            .getOrElse(false))
+          throw new DialectSkip("SUBSCRIBE AS OF over unsupported temporal shape")
+        base.select(
+          (ts.as(graft.streaming.Subscribe.TsCol) +:
+            lit(1L).as(graft.streaming.Subscribe.DiffCol) +:
+            base.columns.toIndexedSeq.map(c => col(s"`$c`"))): _*)
+    }
     val shaped = spec.envelope match {
       case None => stamped
       case Some((kind, keys)) =>
@@ -5962,6 +6067,16 @@ object SltRunner {
   }
 
   // ---------------- execution ----------------
+
+  /** pg names VALUES-derived columns column1..N; Spark col1..N. The
+    * same-statement rewrite can't see a VALUES-backed VIEW's body, so a
+    * later statement referencing its pg column names fails analysis —
+    * retry with the Spark spellings. */
+  private def valuesColumnRetry(spark: SparkSession, sql: String): Boolean = {
+    val re = """(?i)\bcolumn(\d+)\b""".r.replaceAllIn(sql, "col$1")
+    if (re == sql) return false
+    try { spark.sql(re).collect(); true } catch { case _: Throwable => false }
+  }
 
   /** Split a compound statement on top-level semicolons (outside quotes). */
   private def splitStatements(sql: String): Seq[String] = {
@@ -7276,9 +7391,11 @@ object SltRunner {
             // a pending SUBSCRIBE body materializes here; its evaluation
             // error is THIS statement's error (reference defers to FETCH)
             scala.util.Try(forceCursor(name, c0)) match {
-              case scala.util.Failure(_) =>
+              case scala.util.Failure(e) =>
                 cursors(name) = c0.copy(bad = true, pending = None)
-                if (expectError) passed += 1
+                if (e.isInstanceOf[DialectSkip]) {
+                  skipped += 1; tally("FETCH from unsupported cursor", sql)
+                } else if (expectError) passed += 1
                 else { skipped += 1; tally("FETCH of erroring SUBSCRIBE body", sql) }
               case scala.util.Success(c) =>
                 val n = Option(m.group(1)).map(_.trim) match {
@@ -7620,7 +7737,8 @@ object SltRunner {
                   // mixed-type VALUES rows: Spark's inline-table type
                   // unification rejects what pg assignment-casts per column
                   Option(e.getMessage).exists(_.contains("INVALID_INLINE_TABLE"))) &&
-                (typedInsertRetry(spark, sql) || deepInsertRetry(spark, sql)) =>
+                (typedInsertRetry(spark, sql) || deepInsertRetry(spark, sql) ||
+                  valuesColumnRetry(spark, sql)) =>
             passed += 1
           case e: Throwable =>
             // pg aborts the txn on an error — but only when the REFERENCE
@@ -7809,6 +7927,14 @@ object SltRunner {
                       val s3 = rewriteOrderByWindowToOrdinal(qSql)
                       if (s3 == qSql) None
                       else scala.util.Try(spark.sql(s3)).toOption
+                    }
+                    .orElse {
+                      // references to a VALUES-backed view's pg column
+                      // names (column1..N) — Spark's VALUES export col1..N
+                      val s4 = """(?i)\bcolumn(\d+)\b""".r
+                        .replaceAllIn(qSql, "col$1")
+                      if (s4 == qSql) None
+                      else scala.util.Try(spark.sql(s4)).toOption
                     }
                     .orElse(graft.plans.NestedCorrelationFlatten.rescue(spark, qSql))
                     .getOrElse(throw e)
