@@ -566,6 +566,21 @@ object MzListExpressions {
       }
     override def dataType: DataType = peel(list.dataType, idxs.length)
     override def nullable: Boolean = true
+    private def depthOf(dt: DataType): Int = dt match {
+      case ArrayType(e, _) => 1 + depthOf(e)
+      case _ => 0
+    }
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (!list.dataType.isInstanceOf[ArrayType])
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cannot subscript type ${list.dataType.simpleString}")
+      else if (idxs.length > depthOf(list.dataType))
+        // the reference: indexing past the deepest layer is a plan error
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cannot index into ${idxs.length} layers; list only has " +
+            s"${depthOf(list.dataType)}")
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
       var cur = list.eval(input)
       var dt = list.dataType
@@ -601,6 +616,50 @@ object MzListExpressions {
       copy(children = newChildren)
   }
 
+  /** mz list slice `l[lo:hi]` (reference list slicing,
+    * `doc/user/content/sql/types/list.md` slice syntax): 1-based INCLUSIVE
+    * bounds; an absent bound (NULL here — the rewrite spells `[2:]` as
+    * `(l, 2, NULL)`) means the list edge; bounds clamp to the list, and a
+    * start past the end yields the EMPTY list (never NULL). The result
+    * keeps the list's own type — repeated slices re-slice the same level. */
+  case class MzListSlice(list: Expression, lo: Expression, hi: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(list, lo, hi)
+    override def dataType: DataType = list.dataType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (list.dataType.isInstanceOf[ArrayType])
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cannot slice type ${list.dataType.simpleString}")
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val l = list.eval(input)
+      if (l == null) return null
+      val a = l.asInstanceOf[ArrayData]
+      val n = a.numElements().toLong
+      def bound(e: Expression): Option[Long] = e.eval(input) match {
+        case null => None
+        case d: Decimal => Some(d.toLong)
+        case num: java.lang.Number => Some(num.longValue)
+        case o => Some(o.toString.toDouble.toLong)
+      }
+      // an explicit NULL bound yields NULL (the rewrite encodes an ABSENT
+      // bound as a clamped extreme, never as NULL)
+      val loB = bound(lo).getOrElse(return null)
+      val hiB = bound(hi).getOrElse(return null)
+      val loV = math.max(1L, loB)
+      val hiV = math.min(n, hiB)
+      if (loV > hiV) return new GenericArrayData(Array.empty[Any])
+      val et = list.dataType.asInstanceOf[ArrayType].elementType
+      new GenericArrayData((loV.toInt to hiV.toInt).map(i =>
+        if (a.isNullAt(i - 1)) null else a.get(i - 1, et)).toArray)
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(list = newChildren(0), lo = newChildren(1), hi = newChildren(2))
+  }
+
   private def info(name: String) = new ExpressionInfo(getClass.getName, name)
 
   def functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
@@ -623,6 +682,8 @@ object MzListExpressions {
         (a: Seq[Expression]) => MzListCast(a(0), a(1), a(2))),
       (FunctionIdentifier("mz_list_subscript"), info("mz_list_subscript"),
         (a: Seq[Expression]) => MzListSubscript(a)),
+      (FunctionIdentifier("mz_list_slice"), info("mz_list_slice"),
+        (a: Seq[Expression]) => MzListSlice(a(0), a(1), a(2))),
       (FunctionIdentifier("mz_list_remove"), info("mz_list_remove"),
         (a: Seq[Expression]) => MzListRemove(a(0), a(1))))
 }

@@ -381,7 +381,7 @@ object PgTypeof {
     case _: MzListExpressions.MzListIn | _: MzListExpressions.MzListTag |
          _: MzListExpressions.MzListAppend | _: MzListExpressions.MzListCat |
          _: MzListExpressions.MzListCast | _: MzListExpressions.MzListSubscript => true
-    case _: MzListExpressions.MzListRemove => true
+    case _: MzListExpressions.MzListRemove | _: MzListExpressions.MzListSlice => true
     case r: MzListExpressions.MzListRoundCast => isListExpr(r.child)
     // a cast of a list stays a list
     case c: Cast => isListExpr(c.child)

@@ -214,21 +214,42 @@ object SltRunner {
       val c = sql.charAt(i)
       if (inQ) { sb += c; if (c == '\'') inQ = false; i += 1 }
       else if (c == '\'') { sb += c; inQ = true; i += 1 }
-      else if (sql.regionMatches(true, i, "ARRAY[", 0, 6) &&
-          (i == 0 || !isWordChar(sql.charAt(i - 1)))) {
-        stack.push((1, sb.length)); sb ++= "array("; i += 6
-      } else if (sql.regionMatches(true, i, "LIST[", 0, 5) &&
-          (i == 0 || !isWordChar(sql.charAt(i - 1)))) {
-        // mz LIST[..] constructor (always a constructor — `list` is a
-        // reserved generic-type keyword in the reference's parser)
-        stack.push((3, sb.length)); sb ++= "array("; i += 5
+      else if (kwBracketEnd(sql, i, "ARRAY") >= 0) {
+        stack.push((1, sb.length)); sb ++= "array("
+        i = kwBracketEnd(sql, i, "ARRAY")
+      } else if (kwBracketEnd(sql, i, "LIST") >= 0) {
+        // mz LIST [..] constructor (always a constructor — `list` is a
+        // reserved generic-type keyword in the reference's parser);
+        // whitespace between the keyword and `[` is legal
+        stack.push((3, sb.length)); sb ++= "array("
+        i = kwBracketEnd(sql, i, "LIST")
       } else if (c == '[') {
         val opStart = subscriptOperandStart(sb)
-        if (opStart >= 0 && subscriptableIndex(sql, i)) {
+        if (opStart >= 0 && sliceBracket(sql, i)) {
+          // mz list slice `x[lo:hi]` — bounds are expressions themselves
+          // (recursively rewritten); an absent bound is the list edge
+          val close = matchingBracketEnd(sql, i)
+          if (close < 0) { sb += '['; stack.push((0, sb.length)) }
+          else {
+            val inner = sql.substring(i + 1, close)
+            // absent bound = the list edge (encoded as a clamped extreme);
+            // an EXPLICIT NULL bound yields NULL (mz slice semantics)
+            val (loRaw, hiRaw) = splitTopColonOnce(inner)
+            val lo = if (loRaw.trim.isEmpty) "-9223372036854775807"
+              else rewriteArrayLiterals(loRaw.trim)
+            val hi = if (hiRaw.trim.isEmpty) "9223372036854775807"
+              else rewriteArrayLiterals(hiRaw.trim)
+            sb.insert(opStart, "mz_list_slice(")
+            sb ++= s", $lo, $hi)"
+            // the branch-shared `i += 1` below lands us just past `]`
+            i = close
+          }
+        } else if (opStart >= 0 && subscriptableIndex(sql, i)) {
           // list-valued operands get mz subscript semantics (one index
           // per nesting level; pg arrays NULL on under-indexing)
-          val isList = """(?is)^\s*(?:mz_list_in|mz_list_tag|mz_list_cat|mz_list_append|mz_list_prepend|mz_list_cast)\b.*""".r
-            .pattern.matcher(sb.substring(opStart)).matches
+          val isList = """(?is)^\s*(?:mz_list_in|mz_list_tag|mz_list_cat|mz_list_append|mz_list_prepend|mz_list_cast|mz_list_slice|mz_list_subscript)\b.*""".r
+            .pattern.matcher(
+              sb.substring(opStart).replaceAll("^[\\s(]+", "")).matches
           sb.insert(opStart, if (isList) "mz_list_subscript(" else "pg_subscript(")
           sb ++= ", "
           stack.push((if (isList) 4 else 2, opStart))
@@ -317,6 +338,87 @@ object SltRunner {
           Character.isDigit(ident.charAt(0))) -1
       else j + 1
     } else -1
+  }
+
+  /** Index just after `[` when `sql` at `i` starts keyword `kw` (word-
+    * bounded, any case) followed by optional spaces and `[`; -1 otherwise. */
+  private def kwBracketEnd(sql: String, i: Int, kw: String): Int = {
+    if (!sql.regionMatches(true, i, kw, 0, kw.length)) return -1
+    if (i > 0 && isWordChar(sql.charAt(i - 1))) return -1
+    var j = i + kw.length
+    if (j < sql.length && isWordChar(sql.charAt(j))) return -1
+    while (j < sql.length && sql.charAt(j) == ' ') j += 1
+    if (j < sql.length && sql.charAt(j) == '[') j + 1 else -1
+  }
+
+  /** Is the bracket at `open` an mz SLICE group: a top-level single `:`
+    * (not a `::` cast) at bracket depth 1? */
+  private def sliceBracket(sql: String, open: Int): Boolean = {
+    var depth = 0
+    var j = open
+    var inQ = false
+    while (j < sql.length) {
+      val c = sql.charAt(j)
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '[' | '(' => depth += 1
+        case ']' | ')' =>
+          depth -= 1
+          if (depth == 0) return false
+        case ':' if depth == 1 =>
+          if (!(j + 1 < sql.length && sql.charAt(j + 1) == ':') &&
+              !(j > open && sql.charAt(j - 1) == ':')) return true
+        case _ => ()
+      }
+      j += 1
+    }
+    false
+  }
+
+  /** Index of the `]` matching the `[` at `open`; -1 when unbalanced. */
+  private def matchingBracketEnd(sql: String, open: Int): Int = {
+    var depth = 0
+    var j = open
+    var inQ = false
+    while (j < sql.length) {
+      val c = sql.charAt(j)
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '[' | '(' => depth += 1
+        case ']' | ')' =>
+          depth -= 1
+          if (depth == 0) return j
+        case _ => ()
+      }
+      j += 1
+    }
+    -1
+  }
+
+  /** Split slice content at its FIRST top-level single `:` (skipping `::`
+    * casts, quotes, and nested groups). */
+  private def splitTopColonOnce(s: String): (String, String) = {
+    var depth = 0
+    var j = 0
+    var inQ = false
+    while (j < s.length) {
+      val c = s.charAt(j)
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '[' | '(' => depth += 1
+        case ']' | ')' => depth -= 1
+        case ':' if depth == 0 =>
+          if (!(j + 1 < s.length && s.charAt(j + 1) == ':') &&
+              !(j > 0 && s.charAt(j - 1) == ':'))
+            return (s.substring(0, j), s.substring(j + 1))
+        case _ => ()
+      }
+      j += 1
+    }
+    (s, "")
   }
 
   /** Is the bracket at `open` a usable subscript index: non-empty, not a
@@ -841,7 +943,16 @@ object SltRunner {
             val jsonbSide =
               if (op == "-") lText.trim.startsWith("jsonb_")
               else jsonLooking(lText) || jsonLooking(rText)
-            val bothArrays = lText.trim.startsWith("array(") && rText.trim.startsWith("array(")
+            // list-tagged / list-cast operands are arrays too — mz list
+            // containment shares pg array containment semantics
+            def arrayish(s: String): Boolean = {
+              val t = s.trim
+              t.startsWith("array(") || t.startsWith("mz_list_tag(") ||
+                t.startsWith("mz_list_in(") || t.startsWith("mz_list_cast(") ||
+                t.startsWith("mz_list_cat(") || t.startsWith("mz_list_slice(") ||
+                t.startsWith("mz_list_subscript(")
+            }
+            val bothArrays = arrayish(lText) && arrayish(rText)
             if (lStart < 0 || rEnd < 0 ||
                 ((op == "||" || op == "-") && !jsonbSide) ||
                 ((op == "@>" || op == "<@" || op == "?") && !jsonbSide && !bothArrays)) {
@@ -1852,6 +1963,41 @@ object SltRunner {
     * zip-and-NULL-pad is exactly the pg semantics. Only the top-level
     * select list with >=2 bare `generate_series(..)` items (optional
     * aliases) is rewritten. */
+  /** mz `LIST(subquery)` constructor — the list twin of `ARRAY(subquery)`
+    * (reference HIR subquery planning): delegate to the ARRAY(subquery)
+    * rewrite and tag the result as a LIST for pg_typeof / rendering. */
+  private[slt] def rewriteListSubquery(sql0: String): String = {
+    if (!"""(?i)\bLIST\s*\(\s*SELECT\b""".r.findFirstIn(sql0).isDefined)
+      return sql0
+    val Head = """(?i)\bLIST\s*\(""".r
+    var out = sql0
+    var guard = 0
+    var m0 = Head.findFirstMatchIn(out).filter(m =>
+      !insideLiteral(out, m.start) &&
+        """(?is)^\s*SELECT\b""".r.findFirstIn(out.substring(m.end)).isDefined)
+    while (m0.isDefined && guard < 6) {
+      guard += 1
+      val m = m0.get
+      var d = 1; var i = m.end; var q = false
+      while (i < out.length && d > 0) {
+        val c = out.charAt(i)
+        if (q) { if (c == '\'') q = false }
+        else c match {
+          case '\'' => q = true; case '(' => d += 1; case ')' => d -= 1
+          case _ => ()
+        }
+        i += 1
+      }
+      if (d > 0) return out
+      out = out.substring(0, m.start) + "mz_list_tag(ARRAY(" +
+        out.substring(m.end, i - 1) + "))" + out.substring(i)
+      m0 = Head.findFirstMatchIn(out).filter(m2 =>
+        !insideLiteral(out, m2.start) &&
+          """(?is)^\s*SELECT\b""".r.findFirstIn(out.substring(m2.end)).isDefined)
+    }
+    out
+  }
+
   /** pg `ARRAY(subquery)` constructor (reference HIR subquery planning;
     * pg 4.2.14): collect the subquery's single column into an array,
     * honoring a trailing ORDER BY and yielding the EMPTY array for zero
@@ -2063,7 +2209,8 @@ object SltRunner {
     * group inventory is static: mz requires the regex / column count to be
     * a literal). */
   private[slt] def rewriteMzExtractSrfs(sql00: String): String = {
-    val sql0 = rewriteGenerateSubscripts(rewriteExpandArray(rewriteArraySubquery(sql00)))
+    val sql0 = rewriteGenerateSubscripts(rewriteExpandArray(
+      rewriteArraySubquery(rewriteListSubquery(sql00))))
     if (!"""(?i)\b(?:regexp_extract|csv_extract)\s*\(""".r.findFirstIn(sql0).isDefined)
       return sql0
     val FromFn =
