@@ -580,7 +580,15 @@ object MzListExpressions {
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"cannot index into ${idxs.length} layers; list only has " +
             s"${depthOf(list.dataType)}")
-      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else idxs.find(ix => !(ix.dataType.isInstanceOf[NumericType] ||
+          ix.dataType == NullType)) match {
+        case Some(ix) =>
+          // the reference: list subscripts must be integers
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"cannot subscript list with type ${ix.dataType.simpleString}")
+        case None =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      }
     override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
       var cur = list.eval(input)
       var dt = list.dataType
@@ -629,10 +637,18 @@ object MzListExpressions {
     override def nullable: Boolean = true
     override def checkInputDataTypes()
         : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-      if (list.dataType.isInstanceOf[ArrayType])
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"cannot slice type ${list.dataType.simpleString}")
+      if (!list.dataType.isInstanceOf[ArrayType])
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cannot slice type ${list.dataType.simpleString}")
+      else Seq(lo, hi).find(b => !(b.dataType.isInstanceOf[NumericType] ||
+          b.dataType == NullType)) match {
+        case Some(b) =>
+          // the reference: slice bounds must be integers
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"cannot slice list with bound of type ${b.dataType.simpleString}")
+        case None =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      }
     override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
       val l = list.eval(input)
       if (l == null) return null

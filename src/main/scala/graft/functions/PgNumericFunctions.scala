@@ -279,7 +279,57 @@ object PgNumericFunctions {
       copy(child = newChildren(0))
   }
 
+  /** pg `trunc(numeric[, scale])` / `trunc(float8)` (pg 9.3; reference
+    * `src/expr/src/scalar/func.rs` TruncFloat64/TruncNumeric): truncate
+    * TOWARD ZERO, keeping the argument's type family — Spark's `trunc`
+    * is the date-truncation builtin, so the dialect shim routes here. */
+  case class PgTrunc(child: Expression, scaleE: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(child, scaleE)
+    override def dataType: DataType = child.dataType match {
+      case FloatType => FloatType
+      case d: DecimalType => d
+      case ShortType | IntegerType | LongType |
+           org.apache.spark.sql.types.ByteType => child.dataType
+      case _ => DoubleType
+    }
+    override def nullable: Boolean = true
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) return null
+      val sRaw = scaleE.eval(input)
+      if (sRaw == null) return null
+      val s = sRaw match {
+        case n: java.lang.Number => n.intValue
+        case d: Decimal => d.toInt
+        case o => o.toString.toDouble.toInt
+      }
+      v match {
+        case d: java.lang.Double =>
+          java.lang.Double.valueOf(new java.math.BigDecimal(d.doubleValue)
+            .setScale(s, java.math.RoundingMode.DOWN).doubleValue)
+        case f: java.lang.Float =>
+          java.lang.Float.valueOf(new java.math.BigDecimal(f.doubleValue)
+            .setScale(s, java.math.RoundingMode.DOWN).floatValue)
+        case dec: Decimal =>
+          val dt = dataType.asInstanceOf[DecimalType]
+          Decimal(dec.toJavaBigDecimal
+            .setScale(s, java.math.RoundingMode.DOWN)
+            .setScale(dt.scale, java.math.RoundingMode.DOWN),
+            dt.precision, dt.scale)
+        case other => other // integral: trunc is the identity
+      }
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(child = newChildren(0), scaleE = newChildren(1))
+  }
+
   def functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("pg_trunc"),
+      new ExpressionInfo(getClass.getName, "pg_trunc"),
+      (args: Seq[Expression]) =>
+        PgTrunc(args.head, args.lift(1).getOrElse(Literal(0)))),
     (new FunctionIdentifier("pg_ceil"),
       new ExpressionInfo(getClass.getName, "pg_ceil"),
       (args: Seq[Expression]) => PgFloatRound(args, up = true)),

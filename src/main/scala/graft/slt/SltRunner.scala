@@ -727,9 +727,9 @@ object SltRunner {
     * 3VL null semantics); the remaining operators lower onto EXISTS with
     * the comparison inside, pg's own lowering shape. */
   private def rewriteQuantifiedSubquery(sql: String): String = {
-    if (!"""(?i)\b(ANY|ALL|SOME)\s*\(\s*(SELECT|VALUES|WITH|TABLE)\b""".r
+    if (!"""(?i)(=|<>|!=|<=|>=|<|>)\s*(ANY|ALL|SOME)\s*\(""".r
           .findFirstIn(sql).isDefined) return sql
-    val Head = """(?i)(=|<>|!=|<=|>=|<|>)\s*(ANY|ALL|SOME)\s*\((?=\s*(?:SELECT|VALUES|WITH|TABLE)\b)""".r
+    val Head = """(?i)(=|<>|!=|<=|>=|<|>)\s*(ANY|ALL|SOME)\s*\(""".r
     var out = sql
     var guard = 0
     var m0 = Head.findFirstMatchIn(out)
@@ -777,18 +777,34 @@ object SltRunner {
             else {
               val lhs = out.substring(st, m.start).trim
               val cmp = s"($lhs) $op graft_qv"
+              val isSubquery = """(?is)^\s*\(*\s*(SELECT|VALUES|WITH|TABLE)\b""".r
+                .findFirstIn(sub).isDefined
               def ex(cond: String) =
                 s"EXISTS (SELECT 1 FROM ($sub) AS graft_qs(graft_qv) WHERE $cond)"
+              def exArr(pred: String) =
+                s"exists(${sub.trim}, graft_qv -> $pred)"
               // pg 3VL: ANY = true if any comparison true, else NULL if
-              // any unknown, else false; ALL dually (pg docs 9.23.3-4)
+              // any unknown, else false; ALL dually (pg docs 9.23.3-4).
+              // The pg 9.23/9.24 forms over ARRAYS share the same logic
+              // via higher-order exists; a NULL array yields NULL.
               val repl =
-                if (quant == "ALL")
+                if (isSubquery && quant == "ALL")
                   s"(CASE WHEN ${ex(s"NOT($cmp)")} THEN false " +
                     s"WHEN ${ex(s"($cmp) IS NULL")} THEN CAST(NULL AS BOOLEAN) " +
                     "ELSE true END)"
-                else
+                else if (isSubquery)
                   s"(CASE WHEN ${ex(cmp)} THEN true " +
                     s"WHEN ${ex(s"($cmp) IS NULL")} THEN CAST(NULL AS BOOLEAN) " +
+                    "ELSE false END)"
+                else if (quant == "ALL")
+                  s"(CASE WHEN (${sub.trim}) IS NULL THEN CAST(NULL AS BOOLEAN) " +
+                    s"WHEN ${exArr(s"NOT($cmp)")} THEN false " +
+                    s"WHEN ${exArr(s"($cmp) IS NULL")} THEN CAST(NULL AS BOOLEAN) " +
+                    "ELSE true END)"
+                else
+                  s"(CASE WHEN (${sub.trim}) IS NULL THEN CAST(NULL AS BOOLEAN) " +
+                    s"WHEN ${exArr(cmp)} THEN true " +
+                    s"WHEN ${exArr(s"($cmp) IS NULL")} THEN CAST(NULL AS BOOLEAN) " +
                     "ELSE false END)"
               out = out.substring(0, st) + repl + out.substring(i)
             }
@@ -953,10 +969,26 @@ object SltRunner {
                 t.startsWith("mz_list_subscript(")
             }
             val bothArrays = arrayish(lText) && arrayish(rText)
+            def mapish(s: String): Boolean = {
+              val t = s.trim
+              t.startsWith("mz_map_in(") || t.startsWith("mz_map_build(") ||
+                t.startsWith("map(")
+            }
+            val bothMaps = mapish(lText) && mapish(rText)
             if (lStart < 0 || rEnd < 0 ||
                 ((op == "||" || op == "-") && !jsonbSide) ||
-                ((op == "@>" || op == "<@" || op == "?") && !jsonbSide && !bothArrays)) {
+                ((op == "@>" || op == "<@" || op == "?") && !jsonbSide &&
+                  !bothArrays && !bothMaps)) {
               sb ++= op; i += op.length
+            } else if ((op == "@>" || op == "<@") && bothMaps) {
+              // mz MAP containment: every key of the small side present in
+              // the big side with an EQUAL value (strict equality)
+              val (big, small) = if (op == "@>") (lText, rText) else (rText, lText)
+              sb.setLength(lStart)
+              sb ++= s"coalesce(forall(map_keys($small), graft_mc -> " +
+                s"try_element_at($big, graft_mc) <=> " +
+                s"try_element_at($small, graft_mc)), false)"
+              i = rEnd
             } else if ((op == "@>" || op == "<@") && bothArrays) {
               // pg ARRAY containment (strict equality; NULL matches nothing)
               val (big, small) = if (op == "@>") (lText, rText) else (rText, lText)
@@ -2575,6 +2607,11 @@ object SltRunner {
     * and bytea casts to text render pg's `\x<hex>` form. */
   private def rewriteFloatByteaOps(sql: String): String = {
     var out = sql
+    // pg trunc(numeric[, s]) truncates toward zero; Spark's trunc is the
+    // DATE builtin — route through the pg expression (date_trunc excluded
+    // by the lookbehind)
+    if ("""(?i)(?<![\w.])trunc\s*\(""".r.findFirstIn(out).isDefined)
+      out = """(?i)(?<![\w.])trunc\s*\(""".r.replaceAllIn(out, "pg_trunc(")
     if (realColumns.nonEmpty && out.contains("'")) {
       val cols = realColumns.keySet.mkString("|")
       val num = """(-?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)"""
@@ -6215,6 +6252,31 @@ object SltRunner {
 
   // ---------------- execution ----------------
 
+  /** pg relation aliases may list a PREFIX of the columns
+    * (`FROM abc AS foo (foo1)` renames the first column only; the rest
+    * keep their own names — pg 7.2.1.2). Spark requires the full list —
+    * extend each short list with the relation's remaining column names. */
+  private def partialAliasRetry(spark: SparkSession,
+      sql: String): Option[DataFrame] = {
+    val Pat = """(?i)\b(FROM|JOIN|,)\s+["`]?(\w+)["`]?\s+(?:AS\s+)?(\w+)\s*\(([\w\s,"`]+?)\)""".r
+    var changed = false
+    val out = Pat.replaceAllIn(sql, m => {
+      val rel = m.group(2)
+      val given = splitTopLevel(m.group(4), ',').map(_.trim).filter(_.nonEmpty)
+      val full = try spark.table(rel).schema.fieldNames.toSeq
+        catch { case _: Throwable => Seq.empty }
+      if (full.nonEmpty && given.size < full.size &&
+          given.forall(_.matches("[\\w\"`]+"))) {
+        changed = true
+        val rest = full.drop(given.size).map(n => s"`$n`")
+        Regex.quoteReplacement(
+          s"${m.group(1)} $rel AS ${m.group(3)} (${(given ++ rest).mkString(", ")})")
+      } else Regex.quoteReplacement(m.matched)
+    })
+    if (!changed) None
+    else scala.util.Try(spark.sql(out)).toOption
+  }
+
   /** pg names VALUES-derived columns column1..N; Spark col1..N. The
     * same-statement rewrite can't see a VALUES-backed VIEW's body, so a
     * later statement referencing its pg column names fails analysis —
@@ -6785,6 +6847,15 @@ object SltRunner {
     // TAINTED — a later SHOW of them must skip, never report stale state
     val sessionVars = mutable.Map.empty[String, String]
     val varTainted = mutable.Set.empty[String]
+    // mz_unsafe schema availability (ALTER SYSTEM SET
+    // unsafe_enable_unsafe_functions; the corpus default is enabled)
+    var unsafeFnsEnabled = true
+    def unsafeFnCheck(sql: String): Unit =
+      if (!unsafeFnsEnabled &&
+          """(?i)\bmz_(sleep|panic|all|any|error_if_null)\s*\(""".r
+            .findFirstIn(sql).isDefined)
+        throw new IllegalStateException(
+          "executing potentially dangerous functions is not supported")
     // cursor emulation (reference portals, src/adapter/src/client.rs):
     // DECLARE materializes the body's rows; FETCH drains. `bad` marks a
     // cursor whose body this dialect could not run — its FETCHes skip.
@@ -7130,6 +7201,12 @@ object SltRunner {
         """(?i)\bSET\s+(?:LOCAL\s+|SESSION\s+)?(TIME\s+ZONE|[A-Za-z_][\w.]*)""".r
           .findAllMatchIn(usql)
           .foreach(m => varTainted += SltSession.normVar(m.group(1)))
+        // ALTER SYSTEM SET unsafe_enable_unsafe_functions toggles the
+        // mz_unsafe schema's availability (reference src/sql/src/func.rs
+        // unsafe gating) — later mz_sleep/mz_panic calls must error
+        """(?i)\bALTER\s+SYSTEM\s+SET\s+unsafe_enable_unsafe_functions\s*=?\s*(\w+)""".r
+          .findFirstMatchIn(usql)
+          .foreach(m => unsafeFnsEnabled = m.group(1).equalsIgnoreCase("true"))
         // and any MUTATION inside a skipped simple block leaves its table
         // stale — reads must skip, not compare un-applied state
         if (reason == "simple protocol block")
@@ -7763,6 +7840,7 @@ object SltRunner {
         mutationTarget(sql).foreach(poisonedTables += _)
       case Statement(sql, expectError) =>
         try {
+          unsafeFnCheck(sql)
           // a CREATE VIEW whose body reads the introspection relations
           // (e.g. the autogenerated census files' CREATE VIEW objects over
           // mz_columns/mz_schemas) needs them registered at analysis time.
@@ -8037,6 +8115,7 @@ object SltRunner {
           // a DUPLICATED alias that is not also a source column is
           // ambiguous (reference src/sql/src/plan/query.rs) — Spark groups
           // happily, so the reference's rejection is enforced here
+          unsafeFnCheck(qSql)
           for (a <- ambiguousGroupByAlias(spark, qSql))
             throw new IllegalStateException(
               s"""column reference "$a" is ambiguous""")
@@ -8063,6 +8142,10 @@ object SltRunner {
                 // correlation flattening rewrite (plans/
                 // NestedCorrelationFlatten). Not for expected-error
                 // records: those must keep erroring.
+                case e: Throwable if !q.expectError &&
+                    Option(e.getMessage).exists(_.contains("ASSIGNMENT_ARITY_MISMATCH")) =>
+                  // pg PARTIAL column-list aliases: extend to the full list
+                  partialAliasRetry(spark, qSql).getOrElse(throw e)
                 case e: Throwable if !q.expectError &&
                     Option(e.getMessage).exists(_.contains("UNRESOLVED_COLUMN")) =>
                   aliasImplicitFnNames(qSql)
