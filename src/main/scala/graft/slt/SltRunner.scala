@@ -103,6 +103,13 @@ object SltRunner {
   private final case class Unsupported(
       reason: String, mutating: Boolean, target: Option[String] = None,
       sql: String = "") extends Record
+  /** `simple` block (default connection) whose statements are ALL session-
+    * variable pieces (SET/RESET/SHOW/BEGIN/COMMIT/ROLLBACK) — executed by
+    * the simple-protocol emulation with pg's transactional variable
+    * semantics (plain SET commits at block end, SET LOCAL never escapes
+    * the block, ROLLBACK restores the pre-block state). */
+  private final case class SimpleVarBlock(
+      stmts: List[String], expected: List[String]) extends Record
 
   // Statements that have no Spark analog (cluster/catalog/rbac/source ops).
   private val skipPrefixes = List(
@@ -3975,6 +3982,25 @@ object SltRunner {
           scala.util.matching.Regex.quoteReplacement(
             s"CASE WHEN count(1) = 0 THEN NULL ELSE $core END")
         })
+      // jsonb_agg over SIMPLE arguments — same value-sorted convention as
+      // the unordered array_agg rewrite, rendered as canonical jsonb text;
+      // empty input yields NULL (pg jsonb_agg), not '[]'
+      sql = ("""(?i)\bjsonb_agg\s*\(\s*((?:[\w.]+|\d+|NULL)(?:\s*::\s*\w+)?)\s*\)""" +
+        """\s*OVER\s*(\((?:[^()]|\([^()]*\))*\))""").r
+        .replaceAllIn(sql, m => scala.util.matching.Regex.quoteReplacement(
+          s"CASE WHEN count(1) OVER ${m.group(2)} = 0 THEN NULL ELSE " +
+            s"jsonb_canon(to_json(array_sort(transform(" +
+            s"collect_list(named_struct('v', ${m.group(1)})) OVER ${m.group(2)}, " +
+            "s -> s.v)))) END"))
+      sql = """(?i)\bjsonb_agg\s*\(\s*((?:[\w.]+|\d+|NULL)(?:\s*::\s*\w+)?)\s*\)(?!\s*OVER\b)""".r
+        .replaceAllIn(sql, m => {
+          val arg = m.group(1)
+          val core = s"jsonb_canon(to_json(transform(array_sort(" +
+            s"collect_list(named_struct('n', ($arg) IS NULL, 'k', $arg, 'v', $arg))), " +
+            "s -> s.v)))"
+          scala.util.matching.Regex.quoteReplacement(
+            s"CASE WHEN count(1) = 0 THEN NULL ELSE $core END")
+        })
       sql = """(?i),\s*(?:CONSTRAINT\s+\w+\s+)?(?:PRIMARY\s+KEY|UNIQUE|CHECK)\s*\([^)]*\)""".r
         .replaceAllIn(sql, "")
       sql = """(?i),\s*FAMILY\s*[\w"]*\s*\([^)]*\)""".r.replaceAllIn(sql, "")
@@ -5591,14 +5617,34 @@ object SltRunner {
         i += 1
       }
       else if (line.startsWith("simple")) {
-        // `simple conn=...` block: SQL, ----, raw output, blank. Not SQL we
-        // run — but the block text is kept so session-variable SETs inside
-        // it taint those vars (later SHOWs must skip, not report stale).
+        // `simple conn=...` block: SQL, ----, raw output, blank. Session-
+        // variable-only blocks on the DEFAULT connection run through the
+        // simple-protocol emulation below; everything else is kept as an
+        // Unsupported whose text taints the vars it SETs.
+        // bare `simple` only: a named conn (even conn=1) signals multi-
+        // connection interplay this single-session emulation can't model
+        val defaultConn = line.trim == "simple"
         i += 1
         val block = mutable.ListBuffer.empty[String]
         while (i < lines.length && lines(i).trim.nonEmpty) { block += lines(i); i += 1 }
-        out += Unsupported("simple protocol block", mutating = false,
-          sql = block.mkString("\n"))
+        val (sqlPart, expPart) = block.indexWhere(_.trim == "----") match {
+          case -1 => (block.toList, Nil)
+          case d => (block.take(d).toList, block.drop(d + 1).toList)
+        }
+        val stmts = splitStatements(sqlPart.mkString("\n"))
+        val safe = defaultConn && stmts.nonEmpty && stmts.forall(s =>
+          """(?is)^\s*(SET\s+(?:LOCAL\s+)?[A-Za-z_][\w.]*\s*(?:=|\s+TO\s+).+|RESET\s+[A-Za-z_][\w.]*|SHOW\s+[A-Za-z_][\w.]*|BEGIN|COMMIT|ROLLBACK)\s*$""".r
+            .pattern.matcher(s.trim).matches) &&
+          // a pure BEGIN/COMMIT/ROLLBACK block only carries TRANSACTION
+          // state (often interleaved with other connections' DDL) — claim
+          // only blocks doing session-variable work
+          stmts.exists(s =>
+            """(?is)^\s*(SET|RESET|SHOW)\b.*""".r.pattern.matcher(s.trim).matches)
+        if (safe)
+          emit(SimpleVarBlock(stmts.toList, expPart.map(_.trim)))
+        else
+          out += Unsupported("simple protocol block", mutating = false,
+            sql = block.mkString("\n"))
       } else if (line.startsWith("statement")) {
         val expectErr = line.startsWith("statement error")
         i += 1
@@ -6251,6 +6297,52 @@ object SltRunner {
   }
 
   // ---------------- execution ----------------
+
+  /** pg WHOLE-ROW references: a bare relation/alias name in a VALUE
+    * position (`SELECT t FROM t`, `SELECT (SELECT v) FROM v`) denotes the
+    * row as a RECORD (pg 8.16.5; reference record-star planning,
+    * src/sql/src/plan/query.rs). Spark has no whole-row variable — retry
+    * with the unresolved name expanded to `struct(name.*)`. */
+  private def wholeRowRetry(spark: SparkSession, sql: String,
+      errMsg: String): Option[DataFrame] = {
+    val name = """`(\w+)`""".r.findFirstMatchIn(errMsg)
+      .map(_.group(1)).getOrElse(return None)
+    // the name must actually be a FROM-position relation or alias
+    if (!(s"""(?is)\\b(?:FROM|JOIN)\\s+(?:["`]?$name["`]?|\\S+\\s+(?:AS\\s+)?["`]?$name["`]?)\\s*(?:[,;)\\s]|$$)""").r
+          .findFirstIn(sql).isDefined) return None
+    val sb = new StringBuilder
+    var i = 0
+    var inQ = false
+    var changed = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQ) { sb += c; if (c == '\'') inQ = false; i += 1 }
+      else if (c == '\'') { sb += c; inQ = true; i += 1 }
+      else if (sql.regionMatches(true, i, name, 0, name.length) &&
+          (i == 0 || (!isWordChar(sql.charAt(i - 1)) && sql.charAt(i - 1) != '.' &&
+            sql.charAt(i - 1) != '"')) &&
+          (i + name.length >= sql.length ||
+            (!isWordChar(sql.charAt(i + name.length)) &&
+             sql.charAt(i + name.length) != '.' &&
+             sql.charAt(i + name.length) != '(' &&
+             sql.charAt(i + name.length) != '"'))) {
+        // skip FROM/JOIN positions and alias definitions — only VALUE uses
+        val before = sb.toString
+        val prevWord = """(?is).*?(\w+)\s*$""".r.findFirstMatchIn(before)
+          .map(_.group(1).toUpperCase).getOrElse("")
+        if (prevWord == "FROM" || prevWord == "JOIN" || prevWord == "AS" ||
+            prevWord == "TABLE" || prevWord == "INTO" || prevWord == "UPDATE") {
+          sb ++= sql.substring(i, i + name.length)
+        } else {
+          sb ++= s"struct($name.*)"
+          changed = true
+        }
+        i += name.length
+      } else { sb += c; i += 1 }
+    }
+    if (!changed) None
+    else scala.util.Try(spark.sql(sb.toString)).toOption
+  }
 
   /** pg relation aliases may list a PREFIX of the columns
     * (`FROM abc AS foo (foo1)` renames the first column only; the rest
@@ -7172,6 +7264,100 @@ object SltRunner {
     records.foreach { r0 => expandRecord(r0) match {
       case _ if poisoned => skipped += 1; tally("whole file poisoned by earlier skip")
       case Halt => ()
+      case SimpleVarBlock(stmts, expected) =>
+        // simple-protocol emulation over the session-variable registry:
+        // the block is ONE implicit transaction (reference pgwire simple
+        // protocol) — plain SET commits at block end, SET LOCAL never
+        // escapes, ROLLBACK restores the pre-block state mid-block.
+        val working = mutable.Map.empty[String, String] ++ sessionVars
+        val pendingPlain = mutable.Map.empty[String, String]
+        var rolledBack = false
+        var dbError = false
+        val rendered = mutable.ListBuffer.empty[String]
+        var abortReason: Option[String] = None
+        val SetPat =
+          """(?is)^\s*SET\s+(LOCAL\s+)?([A-Za-z_][\w.]*)\s*(?:=|\s*TO\s+)\s*(.+?)\s*$""".r
+        val ResetPat = """(?is)^\s*RESET\s+([A-Za-z_][\w.]*)\s*$""".r
+        val ShowPat = """(?is)^\s*SHOW\s+([A-Za-z_][\w.]*)\s*$""".r
+        stmts.iterator.takeWhile(_ => abortReason.isEmpty && !dbError).foreach { st =>
+          st.trim match {
+            case SetPat(localKw, name0, value) =>
+              val n = SltSession.normVar(name0)
+              SltSession.acceptSet(n, value) match {
+                case SltSession.Accepted(v)
+                    if n == "cluster" && !clusterNames.contains(v.toLowerCase) =>
+                  // the reference validates the cluster at SET time
+                  rendered += s"db error: ERROR: unknown catalog item '$v'"
+                  dbError = true
+                case SltSession.Accepted(v) =>
+                  working(n) = v
+                  if (localKw == null) pendingPlain(n) = v
+                  rendered += "COMPLETE 0"
+                case _ => abortReason = Some(s"SET $name0 not honored in simple block")
+              }
+            case ResetPat(name0) =>
+              val n = SltSession.normVar(name0)
+              SltSession.varDefaults.get(n) match {
+                case Some(d) =>
+                  working(n) = d
+                  pendingPlain(n) = d
+                  rendered += "COMPLETE 0"
+                case None => abortReason = Some(s"RESET $name0 not honored in simple block")
+              }
+            case ShowPat(name0) =>
+              val n = SltSession.normVar(name0)
+              if (varTainted.contains(n))
+                abortReason = Some("SHOW of a tainted variable in simple block")
+              else working.get(n).orElse(SltSession.varDefaults.get(n)) match {
+                case Some(v) => rendered += v; rendered += "COMPLETE 1"
+                case None => abortReason = Some(s"SHOW $name0 untracked in simple block")
+              }
+            case s if s.equalsIgnoreCase("BEGIN") || s.equalsIgnoreCase("COMMIT") =>
+              rendered += "COMPLETE 0"
+            case s if s.equalsIgnoreCase("ROLLBACK") =>
+              working.clear(); working ++= sessionVars
+              pendingPlain.clear()
+              rolledBack = true
+              rendered += "COMPLETE 0"
+            case other =>
+              abortReason = Some(s"unhandled simple-block piece: ${other.take(40)}")
+          }
+        }
+        val _ = rolledBack
+        // a db error aborts the block's transaction: nothing commits, and
+        // statements after the error would need abort-state rendering
+        if (dbError) {
+          pendingPlain.clear()
+          if (rendered.size < stmts.size &&
+              stmts.size != rendered.size) {
+            // statements remained after the error — only claim the block
+            // when the expected output is exactly the error we rendered
+            if (expected.filter(_.nonEmpty) != rendered.toList)
+              abortReason = Some("statements after simple-block db error")
+          }
+        }
+        abortReason match {
+          case Some(r) =>
+            skipped += 1
+            tally("simple protocol block", stmts.mkString("; "))
+            // the skipped SETs taint their vars, exactly like before
+            stmts.foreach {
+              case SetPat(_, name0, _) => varTainted += SltSession.normVar(name0)
+              case _ => ()
+            }
+            val _ = r
+          case None =>
+            if (rendered.toList == expected.filter(_.nonEmpty)) {
+              pendingPlain.foreach { case (n, v) =>
+                sessionVars(n) = v; varTainted -= n
+              }
+              passed += 1
+            } else {
+              failed += 1
+              failures += s"$name simple block: got [${rendered.mkString(" | ")}] " +
+                s"expected [${expected.mkString(" | ")}]"
+            }
+        }
       case Unsupported(reason, mutating, target, usql) =>
         skipped += 1
         tally(s"unsupported record: $reason", usql)
@@ -8091,7 +8277,7 @@ object SltRunner {
           }
           // SHOW CLUSTERS (bare or `SELECT ... FROM (SHOW CLUSTERS)`):
           // synthesized from the per-file cluster registry + comments
-          val qSql = SltSession.ShowClustersStmt.findFirstMatchIn(qSql1) match {
+          val qSqlC = SltSession.ShowClustersStmt.findFirstMatchIn(qSql1) match {
             case Some(m) =>
               val rows = clusterNames.keys.toSeq.map { n =>
                 (n, graft.sql.GraftSqlCatalog.commentsFor(spark)
@@ -8111,6 +8297,24 @@ object SltRunner {
               }
             case None => qSql1
           }
+          // pg current_setting('name'[, missing_ok]): the session registry
+          // value as text; unknown parameters raise pg's rejection (NULL
+          // with missing_ok = true)
+          val qSql =
+            if (!qSqlC.toLowerCase.contains("current_setting")) qSqlC
+            else """(?i)\bcurrent_setting\s*\(\s*'([^']+)'\s*(?:,\s*(true|false)\s*)?\)""".r
+              .replaceAllIn(qSqlC, m => {
+                val n = SltSession.normVar(m.group(1))
+                val missingOk = Option(m.group(2)).exists(_.equalsIgnoreCase("true"))
+                if (varTainted.contains(n))
+                  throw new DialectSkip("current_setting of a tainted variable")
+                sessionVars.get(n).orElse(SltSession.varDefaults.get(n)) match {
+                  case Some(v) => Regex.quoteReplacement(s"'${v.replace("'", "''")}'")
+                  case None if missingOk => "CAST(NULL AS STRING)"
+                  case None => throw new IllegalStateException(
+                    s"""unrecognized configuration parameter "${m.group(1)}"""")
+                }
+              })
           // pg resolves a bare GROUP BY name against output-column aliases;
           // a DUPLICATED alias that is not also a source column is
           // ambiguous (reference src/sql/src/plan/query.rs) — Spark groups
@@ -8166,6 +8370,8 @@ object SltRunner {
                       if (s4 == qSql) None
                       else scala.util.Try(spark.sql(s4)).toOption
                     }
+                    .orElse(wholeRowRetry(spark, qSql,
+                      Option(e.getMessage).getOrElse("")))
                     .orElse(graft.plans.NestedCorrelationFlatten.rescue(spark, qSql))
                     .getOrElse(throw e)
               }
