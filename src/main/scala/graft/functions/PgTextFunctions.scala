@@ -245,8 +245,56 @@ object PgTextFunctions {
   }
 
   /** (identifier, info, builder) triples for SparkSessionExtensions. */
+  /** pg_get_viewdef(name|oid[, pretty]) (pg system catalog info; reference
+    * mz pg_get_viewdef over create_sql): NULL for an unknown relation or
+    * oid 0 — exact; a KNOWN view's mz-catalog rendering ([uN AS ...] id
+    * forms) is not emulated, so those raise (an honest dialect skip). */
+  case class PgGetViewdef(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "pg_get_viewdef"
+    override protected def nullSafeEval(v: Any): Any = {
+      val s = v.toString.trim
+      if (s.isEmpty || s == "0") return null
+      if (s.matches("\\d+"))
+        throw new IllegalArgumentException(
+          "UNSUPPORTED: pg_get_viewdef catalog rendering not emulated")
+      val known = scala.util.Try(
+        org.apache.spark.sql.SparkSession.active.catalog.tableExists(s))
+        .getOrElse(false)
+      if (!known) null
+      else throw new IllegalArgumentException(
+        "UNSUPPORTED: pg_get_viewdef catalog rendering not emulated")
+    }
+    override protected def withNewChildInternal(c: Expression): PgGetViewdef =
+      copy(child = c)
+  }
+
+  /** pg_column_size(x): mz's internal row-encoding byte size — NULL input
+    * yields NULL (exact); non-null sizes depend on the reference's datum
+    * packing, which is not emulated (honest dialect skip). */
+  case class PgColumnSize(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def prettyName: String = "pg_column_size"
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) null
+      else throw new IllegalArgumentException(
+        "UNSUPPORTED: pg_column_size datum packing not emulated")
+    }
+    override protected def withNewChildInternal(c: Expression): PgColumnSize =
+      copy(child = c)
+  }
+
   def functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
+      (FunctionIdentifier("pg_get_viewdef"), info("pg_get_viewdef"),
+        (args: Seq[Expression]) => PgGetViewdef(args.head)),
+      (FunctionIdentifier("pg_column_size"), info("pg_column_size"),
+        (args: Seq[Expression]) => PgColumnSize(args.head)),
       // pg regexp_split_to_table(string, pattern[, flags]) — a set-returning
       // split (reference src/expr/src/relation/func.rs RegexpSplitToTable);
       // composed from Spark's codegen'd split + the Explode generator, so a
