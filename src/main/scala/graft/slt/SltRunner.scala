@@ -6942,6 +6942,11 @@ object SltRunner {
     // mz_unsafe schema availability (ALTER SYSTEM SET
     // unsafe_enable_unsafe_functions; the corpus default is enabled)
     var unsafeFnsEnabled = true
+    // statement counter driving WMR-view freshness: a fixpoint
+    // materialization is reused until any statement could have changed
+    // base state (bumped per statement record, not per query)
+    var mutationEpoch = 0
+    val wmrMaterialized = mutable.Map.empty[String, Int]
     def unsafeFnCheck(sql: String): Unit =
       if (!unsafeFnsEnabled &&
           """(?i)\bmz_(sleep|panic|all|any|error_if_null)\s*\(""".r
@@ -7132,13 +7137,31 @@ object SltRunner {
           !still
         }
       }
-    def refreshMvsFor(sql: String): Unit =
+    def refreshMvsFor(sql: String): Unit = {
       if (mvDefs.exists(mv => refsWord(sql, mv)))
         // refresh ALL in creation order so chained MVs observe fresh inputs
         mvDefs.foreach { mv =>
           try spark.sql(s"REFRESH MATERIALIZED VIEW $mv").collect()
           catch { case _: Throwable => () } // e.g. base dropped; query decides
         }
+      // WMR views are LAZY (never evaluated at CREATE) — materialize the
+      // recorded fixpoint before a read, re-running only when base state
+      // changed since the last materialization (mutationEpoch)
+      val wmr = graft.sql.GraftSqlCatalog.wmrViewsFor(spark)
+      if (wmr.nonEmpty) wmr.foreach { case (n, body) =>
+        if (refsWord(sql, n) && !wmrMaterialized.get(n).contains(mutationEpoch) &&
+            // NESTED fixpoints (a WMR binding containing its own WMR)
+            // re-evaluate the inner fixpoint per outer round — a plan
+            // explosion this emulation refuses; reads fail honestly
+            """(?i)MUTUALLY\s+RECURSIVE""".r.findAllIn(body).size == 1) {
+          try {
+            graft.sql.MutualRecursionSql.run(spark, body)
+              .createOrReplaceTempView(n)
+            wmrMaterialized(n) = mutationEpoch
+          } catch { case _: Throwable => () } // reads fail honestly
+        }
+      }
+    }
 
     def isSingle(sql: String): Boolean =
       !sql.contains(";") || splitStatements(sql).lengthCompare(1) == 0
@@ -7261,7 +7284,14 @@ object SltRunner {
       case other => other
     }
 
-    records.foreach { r0 => expandRecord(r0) match {
+    records.foreach { r0 =>
+      // any statement-shaped record may change base state → WMR views
+      // re-materialize on next read (queries never bump the epoch)
+      r0 match {
+        case _: Query => ()
+        case _ => mutationEpoch += 1
+      }
+      expandRecord(r0) match {
       case _ if poisoned => skipped += 1; tally("whole file poisoned by earlier skip")
       case Halt => ()
       case SimpleVarBlock(stmts, expected) =>
@@ -8594,6 +8624,9 @@ object SltRunner {
       // stale registry entry turns the next file's CREATE into 'already
       // exists'; the backing temp view drops with the listTables sweep below
       graft.sql.GraftSqlCatalog.sourcesFor(spark).clear()
+      // WMR view bodies are per-file state too (the backing temp views
+      // drop with the sweep below)
+      graft.sql.GraftSqlCatalog.wmrViewsFor(spark).clear()
       // temp views FIRST: Spark's DROP TABLE resolves a same-named temp
       // view before the catalog table, so dropping tables while their
       // shadowing views exist silently leaks the table into the next file

@@ -115,6 +115,14 @@ object GraftSqlCatalog {
   def commentMetaFor(spark: SparkSession): TrieMap[(String, Option[Int]), (Option[String], Int)] =
     commentMeta.getOrElseUpdate(spark.sharedState, TrieMap.empty)
   def nextCommentSeq(): Int = commentSeq.incrementAndGet()
+
+  /** WITH MUTUALLY RECURSIVE view bodies (name -> WMR text): the fixpoint
+    * can't live as a lazy Spark temp view, so readers re-materialize the
+    * name from the recorded body before use (the same freshness-on-read
+    * contract the SLT layer applies to materialized views). */
+  private val wmrViews = TrieMap.empty[AnyRef, TrieMap[String, String]]
+  def wmrViewsFor(spark: SparkSession): TrieMap[String, String] =
+    wmrViews.getOrElseUpdate(spark.sharedState, TrieMap.empty)
 }
 
 /** Batch SUBSCRIBE: the view's changelog over its committed version

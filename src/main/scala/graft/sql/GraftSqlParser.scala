@@ -104,9 +104,24 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case ShowColumns(name) => ShowColumnsCommand(name)
     case ShowTables() => ShowTablesCommand(views = false)
     case ShowViews() => ShowTablesCommand(views = true)
+    case cv @ CreateViewWmrStmt(name, body) =>
+      // CREATE VIEW ... AS WITH MUTUALLY RECURSIVE: LAZY like the
+      // reference (a view is never evaluated at creation — some corpus
+      // views are deliberately non-terminating and only ever created).
+      // The body is recorded; readers materialize it on demand (the SLT
+      // layer's freshness-on-read refresh, same contract as MVs).
+      val bare = name.replace("\"", "")
+      scala.util.Try(session.catalog.dropTempView(bare)) // OR REPLACE
+      GraftSqlCatalog.wmrViewsFor(session).put(
+        GraftSqlCatalog.normId(name), body.trim.stripSuffix(";"))
+      GraftSqlCatalog.createSqlFor(session).put(
+        GraftSqlCatalog.normId(name), (false, cv.trim.stripSuffix(";") + ";"))
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(Nil)
     case cv @ CreateViewStmt(name) =>
       // plain CREATE VIEW delegates to Spark, but its text is recorded so
-      // SHOW CREATE VIEW can answer (reference ShowCreatePlan)
+      // SHOW CREATE VIEW can answer (reference ShowCreatePlan). A non-WMR
+      // redefinition also evicts any recorded WMR body for the name.
+      GraftSqlCatalog.wmrViewsFor(session).remove(GraftSqlCatalog.normId(name))
       val plan = delegate.parsePlan(cv)
       GraftSqlCatalog.createSqlFor(session).put(
         GraftSqlCatalog.normId(name), (false, cv.trim.stripSuffix(";") + ";"))
@@ -302,6 +317,12 @@ object GraftSqlParser {
   val CreateViewStmt: Regex =
     (s"(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:GLOBAL\\s+)?(?:TEMP(?:ORARY)?\\s+)?" +
       s"VIEW\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?$Id\\b.*$$").r
+  /** `CREATE VIEW <name> AS WITH MUTUALLY RECURSIVE ...` — the WMR body
+    * can't delegate to Spark's parser; [[MutualRecursionSql]] runs it. */
+  val CreateViewWmrStmt: Regex =
+    (s"(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:GLOBAL\\s+)?(?:TEMP(?:ORARY)?\\s+)?" +
+      s"(?:MATERIALIZED\\s+)?VIEW\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?$Id\\s+AS\\s+" +
+      s"(WITH\\s+MUTUALLY\\s+RECURSIVE\\b.*?);?\\s*$$").r
   val ShowCreateTable: Regex =
     s"(?is)^\\s*SHOW\\s+CREATE\\s+TABLE\\s+$Id\\s*;?\\s*$$".r
   val CreateTableStmt: Regex =
