@@ -122,6 +122,11 @@ object SltRunner {
     "DROP DATABASE", "DROP ROLE", "DROP OWNED", "REASSIGN", "INSPECT")
 
   private val typeRewrites: List[(Regex, String)] = List(
+    // pg_catalog-qualified TYPE names in cast position reduce to the bare
+    // type (the schema only namespaces them; regclass/regproc casts keep
+    // their own qualified-literal handling upstream)
+    ("""(?i)::\s*pg_catalog\s*\.\s*"?([a-z_][a-z0-9_]*)"?""".r, "::$1"),
+    ("""(?i)\bAS\s+pg_catalog\s*\.\s*"?([a-z_][a-z0-9_]*)"?(\s*[),])""".r, "AS $1$2"),
     // ANSI long forms first, so later word-level rewrites can't split them
     ("""(?i)\btimestamp\s+with(?:out)?\s+time\s+zone\b""".r, "timestamp"),
     ("""(?i)\bint2\b""".r, "smallint"),
@@ -1070,6 +1075,16 @@ object SltRunner {
     ("""(?is)^\s*CREATE\s+SOURCE\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?([\w.]+)["`]?""" +
       """(?:\s+IN\s+CLUSTER\s+["`]?\w+["`]?)?\s+FROM\s+LOAD\s+GENERATOR\s+""" +
       """(AUCTION|COUNTER|TPCH|MARKETING|CLOCK|DATUMS|KEY\s+VALUE)\b.*$""").r
+
+  private val SltDropSource: Regex =
+    """(?is)^\s*DROP\s+SOURCE\s+(IF\s+EXISTS\s+)?["`]?(\w+)["`]?\s*(?:CASCADE|RESTRICT)?\s*;?\s*$""".r
+
+  /** Plain webhook sources (BODY FORMAT + optional INCLUDE HEADERS only —
+    * CHECK/validation clauses keep their skip). */
+  private val SltCreateWebhook: Regex =
+    ("""(?is)^\s*CREATE\s+SOURCE\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?(\w+)["`]?""" +
+      """(?:\s+IN\s+CLUSTER\s+["`]?\w+["`]?)?\s+FROM\s+WEBHOOK\s+""" +
+      """BODY\s+FORMAT\s+(TEXT|JSON|BYTES)((?:\s+INCLUDE\s+HEADERS)?)\s*;?\s*$""").r
 
   private val SltCreateTableFromSource: Regex =
     ("""(?is)^\s*CREATE\s+TABLE\s+["`]?([\w.]+)["`]?\s+FROM\s+SOURCE\s+""" +
@@ -5479,6 +5494,20 @@ object SltRunner {
         m.group(2).toUpperCase.replaceAll("\\s+", " "))
       Statement("SELECT 1 AS graft_source_registered", expectError = false)
     }
+    else if (SltCreateWebhook.findFirstMatchIn(sqlRaw).isDefined) {
+      // CREATE SOURCE ... FROM WEBHOOK (reference webhook sources,
+      // src/storage-types/src/sources.rs; engine analog
+      // sources/WebhookSource.scala): a webhook source with no requests is
+      // an EMPTY relation of its declared shape — registering it keeps
+      // downstream DDL (COMMENT ON SOURCE, SHOW) off the poison path
+      val m = SltCreateWebhook.findFirstMatchIn(sqlRaw).get
+      val hdr =
+        if ("""(?i)\bINCLUDE\s+HEADERS\b""".r.findFirstIn(m.group(3)).isDefined)
+          "H" else ""
+      Statement(
+        s"GRAFT_WEBHOOK|${m.group(1)}|${m.group(2).toUpperCase}|$hdr",
+        expectError = false)
+    }
     else if (SltCreateTableFromSource.findFirstMatchIn(sqlRaw).isDefined) {
       // CREATE TABLE <t> FROM SOURCE <s> (REFERENCE <r>) — a source-fed
       // table (reference ddl.rs plan_create_table_from_source). Backed
@@ -5498,6 +5527,12 @@ object SltRunner {
             mutating = true, sql = sqlRaw)
       }
     }
+    else if (SltDropSource.findFirstMatchIn(sqlRaw).isDefined) {
+      val m = SltDropSource.findFirstMatchIn(sqlRaw).get
+      Statement(
+        s"GRAFT_DROP_SOURCE|${m.group(2)}|${if (m.group(1) != null) "IE" else ""}",
+        expectError = false)
+    }
     else if (up.startsWith("SUBSCRIBE") && parseSubscribe(sqlRaw).isDefined)
       // statement-position SUBSCRIBE: dispatch validates AS OF / UP TO /
       // envelope keys like the reference (the expected-error records);
@@ -5511,8 +5546,21 @@ object SltRunner {
       // the type registry lives here, not in the engine catalog
       m.group(1).equalsIgnoreCase("COLUMN") &&
         customTypes.contains(SltSession.normName(m.group(2).split("\\.").head))
-    })
-      Statement("SELECT 1 AS graft_type_column_comment", expectError = false)
+    }) {
+      // the registry is PARSE-time state (a later DROP TYPE evicts it
+      // before dispatch runs) — resolve the field position here
+      val cm = graft.sql.GraftSqlParser.CommentOn.findFirstMatchIn(sqlRaw).get
+      val parts = cm.group(2).replace("\"", "").split("\\.").map(_.trim)
+      val tn = SltSession.normName(parts.head)
+      val colName = parts.lift(1).getOrElse("")
+      val fieldIdx = customTypes.get(tn) match {
+        case Some(SltSession.RecordType(fields)) =>
+          fields.indexWhere(_._1.equalsIgnoreCase(colName))
+        case _ => -2 // list/map types have no columns
+      }
+      Statement(s"GRAFT_TYPE_COL_COMMENT|$fieldIdx|" + sqlRaw.trim,
+        expectError = false)
+    }
     else Statement(shim(sqlRaw, crdb), expectError = false)
   }
 
@@ -6452,6 +6500,9 @@ object SltRunner {
         msg.contains("COLLATION") ||
         // ANSI overflow: the reference auto-widens sum(int8) to numeric
         cn.contains("arithmetic") ||
+        // pg numeric admits NaN/Infinity; Spark's decimal cast raises a
+        // number-format error — the engine can't hold the value at all
+        cn.contains("numberformat") ||
         // runtime datetime cast rejections (pg's literal formats are looser)
         cn.contains("datetime") ||
         // Catalyst limitations on deeply-correlated subqueries
@@ -7552,6 +7603,16 @@ object SltRunner {
         sessionVars.clear(); varTainted.clear(); preparedStmts.clear()
         preparedDefs.clear(); txnClear()
       case TypeDdl(ok, err, expectError, tsql) =>
+        // a successful DROP TYPE evicts the type's comments (mz cascades
+        // comment records with the object)
+        if (ok) """(?is)^\s*DROP\s+TYPE\s+(?:IF\s+EXISTS\s+)?["`]?(\w+)""".r
+          .findFirstMatchIn(tsql).foreach { m =>
+            val n = graft.sql.GraftSqlCatalog.normId(m.group(1))
+            graft.sql.GraftSqlCatalog.commentsFor(spark)
+              .filterInPlace((k, _) => k._1 != n)
+            graft.sql.GraftSqlCatalog.commentMetaFor(spark)
+              .filterInPlace((k, _) => k._1 != n)
+          }
         if (ok == !expectError) passed += 1
         else if (ok) { skipped += 1
           tally("statement error expected but we accept it",
@@ -7753,6 +7814,80 @@ object SltRunner {
         }
       } =>
         passed += 1
+      case Statement(sql, expectError) if sql.startsWith("GRAFT_TYPE_COL_COMMENT|") =>
+        // COMMENT ON COLUMN of a session-registered RECORD type: stored
+        // against the type with the field's 1-based position (mz comments
+        // on type columns; list/map custom types have no columns — the
+        // reference rejects those)
+        val tail = sql.stripPrefix("GRAFT_TYPE_COL_COMMENT|")
+        val fieldIdx = tail.takeWhile(_ != '|').toInt
+        val orig = tail.dropWhile(_ != '|').drop(1)
+        graft.sql.GraftSqlParser.CommentOn.findFirstMatchIn(orig) match {
+          case Some(cm) =>
+            val parts = cm.group(2).replace("\"", "").split("\\.").map(_.trim)
+            val tn = SltSession.normName(parts.head)
+            if (fieldIdx == -2) {
+              if (expectError) passed += 1
+              else { skipped += 1; tally("COMMENT ON COLUMN of a columnless type", orig) }
+            } else if (fieldIdx < 0) {
+              if (expectError) passed += 1
+              else { skipped += 1; tally("COMMENT ON unknown type column", orig) }
+            } else {
+              val txt = cm.group(3)
+              val key = (tn, Some(fieldIdx + 1))
+              if (txt.equalsIgnoreCase("NULL")) {
+                graft.sql.GraftSqlCatalog.commentsFor(spark).remove(key)
+                graft.sql.GraftSqlCatalog.commentMetaFor(spark).remove(key)
+              } else {
+                graft.sql.GraftSqlCatalog.commentsFor(spark).put(key,
+                  txt.stripPrefix("'").stripSuffix("'").replace("''", "'"))
+                graft.sql.GraftSqlCatalog.commentMetaFor(spark).put(key,
+                  (None, graft.sql.GraftSqlCatalog.nextCommentSeq()))
+              }
+              if (expectError) { skipped += 1; tally("statement error expected but we accept it", orig) }
+              else passed += 1
+            }
+          case None =>
+            skipped += 1; tally("COMMENT ON COLUMN parse failure", orig)
+        }
+      case Statement(sql, expectError) if sql.startsWith("GRAFT_WEBHOOK|") =>
+        // webhook source: an EMPTY relation of the declared shape (body
+        // NOT NULL; jsonb/map markers carry the pg-level column types for
+        // SHOW COLUMNS), registered as a SOURCE for mz_comments
+        val parts = sql.split("\\|", -1)
+        val (nm, fmt, hdr) = (parts(1), parts(2), parts(3) == "H")
+        import org.apache.spark.sql.types._
+        val bodyMeta =
+          if (fmt == "JSON")
+            new MetadataBuilder().putString("comment", "graft_jsonb").build()
+          else Metadata.empty
+        val fs = mutable.Buffer(StructField("body",
+          if (fmt == "BYTES") BinaryType else StringType,
+          nullable = false, bodyMeta))
+        if (hdr) fs += StructField("headers",
+          MapType(StringType, StringType), nullable = false,
+          new MetadataBuilder().putString("comment", "graft_showtype_map").build())
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(fs.toSeq)).createOrReplaceTempView(nm)
+        graft.sql.GraftSqlCatalog.sourcesFor(spark).put(nm.toLowerCase, "WEBHOOK")
+        if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+        else passed += 1
+      case Statement(sql, expectError) if sql.startsWith("GRAFT_DROP_SOURCE|") =>
+        val parts = sql.split("\\|", -1)
+        val (nm, ifExists) = (parts(1), parts(2) == "IE")
+        val reg = graft.sql.GraftSqlCatalog.sourcesFor(spark)
+        if (reg.remove(nm.toLowerCase).isDefined) {
+          spark.catalog.dropTempView(nm)
+          if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
+          else passed += 1
+        } else if (expectError || ifExists) passed += 1
+        else {
+          skipped += 1; tally("DROP SOURCE of unregistered source", sql)
+          poisonedTables += nm.toLowerCase
+          poisonedTables += "information_schema_tables"
+          poisonedTables += "information_schema_columns"
+        }
       case Statement(sql, expectError) if sql.startsWith("GRAFT_SUBSCRIBE_STMT|") =>
         val orig = sql.stripPrefix("GRAFT_SUBSCRIBE_STMT|")
         parseSubscribe(orig) match {

@@ -82,7 +82,7 @@ private[slt] object SltSession {
     "search_path" -> "public",
     "sql_safe_updates" -> "off",
     "standard_conforming_strings" -> "on",
-    "statement_timeout" -> "10 s",
+    "statement_timeout" -> "1 min",
     "timezone" -> "UTC",
     "transaction_isolation" -> "strict serializable",
     "current_object_missing_warnings" -> "on",

@@ -196,6 +196,7 @@ case class ShowColumnsCommand(relation: String) extends LeafRunnableCommand {
         if (marker == "graft_jsonb") "jsonb"
         else if (marker.startsWith("graft_range_")) marker.stripPrefix("graft_range_")
         else if (marker.startsWith("graft_uint")) marker.stripPrefix("graft_")
+        else if (marker.startsWith("graft_showtype_")) marker.stripPrefix("graft_showtype_")
         else ShowCommands.pgTypeName(f.dataType)
       Row(f.name, f.nullable, ty, comments.getOrElse((rel, Some(i + 1)), ""))
     }
@@ -299,7 +300,8 @@ case class CommentOnCommand(kind: String, target: String, text: Option[String])
     // mz_comments; relations resolve their type from the catalog instead
     val declaredKind = kind match {
       case "DATABASE" | "SCHEMA" | "CLUSTER" | "CLUSTER REPLICA" | "ROLE" |
-           "SECRET" | "CONNECTION" | "FUNC" | "NETWORK POLICY" =>
+           "SECRET" | "CONNECTION" | "FUNC" | "NETWORK POLICY" |
+           "SOURCE" | "SINK" =>
         Some(kind.toLowerCase.replaceAll("\\s+", "-"))
       case _ => None
     }

@@ -346,8 +346,10 @@ object PgCatalogRelations {
     val meta = GraftSqlCatalog.commentMetaFor(spark)
     val rows = GraftSqlCatalog.commentsFor(spark).toSeq
       // non-relational namespaces (clusters, databases, roles…) have no
-      // pg_class oid — pg_description never lists them
-      .filter { case (k, _) => meta.get(k).forall(_._1.isEmpty) }
+      // pg_class oid — pg_description never lists them; sources/sinks ARE
+      // catalog relations and keep their rows
+      .filter { case (k, _) => meta.get(k).forall(_._1.forall(dk =>
+        dk == "source" || dk == "sink")) }
       .map { case ((n, col), txt) =>
         Row(userOid(n), 1259, col.getOrElse(0), txt)
       }
@@ -372,7 +374,10 @@ object PgCatalogRelations {
         if (mvs.contains(n.toLowerCase)) "materialized-view"
         else k match {
           case "r" => "table"; case "v" => "view"; case _ => "index" })
-    }.toMap ++ sltIndexes.map(_._1 -> "index")
+    }.toMap ++ sltIndexes.map(_._1 -> "index") ++
+      // registered sources (webhook/load-generator relations) report
+      // 'source' — their backing temp view must not read as 'view'
+      GraftSqlCatalog.sourcesFor(spark).keys.map(_.toLowerCase -> "source")
     val meta = GraftSqlCatalog.commentMetaFor(spark)
     val rows = GraftSqlCatalog.commentsFor(spark).toSeq
       .sortBy { case (k, _) => meta.get(k).map(_._2).getOrElse(0) }
