@@ -809,13 +809,13 @@ object SltRunner {
                     s"WHEN ${ex(s"($cmp) IS NULL")} THEN CAST(NULL AS BOOLEAN) " +
                     "ELSE false END)"
                 else if (quant == "ALL")
-                  s"(CASE WHEN (${sub.trim}) IS NULL THEN CAST(NULL AS BOOLEAN) " +
-                    s"WHEN ${exArr(s"NOT($cmp)")} THEN false " +
+                  // mz lowers array quantifiers via unnest: a NULL array
+                  // unnests to no rows (vacuous true), like the empty one
+                  s"(CASE WHEN ${exArr(s"NOT($cmp)")} THEN false " +
                     s"WHEN ${exArr(s"($cmp) IS NULL")} THEN CAST(NULL AS BOOLEAN) " +
                     "ELSE true END)"
                 else
-                  s"(CASE WHEN (${sub.trim}) IS NULL THEN CAST(NULL AS BOOLEAN) " +
-                    s"WHEN ${exArr(cmp)} THEN true " +
+                  s"(CASE WHEN ${exArr(cmp)} THEN true " +
                     s"WHEN ${exArr(s"($cmp) IS NULL")} THEN CAST(NULL AS BOOLEAN) " +
                     "ELSE false END)"
               out = out.substring(0, st) + repl + out.substring(i)
@@ -950,6 +950,16 @@ object SltRunner {
       else if (c == '\'') { sb += c; inQ = true; i += 1 }
       else {
         jsonbOps.find { case (op, _, _) => sql.regionMatches(false, i, op, 0, op.length) } match {
+          case Some((op, _, _)) if op == "->" && {
+            // a generated higher-order-function LAMBDA arrow (earlier
+            // rewrites emit `graft_* -> ...`) is not the jsonb operator
+            var j = sb.length - 1
+            while (j >= 0 && sb.charAt(j) == ' ') j -= 1
+            val e = j
+            while (j >= 0 && isWordChar(sb.charAt(j))) j -= 1
+            sb.substring(j + 1, e + 1).startsWith("graft_")
+          } =>
+            sb ++= op; i += op.length
           case Some((op, fn, swap)) =>
             val lStart = castOperandStart(sb)
             val rEnd = if (lStart < 0) -1 else forwardOperandEnd(sql, i + op.length)
