@@ -7205,12 +7205,31 @@ object SltRunner {
           try spark.sql(s"REFRESH MATERIALIZED VIEW $mv").collect()
           catch { case _: Throwable => () } // e.g. base dropped; query decides
         }
-      // WMR views are LAZY (never evaluated at CREATE) — materialize the
-      // recorded fixpoint before a read, re-running only when base state
-      // changed since the last materialization (mutationEpoch)
+      refreshWmrFor(sql)
+    }
+
+    /** WMR views are LAZY (never evaluated at CREATE) — materialize the
+      * recorded fixpoint before a READ or a dependent CREATE, re-running
+      * only when base state changed since the last materialization
+      * (mutationEpoch). */
+    def refreshWmrFor(sql: String): Unit = {
       val wmr = graft.sql.GraftSqlCatalog.wmrViewsFor(spark)
-      if (wmr.nonEmpty) wmr.foreach { case (n, body) =>
-        if (refsWord(sql, n) && !wmrMaterialized.get(n).contains(mutationEpoch) &&
+      if (wmr.isEmpty) return
+      // a read may reach a WMR view THROUGH ordinary views — chase the
+      // reference closure over the recorded view definitions
+      val texts = mutable.Set(sql)
+      var grew = true
+      while (grew) {
+        grew = false
+        viewDefs.foreach { case (vn, vdef) =>
+          if (!texts.contains(vdef) && texts.exists(t => refsWord(t, vn))) {
+            texts += vdef; grew = true
+          }
+        }
+      }
+      wmr.foreach { case (n, body) =>
+        if (texts.exists(t => refsWord(t, n)) &&
+            !wmrMaterialized.get(n).contains(mutationEpoch) &&
             // NESTED fixpoints (a WMR binding containing its own WMR)
             // re-evaluate the inner fixpoint per outer round — a plan
             // explosion this emulation refuses; reads fail honestly
@@ -8202,6 +8221,9 @@ object SltRunner {
       case Statement(sql, expectError) =>
         try {
           unsafeFnCheck(sql)
+          // dependent DDL (CREATE VIEW over a WMR view) analyzes the WMR
+          // name — materialize it first
+          refreshWmrFor(sql)
           // a CREATE VIEW whose body reads the introspection relations
           // (e.g. the autogenerated census files' CREATE VIEW objects over
           // mz_columns/mz_schemas) needs them registered at analysis time.
