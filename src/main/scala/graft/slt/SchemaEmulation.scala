@@ -266,7 +266,14 @@ object SchemaEmulation {
       Some {
         canon.get(dbKey(name)) match {
           case None =>
-            if (ifEx != null || ambient.contains(name)) ok()
+            // system/temporary schemas can never be dropped (reference
+            // plan_drop_schema rejections), IF EXISTS notwithstanding
+            if (name == "mz_temp")
+              err("cannot drop schema mz_temp because it is a temporary schema")
+            else if (name.startsWith("mz_") || name.startsWith("pg_") ||
+                name == "information_schema")
+              err(s"cannot drop schema $name because it is required by the database system")
+            else if (ifEx != null || ambient.contains(name)) ok()
             else err(s"unknown schema '$name'")
           case Some(c) =>
             val ms = members.getOrElse(c, mutable.Set.empty).toSeq.sorted

@@ -58,7 +58,10 @@ private[slt] object SltSession {
   val ResetVar: Regex =
     """(?is)^\s*RESET\s+(ALL|TIME\s+ZONE|[A-Za-z_][\w.]*)\s*;?\s*$""".r
   val ShowVar: Regex =
-    """(?is)^\s*SHOW\s+(TIME\s+ZONE|TRANSACTION\s+ISOLATION\s+LEVEL|[A-Za-z_][\w.]*)\s*;?\s*$""".r
+    ("""(?is)^\s*SHOW\s+(?!(?:OBJECTS|TABLES|VIEWS|SOURCES|SINKS|TYPES|""" +
+      """CONNECTIONS|COLUMNS|CLUSTERS|INDEXES|SCHEMAS|DATABASES|ROLES|""" +
+      """SECRETS|MATERIALIZED)\s*;?\s*$)""" +
+      """(TIME\s+ZONE|TRANSACTION\s+ISOLATION\s+LEVEL|[A-Za-z_][\w.]*)\s*;?\s*$""").r
 
   def normVar(n: String): String = n.trim.toLowerCase.replaceAll("\\s+", " ") match {
     case "time zone" | "time" => "timezone"
@@ -83,6 +86,10 @@ private[slt] object SltSession {
     "sql_safe_updates" -> "off",
     "standard_conforming_strings" -> "on",
     "statement_timeout" -> "1 min",
+    "is_superuser" -> "off",
+    "server_version" -> "9.5.0",
+    "server_version_num" -> "90500",
+    "max_identifier_length" -> "255",
     "timezone" -> "UTC",
     "transaction_isolation" -> "strict serializable",
     "current_object_missing_warnings" -> "on",

@@ -61,10 +61,13 @@ class SeriesAndMutationSpec extends SparkSpec {
     // chained subscripts flatten into ONE call (pg multi-dim access is a
     // single operation; under-indexed access is NULL)
     assert(s("SELECT x[1][2]").contains("pg_subscript(x, 1, 2)"))
-    // type names, string keys, slices, empty brackets stay native
+    // type names, string keys, empty brackets stay native
     assert(s("SELECT x::int[]").contains("::array<int>"))
     assert(s("SELECT m['k']").contains("m['k']"))
-    assert(s("SELECT a[1:2]").contains("a[1:2]"))
+    // slices take mz list-slice semantics (1-based inclusive, clamped;
+    // absent bounds encode as clamped extremes, never NULL)
+    assert(s("SELECT a[1:2]").contains("mz_list_slice(a, 1, 2)"))
+    assert(s("SELECT a[2:]").contains("mz_list_slice(a, 2, 9223372036854775807)"))
   }
 
   test("SLT shim: multiple SRFs in one select list zip in lockstep") {
