@@ -277,10 +277,15 @@ object SchemaEmulation {
             else err(s"unknown schema '$name'")
           case Some(c) =>
             val ms = members.getOrElse(c, mutable.Set.empty).toSeq.sorted
-            if (ms.nonEmpty && (cascade == null || !cascade.equalsIgnoreCase("CASCADE")))
+            // TYPES count as contained objects too (they live in their own
+            // registry — the emptiness check must see both)
+            val hasTypes = typesBySchema.get(name).exists(_.nonEmpty)
+            if ((ms.nonEmpty || hasTypes) &&
+                (cascade == null || !cascade.equalsIgnoreCase("CASCADE")))
               err(s"schema '$name' cannot be dropped without CASCADE while it contains objects")
             else {
               canon.remove(dbKey(name)); members.remove(c)
+              typesBySchema.remove(name)
               ok(ms.map(m => s"DROP TABLE IF EXISTS $m"))
             }
         }

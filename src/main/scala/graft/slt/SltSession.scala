@@ -58,7 +58,10 @@ private[slt] object SltSession {
   val ResetVar: Regex =
     """(?is)^\s*RESET\s+(ALL|TIME\s+ZONE|[A-Za-z_][\w.]*)\s*;?\s*$""".r
   val ShowVar: Regex =
-    ("""(?is)^\s*SHOW\s+(?!(?:OBJECTS|TABLES|VIEWS|SOURCES|SINKS|TYPES|""" +
+    // SHOW OBJECTS stays on the variable path (its engine command lists
+    // internal catalog temp views and lacks type/source/secret kinds —
+    // an honest skip beats a divergent listing)
+    ("""(?is)^\s*SHOW\s+(?!(?:TABLES|VIEWS|SOURCES|SINKS|TYPES|""" +
       """CONNECTIONS|COLUMNS|CLUSTERS|INDEXES|SCHEMAS|DATABASES|ROLES|""" +
       """SECRETS|MATERIALIZED)\s*;?\s*$)""" +
       """(TIME\s+ZONE|TRANSACTION\s+ISOLATION\s+LEVEL|[A-Za-z_][\w.]*)\s*;?\s*$""").r
