@@ -233,7 +233,7 @@ class SltCorpusSpec extends SparkSpec {
     "cockroach/show_create_all_tables_builtin.slt",
     "cockroach/show_create_redact.slt")
 
-  test("reference SLT corpus subset: 0 failures, >=18400 green assertions") {
+  test("reference SLT corpus subset: 0 failures, >=18750 green assertions") {
     assume(Files.isDirectory(Paths.get(corpus)), "reference corpus not present")
     val reports = SltRunner.runFiles(spark,
       files.map(f => s"$corpus/$f").filter(p => Files.exists(Paths.get(p))))
@@ -248,6 +248,6 @@ class SltCorpusSpec extends SparkSpec {
     total.failures.take(25).foreach(f => info(s"FAIL: $f"))
     assert(total.failed == 0,
       s"${total.failed} SLT failures:\n${total.failures.take(25).mkString("\n")}")
-    assert(total.passed >= 18400, s"only ${total.passed} SLT passes")
+    assert(total.passed >= 18750, s"only ${total.passed} SLT passes")
   }
 }
