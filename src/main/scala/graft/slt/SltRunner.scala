@@ -4007,6 +4007,26 @@ object SltRunner {
           scala.util.matching.Regex.quoteReplacement(
             s"CASE WHEN count(1) = 0 THEN NULL ELSE $core END")
         })
+      // pg typmod bounds: character [varying](n) requires 1..10485760
+      // (reference plan_character length validation)
+      """(?i)::\s*(VARCHAR|CHARACTER\s+VARYING|CHAR|CHARACTER|BPCHAR)\s*\(\s*(\d+)\s*\)""".r
+        .findAllMatchIn(sql)
+        .find(m => !insideLiteral(sql, m.start) && {
+          val n = BigInt(m.group(2)); n < 1 || n > 10485760
+        })
+        .foreach { m =>
+          val varying = m.group(1).toUpperCase.startsWith("V") ||
+            m.group(1).toUpperCase.contains("VARYING")
+          return s"SELECT raise_error('length for type character" +
+            s"${if (varying) " varying" else ""} must be between 1 and " +
+            "10485760') AS graft_typmod_fidelity"
+        }
+      // the reference rejects array_agg over char (typmod-padded
+      // comparison semantics don't survive array elements)
+      if ("""(?i)\barray_agg\s*\(\s*(?:[\w.]+|'(?:[^']|'')*')\s*::\s*(?:char|character|bpchar)\b(?!\s+varying)(?:\s*\(\s*\d+\s*\))?\s*\)""".r
+          .findAllMatchIn(sql).exists(m => !insideLiteral(sql, m.start)))
+        return "SELECT raise_error('array_agg on char not yet supported') " +
+          "AS graft_charagg_fidelity"
       // jsonb_agg over SIMPLE arguments — same value-sorted convention as
       // the unordered array_agg rewrite, rendered as canonical jsonb text;
       // empty input yields NULL (pg jsonb_agg), not '[]'
