@@ -8367,6 +8367,14 @@ object SltRunner {
                   Option(e.getMessage).exists(_.contains("INVALID_INLINE_TABLE"))) &&
                 (typedInsertRetry(spark, sql) || deepInsertRetry(spark, sql) ||
                   valuesColumnRetry(spark, sql)) =>
+            // a retried CREATE VIEW still registers its definition —
+            // dependency tracking (DROP without CASCADE) must see it
+            """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?(\w+)(.*)""".r
+              .findFirstMatchIn(sql)
+              .foreach { m =>
+                viewDefs(m.group(1).toLowerCase) = m.group(2)
+                poisonedTables -= m.group(1).toLowerCase
+              }
             passed += 1
           case e: Throwable =>
             // pg aborts the txn on an error — but only when the REFERENCE
