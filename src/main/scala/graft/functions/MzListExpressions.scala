@@ -575,11 +575,15 @@ object MzListExpressions {
       if (!list.dataType.isInstanceOf[ArrayType])
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"cannot subscript type ${list.dataType.simpleString}")
-      else if (idxs.length > depthOf(list.dataType))
+      else if (idxs.length > depthOf(list.dataType)) {
         // the reference: indexing past the deepest layer is a plan error
+        // ("cannot index into N layers; list only has M layer[s]",
+        // src/sql/src/plan/query.rs plan_subscript_list)
+        val n = depthOf(list.dataType)
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"cannot index into ${idxs.length} layers; list only has " +
-            s"${depthOf(list.dataType)}")
+            s"$n layer${if (n == 1) "" else "s"}")
+      }
       else idxs.find(ix => !(ix.dataType.isInstanceOf[NumericType] ||
           ix.dataType == NullType)) match {
         case Some(ix) =>
@@ -676,6 +680,28 @@ object MzListExpressions {
       copy(list = newChildren(0), lo = newChildren(1), hi = newChildren(2))
   }
 
+  /** Slice over a non-list operand: the reference rejects it at planning
+    * ("array subscript does not support slices",
+    * src/sql/src/plan/query.rs extract_scalar_subscript_from_positions) —
+    * lists are the ONLY sliceable type. Fails at ANALYSIS (not eval) so
+    * zero-row inputs still raise, matching the plan-time rejection. */
+  case class MzSliceReject(operand: Expression, lo: Expression, hi: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(operand, lo, hi)
+    override def dataType: DataType = operand.dataType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "array subscript does not support slices")
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      throw new UnsupportedOperationException(
+        "array subscript does not support slices")
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(operand = newChildren(0), lo = newChildren(1), hi = newChildren(2))
+  }
+
   private def info(name: String) = new ExpressionInfo(getClass.getName, name)
 
   def functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
@@ -700,6 +726,8 @@ object MzListExpressions {
         (a: Seq[Expression]) => MzListSubscript(a)),
       (FunctionIdentifier("mz_list_slice"), info("mz_list_slice"),
         (a: Seq[Expression]) => MzListSlice(a(0), a(1), a(2))),
+      (FunctionIdentifier("mz_slice_reject"), info("mz_slice_reject"),
+        (a: Seq[Expression]) => MzSliceReject(a(0), a(1), a(2))),
       (FunctionIdentifier("mz_list_remove"), info("mz_list_remove"),
         (a: Seq[Expression]) => MzListRemove(a(0), a(1))))
 }

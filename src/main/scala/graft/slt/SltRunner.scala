@@ -110,6 +110,17 @@ object SltRunner {
     * the block, ROLLBACK restores the pre-block state). */
   private final case class SimpleVarBlock(
       stmts: List[String], expected: List[String]) extends Record
+  /** `simple` block (default connection) mixing session pieces with plain
+    * DML/queries (INSERT / SELECT / single-statement DDL). Executed through
+    * the same emulation primitives as statement/query records, rendering
+    * the simple-protocol output (rows joined by ',', `COMPLETE n` per
+    * statement) for comparison. The block's mutation targets are
+    * SNAPSHOTTED at entry: when the reference rejected the block (its
+    * implicit transaction rolled back) the emulation restores the
+    * snapshots, keeping both sides in sync WITHOUT poisoning.
+    * `stmts` pairs (raw, shimmed). */
+  private final case class SimpleExecBlock(
+      stmts: List[(String, String)], expected: List[String]) extends Record
 
   // Statements that have no Spark analog (cluster/catalog/rbac/source ops).
   private val skipPrefixes = List(
@@ -251,7 +262,16 @@ object SltRunner {
               else rewriteArrayLiterals(loRaw.trim)
             val hi = if (hiRaw.trim.isEmpty) "9223372036854775807"
               else rewriteArrayLiterals(hiRaw.trim)
-            sb.insert(opStart, "mz_list_slice(")
+            // lists are the ONLY sliceable type in the reference — pg
+            // arrays (and anything else) reject at planning ("array
+            // subscript does not support slices", plan/query.rs). Same
+            // operand discrimination as the index-subscript branch below.
+            val sliceIsList =
+              """(?is)^\s*(?:mz_list_in|mz_list_tag|mz_list_cat|mz_list_append|mz_list_prepend|mz_list_cast|mz_list_slice|mz_list_subscript)\b.*""".r
+                .pattern.matcher(
+                  sb.substring(opStart).replaceAll("^[\\s(]+", "")).matches
+            sb.insert(opStart,
+              if (sliceIsList) "mz_list_slice(" else "mz_slice_reject(")
             sb ++= s", $lo, $hi)"
             // the branch-shared `i += 1` below lands us just past `]`
             i = close
@@ -1003,13 +1023,17 @@ object SltRunner {
                   !bothArrays && !bothMaps)) {
               sb ++= op; i += op.length
             } else if ((op == "@>" || op == "<@") && bothMaps) {
-              // mz MAP containment: every key of the small side present in
-              // the big side with an EQUAL value (strict equality)
+              // mz MAP containment: every key of the small side PRESENT in
+              // the big side with an EQUAL value (map_contains_map,
+              // reference src/expr/src/scalar/func.rs — a NULL value in the
+              // small map must not 'match' a big map lacking the key, so
+              // key presence is checked before the null-safe value compare)
               val (big, small) = if (op == "@>") (lText, rText) else (rText, lText)
               sb.setLength(lStart)
               sb ++= s"coalesce(forall(map_keys($small), graft_mc -> " +
-                s"try_element_at($big, graft_mc) <=> " +
-                s"try_element_at($small, graft_mc)), false)"
+                s"array_contains(map_keys($big), graft_mc) AND " +
+                s"(try_element_at($big, graft_mc) <=> " +
+                s"try_element_at($small, graft_mc))), false)"
               i = rEnd
             } else if ((op == "@>" || op == "<@") && bothArrays) {
               // pg ARRAY containment (strict equality; NULL matches nothing)
@@ -5720,9 +5744,32 @@ object SltRunner {
             """(?is)^\s*(SET|RESET|SHOW)\b.*""".r.pattern.matcher(s.trim).matches)
         if (safe)
           emit(SimpleVarBlock(stmts.toList, expPart.map(_.trim)))
-        else
-          out += Unsupported("simple protocol block", mutating = false,
-            sql = block.mkString("\n"))
+        else {
+          // default-conn blocks mixing session pieces with executable
+          // DML/queries run through the exec emulation; DECLARE/FETCH,
+          // PREPARE/EXECUTE and multi-statement DDL keep the skip
+          val varPc =
+            """(?is)^\s*(SET\s+(?:LOCAL\s+)?[A-Za-z_][\w.]*\s*(?:=|\s+TO\s+).+|RESET\s+[A-Za-z_][\w.]*|SHOW\s+[A-Za-z_][\w.]*|BEGIN|COMMIT|ROLLBACK)\s*;?\s*$""".r
+          val dmlPc =
+            """(?is)^\s*(?:INSERT\s+INTO\s+["`]?\w+|SELECT\b|VALUES\s*\()[\s\S]*$""".r
+          val ddlPc =
+            """(?is)^\s*(?:CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?(?:TABLE|VIEW)\b|DROP\s+(?:TABLE|VIEW)\b)[\s\S]*$""".r
+          def isVar(s: String) = varPc.pattern.matcher(s.trim).matches
+          def isDml(s: String) = dmlPc.pattern.matcher(s.trim).matches
+          // DDL pieces: executable alone; combined with other statements
+          // the reference deterministically REJECTS the block ("cannot be
+          // run inside a transaction block") — both claimed
+          val execClaim = defaultConn && stmts.nonEmpty &&
+            stmts.forall(s => isVar(s) || isDml(s) ||
+              ddlPc.pattern.matcher(s.trim).matches)
+          if (execClaim)
+            emit(SimpleExecBlock(
+              stmts.toList.map(s => (s, if (isVar(s)) s.trim else shim(s, crdb))),
+              expPart.map(_.trim)))
+          else
+            out += Unsupported("simple protocol block", mutating = false,
+              sql = block.mkString("\n"))
+        }
       } else if (line.startsWith("statement")) {
         val expectErr = line.startsWith("statement error")
         i += 1
@@ -6452,7 +6499,10 @@ object SltRunner {
     * later statement referencing its pg column names fails analysis —
     * retry with the Spark spellings. */
   private def valuesColumnRetry(spark: SparkSession, sql: String): Boolean = {
-    val re = """(?i)\bcolumn(\d+)\b""".r.replaceAllIn(sql, "col$1")
+    // literal-aware: 'columnN' inside a string literal is DATA, not a
+    // reference — rewriting it would corrupt the statement's values
+    val re = rewriteOutsideLits(sql)(seg =>
+      """(?i)\bcolumn(\d+)\b""".r.replaceAllIn(seg, "col$1"))
     if (re == sql) return false
     try { spark.sql(re).collect(); true } catch { case _: Throwable => false }
   }
@@ -7122,6 +7172,10 @@ object SltRunner {
     // `SET TRANSACTION ISOLATION LEVEL x` inside an open txn: visible to
     // SHOW until COMMIT/ROLLBACK (pg txn-scoped GUC)
     var txnIsolation: Option[String] = None
+    // transaction-stable now(): the reference pins now() for the whole
+    // transaction (transactions-stable.slt) — writes inside an open txn
+    // substitute this literal
+    var txnNowPin: Option[String] = None
     val txnSnapshots = mutable.Map.empty[String, (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])]
     val txnDdl = mutable.Set.empty[String]
     def txnSnapshot(t: String): Unit =
@@ -7141,6 +7195,7 @@ object SltRunner {
     def txnClear(): Unit = {
       txnActive = false; txnAborted = false; txnSnapshots.clear(); txnDdl.clear()
       txnIsolation = None; txnReadOnly = false; txnQueryRan = false
+      txnNowPin = None
       // pg closes WITHOUT HOLD cursors at transaction end
       cursors.filterInPlace { case (_, c) => c.hold }
       ()
@@ -7278,6 +7333,8 @@ object SltRunner {
         if (!txnActive) {
           txnActive = true; txnAborted = false; txnQueryRan = false
           txnReadOnly = """(?is)\bREAD\s+ONLY\b""".r.findFirstIn(one).isDefined
+          txnNowPin = Some(
+            new java.sql.Timestamp(System.currentTimeMillis()).toString)
         }
         true
       } else if (SltSession.Commit.findFirstMatchIn(one).isDefined) {
@@ -7488,6 +7545,228 @@ object SltRunner {
                 s"expected [${expected.mkString(" | ")}]"
             }
         }
+      case SimpleExecBlock(stmts, expected)
+          if stmts.exists { case (raw, sh) =>
+            touchesPoisoned(raw) || touchesPoisoned(sh) } =>
+        // poisoned-state contract identical to the skipped block: reads
+        // would compare garbage, so skip, and the block's own mutations
+        // leave their targets stale too
+        skipped += 1
+        tally("statement touches poisoned table" + poisonDetailSuffix(name),
+          stmts.map(_._1).mkString("; "))
+        stmts.foreach { case (raw, _) =>
+          mutationTarget(raw).foreach(poisonedTables += _)
+          """(?i)\bSET\s+(?:LOCAL\s+|SESSION\s+)?(TIME\s+ZONE|[A-Za-z_][\w.]*)""".r
+            .findAllMatchIn(raw)
+            .foreach(m => varTainted += SltSession.normVar(m.group(1)))
+        }
+      case SimpleExecBlock(stmts, expected) =>
+        // simple-protocol block with executable statements: run each piece
+        // through the same emulation primitives as statement/query records
+        // and compare the rendered protocol output. The reference runs the
+        // block as ONE implicit transaction — on its rejection nothing
+        // committed, so entry snapshots restore OUR side into sync.
+        val exp = expected.map(_.trim).filter(_.nonEmpty)
+        val targets = stmts.flatMap(p => mutationTarget(p._1)).distinct
+        val entrySnaps = targets.flatMap { t =>
+          scala.util.Try {
+            val df = spark.table(t); (t, df.schema, df.collect().toSeq)
+          }.toOption
+        }
+        var restorable = entrySnaps.size == targets.size
+        val txnSave = (txnActive, txnAborted, txnReadOnly, txnQueryRan, txnIsolation)
+        val txnSnapSave = Map(txnSnapshots.toSeq: _*)
+        val txnDdlSave = Set(txnDdl.toSeq: _*)
+        val txnActiveAtEntry = txnActive
+        val varsSave = Map(sessionVars.toSeq: _*)
+        val working = mutable.Map.empty[String, String] ++ sessionVars
+        val pendingPlain = mutable.Map.empty[String, String]
+        val rendered = mutable.ListBuffer.empty[String]
+        var blocked: Option[String] = None // our own error / unhandled piece
+        // the block is one implicit transaction: now() pins once for it
+        lazy val blockNowPin =
+          new java.sql.Timestamp(System.currentTimeMillis()).toString
+        val SetPat =
+          """(?is)^\s*SET\s+(LOCAL\s+)?([A-Za-z_][\w.]*)\s*(?:=|\s*TO\s+)\s*(.+?)\s*;?\s*$""".r
+        val ResetPat = """(?is)^\s*RESET\s+([A-Za-z_][\w.]*)\s*;?\s*$""".r
+        val ShowPat = """(?is)^\s*SHOW\s+([A-Za-z_][\w.]*)\s*;?\s*$""".r
+        val TxnPat = """(?is)^\s*(BEGIN|COMMIT|ROLLBACK)\s*;?\s*$""".r
+        def renderSimpleVal(v: Any): String = v match {
+          case null => "NULL"
+          case b: Boolean => if (b) "t" else "f" // pg wire text
+          case r: org.apache.spark.sql.Row => pgRecord(r)
+          case other => renderActual('T', other)
+        }
+        def renderRows(rows: Array[org.apache.spark.sql.Row]): Unit = {
+          rows.foreach(r => rendered +=
+            (0 until r.length).map(i => renderSimpleVal(r.get(i))).mkString(","))
+          rendered += s"COMPLETE ${rows.length}"
+        }
+        // DDL combined with other statements: the reference rejects the
+        // whole block up front ("X cannot be run inside a transaction
+        // block", reference coord sequencing) — nothing executes on either
+        // side, so reproducing the rejection is a pure classification
+        val DdlPiece =
+          """(?is)^\s*(?:CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?(?:TABLE|VIEW)\b|DROP\s+(?:TABLE|VIEW)\b)[\s\S]*$""".r
+        val multiDdl = stmts.size > 1 &&
+          stmts.exists(p => DdlPiece.pattern.matcher(p._1.trim).matches)
+        if (multiDdl) {
+          if (exp.exists(l => l.startsWith("db error") &&
+              l.contains("cannot be run inside a transaction")))
+            passed += 1
+          else {
+            skipped += 1
+            tally("simple protocol block", stmts.map(_._1).mkString("; "))
+            stmts.foreach { case (raw, _) =>
+              mutationTarget(raw).foreach(poisonedTables += _)
+              """(?is)^\s*(?:CREATE|DROP)\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?(?:TABLE|VIEW)\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?["`]?(\w+)""".r
+                .findFirstMatchIn(raw)
+                .foreach(m => poisonedTables += m.group(1).toLowerCase)
+            }
+          }
+        } else {
+        stmts.iterator.takeWhile(_ => blocked.isEmpty).foreach { case (raw, sh) =>
+          val st = raw.trim
+          try {
+            st match {
+              case SetPat(localKw, name0, value) =>
+                val n = SltSession.normVar(name0)
+                SltSession.acceptSet(n, value) match {
+                  case SltSession.Accepted(v)
+                      if n == "cluster" && !clusterNames.contains(v.toLowerCase) =>
+                    throw new IllegalStateException(s"unknown catalog item '$v'")
+                  case SltSession.Accepted(v) =>
+                    working(n) = v
+                    if (localKw == null) pendingPlain(n) = v
+                    rendered += "COMPLETE 0"
+                  case _ => blocked = Some(s"SET $name0 not honored")
+                }
+              case ResetPat(name0) =>
+                val n = SltSession.normVar(name0)
+                SltSession.varDefaults.get(n) match {
+                  case Some(d) =>
+                    working(n) = d; pendingPlain(n) = d
+                    rendered += "COMPLETE 0"
+                  case None => blocked = Some(s"RESET $name0 not honored")
+                }
+              case ShowPat(name0) =>
+                val n = SltSession.normVar(name0)
+                if (varTainted.contains(n)) blocked = Some("SHOW of tainted var")
+                else working.get(n).orElse(SltSession.varDefaults.get(n)) match {
+                  case Some(v) => rendered += v; rendered += "COMPLETE 1"
+                  case None => blocked = Some(s"SHOW $name0 untracked")
+                }
+              case TxnPat(_) =>
+                // REAL txn emulation: blocks interleave with statement
+                // records' explicit transactions (BEGIN here, COMMIT there)
+                sessionPiece(st.stripSuffix(";"))
+                rendered += "COMPLETE 0"
+              case s if """(?is)^\s*INSERT\b[\s\S]*""".r.pattern.matcher(s).matches =>
+                if (txnActive && txnReadOnly)
+                  throw new IllegalStateException("transaction in read-only mode")
+                if (txnActive) { mutationTarget(s).foreach(txnSnapshot); noteTxnDdl(s) }
+                val target = mutationTarget(s)
+                val pre = target.flatMap(t =>
+                  scala.util.Try(spark.table(t).count()).toOption)
+                // transaction-stable now(): one value per (implicit) txn
+                val nowPin = txnNowPin.getOrElse(blockNowPin)
+                val shPinned =
+                  if (!"""(?i)\bnow\s*\(""".r.findFirstIn(sh).isDefined) sh
+                  else rewriteOutsideLits(sh)(seg =>
+                    """(?i)\bnow\s*\(\s*\)""".r.replaceAllIn(seg,
+                      Regex.quoteReplacement(s"TIMESTAMP'$nowPin'")))
+                val one = canonJsonbInsert(spark, padInsertValues(spark, shPinned))
+                applyMutationResult(spark, one) match {
+                  case Some(Some(ret)) => renderRows(ret.collect())
+                  case claimed =>
+                    if (claimed.isEmpty)
+                      try { spark.sql(one).collect(); () }
+                      catch {
+                        case e: Throwable
+                            if (e.getClass.getName.toLowerCase.contains("analysis") ||
+                              Option(e.getMessage).exists(_.contains("INVALID_INLINE_TABLE"))) &&
+                            (typedInsertRetry(spark, one) ||
+                              deepInsertRetry(spark, one) ||
+                              valuesColumnRetry(spark, one)) => ()
+                      }
+                    val post = target.flatMap(t =>
+                      scala.util.Try(spark.table(t).count()).toOption)
+                    val n = (for (a <- pre; b <- post) yield math.max(b - a, 0L))
+                      .getOrElse(0L)
+                    rendered += s"COMPLETE $n"
+                }
+              case s if """(?is)^\s*(?:SELECT|VALUES)\b[\s\S]*""".r.pattern.matcher(s).matches =>
+                if (txnActive) txnQueryRan = true
+                refreshMvsFor(sh)
+                if (PgCatalogRelations.referenced(sh))
+                  PgCatalogRelations.register(spark, customTypeRows, indexOn.toSeq,
+                    sltMvNames.keySet.toSet)
+                renderRows(spark.sql(sh.stripSuffix(";")).collect())
+              case s => // single-statement DDL (parser-guaranteed)
+                restorable = false
+                noteTxnDdl(s)
+                spark.sql(sh.stripSuffix(";")).collect()
+                """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?(\w+)(.*)""".r
+                  .findFirstMatchIn(s).foreach { m =>
+                    viewDefs(m.group(1).toLowerCase) = m.group(2)
+                    poisonedTables -= m.group(1).toLowerCase
+                  }
+                """(?i)^\s*(?:DROP|CREATE)\s+TABLE\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?["`]?(\w+)""".r
+                  .findFirstMatchIn(s)
+                  .foreach(m => poisonedTables -= m.group(1).toLowerCase)
+                """(?is)^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?["`]?(\w+)""".r
+                  .findFirstMatchIn(s)
+                  .foreach(m => viewDefs -= m.group(1).toLowerCase)
+                rendered += "COMPLETE 0"
+            }
+          } catch {
+            case e: Throwable =>
+              blocked = Some(Option(e.getMessage).getOrElse(e.toString).take(120))
+          }
+        }
+        def restoreEntry(): Unit = {
+          entrySnaps.foreach { case (t, schema, rows) =>
+            try spark.createDataFrame(rows.asJava, schema)
+              .write.mode("overwrite").insertInto(t)
+            catch { case _: Throwable => poisonedTables += t }
+          }
+          txnActive = txnSave._1; txnAborted = txnSave._2
+          txnReadOnly = txnSave._3; txnQueryRan = txnSave._4
+          txnIsolation = txnSave._5
+          txnSnapshots.clear(); txnSnapshots ++= txnSnapSave
+          txnDdl.clear(); txnDdl ++= txnDdlSave
+          sessionVars.clear(); sessionVars ++= varsSave
+        }
+        if (blocked.isEmpty && rendered.toList == exp) {
+          pendingPlain.foreach { case (n, v) => sessionVars(n) = v; varTainted -= n }
+          passed += 1
+        } else if (exp.exists(_.startsWith("db error")) && restorable &&
+            !stmts.exists(p =>
+              """(?is)^\s*COMMIT\s*;?\s*$""".r.pattern.matcher(p._1.trim).matches)) {
+          // the reference REJECTED the block — its implicit transaction
+          // rolled back, so restoring the entry snapshots keeps both sides
+          // in sync: honest skip, NO poison (this was the main cascade
+          // source: write-only/read-only txn-mode rejections we don't model)
+          restoreEntry()
+          if (txnActiveAtEntry) txnAborted = true
+          skipped += 1
+          tally("simple block: reference rejects, emulation differs",
+            stmts.map(_._1).mkString("; "))
+        } else {
+          // the reference committed effects we could not reproduce (or our
+          // output diverged) — poison the block's mutation targets and
+          // taint its SETs, exactly like the fully-skipped block
+          skipped += 1
+          tally("simple protocol block", stmts.map(_._1).mkString("; ") +
+            blocked.map(b => s" [exec: $b]").getOrElse(" [exec: output mismatch]"))
+          targets.foreach(poisonedTables += _)
+          stmts.foreach { case (raw, _) =>
+            """(?i)\bSET\s+(?:LOCAL\s+|SESSION\s+)?(TIME\s+ZONE|[A-Za-z_][\w.]*)""".r
+              .findAllMatchIn(raw)
+              .foreach(m => varTainted += SltSession.normVar(m.group(1)))
+          }
+        }
+        }
       case Unsupported(reason, mutating, target, usql) =>
         skipped += 1
         tally(s"unsupported record: $reason", usql)
@@ -7524,10 +7803,17 @@ object SltRunner {
           .findFirstMatchIn(usql)
           .foreach(m => unsafeFnsEnabled = m.group(1).equalsIgnoreCase("true"))
         // and any MUTATION inside a skipped simple block leaves its table
-        // stale — reads must skip, not compare un-applied state
+        // stale — reads must skip, not compare un-applied state. A skipped
+        // CREATE/DROP leaves the NAME diverged the same way (a conn=drop
+        // DROP TABLE we skip would otherwise break the file's next CREATE
+        // with 'already exists' instead of the poison-reset rebuild).
         if (reason == "simple protocol block")
-          splitStatements(usql.split("\n----", 2)(0)).foreach(one =>
-            mutationTarget(one).foreach(poisonedTables += _))
+          splitStatements(usql.split("\n----", 2)(0)).foreach { one =>
+            mutationTarget(one).foreach(poisonedTables += _)
+            """(?is)^\s*(?:CREATE|DROP)\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?(?:TABLE|(?:MATERIALIZED\s+)?VIEW)\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?["`]?(\w+)""".r
+              .findFirstMatchIn(one)
+              .foreach(m => poisonedTables += m.group(1).toLowerCase)
+          }
         val up = usql.trim.toUpperCase
         if (up.startsWith("PREPARE")) {
           """(?is)^\s*PREPARE\s+(\w+)\s+AS\s+(.*)$""".r.findFirstMatchIn(usql)
@@ -8590,8 +8876,9 @@ object SltRunner {
                     .orElse {
                       // references to a VALUES-backed view's pg column
                       // names (column1..N) — Spark's VALUES export col1..N
-                      val s4 = """(?i)\bcolumn(\d+)\b""".r
-                        .replaceAllIn(qSql, "col$1")
+                      // (literal-aware: 'columnN' in a string is data)
+                      val s4 = rewriteOutsideLits(qSql)(seg =>
+                        """(?i)\bcolumn(\d+)\b""".r.replaceAllIn(seg, "col$1"))
                       if (s4 == qSql) None
                       else scala.util.Try(spark.sql(s4)).toOption
                     }

@@ -119,7 +119,12 @@ case class DropEvictCommand(
     org.apache.spark.sql.GraftPlanBridge.ofRows(spark, inner).collect()
     val norm = GraftSqlCatalog.normId(name)
     if (table) GraftSqlCatalog.tableSqlFor(spark).remove(norm)
-    else GraftSqlCatalog.createSqlFor(spark).remove(norm)
+    else {
+      GraftSqlCatalog.createSqlFor(spark).remove(norm)
+      // a dropped WMR view's recorded fixpoint body dies with it (a later
+      // plain CREATE VIEW of the name must not see a phantom 'exists')
+      GraftSqlCatalog.wmrViewsFor(spark).remove(norm)
+    }
     GraftSqlCatalog.commentsFor(spark).filterInPlace((k, _) => k._1 != norm)
     Seq.empty
   }

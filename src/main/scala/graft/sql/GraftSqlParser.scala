@@ -111,7 +111,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       // The body is recorded; readers materialize it on demand (the SLT
       // layer's freshness-on-read refresh, same contract as MVs).
       val bare = name.replace("\"", "")
-      scala.util.Try(session.catalog.dropTempView(bare)) // OR REPLACE
+      val orReplace =
+        """(?is)^\s*CREATE\s+OR\s+REPLACE\b""".r.findFirstIn(cv).isDefined
+      if (orReplace) scala.util.Try(session.catalog.dropTempView(bare))
+      else if (session.catalog.tableExists(bare) ||
+          GraftSqlCatalog.wmrViewsFor(session)
+            .contains(GraftSqlCatalog.normId(name)))
+        // pg/mz: a plain CREATE VIEW over an existing name is an error —
+        // never a silent replace (reference catalog 'already exists')
+        throw new IllegalStateException(
+          s"""view "$bare" already exists""")
       GraftSqlCatalog.wmrViewsFor(session).put(
         GraftSqlCatalog.normId(name), body.trim.stripSuffix(";"))
       GraftSqlCatalog.createSqlFor(session).put(

@@ -113,6 +113,40 @@ class SltShimSpec extends SparkSpec {
     assert(spark.sql(c).collect().head.getBoolean(0))
   }
 
+  test("mz_timestamp coercion needs mz_now lineage: unrelated bigint keeps pg's rejection") {
+    spark.sql("DROP TABLE IF EXISTS shim_mzts_t")
+    spark.sql("CREATE TABLE shim_mzts_t (b BIGINT) USING parquet")
+    val pgCastKey = "spark.graft.pgNumericCasts"
+    val prior = spark.conf.getOption(pgCastKey)
+    spark.conf.set(pgCastKey, "true")
+    try {
+      spark.sql("INSERT INTO shim_mzts_t VALUES (5)")
+      // RELATED operand: an mz_now()-carrying comparison coerces the
+      // date-shaped string as mz_timestamp (accepted, evaluates)
+      val ok = spark.sql(SltRunner.testShim(
+        "SELECT mz_now() < '3000-01-01' FROM shim_mzts_t", crdb = false).stripSuffix(";"))
+      assert(ok.collect().head.getBoolean(0))
+      // UNRELATED operand: mz_now() elsewhere in the query must not flip
+      // the plain bigint column's comparison into mz_timestamp coercion —
+      // the reference still raises pg's invalid-input rejection for
+      // bigint-vs-date-string (lineage tracking, ListTextCastRule)
+      val bad = intercept[Exception] {
+        spark.sql(SltRunner.testShim(
+          "SELECT mz_now() < '3000-01-01', b < '2023-01-01' FROM shim_mzts_t",
+          crdb = false).stripSuffix(";")).collect()
+      }
+      val msg = Option(bad.getMessage).getOrElse(bad.toString).toLowerCase
+      assert(msg.contains("invalid input") || msg.contains("cannot be cast") ||
+        msg.contains("invalid_input"), bad.toString)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS shim_mzts_t")
+      prior match {
+        case Some(v) => spark.conf.set(pgCastKey, v)
+        case None => spark.conf.unset(pgCastKey)
+      }
+    }
+  }
+
   test("plain INSERT VALUES canonicalization is unchanged") {
     spark.sql("DROP TABLE IF EXISTS shim_jsonb_p")
     spark.sql(
