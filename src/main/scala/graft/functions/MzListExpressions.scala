@@ -182,7 +182,12 @@ object MzListExpressions {
       if (d.isInfinite) { if (d > 0) "inf" else "-inf" }
       else if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString
       else d.toString
-    case (f: Float, _) => scalarText(f.toDouble, DoubleType)
+    case (f: Float, _) =>
+      // float4 renders at ITS precision ("1.2", not the double-widened
+      // 1.2000000476837158)
+      if (f.isInfinite) { if (f > 0) "inf" else "-inf" }
+      else if (f == math.floor(f) && math.abs(f) < 1e15f) f.toLong.toString
+      else f.toString
     case (days: Int, DateType) =>
       java.time.LocalDate.ofEpochDay(days.toLong).toString
     case (us: Long, TimestampType) =>

@@ -29,7 +29,16 @@ object SltRunner {
     * "skipped" number honest — each conversion round starts by reading it. */
   val census = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
   private val censusSample = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def tally(reason: String, sample: String = ""): Unit = {
+  // census-triage context: the file and expected-error text of the record
+  // being dispatched (fidelity samples carry both so the class can be
+  // worked without re-locating each record)
+  @volatile private var curFile: String = ""
+  @volatile private var curErrText: String = ""
+  private def tally(reason: String, sample0: String = ""): Unit = {
+    val sample =
+      if (sample0.nonEmpty && reason.contains("error expected but we accept"))
+        s"[$curFile${if (curErrText.nonEmpty) s" :: ${curErrText.take(80)}" else ""}] $sample0"
+      else sample0
     census.merge(reason, 1, (a, b) => a + b)
     if (sample.nonEmpty) censusSample.putIfAbsent(reason, sample.replaceAll("\\s+", " ").take(400))
     // triage aid: SLT_ERRFID_DUMP=<path> appends every accepted-expected-
@@ -80,7 +89,8 @@ object SltRunner {
   }
 
   private sealed trait Record
-  private final case class Statement(sql: String, expectError: Boolean) extends Record
+  private final case class Statement(sql: String, expectError: Boolean,
+      errorText: String = "") extends Record
   private final case class Query(
       sql: String, types: String, sortMode: String, hasColnames: Boolean,
       expectError: Boolean, expected: List[String],
@@ -972,12 +982,26 @@ object SltRunner {
         jsonbOps.find { case (op, _, _) => sql.regionMatches(false, i, op, 0, op.length) } match {
           case Some((op, _, _)) if op == "->" && {
             // a generated higher-order-function LAMBDA arrow (earlier
-            // rewrites emit `graft_* -> ...`) is not the jsonb operator
+            // rewrites emit `graft_* -> ...` and multi-arg heads
+            // `(graft_a, graft_b) -> ...`) is not the jsonb operator
             var j = sb.length - 1
             while (j >= 0 && sb.charAt(j) == ' ') j -= 1
-            val e = j
-            while (j >= 0 && isWordChar(sb.charAt(j))) j -= 1
-            sb.substring(j + 1, e + 1).startsWith("graft_")
+            if (j >= 0 && sb.charAt(j) == ')') {
+              var d = 0; var k = j
+              while (k >= 0 && {
+                val ch = sb.charAt(k)
+                d += (if (ch == ')') 1 else if (ch == '(') -1 else 0)
+                d != 0
+              }) k -= 1
+              k >= 0 &&
+                sb.substring(k, j + 1)
+                  .matches("""\(\s*graft_\w+(\s*,\s*graft_\w+)*\s*\)""") &&
+                (k == 0 || !isWordChar(sb.charAt(k - 1)))
+            } else {
+              val e = j
+              while (j >= 0 && isWordChar(sb.charAt(j))) j -= 1
+              sb.substring(j + 1, e + 1).startsWith("graft_")
+            }
           } =>
             sb ++= op; i += op.length
           case Some((op, fn, swap)) =>
@@ -1412,7 +1436,33 @@ object SltRunner {
       """double\s+precision|double|float8|float4|float|real|bool|boolean|date|""" +
       """timestamptz|timestamp|numeric|decimal"""
 
-  private[slt] def rewriteListCasts(sql: String): String = {
+  /** Expand a REGISTERED custom list type name in cast position to its
+    * structural definition (`::int4_list` → `::int4 list`, recursively for
+    * list-of-list types) so the list-cast rewrites below see the shape the
+    * reference resolves it to (reference scalar_type_from_catalog). The
+    * custom NAME identity for pg_typeof is folded separately upstream. */
+  private def expandCustomListTypes(sql: String): String = {
+    if (customTypes.isEmpty || !sql.contains("::")) return sql
+    def expansionOf(n: String, depth: Int = 0): Option[String] =
+      if (depth > SltSession.typeDepthLimit) None
+      else customTypes.get(n) match {
+        case Some(SltSession.ListType(e)) =>
+          val en = SltSession.normName(e)
+          // timestamptz leaves excluded: the structural TimestampType
+          // render drops the +00 zone suffix mz prints
+          if (en == "timestamptz") None
+          else if (SltSession.builtinTypes.contains(en)) Some(s"$en list")
+          else expansionOf(en, depth + 1).map(x => s"$x list")
+        case _ => None
+      }
+    """::\s*"?([A-Za-z_]\w*)"?""".r.replaceSomeIn(sql, m =>
+      if (insideLiteral(sql, m.start)) None
+      else expansionOf(SltSession.normName(m.group(1)))
+        .map(x => Regex.quoteReplacement("::" + x)))
+  }
+
+  private[slt] def rewriteListCasts(sql0: String): String = {
+    val sql = expandCustomListTypes(sql0)
     if (!"""(?i)\blist""".r.findFirstIn(sql).isDefined) return sql
     val lit = ("""(?is)('(?:[^']|'')*')\s*::\s*(""" + listElemTypes +
       """)((?:\s+list\b)+)""").r
@@ -3935,10 +3985,15 @@ object SltRunner {
         // a cast to a REGISTERED custom type names that type — fold before
         // anything else erases the name (reference pg_typeof on custom
         // types reports the custom name, not the underlying type)
-        """(?i)\bpg_typeof\s*\(\s*(?:NULL|'[^']*'|-?\d+(?:\.\d+)?)\s*::\s*("?[\w]+"?)\s*\)""".r
+        // chained casts fold too (`pg_typeof('{1}'::int4 list::int4_list)`
+        // names the FINAL custom type, cast.slt:86-101)
+        """(?i)\bpg_typeof\s*\(\s*(?:NULL|'[^']*'|-?\d+(?:\.\d+)?)(?:\s*::\s*"?\w+(?:\s+list)*"?)*\s*::\s*("?[\w]+"?)((?:\s+list)*)\s*\)""".r
           .replaceAllIn(c, m => {
             val n = SltSession.normName(m.group(1))
-            if (customTypes.contains(n)) Regex.quoteReplacement("'" + n + "'")
+            // `custom_list list` keeps the custom base name + suffix
+            val suffix = Option(m.group(2)).getOrElse("").replaceAll("\\s+", " ")
+            if (customTypes.contains(n))
+              Regex.quoteReplacement("'" + n + suffix + "'")
             else Regex.quoteReplacement(m.matched)
           })
       }
@@ -4213,6 +4268,86 @@ object SltRunner {
     }
     if (!changed) sql
     else sql.substring(0, obIdx) + "ORDER BY " + obItems.mkString(", ") + obTail
+  }
+
+  /** pg orders by expressions NOT in the select list even when the query
+    * has window functions — Spark's Sort can't compute a window (or
+    * re-derive an aggregate) above the projection. Rewrite to a subquery
+    * that APPENDS the non-select ORDER BY expressions as extra columns,
+    * orders on them, and projects the original arity back out
+    * (reference plan_order_by; corpus order_by.slt:125-135). Output
+    * column NAMES may change — SLT compares values, names are
+    * presentation-level. */
+  private[slt] def orderByWindowSubqueryRetry(
+      spark: SparkSession, sql0: String): Option[DataFrame] =
+    orderByWindowSubquerySql(sql0).flatMap(out =>
+      scala.util.Try(spark.sql(out)).toOption)
+
+  private[slt] def orderByWindowSubquerySql(sql0: String): Option[String] = {
+    val sql = sql0.trim.stripSuffix(";")
+    if (!"""(?i)\bOVER\s*\(""".r.findFirstIn(sql).isDefined) return None
+    if ("""(?is)^\s*SELECT\s+DISTINCT\b""".r.findFirstIn(sql).isDefined) return None
+    val hm = """(?is)^\s*SELECT\s+""".r.findFirstMatchIn(sql).getOrElse(return None)
+    val fromIdx = topLevelIndexOf(sql, "FROM")
+    val obIdx = topLevelIndexOf(sql, "ORDER")
+    if (fromIdx < 0 || obIdx < 0 || obIdx < fromIdx) return None
+    // no set-ops / LIMIT-before-ORDER complications
+    if (Seq("UNION", "INTERSECT", "EXCEPT").exists(topLevelIndexOf(sql, _) >= 0))
+      return None
+    val obBody0 = sql.substring(obIdx).replaceFirst("(?is)^ORDER\\s+BY\\s+", "")
+    val limIdx = topLevelIndexOf(obBody0, "LIMIT") match {
+      case -1 => topLevelIndexOf(obBody0, "OFFSET")
+      case x => x
+    }
+    val obBody = if (limIdx < 0) obBody0 else obBody0.substring(0, limIdx)
+    val obTail = if (limIdx < 0) "" else " " + obBody0.substring(limIdx)
+    def norm(s: String): String = s.replaceAll("\\s+", " ").trim.toLowerCase
+    val rawItems = splitTopLevel(sql.substring(hm.end, fromIdx), ',').map(_.trim)
+    // star EXPANSIONS block the rewrite (arity unknown); multiplication
+    // (`10*right_a`) does not
+    if (rawItems.exists(it => it == "*" || it.contains(".*"))) return None
+    // (full text, alias) per select item; unaliased items get graft names
+    val items = rawItems.zipWithIndex.map { case (it, ix) =>
+      """(?is)^(.*?)\s+AS\s+["`]?(\w+)["`]?\s*$""".r.findFirstMatchIn(it) match {
+        case Some(m) => (m.group(1).trim, m.group(2), it)
+        case None =>
+          if (it.matches("""(?s)[\w."`]+""")) {
+            val last = it.split("\\.").last.replaceAll("[\"`]", "")
+            (it, last, s"$it AS `$last`")
+          } else (it, s"graft_c$ix", s"$it AS `graft_c$ix`")
+      }
+    }
+    val aliasSet = items.map(_._2.toLowerCase).toSet
+    val extras = mutable.ListBuffer.empty[String]
+    var usedExtra = false
+    val obItems = splitTopLevel(obBody, ',').map { it0 =>
+      val it = it0.trim
+      val decor = """(?is)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$""".r
+        .findFirstMatchIn(it).map(_.group(1)).getOrElse("")
+      val core = it.substring(0, it.length - decor.length).trim
+      val coreN = norm(core)
+      items.indexWhere(p => norm(p._1) == coreN) match {
+        case ix if ix >= 0 => s"${ix + 1}$decor"
+        case _ if core.matches("""[\w"`]+""") &&
+            aliasSet.contains(core.replaceAll("[\"`]", "").toLowerCase) =>
+          it0 // an output-alias reference stays valid in the outer query
+        case _ if core.matches("\\d+") => it0
+        case _ if !core.contains("/") =>
+          // (a `/` in the sort expression would hit the pg-integer-division
+          // known diff — truncating vs fractional order — so those keep
+          // their honest skip)
+          usedExtra = true
+          val nm = s"graft_ob${extras.size}"
+          extras += s"$core AS `$nm`"
+          s"`$nm`$decor"
+        case _ => return None
+      }
+    }
+    if (!usedExtra) return None
+    val inner = "SELECT " + (items.map(_._3) ++ extras).mkString(", ") +
+      " " + sql.substring(fromIdx, obIdx)
+    Some("SELECT " + items.map(p => s"`${p._2}`").mkString(", ") +
+      s" FROM ($inner) graft_obq ORDER BY " + obItems.mkString(", ") + obTail)
   }
 
   /** Zero-pad a pg-loose trailing zone offset ('-6' / '+4:30' / 'z') into
@@ -4956,6 +5091,7 @@ object SltRunner {
       sql.substring(0, m.start) + rewrittenSelect + sql.substring(bodyEnd))
   }
 
+  private[slt] def testTopIdx(s: String, word: String): Int = topLevelIndexOf(s, word)
   private def topLevelIndexOf(s: String, word: String): Int = {
     var depth = 0
     var inQ = false
@@ -5786,7 +5922,10 @@ object SltRunner {
         // guarded CREATE SCHEMA would desync canonical-name mangling
         emit(if (skipNext) Unsupported("engine-conditioned record", mutating = false)
         else classify(sql, crdb) match {
-          case s: Statement => s.copy(expectError = expectErr)
+          case s: Statement => s.copy(expectError = expectErr,
+            errorText = if (expectErr)
+              line.stripPrefix("statement").trim.stripPrefix("error").trim
+            else "")
           case t: TypeDdl => t.copy(expectError = expectErr)
           case u: Unsupported if expectErr =>
             // an expected-error statement we can't run: harmless skip
@@ -6428,6 +6567,29 @@ object SltRunner {
     * row as a RECORD (pg 8.16.5; reference record-star planning,
     * src/sql/src/plan/query.rs). Spark has no whole-row variable — retry
     * with the unresolved name expanded to `struct(name.*)`. */
+  /** pg allows a qualified star in SCALAR position (`CASE .. ELSE t.* END`
+    * is the whole-row record, reference src/sql/src/plan/query.rs record
+    * flattening; corpus github-2996.slt). Spark rejects with
+    * INVALID_USAGE_OF_STAR_OR_REGEX — wrap non-select-item `alias.*` uses
+    * as `struct(alias.*)`, whose Row output renders as the pg record. */
+  private def starScalarRetry(spark: SparkSession, sql: String): Option[DataFrame] = {
+    val re = """\b([A-Za-z_]\w*)\s*\.\s*\*""".r
+    var changed = false
+    val out = re.replaceAllIn(sql, m => {
+      if (insideLiteral(sql, m.start)) Regex.quoteReplacement(m.matched)
+      else {
+        val rest = sql.substring(m.end).dropWhile(_.isWhitespace)
+        // a star-EXPANSION use is followed by `,`, FROM, or ends the text;
+        // anything else (END, `)`, an operator) is scalar position
+        val standalone = rest.isEmpty || rest.startsWith(",") ||
+          rest.toUpperCase.startsWith("FROM")
+        if (standalone) Regex.quoteReplacement(m.matched)
+        else { changed = true; Regex.quoteReplacement(s"struct(${m.group(1)}.*)") }
+      }
+    })
+    if (!changed) None else scala.util.Try(spark.sql(out)).toOption
+  }
+
   private def wholeRowRetry(spark: SparkSession, sql: String,
       errMsg: String): Option[DataFrame] = {
     val name = """`(\w+)`""".r.findFirstMatchIn(errMsg)
@@ -7407,7 +7569,7 @@ object SltRunner {
     def isShowVar(sql: String): Boolean =
       SltSession.ShowVar.findFirstMatchIn(sql).isDefined
     def expandRecord(r: Record): Record = r match {
-      case Statement(sql, ee) if IsExecute.pattern.matcher(sql).matches =>
+      case Statement(sql, ee, _) if IsExecute.pattern.matcher(sql).matches =>
         expandExec(sql, ee) match {
           case Right(x) => Statement(x, ee)
           case Left(rec) => rec
@@ -7420,18 +7582,18 @@ object SltRunner {
             mutating = false, sql = q.sql)
         else expandExec(q.sql, q.expectError) match {
           case Right(x) => q.copy(sql = x)
-          case Left(Statement(marker, _)) => q.copy(sql = marker)
+          case Left(Statement(marker, _, _)) => q.copy(sql = marker)
           case Left(rec) => rec
         }
       case q: Query if isShowVar(q.sql) =>
         expandShowVar(q.sql, q.expectError) match {
           case Right(x) => q.copy(sql = x)
-          case Left(Statement(marker, _)) => q.copy(sql = marker)
+          case Left(Statement(marker, _, _)) => q.copy(sql = marker)
           case Left(rec) => rec
         }
       case q: Query if """(?is)^\s*(?:SET|RESET)\b.*""".r.pattern.matcher(q.sql).matches =>
         Unsupported("SET/RESET as a query record", mutating = false, sql = q.sql)
-      case Statement(sql, ee) if isShowVar(sql) &&
+      case Statement(sql, ee, _) if isShowVar(sql) &&
           !"""(?is)^\s*SHOW\s+(TABLES|VIEWS|SOURCES|SINKS|INDEXES|COLUMNS|OBJECTS|CLUSTERS|DATABASES|SCHEMAS|SECRETS|TYPES|ROLES|CONNECTIONS|SUBSCRIPTIONS|GRANTS|USERS|CONSTRAINTS|ALL)\b.*$""".r
             .pattern.matcher(sql).matches =>
         expandShowVar(sql, ee) match {
@@ -7447,6 +7609,12 @@ object SltRunner {
       r0 match {
         case _: Query => ()
         case _ => mutationEpoch += 1
+      }
+      curFile = name
+      curErrText = r0 match {
+        case Statement(_, true, t) => t
+        case q: Query if q.expectError => q.errorText
+        case _ => ""
       }
       expandRecord(r0) match {
       case _ if poisoned => skipped += 1; tally("whole file poisoned by earlier skip")
@@ -7857,7 +8025,7 @@ object SltRunner {
             tally(s"copy TSV load failed: ${e.getClass.getSimpleName}")
             poisonedTables += table.toLowerCase // un-loaded table is empty, not absent
         }
-      case Statement(sql, expectError) if sql.startsWith("GRAFT_SCHEMA_DDL|") =>
+      case Statement(sql, expectError, _) if sql.startsWith("GRAFT_SCHEMA_DDL|") =>
         // user-schema DDL marker (SchemaEmulation.classify). The reference's
         // schema catalog changed (or was asked to) — the introspection
         // relations don't model user schemas, so they poison either way.
@@ -7879,7 +8047,7 @@ object SltRunner {
           case None =>
             skipped += 1; tally("schema DDL marker parse failure", sql)
         }
-      case Statement(sql, expectError) if isSingle(sql) && SltSession.Prepare.findFirstMatchIn(sql).isDefined =>
+      case Statement(sql, expectError, _) if isSingle(sql) && SltSession.Prepare.findFirstMatchIn(sql).isDefined =>
         val m = SltSession.Prepare.findFirstMatchIn(sql).get
         if (expectError) {
           // pg validates the body at PREPARE time and rejects it; binding
@@ -7892,7 +8060,7 @@ object SltRunner {
             Option(m.group(2)).map(SltSession.splitTop).getOrElse(Nil), m.group(3))
           passed += 1
         }
-      case Statement(sql, expectError) if isSingle(sql) && SltSession.Deallocate.findFirstMatchIn(sql).isDefined =>
+      case Statement(sql, expectError, _) if isSingle(sql) && SltSession.Deallocate.findFirstMatchIn(sql).isDefined =>
         val n = SltSession.normName(SltSession.Deallocate.findFirstMatchIn(sql).get.group(1))
         val known = if (n == "all") { preparedStmts.clear(); preparedDefs.clear(); true }
           else preparedStmts.remove(n).isDefined | preparedDefs.remove(n).isDefined
@@ -7901,14 +8069,14 @@ object SltRunner {
           else { skipped += 1; tally("statement error expected but we accept it", sql) }
         } else if (known) passed += 1
         else { skipped += 1; tally("DEALLOCATE of unknown prepared statement", sql) }
-      case Statement(sql, expectError) if isSingle(sql) && SltSession.RollbackTo.findFirstMatchIn(sql).isDefined =>
+      case Statement(sql, expectError, _) if isSingle(sql) && SltSession.RollbackTo.findFirstMatchIn(sql).isDefined =>
         // partial rollback is not emulated: everything this txn touched is
         // stale from here on
         skipped += 1; tally("ROLLBACK TO SAVEPOINT unsupported", sql)
         txnSnapshots.keys.foreach(poisonedTables += _)
         txnDdl.foreach(poisonedTables += _)
         txnClear()
-      case Statement(sql, expectError) if isSingle(sql) && SltSession.Begin.findFirstMatchIn(sql).isDefined =>
+      case Statement(sql, expectError, _) if isSingle(sql) && SltSession.Begin.findFirstMatchIn(sql).isDefined =>
         // nested BEGIN is a pg warning, not an error — the txn continues.
         // But access-mode tails on the nested BEGIN are rejected once a
         // query ran ('transaction read-write mode must be set before any
@@ -7925,12 +8093,12 @@ object SltRunner {
           if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
           else passed += 1
         }
-      case Statement(sql, expectError) if isSingle(sql) && SltSession.Commit.findFirstMatchIn(sql).isDefined =>
+      case Statement(sql, expectError, _) if isSingle(sql) && SltSession.Commit.findFirstMatchIn(sql).isDefined =>
         if (txnAborted) txnRestore() // COMMIT of an aborted txn rolls back
         txnClear()
         if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
         else passed += 1
-      case Statement(sql, expectError) if isSingle(sql) && SltSession.Rollback.findFirstMatchIn(sql).isDefined =>
+      case Statement(sql, expectError, _) if isSingle(sql) && SltSession.Rollback.findFirstMatchIn(sql).isDefined =>
         txnRestore(); txnClear()
         if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
         else passed += 1
@@ -7953,9 +8121,9 @@ object SltRunner {
           tally("statement error expected but we accept it",
             if (tsql.nonEmpty) tsql else "TYPE_DDL") }
         else { skipped += 1; tally(s"type DDL rejected: ${err.take(60)}") }
-      case Statement(sql, expectError) if isSingle(sql) && SltSession.SetUnsupportedForm.findFirstMatchIn(sql).isDefined =>
+      case Statement(sql, expectError, _) if isSingle(sql) && SltSession.SetUnsupportedForm.findFirstMatchIn(sql).isDefined =>
         skipped += 1; tally("SET form with no analog (cluster setting/role)", sql)
-      case Statement(sql, expectError) if isSingle(sql) && SltSession.SetSessionIsolation.findFirstMatchIn(sql).isDefined =>
+      case Statement(sql, expectError, _) if isSingle(sql) && SltSession.SetSessionIsolation.findFirstMatchIn(sql).isDefined =>
         // last write wins across a comma list ("... LEVEL A, ISOLATION LEVEL B")
         val v = SltSession.SetSessionIsolation.findFirstMatchIn(sql).get.group(1)
           .split(",").last.replaceAll("(?i)^\\s*ISOLATION\\s+LEVEL\\s+", "")
@@ -7972,7 +8140,7 @@ object SltRunner {
             else { skipped += 1; tally("SET isolation value not honored", sql)
               varTainted += "transaction_isolation" }
         }
-      case Statement(sql, expectError) if isSingle(sql) && SltSession.SetTxnScoped.findFirstMatchIn(sql).isDefined =>
+      case Statement(sql, expectError, _) if isSingle(sql) && SltSession.SetTxnScoped.findFirstMatchIn(sql).isDefined =>
         // `SET TRANSACTION ...` scopes to the current transaction only; an
         // isolation level set inside an open txn is visible to SHOW until
         // the txn ends. Only the pg transaction modes are valid — other
@@ -8007,7 +8175,7 @@ object SltRunner {
           if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
           else passed += 1
         }
-      case Statement(sql, expectError) if isSingle(sql) && SltSession.SetVar.findFirstMatchIn(sql).isDefined =>
+      case Statement(sql, expectError, _) if isSingle(sql) && SltSession.SetVar.findFirstMatchIn(sql).isDefined =>
         val m = SltSession.SetVar.findFirstMatchIn(sql).get
         val name = SltSession.normVar(Option(m.group(1)).getOrElse(m.group(2)))
         val value = m.group(3)
@@ -8092,7 +8260,7 @@ object SltRunner {
             }
         }
         }
-      case Statement(sql, expectError) if isSingle(sql) && SltSession.ResetVar.findFirstMatchIn(sql).isDefined =>
+      case Statement(sql, expectError, _) if isSingle(sql) && SltSession.ResetVar.findFirstMatchIn(sql).isDefined =>
         val n = SltSession.normVar(SltSession.ResetVar.findFirstMatchIn(sql).get.group(1))
         if (n == "transaction_isolation" && txnActive && txnQueryRan) {
           if (expectError) passed += 1
@@ -8105,11 +8273,11 @@ object SltRunner {
           else passed += 1
         } else if (expectError) passed += 1
         else { passed += 1; varTainted += n } // reference runner: no-op success
-      case Statement(sql, _) if isSingle(sql) && """(?is)^\s*(?:SET|RESET)\b.*""".r.pattern.matcher(sql).matches =>
+      case Statement(sql, _, _) if isSingle(sql) && """(?is)^\s*(?:SET|RESET)\b.*""".r.pattern.matcher(sql).matches =>
         // any other SET/RESET spelling: never let it reach Spark's native
         // SET command (it would "succeed" by writing an unrelated conf key)
         skipped += 1; tally("SET/RESET shape not handled", sql)
-      case Statement(sql, expectError) if isSingle(sql) &&
+      case Statement(sql, expectError, _) if isSingle(sql) &&
           """(?is)^\s*CREATE\s+TEMPORARY\s+VIEW\s+IF\s+NOT\s+EXISTS\s+(\w+)""".r
             .findFirstMatchIn(sql).isDefined =>
         // Spark's grammar rejects TEMP VIEW + IF NOT EXISTS; emulate the
@@ -8135,7 +8303,7 @@ object SltRunner {
               }
           }
         }
-      case Statement(sql, true) if isSingle(sql) && {
+      case Statement(sql, true, _) if isSingle(sql) && {
         // expected-error DROP VIEW with a live dependent view: the
         // reference requires CASCADE. Expected-error records ONLY — an
         // unconditional gate trips on stale dependency edges (multi-name
@@ -8149,7 +8317,7 @@ object SltRunner {
         }
       } =>
         passed += 1
-      case Statement(sql, expectError) if sql.startsWith("GRAFT_TYPE_COL_COMMENT|") =>
+      case Statement(sql, expectError, _) if sql.startsWith("GRAFT_TYPE_COL_COMMENT|") =>
         // COMMENT ON COLUMN of a session-registered RECORD type: stored
         // against the type with the field's 1-based position (mz comments
         // on type columns; list/map custom types have no columns — the
@@ -8185,7 +8353,7 @@ object SltRunner {
           case None =>
             skipped += 1; tally("COMMENT ON COLUMN parse failure", orig)
         }
-      case Statement(sql, expectError) if sql.startsWith("GRAFT_WEBHOOK|") =>
+      case Statement(sql, expectError, _) if sql.startsWith("GRAFT_WEBHOOK|") =>
         // webhook source: an EMPTY relation of the declared shape (body
         // NOT NULL; jsonb/map markers carry the pg-level column types for
         // SHOW COLUMNS), registered as a SOURCE for mz_comments
@@ -8208,7 +8376,7 @@ object SltRunner {
         graft.sql.GraftSqlCatalog.sourcesFor(spark).put(nm.toLowerCase, "WEBHOOK")
         if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
         else passed += 1
-      case Statement(sql, expectError) if sql.startsWith("GRAFT_DROP_SOURCE|") =>
+      case Statement(sql, expectError, _) if sql.startsWith("GRAFT_DROP_SOURCE|") =>
         val parts = sql.split("\\|", -1)
         val (nm, ifExists) = (parts(1), parts(2) == "IE")
         val reg = graft.sql.GraftSqlCatalog.sourcesFor(spark)
@@ -8223,7 +8391,7 @@ object SltRunner {
           poisonedTables += "information_schema_tables"
           poisonedTables += "information_schema_columns"
         }
-      case Statement(sql, expectError) if sql.startsWith("GRAFT_SUBSCRIBE_STMT|") =>
+      case Statement(sql, expectError, _) if sql.startsWith("GRAFT_SUBSCRIBE_STMT|") =>
         val orig = sql.stripPrefix("GRAFT_SUBSCRIBE_STMT|")
         parseSubscribe(orig) match {
           case Some(spec) if expectError =>
@@ -8236,7 +8404,7 @@ object SltRunner {
             // no statement-position analog here — honest skip, as before
             skipped += 1; tally("no Spark analog: SUBSCRIBE", orig)
         }
-      case Statement(sql, expectError) if isSingle(sql) &&
+      case Statement(sql, expectError, _) if isSingle(sql) &&
           SltSession.DeclareCursor.findFirstMatchIn(sql).isDefined =>
         val m = SltSession.DeclareCursor.findFirstMatchIn(sql).get
         val name = m.group(1).toLowerCase
@@ -8282,7 +8450,7 @@ object SltRunner {
               }
           }
         }
-      case Statement(sql, expectError) if isSingle(sql) &&
+      case Statement(sql, expectError, _) if isSingle(sql) &&
           SltSession.FetchCursor.findFirstMatchIn(sql).isDefined =>
         val m = SltSession.FetchCursor.findFirstMatchIn(sql).get
         val name = m.group(2).toLowerCase
@@ -8321,7 +8489,7 @@ object SltRunner {
             if (expectError) passed += 1
             else { skipped += 1; tally("FETCH of unknown cursor", sql) }
         }
-      case Statement(sql, expectError) if isSingle(sql) &&
+      case Statement(sql, expectError, _) if isSingle(sql) &&
           SltSession.CloseCursor.findFirstMatchIn(sql).isDefined =>
         val m = SltSession.CloseCursor.findFirstMatchIn(sql).get
         if (m.group(1) != null) { // CLOSE ALL
@@ -8333,7 +8501,7 @@ object SltRunner {
           else passed += 1
         } else if (expectError) passed += 1
         else { skipped += 1; tally("CLOSE of unknown cursor", sql) }
-      case Statement(sql, expectError) if isSingle(sql) &&
+      case Statement(sql, expectError, _) if isSingle(sql) &&
           SltSession.DropClusterReplicaStmt.findFirstMatchIn(sql).isDefined =>
         val m = SltSession.DropClusterReplicaStmt.findFirstMatchIn(sql).get
         val (c, r) = (m.group(1).toLowerCase, m.group(2).toLowerCase)
@@ -8347,7 +8515,7 @@ object SltRunner {
           else passed += 1
         } else if (expectError) passed += 1
         else { skipped += 1; tally("DROP of unknown cluster replica", sql) }
-      case Statement(sql, expectError) if isSingle(sql) &&
+      case Statement(sql, expectError, _) if isSingle(sql) &&
           SltSession.CreateClusterReplicaStmt.findFirstMatchIn(sql).isDefined =>
         val m = SltSession.CreateClusterReplicaStmt.findFirstMatchIn(sql).get
         val (c, r) = (m.group(1).toLowerCase, m.group(2).toLowerCase)
@@ -8360,7 +8528,7 @@ object SltRunner {
             if (expectError) passed += 1
             else { skipped += 1; tally("cluster replica DDL the reference rejects", sql) }
         }
-      case Statement(sql, expectError) if isSingle(sql) &&
+      case Statement(sql, expectError, _) if isSingle(sql) &&
           SltSession.DropClusterStmt.findFirstMatchIn(sql).isDefined =>
         val m = SltSession.DropClusterStmt.findFirstMatchIn(sql).get
         val c = m.group(2).toLowerCase
@@ -8374,7 +8542,7 @@ object SltRunner {
         } else if (expectError) passed += 1 // unknown cluster errors, like mz
         else if (m.group(1) != null) passed += 1 // IF EXISTS: no-op success
         else { skipped += 1; tally("DROP of unknown cluster", sql) }
-      case Statement(sql, expectError) if isSingle(sql) &&
+      case Statement(sql, expectError, _) if isSingle(sql) &&
           SltSession.CreateClusterStmt.findFirstMatchIn(sql).isDefined =>
         val m = SltSession.CreateClusterStmt.findFirstMatchIn(sql).get
         val c = m.group(1).toLowerCase
@@ -8393,11 +8561,23 @@ object SltRunner {
           if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
           else passed += 1
         }
-      case Statement(sql, expectError) if isSingle(sql) &&
+      case Statement(sql, expectError, _) if isSingle(sql) &&
           SltSession.CreateDefaultIndexStmt.findFirstMatchIn(sql).isDefined =>
         val m = SltSession.CreateDefaultIndexStmt.findFirstMatchIn(sql).get
         val rel = m.group(2)
-        if (!spark.catalog.tableExists(rel)) {
+        // the relation may be KNOWN to the session without a live Spark
+        // table: lazy WMR views, MVs/views whose CREATE was a dialect
+        // failure (phantom), or poisoned relations — the reference created
+        // the index fine, and an index is a semantic no-op here
+        def indexRelKnown(r: String): Boolean = {
+          val n = r.toLowerCase
+          spark.catalog.tableExists(r) ||
+            graft.sql.GraftSqlCatalog.wmrViewsFor(spark)
+              .contains(graft.sql.GraftSqlCatalog.normId(r)) ||
+            sltMvNames.contains(n) || viewDefs.contains(n) ||
+            phantomViewDefs.contains(n) || poisonedTables.contains(n)
+        }
+        if (!indexRelKnown(rel)) {
           if (expectError) passed += 1
           else { skipped += 1; tally("CREATE INDEX on unknown relation", sql) }
         } else {
@@ -8408,7 +8588,7 @@ object SltRunner {
           if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
           else passed += 1
         }
-      case Statement(sql, expectError) if isSingle(sql) &&
+      case Statement(sql, expectError, _) if isSingle(sql) &&
           SltSession.CreateIndexStmt.findFirstMatchIn(sql).isDefined =>
         // semantic no-op (an index never changes results); validate the
         // relation and remember the name so DROP INDEX can resolve it
@@ -8421,7 +8601,14 @@ object SltRunner {
           if (expectError) passed += 1
           else { skipped += 1; tally("statement dialect error: DialectSkip", sql) }
         }
-        else if (!spark.catalog.tableExists(rel)) {
+        else if (!{
+          val n = rel.toLowerCase
+          spark.catalog.tableExists(rel) ||
+            graft.sql.GraftSqlCatalog.wmrViewsFor(spark)
+              .contains(graft.sql.GraftSqlCatalog.normId(rel)) ||
+            sltMvNames.contains(n) || viewDefs.contains(n) ||
+            phantomViewDefs.contains(n) || poisonedTables.contains(n)
+        }) {
           if (expectError) passed += 1
           else { skipped += 1; tally("CREATE INDEX on unknown relation", sql) }
         } else {
@@ -8455,7 +8642,7 @@ object SltRunner {
             else passed += 1
           }
         }
-      case Statement(sql, expectError) if isSingle(sql) &&
+      case Statement(sql, expectError, _) if isSingle(sql) &&
           SltSession.DropIndexStmt.findFirstMatchIn(sql).isDefined =>
         val m = SltSession.DropIndexStmt.findFirstMatchIn(sql).get
         val known = indexNames.remove(SltSession.normName(m.group(2)))
@@ -8468,7 +8655,7 @@ object SltRunner {
           else passed += 1
         } else if (expectError) passed += 1 // unknown index errors, like mz
         else { skipped += 1; tally("DROP INDEX of unknown index", sql) }
-      case Statement(sql, expectError) if isSingle(sql) && SltSession.Discard.findFirstMatchIn(sql).isDefined =>
+      case Statement(sql, expectError, _) if isSingle(sql) && SltSession.Discard.findFirstMatchIn(sql).isDefined =>
         SltSession.Discard.findFirstMatchIn(sql).get.group(1).toUpperCase match {
           case "ALL" =>
             // DISCARD ALL resets the whole session (pg): vars to defaults,
@@ -8484,7 +8671,7 @@ object SltRunner {
             skipped += 1; tally("DISCARD TEMP unsupported", sql)
             poisoned = true
         }
-      case Statement(sql, false)
+      case Statement(sql, false, _)
           if touchesPoisoned(sql) && poisonResetTarget(sql).isDefined =>
         // full-state rebuild of a poisoned relation: best-effort clean any
         // half-state, execute, and clear the poison (see PoisonResetStmt)
@@ -8509,7 +8696,7 @@ object SltRunner {
             poisonedTables += t
             tally("statement touches poisoned table" + poisonDetailSuffix(name), sql)
         }
-      case Statement(sql, _) if touchesPoisoned(sql) && !viewResetEligible(sql) =>
+      case Statement(sql, _, _) if touchesPoisoned(sql) && !viewResetEligible(sql) =>
         skipped += 1
         tally("statement touches poisoned table" + poisonDetailSuffix(name),
           poisonedTables.filter(t => refsWord(sql, t)).toSeq.sorted
@@ -8524,7 +8711,7 @@ object SltRunner {
         // this, later reads of the target compare garbage instead of
         // skipping
         mutationTarget(sql).foreach(poisonedTables += _)
-      case Statement(sql, expectError) =>
+      case Statement(sql, expectError, _) =>
         try {
           unsafeFnCheck(sql)
           // dependent DDL (CREATE VIEW over a WMR view) analyzes the WMR
@@ -8862,6 +9049,9 @@ object SltRunner {
                   // pg PARTIAL column-list aliases: extend to the full list
                   partialAliasRetry(spark, qSql).getOrElse(throw e)
                 case e: Throwable if !q.expectError &&
+                    Option(e.getMessage).exists(_.contains("INVALID_USAGE_OF_STAR_OR_REGEX")) =>
+                  starScalarRetry(spark, qSql).getOrElse(throw e)
+                case e: Throwable if !q.expectError &&
                     Option(e.getMessage).exists(_.contains("UNRESOLVED_COLUMN")) =>
                   aliasImplicitFnNames(qSql)
                     .flatMap(s2 => scala.util.Try(spark.sql(s2)).toOption)
@@ -8882,10 +9072,18 @@ object SltRunner {
                       if (s4 == qSql) None
                       else scala.util.Try(spark.sql(s4)).toOption
                     }
+                    .orElse(orderByWindowSubqueryRetry(spark, qSql))
                     .orElse(wholeRowRetry(spark, qSql,
                       Option(e.getMessage).getOrElse("")))
                     .orElse(graft.plans.NestedCorrelationFlatten.rescue(spark, qSql))
                     .getOrElse(throw e)
+                case e: Throwable if !q.expectError &&
+                    Option(e.getMessage).exists(m =>
+                      m.contains("UNSUPPORTED_EXPR_FOR_OPERATOR") ||
+                        m.contains("MISSING_AGGREGATION")) =>
+                  // window/aggregate expression in ORDER BY that is not a
+                  // select item — pg computes it pre-projection
+                  orderByWindowSubqueryRetry(spark, qSql).getOrElse(throw e)
               }
           } }
           val rows = df.collect()
