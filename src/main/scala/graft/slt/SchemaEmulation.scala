@@ -249,7 +249,10 @@ object SchemaEmulation {
       val name = norm(rawName.split("\\.").last)
       val dbPrefix = if (rawName.contains(".")) Some(norm(rawName.split("\\.").head)) else None
       Some {
-        if (dbPrefix.exists(p => p != "materialize" && p != currentDb))
+        if (name.getBytes("UTF-8").length > 255)
+          // reference catalog identifier limit (id_length.slt)
+          err("identifier length exceeds 255 bytes")
+        else if (dbPrefix.exists(p => p != "materialize" && p != currentDb))
           err(s"unknown database '${dbPrefix.get}'")
         else if (ambient.contains(name) || name.startsWith("mz_") || name.startsWith("pg_"))
           err(s"unacceptable schema name '$name'")

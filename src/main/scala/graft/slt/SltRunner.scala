@@ -130,6 +130,7 @@ object SltRunner {
     * snapshots, keeping both sides in sync WITHOUT poisoning.
     * `stmts` pairs (raw, shimmed). */
   private final case class SimpleExecBlock(
+      conn: Option[String],
       stmts: List[(String, String)], expected: List[String]) extends Record
 
   // Statements that have no Spark analog (cluster/catalog/rbac/source ops).
@@ -143,6 +144,12 @@ object SltRunner {
     "DROP DATABASE", "DROP ROLE", "DROP OWNED", "REASSIGN", "INSPECT")
 
   private val typeRewrites: List[(Regex, String)] = List(
+    // type ALIASES are parser-level, not catalog entries: the reference
+    // rejects `::pg_catalog.smallint` ('type "pg_catalog.smallint" does
+    // not exist', types.slt:172) — route to an unknown type name so the
+    // cast fails at parse like the reference's resolution failure
+    ("""(?i)::\s*pg_catalog\s*\.\s*"?(smallint|integer|int|bigint|real|double|decimal|dec|boolean|json|bytes|float)"?\b""".r,
+      "::graft_pgcat_missing_$1"),
     // pg_catalog-qualified TYPE names in cast position reduce to the bare
     // type (the schema only namespaces them; regclass/regproc casts keep
     // their own qualified-literal handling upstream)
@@ -1090,6 +1097,13 @@ object SltRunner {
   private val customTypes =
     scala.collection.concurrent.TrieMap.empty[String, SltSession.CustomType]
 
+  /** Parse-time relation names (CREATE TABLE/VIEW/MV) in record order —
+    * mz types and relations share a namespace, so CREATE TYPE over an
+    * existing relation (and vice versa) is a catalog collision
+    * (types.slt:512-530). Cleared per file. */
+  private val parseRelKinds =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Tables whose CREATE TABLE declared interval-typed columns (stored as
     * mz-canonical text, reference src/repr/src/adt/interval.rs Display).
     * INSERTs into these get their INTERVAL literals routed through the
@@ -1226,6 +1240,7 @@ object SltRunner {
 
   private[slt] def clearRangeColumns(): Unit = {
     rangeColumns.clear(); customTypes.clear(); sltMvNames.clear()
+    parseRelKinds.clear()
     nanDoubleTables.clear(); mvClusters.clear()
     realColumns.clear(); dblColumns.clear(); byteaColumns.clear()
     intervalTables.clear(); sourceGenKinds.clear(); SchemaEmulation.reset()
@@ -5638,6 +5653,23 @@ object SltRunner {
     // UPDATE/DELETE run through the emulation in applyMutation (Spark v1
     // tables have no native UPDATE/DELETE); unsupported shapes fall back to
     // a dialect skip that poisons the target, as before
+    // relation/type namespace collisions (types.slt:512-530): a CREATE
+    // relation over a registered TYPE name is the reference's catalog
+    // rejection; successful relation DDL is recorded for the reverse check
+    val RelCreate =
+      """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?(?:TEMP(?:ORARY)?\s+)?(MATERIALIZED\s+)?(VIEW|TABLE)\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?([A-Za-z_]\w*)["`]?""".r
+    RelCreate.findFirstMatchIn(sqlRaw).foreach { m =>
+      val n = SltSession.normName(m.group(3))
+      if (customTypes.contains(n))
+        return Statement(
+          "SELECT raise_error('type \"materialize.public." + n +
+            "\" already exists')", expectError = false)
+      parseRelKinds.put(n,
+        if (m.group(1) != null) "materialized view" else m.group(2).toLowerCase)
+    }
+    """(?is)^\s*DROP\s+(?:TABLE|(?:MATERIALIZED\s+)?VIEW)\s+(?:IF\s+EXISTS\s+)?["`]?([A-Za-z_]\w*)""".r
+      .findFirstMatchIn(sqlRaw)
+      .foreach(m => parseRelKinds.remove(SltSession.normName(m.group(1))))
     if (alterConvertible(sqlRaw))
       Statement(shim(sqlRaw, crdb), expectError = false)
     else if (DataAlter.findFirstMatchIn(sqlRaw).isDefined)
@@ -5759,6 +5791,11 @@ object SltRunner {
   private def classifyCreateType(sqlRaw: String): Record = {
     def attempt(name: String, ct: SltSession.CustomType): Record = {
       val n = SltSession.normName(name)
+      parseRelKinds.get(n) match {
+        case Some(kind) => return TypeDdl(ok = false,
+          s"""$kind "materialize.public.$n" already exists""", sql = sqlRaw)
+        case None => ()
+      }
       SltSession.validateType(ct, customTypes) match {
         case Right(()) =>
           customTypes.put(n, ct)
@@ -5895,11 +5932,21 @@ object SltRunner {
           // DDL pieces: executable alone; combined with other statements
           // the reference deterministically REJECTS the block ("cannot be
           // run inside a transaction block") — both claimed
-          val execClaim = defaultConn && stmts.nonEmpty &&
+          def isTxn(s: String) =
+            """(?is)^\s*(BEGIN|COMMIT|ROLLBACK)\b.*""".r.pattern.matcher(s.trim).matches
+          // a NAMED conn is its own pg session: claim var+read/write blocks
+          // against a per-conn variable registry (no txn pieces, no DDL —
+          // cross-connection transaction interplay stays skipped)
+          val connOpt = """^simple\s+conn=([A-Za-z_]\w*)\s*$""".r
+            .findFirstMatchIn(line.trim).map(_.group(1))
+          val execClaim = (defaultConn && stmts.nonEmpty &&
             stmts.forall(s => isVar(s) || isDml(s) ||
-              ddlPc.pattern.matcher(s.trim).matches)
+              ddlPc.pattern.matcher(s.trim).matches)) ||
+            (connOpt.isDefined && stmts.nonEmpty &&
+              stmts.forall(s => (isVar(s) && !isTxn(s)) || isDml(s)))
           if (execClaim)
             emit(SimpleExecBlock(
+              if (defaultConn) None else connOpt,
               stmts.toList.map(s => (s, if (isVar(s)) s.trim else shim(s, crdb))),
               expPart.map(_.trim)))
           else
@@ -6124,6 +6171,50 @@ object SltRunner {
   /** pg composite/record literal text: `(1,2,hello,,)` — NULL renders
     * empty, booleans t/f, nested records quoted when they contain
     * delimiters. */
+  /** pg float8/float4 TEXT output under `extra_float_digits` (simple
+    * protocol; reference float_out / pg float8out): efd > 0 → shortest
+    * round-trippable digits with pg's scientific-notation placement
+    * (fixed for decimal exponent in [-4, 14], else `de+XX`); efd <= 0 →
+    * C `%.{N+efd}g` semantics (trailing zeros stripped), clamped to one
+    * significant digit. */
+  private[slt] def pgFloatText(d: Double, efd: Int, float4: Boolean = false): String = {
+    if (d.isNaN) return "NaN"
+    if (d.isInfinite) return if (d > 0) "Infinity" else "-Infinity"
+    if (efd > 0) {
+      if (d == 0.0) return "0"
+      // shortest repr from the JVM, re-laid-out under pg's placement rule
+      val repr = if (float4) d.toFloat.toString else d.toString
+      val bd = new java.math.BigDecimal(repr).stripTrailingZeros
+      val neg = bd.signum < 0
+      val ds = bd.unscaledValue.abs.toString
+      val e10 = bd.precision - bd.scale - 1
+      val sign = if (neg) "-" else ""
+      if (e10 >= -4 && e10 <= 14) {
+        // fixed notation
+        if (e10 >= ds.length - 1) sign + ds + "0" * (e10 - ds.length + 1)
+        else if (e10 >= 0) sign + ds.take(e10 + 1) + "." + ds.drop(e10 + 1)
+        else sign + "0." + "0" * (-e10 - 1) + ds
+      } else {
+        val m2 = if (ds.length == 1) ds else ds.take(1) + "." + ds.drop(1)
+        f"$sign$m2%se${if (e10 < 0) "-" else "+"}${math.abs(e10)}%02d"
+      }
+    } else {
+      val sig = math.max(1, (if (float4) 6 else 15) + efd)
+      val g = String.format(s"%.${sig}g", Double.box(d))
+      // C %g strips trailing zeros; Java does not — normalize, and compact
+      // the exponent ("1.0000e+02" → "1e+02")
+      g.split("[eE]") match {
+        case Array(m) =>
+          if (m.contains('.')) m.replaceAll("0+$", "").stripSuffix(".") else m
+        case Array(m, e) =>
+          val m2 = if (m.contains('.'))
+            m.replaceAll("0+$", "").stripSuffix(".") else m
+          val ei = e.toInt
+          f"${m2}e${if (ei < 0) "-" else "+"}${math.abs(ei)}%02d"
+      }
+    }
+  }
+
   private def pgRecord(row: org.apache.spark.sql.Row): String =
     (0 until row.length).map { i =>
       val raw = row.get(i)
@@ -7232,6 +7323,10 @@ object SltRunner {
     // TAINTED — a later SHOW of them must skip, never report stale state
     val sessionVars = mutable.Map.empty[String, String]
     val varTainted = mutable.Set.empty[String]
+    // per-NAMED-connection session registries (simple conn=X blocks are
+    // their own pg sessions; table state is shared, variables are not)
+    val connVars = mutable.Map.empty[String, mutable.Map[String, String]]
+    val connVarTainted = mutable.Map.empty[String, mutable.Set[String]]
     // mz_unsafe schema availability (ALTER SYSTEM SET
     // unsafe_enable_unsafe_functions; the corpus default is enabled)
     var unsafeFnsEnabled = true
@@ -7492,11 +7587,26 @@ object SltRunner {
       if (SltSession.RollbackTo.findFirstMatchIn(one).isDefined)
         throw new DialectSkip("ROLLBACK TO SAVEPOINT in compound")
       else if (SltSession.Begin.findFirstMatchIn(one).isDefined) {
+        // mz has no `BEGIN AS OF` (txn_as_of.slt expects the parser's
+        // rejection)
+        if ("""(?is)\bAS\s+OF\b""".r.findFirstIn(one).isDefined)
+          throw new IllegalStateException("Expected end of statement, found AS")
         if (!txnActive) {
           txnActive = true; txnAborted = false; txnQueryRan = false
           txnReadOnly = """(?is)\bREAD\s+ONLY\b""".r.findFirstIn(one).isDefined
           txnNowPin = Some(
             new java.sql.Timestamp(System.currentTimeMillis()).toString)
+        } else {
+          // nested BEGIN keeps the mode; a READ WRITE/READ ONLY tail
+          // adjusts it — switching to read-WRITE is valid only before any
+          // query ran (reference transactions.slt:511-570)
+          val wantsWrite = """(?is)\bREAD\s+WRITE\b""".r.findFirstIn(one).isDefined
+          if (wantsWrite && txnQueryRan)
+            throw new IllegalStateException(
+              "transaction read-write mode must be set before any query")
+          if (wantsWrite) txnReadOnly = false
+          if ("""(?is)\bREAD\s+ONLY\b""".r.findFirstIn(one).isDefined)
+            txnReadOnly = true
         }
         true
       } else if (SltSession.Commit.findFirstMatchIn(one).isDefined) {
@@ -7713,7 +7823,7 @@ object SltRunner {
                 s"expected [${expected.mkString(" | ")}]"
             }
         }
-      case SimpleExecBlock(stmts, expected)
+      case SimpleExecBlock(_, stmts, expected)
           if stmts.exists { case (raw, sh) =>
             touchesPoisoned(raw) || touchesPoisoned(sh) } =>
         // poisoned-state contract identical to the skipped block: reads
@@ -7728,7 +7838,7 @@ object SltRunner {
             .findAllMatchIn(raw)
             .foreach(m => varTainted += SltSession.normVar(m.group(1)))
         }
-      case SimpleExecBlock(stmts, expected) =>
+      case SimpleExecBlock(blockConn, stmts, expected) =>
         // simple-protocol block with executable statements: run each piece
         // through the same emulation primitives as statement/query records
         // and compare the rendered protocol output. The reference runs the
@@ -7746,8 +7856,18 @@ object SltRunner {
         val txnSnapSave = Map(txnSnapshots.toSeq: _*)
         val txnDdlSave = Set(txnDdl.toSeq: _*)
         val txnActiveAtEntry = txnActive
-        val varsSave = Map(sessionVars.toSeq: _*)
-        val working = mutable.Map.empty[String, String] ++ sessionVars
+        // a NAMED conn runs against its own variable registry; the default
+        // connection runs against the session's
+        val varsBase = blockConn match {
+          case Some(c) => connVars.getOrElseUpdate(c, mutable.Map.empty[String, String])
+          case None => sessionVars
+        }
+        val taintBase = blockConn match {
+          case Some(c) => connVarTainted.getOrElseUpdate(c, mutable.Set.empty[String])
+          case None => varTainted
+        }
+        val varsSave = Map(varsBase.toSeq: _*)
+        val working = mutable.Map.empty[String, String] ++ varsBase
         val pendingPlain = mutable.Map.empty[String, String]
         val rendered = mutable.ListBuffer.empty[String]
         var blocked: Option[String] = None // our own error / unhandled piece
@@ -7759,10 +7879,22 @@ object SltRunner {
         val ResetPat = """(?is)^\s*RESET\s+([A-Za-z_][\w.]*)\s*;?\s*$""".r
         val ShowPat = """(?is)^\s*SHOW\s+([A-Za-z_][\w.]*)\s*;?\s*$""".r
         val TxnPat = """(?is)^\s*(BEGIN|COMMIT|ROLLBACK)\s*;?\s*$""".r
+        def efdNow: Int =
+          try working.getOrElse("extra_float_digits",
+            SltSession.varDefaults.getOrElse("extra_float_digits", "1")).toInt
+          catch { case _: Throwable => 1 }
         def renderSimpleVal(v: Any): String = v match {
           case null => "NULL"
           case b: Boolean => if (b) "t" else "f" // pg wire text
-          case r: org.apache.spark.sql.Row => pgRecord(r)
+          case d: Double => pgFloatText(d, efdNow)
+          case f: Float => pgFloatText(f.toDouble, efdNow, float4 = true)
+          case seq: scala.collection.Seq[_] =>
+            seq.map(e => if (e == null) "NULL" else renderSimpleVal(e))
+              .mkString("{", ",", "}")
+          case r: org.apache.spark.sql.Row =>
+            (0 until r.length).map(i =>
+              if (r.isNullAt(i)) "" else renderSimpleVal(r.get(i)))
+              .mkString("(", ",", ")")
           case other => renderActual('T', other)
         }
         def renderRows(rows: Array[org.apache.spark.sql.Row]): Unit = {
@@ -7792,6 +7924,18 @@ object SltRunner {
                 .foreach(m => poisonedTables += m.group(1).toLowerCase)
             }
           }
+        } else if (blockConn.isDefined && txnActive) {
+          // the default connection holds an OPEN transaction: another
+          // connection's reads/writes against shared table state can't be
+          // sequenced faithfully — skip like the unclaimed block
+          skipped += 1
+          tally("simple protocol block", stmts.map(_._1).mkString("; "))
+          targets.foreach(poisonedTables += _)
+          stmts.foreach { case (raw, _) =>
+            """(?i)\bSET\s+(?:LOCAL\s+|SESSION\s+)?(TIME\s+ZONE|[A-Za-z_][\w.]*)""".r
+              .findAllMatchIn(raw)
+              .foreach(m => taintBase += SltSession.normVar(m.group(1)))
+          }
         } else {
         stmts.iterator.takeWhile(_ => blocked.isEmpty).foreach { case (raw, sh) =>
           val st = raw.trim
@@ -7819,7 +7963,7 @@ object SltRunner {
                 }
               case ShowPat(name0) =>
                 val n = SltSession.normVar(name0)
-                if (varTainted.contains(n)) blocked = Some("SHOW of tainted var")
+                if (taintBase.contains(n)) blocked = Some("SHOW of tainted var")
                 else working.get(n).orElse(SltSession.varDefaults.get(n)) match {
                   case Some(v) => rendered += v; rendered += "COMPLETE 1"
                   case None => blocked = Some(s"SHOW $name0 untracked")
@@ -7903,10 +8047,10 @@ object SltRunner {
           txnIsolation = txnSave._5
           txnSnapshots.clear(); txnSnapshots ++= txnSnapSave
           txnDdl.clear(); txnDdl ++= txnDdlSave
-          sessionVars.clear(); sessionVars ++= varsSave
+          varsBase.clear(); varsBase ++= varsSave
         }
         if (blocked.isEmpty && rendered.toList == exp) {
-          pendingPlain.foreach { case (n, v) => sessionVars(n) = v; varTainted -= n }
+          pendingPlain.foreach { case (n, v) => varsBase(n) = v; taintBase -= n }
           passed += 1
         } else if (exp.exists(_.startsWith("db error")) && restorable &&
             !stmts.exists(p =>
@@ -7931,7 +8075,7 @@ object SltRunner {
           stmts.foreach { case (raw, _) =>
             """(?i)\bSET\s+(?:LOCAL\s+|SESSION\s+)?(TIME\s+ZONE|[A-Za-z_][\w.]*)""".r
               .findAllMatchIn(raw)
-              .foreach(m => varTainted += SltSession.normVar(m.group(1)))
+              .foreach(m => taintBase += SltSession.normVar(m.group(1)))
           }
         }
         }
@@ -8077,18 +8221,29 @@ object SltRunner {
         txnDdl.foreach(poisonedTables += _)
         txnClear()
       case Statement(sql, expectError, _) if isSingle(sql) && SltSession.Begin.findFirstMatchIn(sql).isDefined =>
-        // nested BEGIN is a pg warning, not an error — the txn continues.
-        // But access-mode tails on the nested BEGIN are rejected once a
-        // query ran ('transaction read-write mode must be set before any
-        // query', corpus transactions.slt:547)
-        if (txnActive && txnQueryRan &&
-            """(?is)\bREAD\s+(?:WRITE|ONLY)\b""".r.findFirstIn(sql).isDefined) {
+        // nested BEGIN is a pg warning, not an error — the txn continues,
+        // and a READ WRITE/READ ONLY tail ADJUSTS the mode: switching to
+        // read-WRITE is rejected once a query ran, switching to read-only
+        // is always allowed (corpus transactions.slt:511-570). mz has no
+        // BEGIN AS OF (txn_as_of.slt expects the parser's rejection).
+        if ("""(?is)\bAS\s+OF\b""".r.findFirstIn(sql).isDefined) {
+          if (expectError) passed += 1
+          else { skipped += 1; tally("statement dialect error: DialectSkip", sql) }
+        } else if (txnActive && txnQueryRan &&
+            """(?is)\bREAD\s+WRITE\b""".r.findFirstIn(sql).isDefined) {
           if (expectError) passed += 1
           else { skipped += 1; tally("txn mode change the reference rejects", sql) }
         } else {
           if (!txnActive) {
             txnActive = true; txnAborted = false; txnQueryRan = false
             txnReadOnly = """(?is)\bREAD\s+ONLY\b""".r.findFirstIn(sql).isDefined
+            txnNowPin = Some(
+              new java.sql.Timestamp(System.currentTimeMillis()).toString)
+          } else {
+            if ("""(?is)\bREAD\s+WRITE\b""".r.findFirstIn(sql).isDefined)
+              txnReadOnly = false
+            if ("""(?is)\bREAD\s+ONLY\b""".r.findFirstIn(sql).isDefined)
+              txnReadOnly = true
           }
           if (expectError) { skipped += 1; tally("statement error expected but we accept it", sql) }
           else passed += 1
@@ -8714,6 +8869,21 @@ object SltRunner {
       case Statement(sql, expectError, _) =>
         try {
           unsafeFnCheck(sql)
+          // the reference rejects views whose bodies use wildcard
+          // expansions or NATURAL JOINs over SYSTEM relations (their
+          // column sets evolve across releases; reference ddl.rs view
+          // planning, disambiguate_columns.slt:12-19)
+          if ("""(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?(?:TEMP(?:ORARY)?\s+)?(?:MATERIALIZED\s+)?VIEW\b""".r
+                .findFirstIn(sql).isDefined &&
+              PgCatalogRelations.referenced(sql) && {
+                val bare = stripLits(sql)
+                """(?is)(?:\bSELECT\s+(?:DISTINCT\s+)?|,\s*|\.\s*)\*""".r
+                  .findFirstIn(bare).isDefined ||
+                  """(?i)\bNATURAL\s+JOIN\b""".r.findFirstIn(bare).isDefined
+              })
+            throw new IllegalStateException(
+              "cannot use wildcard expansions or NATURAL JOINs in a view " +
+                "that depends on system objects")
           // dependent DDL (CREATE VIEW over a WMR view) analyzes the WMR
           // name — materialize it first
           refreshWmrFor(sql)

@@ -64,10 +64,13 @@ class SeriesAndMutationSpec extends SparkSpec {
     // type names, string keys, empty brackets stay native
     assert(s("SELECT x::int[]").contains("::array<int>"))
     assert(s("SELECT m['k']").contains("m['k']"))
-    // slices take mz list-slice semantics (1-based inclusive, clamped;
-    // absent bounds encode as clamped extremes, never NULL)
-    assert(s("SELECT a[1:2]").contains("mz_list_slice(a, 1, 2)"))
-    assert(s("SELECT a[2:]").contains("mz_list_slice(a, 2, 9223372036854775807)"))
+    // slices are list-only in the reference: a LIST-typed operand takes mz
+    // slice semantics; anything else is the plan-time rejection ('array
+    // subscript does not support slices')
+    assert(s("SELECT mz_list_tag(array(1,2,3))[1:2]")
+      .contains("mz_list_slice(mz_list_tag(array(1,2,3)), 1, 2)"))
+    assert(s("SELECT a[1:2]").contains("mz_slice_reject(a, 1, 2)"))
+    assert(s("SELECT a[2:]").contains("mz_slice_reject(a, 2, 9223372036854775807)"))
   }
 
   test("SLT shim: multiple SRFs in one select list zip in lockstep") {
