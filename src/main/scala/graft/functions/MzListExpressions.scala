@@ -330,6 +330,11 @@ object MzListExpressions {
     case (NullType, y) => y
     case (x, NullType) => x
     case (x, y) if Seq(x, y).forall(t => t == ShortType || t == IntegerType ||
+        t == LongType) =>
+      // mz resolves MIXED integer widths for polymorphic list ops at the
+      // i64 overload ('smallint list || 2' is bigint list, list.slt)
+      LongType
+    case (x, y) if Seq(x, y).forall(t => t == ShortType || t == IntegerType ||
         t == LongType || t == FloatType || t == DoubleType) =>
       val rank = Map[DataType, Int](ShortType -> 1, IntegerType -> 2,
         LongType -> 3, FloatType -> 4, DoubleType -> 5)

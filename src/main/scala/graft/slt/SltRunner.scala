@@ -70,6 +70,49 @@ object SltRunner {
   private def poisonDetailSuffix(file: String): String =
     if (sys.env.contains("SLT_POISON_DETAIL")) s" [$file]" else ""
 
+  /** Reversible case-mangle for quoted identifiers carrying uppercase:
+    * `"AbC"` -> `abc__gc5` (hex bitmask of uppercase positions). */
+  private[slt] def mangleCase(n: String): String = {
+    val mask = n.zipWithIndex.foldLeft(java.math.BigInteger.ZERO) {
+      case (acc, (c, i)) => if (c.isUpper) acc.setBit(i) else acc
+    }
+    n.toLowerCase + "__gc" + mask.toString(16)
+  }
+  private[slt] def unmangleCase(s: String): String =
+    if (!s.contains("__gc")) s
+    else """([a-z_][a-z0-9_]*)__gc([0-9a-f]+)""".r.replaceAllIn(s, m => {
+      val base = m.group(1)
+      val mask = new java.math.BigInteger(m.group(2), 16)
+      Regex.quoteReplacement(base.zipWithIndex.map { case (c, i) =>
+        if (mask.testBit(i)) c.toUpper else c
+      }.mkString)
+    })
+
+  /** Decimal literals needing MORE than Spark's 38 digits (the reference
+    * numeric carries 39, src/repr/src/adt/numeric.rs): replace each with
+    * an ORDER-PRESERVING representable clamp at the type's extreme —
+    * variant A (...9) or B (...8), distinct so a double-run can detect
+    * whether a query's result depends on the exact cell value. Returns
+    * (rewritten, anyChanged). */
+  private[slt] def clampOversizedDecimals(sql: String, toB: Boolean): (String, Boolean) = {
+    var changed = false
+    val out = rewriteOutsideLits(sql) { seg =>
+      """(-?)(\d+)\.(\d+)""".r.replaceAllIn(seg, m => {
+        val ip = m.group(2).dropWhile(_ == '0')
+        val fp = m.group(3)
+        if (ip.length + fp.length <= 38) m.matched
+        else {
+          changed = true
+          val scale = math.min(fp.length, 37)
+          val intDigits = 38 - scale
+          val frac = "9" * (scale - 1) + (if (toB) "8" else "9")
+          Regex.quoteReplacement(m.group(1) + "9" * intDigits + "." + frac)
+        }
+      })
+    }
+    (out, changed)
+  }
+
   def censusTop(n: Int): Seq[(String, Int, String)] = {
     import scala.jdk.CollectionConverters._
     census.asScala.toSeq.map { case (k, v) =>
@@ -1048,11 +1091,31 @@ object SltRunner {
                 t.startsWith("map(")
             }
             val bothMaps = mapish(lText) && mapish(rText)
+            // list/array `||` with exactly ONE visible array side is the
+            // ELEMENT append/prepend (reference list_append/list_prepend;
+            // pg array || elem). Quoted literals stay native: pg would
+            // cast them to the list type, not append the text.
+            // the scalar side must be PROVABLY scalar (a bare identifier
+            // may name an array column, where || is CONCAT; a bare NULL is
+            // the NULL list)
+            def scalarish(s0: String): Boolean = {
+              val t = s0.trim
+              t.matches("""(?is)-?\d+(\.\d+)?(::\w+)?""") ||
+                t.matches("""(?is)NULL\s*::\s*\w+""")
+            }
+            val oneSidedArr = op == "||" &&
+              ((arrayish(lText) && scalarish(rText)) ||
+                (scalarish(lText) && arrayish(rText)))
             if (lStart < 0 || rEnd < 0 ||
-                ((op == "||" || op == "-") && !jsonbSide) ||
+                ((op == "||" || op == "-") && !jsonbSide && !oneSidedArr) ||
                 ((op == "@>" || op == "<@" || op == "?") && !jsonbSide &&
                   !bothArrays && !bothMaps)) {
               sb ++= op; i += op.length
+            } else if (oneSidedArr) {
+              sb.setLength(lStart)
+              sb ++= (if (arrayish(lText)) s"mz_list_append($lText, $rText)"
+                else s"mz_list_prepend($lText, $rText)")
+              i = rEnd
             } else if ((op == "@>" || op == "<@") && bothMaps) {
               // mz MAP containment: every key of the small side PRESENT in
               // the big side with an EQUAL value (map_contains_map,
@@ -4028,6 +4091,17 @@ object SltRunner {
         .replaceAllIn(sql0a, "'jsonb'")
     val rewritten = mapOutsideLiterals(sql0) { seg0 =>
       var sql = seg0
+      // pg quoted identifiers are CASE-SENSITIVE; Spark's resolution is
+      // not. A quoted id carrying uppercase mangles to a reversible
+      // lowercase name (`"A"` -> `a__gc1`), so `"A"` and `A`/`a` resolve
+      // as the DISTINCT catalog entries pg sees
+      // (cockroach/case_sensitive_names.slt); renderActual unmangles for
+      // display. Lowercase quoted ids stay native.
+      sql = """"([A-Za-z_][A-Za-z0-9_]*)"""".r.replaceAllIn(sql, m => {
+        val n = m.group(1)
+        if (n.exists(_.isUpper)) Regex.quoteReplacement(mangleCase(n))
+        else m.matched
+      })
       typeRewrites.foreach { case (re, to) => sql = re.replaceAllIn(sql, to) }
       if (crdb) {
         sql = """(?i)\b(int|integer)\b""".r.replaceAllIn(sql, "bigint")
@@ -4283,6 +4357,43 @@ object SltRunner {
     }
     if (!changed) sql
     else sql.substring(0, obIdx) + "ORDER BY " + obItems.mkString(", ") + obTail
+  }
+
+  /** pg set-returning `unnest(..)` in SELECT position (possibly inside a
+    * subquery, alongside scalar columns, or as the `FROM unnest(..)` table
+    * function): Spark's spelling is `explode` — a generator in the select
+    * list or the explode TVF in FROM, with identical per-input-row
+    * expansion. Nested-in-expression uses (`ascii(unnest(..))`) get the
+    * FROM-less single-item wrap. */
+  private def unnestExplodeRetry(spark: SparkSession, sql: String): Option[DataFrame] = {
+    if (sql.toLowerCase.contains("mz_map_in")) return None // mz map unnest differs
+    // `unnest(array(t.*))` is an array OF RECORDS in pg; Spark's array(t.*)
+    // flattens the row — keep the honest skip
+    if (sql.contains(".*")) return None
+    val out = rewriteOutsideLits(sql)(seg =>
+      """(?i)\bunnest\s*\(""".r.replaceAllIn(seg, "explode("))
+    if (out == sql) return None
+    scala.util.Try(spark.sql(out.stripSuffix(";"))).toOption.orElse {
+      // FROM-less single-item with the SRF nested inside an expression:
+      // lift the explode into a subquery and reference its output
+      val m = """(?is)^\s*SELECT\s+(.*?)\s*;?\s*$""".r.findFirstMatchIn(out)
+        .filter(mm => !"""(?i)\bFROM\b""".r.findFirstIn(mm.group(1)).isDefined)
+      m.flatMap { mm =>
+        val item = mm.group(1)
+        val ex = """(?i)\bexplode\s*\(""".r.findFirstMatchIn(item)
+        ex.flatMap { em =>
+          val close = matchingParen(item, em.end - 1)
+          if (close < 0) None
+          else {
+            val call = item.substring(em.start, close + 1)
+            val rewritten = item.substring(0, em.start) + "graft_u" +
+              item.substring(close + 1)
+            scala.util.Try(spark.sql(
+              s"SELECT $rewritten FROM (SELECT $call AS graft_u)")).toOption
+          }
+        }
+      }
+    }
   }
 
   /** pg orders by expressions NOT in the select list even when the query
@@ -6109,9 +6220,11 @@ object SltRunner {
       if (t == 'R') "%.3f".format(n.doubleValue) else n.toString
     case s: String =>
       // embedded newlines print as the corpus' visible marker (mz
-      // sqllogictest renders multi-line cells with U+23CE)
+      // sqllogictest renders multi-line cells with U+23CE); case-mangled
+      // identifiers surface with their original spelling
       if (s.isEmpty) ""
-      else s.replace("\n", "\u23ce").replaceAll(" 00:00:00$", "") // midnight ≡ date
+      else unmangleCase(s).replace("\n", "\u23ce")
+        .replaceAll(" 00:00:00$", "") // midnight ≡ date
     case seq: scala.collection.Seq[_] => // pg array literal form {a,b}
       seq.map { e =>
         val s = if (e == null) "NULL" else renderActual('T', e)
@@ -7310,6 +7423,16 @@ object SltRunner {
     // VIEW definitions and skipped EXECUTEs of mutating PREPAREs, and is
     // cleared when the table is dropped/recreated fresh.
     val poisonedTables = mutable.Set.empty[String]
+    // per-VALUE poisoning: relations whose state matches the reference
+    // EXCEPT for marked cells holding order-preserving sentinel clamps
+    // (reference numeric carries 39 digits, Spark's decimal 38).
+    // `valuePoisoned` tables carry flip UPDATE pairs so a query can be
+    // re-run against the B sentinels — identical output proves the result
+    // does not depend on the unrepresentable cells; `sentinelRelations`
+    // (clamped VIEW bodies) cannot flip, so only expected-error reads run.
+    case class ValuePatch(toB: String, toA: String)
+    val valuePoisoned = mutable.Map.empty[String, mutable.ListBuffer[ValuePatch]]
+    val sentinelRelations = mutable.Set.empty[String]
     val viewDefs = mutable.Map.empty[String, String]
     // dependency edges for views whose CREATE was a dialect failure HERE
     // but succeeded in the reference (expected-error DROP gating only)
@@ -7496,6 +7619,64 @@ object SltRunner {
         (depth < 5 && viewDefs.exists { case (v, d) =>
           refs(v) && touchesPoisoned(d, depth + 1)
         })
+    }
+    /** Relations the query reaches that hold sentinel-clamped CELLS
+      * (directly or through recorded view definitions). */
+    def valuePoisonReached(sql: String): (Set[String], Boolean) = {
+      val bare = stripLits(sql)
+      def refs(w: String) = s"(?i)\\b$w\\b".r.findFirstIn(bare).isDefined
+      var tables = valuePoisoned.keySet.filter(refs).toSet
+      var sentinel = sentinelRelations.exists(refs)
+      viewDefs.foreach { case (v, d) =>
+        if (refs(v)) {
+          tables = tables ++ valuePoisoned.keySet.filter(t => refsWord(d, t))
+          if (sentinelRelations.exists(t => refsWord(d, t))) sentinel = true
+        }
+      }
+      (tables, sentinel)
+    }
+    /** A failed INSERT whose only unrepresentable parts are >38-digit
+      * decimal literals: insert with the ORDER-PRESERVING sentinel clamps
+      * and record flip UPDATE pairs so reads can prove independence from
+      * the exact cell values. True when recovered. */
+    def tryRowClamp(sql: String): Boolean = {
+      if (splitStatements(sql).lengthCompare(1) != 0) return false
+      val m = """(?is)^\s*INSERT\s+INTO\s+["`]?(\w+)["`]?\s*(\([^)]*\))?\s*VALUES\s+(.*?);?\s*$""".r
+        .findFirstMatchIn(sql).getOrElse(return false)
+      val t = m.group(1).toLowerCase
+      val (sqlA, changed) = clampOversizedDecimals(sql, toB = false)
+      if (!changed) return false
+      val ok = scala.util.Try { spark.sql(sqlA).collect(); true }.getOrElse(
+        scala.util.Try(typedInsertRetry(spark, sqlA)).getOrElse(false))
+      if (!ok) return false
+      // flip pairs: identify each clamped row by ALL its cell values
+      val schema = scala.util.Try(spark.table(t).schema).getOrElse(return false)
+      val cols: Seq[String] = Option(m.group(2)) match {
+        case Some(cl) => cl.stripPrefix("(").stripSuffix(")").split(",")
+          .map(_.trim.replaceAll("[\"`]", "")).toSeq
+        case None => schema.fieldNames.toSeq
+      }
+      val rowsA = splitTopLevel(clampOversizedDecimals(m.group(3), toB = false)._1, ',').map(_.trim)
+      val rowsB = splitTopLevel(clampOversizedDecimals(m.group(3), toB = true)._1, ',').map(_.trim)
+      rowsA.zip(rowsB).foreach { case (ra, rb) =>
+        if (ra != rb && ra.startsWith("(") && rb.startsWith("(")) {
+          val cellsA = splitTopLevel(ra.substring(1, ra.length - 1), ',').map(_.trim)
+          val cellsB = splitTopLevel(rb.substring(1, rb.length - 1), ',').map(_.trim)
+          if (cellsA.length == cols.length) {
+            def upd(from: Seq[String], to: Seq[String]): String = {
+              val sets = cols.zip(from.zip(to)).collect {
+                case (c, (f, x)) if f != x => s"`$c` = ($x)"
+              }
+              val where = cols.zip(from)
+                .map { case (c, f) => s"`$c` <=> ($f)" }.mkString(" AND ")
+              s"UPDATE `$t` SET ${sets.mkString(", ")} WHERE $where"
+            }
+            valuePoisoned.getOrElseUpdate(t, mutable.ListBuffer.empty) +=
+              ValuePatch(upd(cellsA, cellsB), upd(cellsB, cellsA))
+          }
+        }
+      }
+      valuePoisoned.contains(t)
     }
     // A bare DROP TABLE or a CREATE TABLE with an explicit column list
     // rebuilds the relation's ENTIRE state from the statement text alone —
@@ -8851,6 +9032,22 @@ object SltRunner {
             poisonedTables += t
             tally("statement touches poisoned table" + poisonDetailSuffix(name), sql)
         }
+      case Statement(sql, _, _) if {
+          val (vt, vs) = valuePoisonReached(sql)
+          (vt.nonEmpty || vs) && !touchesPoisoned(sql) && (
+            """(?is)^\s*(UPDATE|DELETE)\b""".r.findFirstIn(sql).isDefined ||
+            ("""(?is)^\s*(INSERT|CREATE)\b""".r.findFirstIn(sql).isDefined &&
+              """(?i)\bSELECT\b""".r.findFirstIn(sql).isDefined))
+        } =>
+        // a mutation/materialization READING sentinel-clamped cells could
+        // diverge arbitrarily — escalate to full poison
+        val (vt, _) = valuePoisonReached(sql)
+        vt.foreach { t => poisonedTables += t; valuePoisoned -= t }
+        mutationTarget(sql).foreach(poisonedTables += _)
+        """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?(?:TABLE|VIEW)\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?(\w+)""".r
+          .findFirstMatchIn(sql).foreach(m => poisonedTables += m.group(1).toLowerCase)
+        skipped += 1
+        tally("statement touches poisoned table" + poisonDetailSuffix(name), sql)
       case Statement(sql, _, _) if touchesPoisoned(sql) && !viewResetEligible(sql) =>
         skipped += 1
         tally("statement touches poisoned table" + poisonDetailSuffix(name),
@@ -8944,10 +9141,14 @@ object SltRunner {
           """(?is)^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?["`]?(\w+)""".r
             .findFirstMatchIn(sql)
             .foreach(m => viewDefs -= m.group(1).toLowerCase)
-          // fresh DROP/CREATE resets the table's poison
+          // fresh DROP/CREATE resets the table's poison (value-level too)
           """(?i)^\s*(?:DROP|CREATE)\s+TABLE\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?["`]?(\w+)""".r
             .findFirstMatchIn(sql)
-            .foreach(m => poisonedTables -= m.group(1).toLowerCase)
+            .foreach { m =>
+              poisonedTables -= m.group(1).toLowerCase
+              valuePoisoned -= m.group(1).toLowerCase
+              sentinelRelations -= m.group(1).toLowerCase
+            }
           // a successful RENAME carries the source's poison to the target;
           // and any VIEW over either name now resolves differently in pg
           // (views track the relation, Spark temp views pin the plan) —
@@ -9026,6 +9227,42 @@ object SltRunner {
             // reference's txn carries on, so ours must too.
             if (expectError && txnActive) txnAborted = true
             if (expectError) passed += 1
+            else if (tryRowClamp(sql)) passed += 1 // per-VALUE poisoning
+            else if ({
+              // a CREATE VIEW whose only unrepresentable parts are
+              // oversized decimal literals: register the clamped body as a
+              // SENTINEL relation (no flip possible — only expected-error
+              // reads will run against it)
+              val (sqlA0, changedV) = clampOversizedDecimals(sql, toB = false)
+              // register as a TEMP view with the column list applied via a
+              // subquery alias (a permanent view would demand per-item
+              // aliases Spark-side)
+              val sqlA = """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?(\w+)["`]?\s*(\(([^)]*)\))?\s*AS\s+([\s\S]*)$""".r
+                .findFirstMatchIn(sqlA0) match {
+                case Some(vm) =>
+                  val nm = vm.group(1)
+                  val body = vm.group(4).trim.stripSuffix(";")
+                  Option(vm.group(3)) match {
+                    case Some(cols) =>
+                      s"CREATE OR REPLACE TEMPORARY VIEW $nm AS SELECT * " +
+                        s"FROM ($body) AS graft_vclamp($cols)"
+                    case None =>
+                      s"CREATE OR REPLACE TEMPORARY VIEW $nm AS $body"
+                  }
+                case None => sqlA0
+              }
+              changedV &&
+                """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\b""".r
+                  .findFirstIn(sql).isDefined &&
+                scala.util.Try { spark.sql(sqlA).collect(); true }.getOrElse(false) && {
+                  """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?["`]?(\w+)(.*)""".r
+                    .findFirstMatchIn(sqlA).foreach { vm =>
+                      viewDefs(vm.group(1).toLowerCase) = vm.group(2)
+                      sentinelRelations += vm.group(1).toLowerCase
+                    }
+                  true
+                }
+            }) passed += 1
             else {
               // a failed INSERT leaves PARTIAL table state
               mutationTarget(sql).foreach(poisonedTables += _)
@@ -9196,7 +9433,7 @@ object SltRunner {
               s"""column reference "$a" is ambiguous""")
           // a mutation query record (INSERT/UPDATE/DELETE ... RETURNING)
           // runs through the emulation; its RETURNING rows are the result
-          val df = SltSession.FetchCursor.findFirstMatchIn(qSql) match {
+          def buildDf(): DataFrame = SltSession.FetchCursor.findFirstMatchIn(qSql) match {
             case Some(fm) => fetchCursorDf(fm)
             case None if qSql.trim.toUpperCase.startsWith("SUBSCRIBE") &&
                 parseSubscribe(qSql).isDefined =>
@@ -9249,6 +9486,10 @@ object SltRunner {
                     .getOrElse(throw e)
                 case e: Throwable if !q.expectError &&
                     Option(e.getMessage).exists(m =>
+                      m.contains("UNRESOLVED_ROUTINE") && m.contains("`unnest`")) =>
+                  unnestExplodeRetry(spark, qSql).getOrElse(throw e)
+                case e: Throwable if !q.expectError &&
+                    Option(e.getMessage).exists(m =>
                       m.contains("UNSUPPORTED_EXPR_FOR_OPERATOR") ||
                         m.contains("MISSING_AGGREGATION")) =>
                   // window/aggregate expression in ORDER BY that is not a
@@ -9256,7 +9497,32 @@ object SltRunner {
                   orderByWindowSubqueryRetry(spark, qSql).getOrElse(throw e)
               }
           } }
+          // sentinel-clamped relations: a VIEW body we could only
+          // register with clamped literals serves WRONG values — only
+          // expected-error reads may run against it
+          val (vpTables, vpSentinel) = valuePoisonReached(q.sql)
+          if (vpSentinel && !q.expectError)
+            throw new DialectSkip("query observes an unrepresentable value")
+          val df = buildDf()
           val rows = df.collect()
+          // per-VALUE poisoned tables: re-run against the B sentinels —
+          // identical output proves the result does not depend on the
+          // clamped cells (order-preserving extremes), so the comparison
+          // against the reference's expected rows is sound
+          if (vpTables.nonEmpty && !q.expectError) {
+            def flip(toB: Boolean): Unit =
+              vpTables.foreach(t => valuePoisoned.get(t).foreach(_.foreach(pch =>
+                applyMutation(spark, if (toB) pch.toB else pch.toA))))
+            val rowsB = try {
+              flip(toB = true)
+              try scala.util.Try(buildDf().collect()).toOption
+              finally flip(toB = false)
+            } catch { case _: Throwable => None }
+            val same = rowsB.exists(rb => rb.length == rows.length &&
+              rb.map(String.valueOf).sameElements(rows.map(String.valueOf)))
+            if (!same)
+              throw new DialectSkip("query observes an unrepresentable value")
+          }
           if (q.expectError) { // accepted-but-reference-rejects
             // pg float ops error on overflow ("value out of range:
             // overflow", reference src/expr/src/scalar.rs FloatOverflow)
