@@ -94,6 +94,35 @@ object PgArrayInput {
     }
     if (depth == 0) depth = 1
     val value = MzListExpressions.parseList(s.substring(i), depth, conv(leaf))
+    // pg ARRAY strictness (strconv.rs array parsing; lists stay lax):
+    // max 6 dimensions, rectangular sub-arrays, no empty or NULL
+    // sub-arrays inside a multidimensional literal
+    if (depth > 6)
+      throw new IllegalArgumentException(
+        s"number of array dimensions ($depth) exceeds the maximum allowed (6)")
+    def strict(v: Any, dt: DataType): Unit = (v, dt) match {
+      case (a: ArrayData, ArrayType(e: ArrayType, _)) =>
+        var expect = -1
+        var k = 0
+        while (k < a.numElements()) {
+          if (a.isNullAt(k))
+            throw new IllegalArgumentException(
+              s"""invalid input syntax for type array: Unexpected array element.: "$text"""")
+          val sub = a.get(k, e).asInstanceOf[ArrayData]
+          if (sub.numElements() == 0)
+            throw new IllegalArgumentException(
+              s"""invalid input syntax for type array: Unexpected "}" character.: "$text"""")
+          if (expect < 0) expect = sub.numElements()
+          else if (sub.numElements() != expect)
+            throw new IllegalArgumentException(
+              "invalid input syntax for type array: Multidimensional " +
+                s"""arrays must have sub-arrays with matching dimensions.: "$text"""")
+          strict(sub, e)
+          k += 1
+        }
+      case _ => ()
+    }
+    strict(value, wrap(leaf, depth))
     if (countLeaves(value, wrap(leaf, depth)) == 0)
       (ArrayType(leaf), new GenericArrayData(Array.empty[Any]))
     else (wrap(leaf, depth), value)

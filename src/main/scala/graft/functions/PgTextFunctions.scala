@@ -205,6 +205,22 @@ object PgTextFunctions {
       var s = raw.toLowerCase
       if (s.startsWith("urn:uuid:")) s = s.substring(9)
       if (s.startsWith("{") && s.endsWith("}")) s = s.substring(1, s.length - 1)
+      // hyphenated form requires the STRICT 8-4-4-4-12 grouping (the
+      // reference validates via the uuid crate: 'invalid group length in
+      // group N'); the bare form is 32 hex digits
+      if (s.contains('-')) {
+        val groups = s.split("-", -1)
+        val want = Seq(8, 4, 4, 4, 12)
+        if (groups.length != 5)
+          throw new ArithmeticException(
+            s"""invalid input syntax for type uuid: "$raw"""")
+        groups.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+          if (g.length != w)
+            throw new ArithmeticException(
+              s"invalid input syntax for type uuid: invalid group length " +
+                s"in group ${i + 1}: expected $w, found ${g.length}")
+        }
+      }
       val hex = s.replace("-", "")
       if (hex.length != 32 || !hex.forall(c => c.isDigit || (c >= 'a' && c <= 'f')))
         throw new ArithmeticException(

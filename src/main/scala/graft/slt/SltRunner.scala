@@ -207,6 +207,8 @@ object SltRunner {
     ("""(?i)\bfloat8\b""".r, "double"),
     // pg `float` (no precision) is float8 — Spark's bare `float` is float4
     ("""(?i)\bfloat\b""".r, "double"),
+    // pg bare CHAR is char(1); the quoted catalog type "char" stays
+    ("""(?i)(?<!")\bchar\b(?!\s*[("])""".r, "char(1)"),
     ("""(?i)\btext\b""".r, "string"),
     // pg `name` (63-byte identifier type) only in cast position — the bare
     // word is a common column name and must not be rewritten
@@ -3961,7 +3963,11 @@ object SltRunner {
             }
           """(?i)["`]?(\w+)["`]?\s+bytea\b""".r.findAllMatchIn(st)
             .foreach(m => byteaColumns.put(m.group(1).toLowerCase, ()))
-          val j = """(?i)\bjsonb?\b""".r.replaceAllIn(st, "string COMMENT 'graft_jsonb'")
+          val j0 = """(?i)\bjsonb?\b""".r.replaceAllIn(st, "string COMMENT 'graft_jsonb'")
+          // uuid columns: canonical text + a marker so INSERT cells route
+          // through the checked pg_uuid input conversion
+          val j = """(?i)(["`]?\w+["`]?\s+)uuid\b""".r
+            .replaceAllIn(j0, "$1string COMMENT 'graft_uuid'")
           // range columns: string storage + a kind marker for INSERT
           // canonicalization; the column name feeds the per-file registry
           // so bare identifiers resolve as range operands in queries
@@ -4089,7 +4095,12 @@ object SltRunner {
         """jsonb_strip_nulls|jsonb_concat|jsonb_delete|jsonb_build_array|""" +
         """jsonb_build_object|to_jsonb)\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))\s*\)""").r
         .replaceAllIn(sql0a, "'jsonb'")
-    val rewritten = mapOutsideLiterals(sql0) { seg0 =>
+    // pg coerces quoted LIMIT/OFFSET literals to bigint
+    val sql0L =
+      if (!"""(?i)\b(LIMIT|OFFSET)\s+'""".r.findFirstIn(sql0).isDefined) sql0
+      else """(?i)\b(LIMIT|OFFSET)\s+'(\d+)'""".r
+        .replaceAllIn(sql0, m => Regex.quoteReplacement(s"${m.group(1)} ${m.group(2)}"))
+    val rewritten = mapOutsideLiterals(sql0L) { seg0 =>
       var sql = seg0
       // pg quoted identifiers are CASE-SENSITIVE; Spark's resolution is
       // not. A quoted id carrying uppercase mangles to a reversible
@@ -4708,6 +4719,8 @@ object SltRunner {
       else f.getComment() match {
         case Some(c) if c.contains("graft_jsonb") =>
           Some(f.name.toLowerCase -> ((cell: String) => s" jsonb_canon($cell)"))
+        case Some(c) if c.contains("graft_uuid") =>
+          Some(f.name.toLowerCase -> ((cell: String) => s" pg_uuid($cell)"))
         case Some(c) if c.startsWith("graft_range_") =>
           val kind = c.stripPrefix("graft_range_")
           Some(f.name.toLowerCase -> ((cell: String) => s" pg_$kind($cell)"))
@@ -6045,13 +6058,18 @@ object SltRunner {
           // run inside a transaction block") — both claimed
           def isTxn(s: String) =
             """(?is)^\s*(BEGIN|COMMIT|ROLLBACK)\b.*""".r.pattern.matcher(s.trim).matches
+          // cursor pieces (DECLARE/FETCH/CLOSE) route through the session
+          // cursor machinery — default connection only (txn interplay)
+          val curPc =
+            """(?is)^\s*(?:DECLARE\s+\w+\s+CURSOR\b|FETCH\b|CLOSE\s+\w+)[\s\S]*$""".r
+          def isCur(s: String) = curPc.pattern.matcher(s.trim).matches
           // a NAMED conn is its own pg session: claim var+read/write blocks
           // against a per-conn variable registry (no txn pieces, no DDL —
           // cross-connection transaction interplay stays skipped)
           val connOpt = """^simple\s+conn=([A-Za-z_]\w*)\s*$""".r
             .findFirstMatchIn(line.trim).map(_.group(1))
           val execClaim = (defaultConn && stmts.nonEmpty &&
-            stmts.forall(s => isVar(s) || isDml(s) ||
+            stmts.forall(s => isVar(s) || isDml(s) || isCur(s) ||
               ddlPc.pattern.matcher(s.trim).matches)) ||
             (connOpt.isDefined && stmts.nonEmpty &&
               stmts.forall(s => (isVar(s) && !isTxn(s)) || isDml(s)))
@@ -8051,6 +8069,7 @@ object SltRunner {
         val working = mutable.Map.empty[String, String] ++ varsBase
         val pendingPlain = mutable.Map.empty[String, String]
         val rendered = mutable.ListBuffer.empty[String]
+        val cursorsAdded = mutable.ListBuffer.empty[String]
         var blocked: Option[String] = None // our own error / unhandled piece
         // the block is one implicit transaction: now() pins once for it
         lazy val blockNowPin =
@@ -8154,6 +8173,45 @@ object SltRunner {
                 // records' explicit transactions (BEGIN here, COMMIT there)
                 sessionPiece(st.stripSuffix(";"))
                 rendered += "COMPLETE 0"
+              case _ if """(?is)^\s*DECLARE\b[\s\S]*""".r.pattern.matcher(st).matches =>
+                SltSession.DeclareCursor.findFirstMatchIn(sh.stripSuffix(";")) match {
+                  case Some(dm) =>
+                    val cname = dm.group(1).toLowerCase
+                    val hold = Option(dm.group(2))
+                      .exists(_.trim.equalsIgnoreCase("WITH HOLD"))
+                    val body = dm.group(3).trim
+                    if ("""(?is)^\s*SUBSCRIBE\b""".r.findFirstIn(body).isDefined)
+                      parseSubscribe(body) match {
+                        case Some(spec) =>
+                          cursors(cname) = CursorState(
+                            new org.apache.spark.sql.types.StructType(),
+                            mutable.Queue.empty, hold, bad = false,
+                            pending = Some(() => subscribeSnapshotDf(spark, spec)))
+                          cursorsAdded += cname
+                          rendered += "COMPLETE 0"
+                        case None => blocked = Some("unparsed SUBSCRIBE cursor")
+                      }
+                    else {
+                      val df = spark.sql(body)
+                      cursors(cname) = CursorState(df.schema,
+                        mutable.Queue(df.collect().toIndexedSeq: _*), hold,
+                        bad = false)
+                      cursorsAdded += cname
+                      rendered += "COMPLETE 0"
+                    }
+                  case None => blocked = Some("unparsed DECLARE shape")
+                }
+              case _ if SltSession.FetchCursor
+                  .findFirstMatchIn(sh.stripSuffix(";")).isDefined =>
+                val fm = SltSession.FetchCursor
+                  .findFirstMatchIn(sh.stripSuffix(";")).get
+                renderRows(fetchCursorDf(fm).collect())
+              case _ if """(?is)^\s*CLOSE\s+(\w+)\s*;?\s*$""".r.pattern.matcher(st).matches =>
+                val cn = """(?is)^\s*CLOSE\s+(\w+)""".r
+                  .findFirstMatchIn(st).get.group(1).toLowerCase
+                if (cursors.remove(cn).isDefined) rendered += "COMPLETE 0"
+                else throw new IllegalStateException(
+                  s"""cursor "$cn" does not exist""")
               case s if """(?is)^\s*INSERT\b[\s\S]*""".r.pattern.matcher(s).matches =>
                 if (txnActive && txnReadOnly)
                   throw new IllegalStateException("transaction in read-only mode")
@@ -8241,6 +8299,7 @@ object SltRunner {
           // in sync: honest skip, NO poison (this was the main cascade
           // source: write-only/read-only txn-mode rejections we don't model)
           restoreEntry()
+          cursorsAdded.foreach(cursors.remove)
           if (txnActiveAtEntry) txnAborted = true
           skipped += 1
           tally("simple block: reference rejects, emulation differs",
@@ -8252,6 +8311,7 @@ object SltRunner {
           skipped += 1
           tally("simple protocol block", stmts.map(_._1).mkString("; ") +
             blocked.map(b => s" [exec: $b]").getOrElse(" [exec: output mismatch]"))
+          cursorsAdded.foreach(cursors.remove)
           targets.foreach(poisonedTables += _)
           stmts.foreach { case (raw, _) =>
             """(?i)\bSET\s+(?:LOCAL\s+|SESSION\s+)?(TIME\s+ZONE|[A-Za-z_][\w.]*)""".r
