@@ -573,7 +573,19 @@ object JsonbFunctions {
       ("graft_jsonb_arr_keys",
         (a: Seq[Expression]) => JsonbElems(a.head, "keys")),
       ("jsonb_build_object",
-        (a: Seq[Expression]) => JsonbBuild(a, "object", a.map(isJsonbArg))))
+        (a: Seq[Expression]) => JsonbBuild(a, "object", a.map(isJsonbArg))),
+      // jsonb_array_length: element count of a json array; NULL for
+      // objects/scalars (the reference's nullable conversion)
+      ("jsonb_array_length",
+        (a: Seq[Expression]) =>
+          org.apache.spark.sql.catalyst.expressions.If(
+            org.apache.spark.sql.catalyst.expressions.EqualTo(
+              JsonbTypeof(a.head),
+              org.apache.spark.sql.catalyst.expressions.Literal("array")),
+            org.apache.spark.sql.catalyst.expressions.Size(
+              JsonbElems(a.head, "elements")),
+            org.apache.spark.sql.catalyst.expressions.Literal.create(null,
+              org.apache.spark.sql.types.IntegerType))))
       .map { case (n, b) => (FunctionIdentifier(n), info(n), b) }
 
   /** FROM-position table functions (scalar-position SRF forms included). */

@@ -712,6 +712,28 @@ object MzListExpressions {
       copy(operand = newChildren(0), lo = newChildren(1), hi = newChildren(2))
   }
 
+  /** `list_n_layers(list)` — static nesting depth of the list type
+    * (reference list_n_layers, src/expr/src/scalar/func.rs). */
+  case class MzListNLayers(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = false
+    private def depthOf(dt: DataType): Int = dt match {
+      case ArrayType(e, _) => 1 + depthOf(e)
+      case _ => 0
+    }
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (!child.dataType.isInstanceOf[ArrayType])
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"list_n_layers expects a list, got ${child.dataType.simpleString}")
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      depthOf(child.dataType)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   private def info(name: String) = new ExpressionInfo(getClass.getName, name)
 
   def functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
@@ -739,5 +761,7 @@ object MzListExpressions {
       (FunctionIdentifier("mz_slice_reject"), info("mz_slice_reject"),
         (a: Seq[Expression]) => MzSliceReject(a(0), a(1), a(2))),
       (FunctionIdentifier("mz_list_remove"), info("mz_list_remove"),
-        (a: Seq[Expression]) => MzListRemove(a(0), a(1))))
+        (a: Seq[Expression]) => MzListRemove(a(0), a(1))),
+      (FunctionIdentifier("list_n_layers"), info("list_n_layers"),
+        (a: Seq[Expression]) => MzListNLayers(a.head)))
 }

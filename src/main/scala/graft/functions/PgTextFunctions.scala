@@ -365,6 +365,12 @@ object PgTextFunctions {
       // pg date_trunc over the full field list (checked unknown units)
       (FunctionIdentifier("pg_date_trunc"), info("pg_date_trunc"),
         (args: Seq[Expression]) => PgDateTrunc(args)),
+      (FunctionIdentifier("mz_normalize_object_name"),
+        info("mz_normalize_object_name"),
+        (a: Seq[Expression]) => MzNormalizeName(a.head, 3)),
+      (FunctionIdentifier("mz_normalize_schema_name"),
+        info("mz_normalize_schema_name"),
+        (a: Seq[Expression]) => MzNormalizeName(a.head, 2)),
       // pg parse_ident(text[, strict]) -> text[]
       (FunctionIdentifier("parse_ident"), info("parse_ident"),
         (args: Seq[Expression]) => ParseIdent(args.head,
@@ -815,6 +821,44 @@ case class ParseIdent(text: Expression, strict: Expression)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(text = newChildren(0), strict = newChildren(1))
+}
+
+/** mz `mz_normalize_object_name` / `mz_normalize_schema_name`
+  * (reference src/expr/src/scalar/func.rs, built on parse_ident): split a
+  * qualified name with pg identifier rules, reject too many parts
+  * ('improper relation name (too many dotted names): <raw>'), and pad the
+  * FRONT with NULLs to the fixed part count (3 for objects, 2 for
+  * schemas). Returns a text list. */
+case class MzNormalizeName(text: Expression, parts: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def child: Expression = text
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)
+  override def nullable: Boolean = true
+  @transient private lazy val pi =
+    ParseIdent(text, org.apache.spark.sql.catalyst.expressions.Literal(true))
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val raw0 = text.eval(input)
+    if (raw0 == null) return null
+    val v = pi.eval(input)
+    val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = a.numElements()
+    if (n > parts)
+      throw new IllegalArgumentException(
+        if (parts == 3)
+          s"improper relation name (too many dotted names): ${raw0.toString}"
+        else
+          s"improper schema name (too many dotted names): ${raw0.toString}")
+    val out = new Array[Any](parts)
+    var i = 0
+    while (i < n) {
+      out(parts - n + i) = a.getUTF8String(i)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(text = newChild)
 }
 
 /** pg `date_trunc(field, ts)` over the FULL pg field list (reference

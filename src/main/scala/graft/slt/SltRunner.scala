@@ -1904,7 +1904,9 @@ object SltRunner {
     * to Spark's map functions. */
   private[slt] def rewriteMapCasts(sql: String): String = {
     if (!"""(?i)\bmap\s*\[""".r.findFirstIn(sql).isDefined &&
-        !sql.contains("mz_map_in")) return sql
+        !sql.contains("mz_map_in") &&
+        !"""(?i)\bmap_(agg|length|build)\s*\(""".r.findFirstIn(sql).isDefined)
+      return sql
     // non-text key type is a planner error
     val badKey = """(?is)::\s*map\s*\[\s*(int|integer|bigint|smallint|bool|boolean|double|float\d?|real|numeric|decimal|date|timestamp\w*|oid)\s*=>""".r
       .findFirstMatchIn(sql)
@@ -1942,8 +1944,19 @@ object SltRunner {
     // aggregates + length
     val s1c = rewriteOutsideLits(s1b) { t0 =>
       var t = """(?i)\bmap_agg\s*\(\s*([^(),]+?)\s*,\s*([^()]+?)\s*\)""".r
-        .replaceAllIn(t0, m => Regex.quoteReplacement(
-          s"map_from_entries(collect_list(struct(${m.group(1)}, ${m.group(2)})))"))
+        .replaceSomeIn(t0, m =>
+          if ("""(?i)\bORDER\s+BY\b""".r.findFirstIn(m.group(2)).isDefined) None
+          else Some {
+            // mz map_agg: NULL keys are SKIPPED; duplicate keys keep the
+            // value sorting LAST (default = ascending); EMPTY input is
+            // NULL, all-keys-null input is {} (map.slt:859-945)
+            val entries = "array_sort(filter(collect_list(named_struct(" +
+              s"'graft_mk', (${m.group(1)}), 'graft_mv', (${m.group(2)})))" +
+              ", graft_me -> graft_me.graft_mk IS NOT NULL))"
+            Regex.quoteReplacement(
+              s"(CASE WHEN count(1) = 0 THEN NULL " +
+                s"ELSE map_from_entries($entries) END)")
+          })
       t = """(?i)\bmap_length\s*\(""".r.replaceAllIn(t, "cardinality(")
       t
     }
@@ -9156,6 +9169,22 @@ object SltRunner {
               PgCatalogRelations.referenced(sql))
             PgCatalogRelations.register(spark, customTypeRows, indexOn.toSeq,
               sltMvNames.keySet.toSet)
+          // pg parses the ENTIRE compound before executing ANY piece — a
+          // parse error in a later piece runs nothing
+          // (cockroach/multi_statement.slt: INSERT ok; INSERT <garbage>).
+          // Session/marker/RETURNING pieces have their own dialects and are
+          // exempt from the Spark pre-parse.
+          locally {
+            val pieces0 = splitStatements(sql)
+            if (pieces0.lengthCompare(1) > 0) pieces0.foreach { one =>
+              val t = one.trim
+              if (!"""(?is)^(SET|RESET|SHOW|BEGIN|COMMIT|ROLLBACK|START|DECLARE|FETCH|CLOSE|DISCARD|PREPARE|EXECUTE|DEALLOCATE|COPY|GRAFT_)""".r
+                    .findFirstIn(t).isDefined &&
+                  !"""(?i)\bRETURNING\b""".r.findFirstIn(t).isDefined) {
+                spark.sessionState.sqlParser.parsePlan(t); ()
+              }
+            }
+          }
           splitStatements(sql).foreach { one0 =>
             val one = canonJsonbInsert(spark, padInsertValues(spark, one0))
             if (!sessionPiece(one)) {
