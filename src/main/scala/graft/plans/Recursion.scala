@@ -35,21 +35,48 @@ object Recursion {
       base: DataFrame,
       step: DataFrame => DataFrame,
       maxIter: Int = 100,
-      requireConvergence: Boolean = false): DataFrame = {
+      requireConvergence: Boolean = false,
+      stepsPerCheck: Int = 2): DataFrame = {
+    require(stepsPerCheck >= 1)
     // LAZY checkpoints throughout: `delta.isEmpty` is the round's single
     // explicit job — Spark's end-of-job checkpoint pass materializes the
     // marked ancestors in the same action, so each round costs one driver
     // round-trip instead of four (delta job, emptiness, union job, loop-top
     // emptiness). Lineage is still truncated every round.
+    //
+    // `stepsPerCheck` batches K lazily-composed step applications into ONE
+    // materialized round (the same r18 trick mutualFixpoint already uses):
+    // driver/job-launch latency dominates small fixpoints, so an R-round
+    // fixpoint costs ~R/K round-trips. For a LINEAR step this is the
+    // standard batched semi-naive form — every row of `all` has already had
+    // `step` applied in the round that discovered it, so re-derivations
+    // inside a batch are removed by the same `except(all)`; union of the K
+    // intermediate step outputs is exactly what K sequential rounds would
+    // have discovered. Batches clamp at maxIter, preserving the truncation
+    // semantics (the reference's LetRec `limits`) step-for-step.
     var all = base.distinct().localCheckpoint(false)
     var frontier = all
     var i = 0
     while (i < maxIter) {
-      val delta = step(frontier).distinct().except(all).localCheckpoint(false)
+      val k = math.min(stepsPerCheck, maxIter - i)
+      var sub = frontier
+      var news: DataFrame = null
+      var j = 0
+      while (j < k) {
+        sub = step(sub)
+        // LAZY lineage boundary between sub-steps: a step closure that joins
+        // a captured DataFrame would otherwise appear twice in the composed
+        // plan and trip DetectAmbiguousSelfJoin; the checkpoint mark costs no
+        // extra job (it materializes inside the round's single isEmpty action)
+        if (j < k - 1) sub = sub.localCheckpoint(false)
+        news = if (news == null) sub else news.union(sub)
+        j += 1
+      }
+      val delta = news.distinct().except(all).localCheckpoint(false)
       if (delta.isEmpty) return all
       all = all.union(delta).localCheckpoint(false)
       frontier = delta
-      i += 1
+      i += k
     }
     val msg = s"Recursion.fixpoint: maxIter=$maxIter reached without convergence; " +
       "result is truncated (the reference's LetRec `limits` semantics)"

@@ -32,10 +32,6 @@ object SimilarityQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** dot(a, b) as a codegen'd higher-order expression. */
-  private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
-
   /** Portable 60-bit hash of a string expression (Spark side). */
   private def h60(sqlExpr: String): String =
     s"CAST(conv(substr(md5($sqlExpr), 1, 15), 16, 10) AS BIGINT)"
@@ -51,11 +47,21 @@ object SimilarityQueries {
   /** Banded hyperplane-LSH candidate pairs `(id_a, id_b)`, `id_a < id_b`:
     * 64-bit sketch → 8 bands × 8 bits (256-bucket bands keep per-bucket
     * populations bounded as the corpus grows) → pairs meet only inside a
-    * bucket, so the quadratic pair space never materializes. */
+    * bucket, so the quadratic pair space never materializes.
+    *
+    * (An r19 attempt to make the sketch map-only — 64 literal hyperplane
+    * arrays inlined as one giant projection — REGRESSED 1.8×: the ~10k-node
+    * expression tree made Catalyst planning, re-paid on every execution,
+    * cost more than the one small aggregation exchange it removed. The
+    * data-driven broadcast-crossJoin form keeps the plan tree constant-size;
+    * only the per-row dot product moved to the fused-codegen
+    * [[graft.functions.DotProduct]], which allocates no intermediate
+    * array.) */
   private def lshCandidates(s: SparkSession, e: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val bits = e.crossJoin(broadcast(hyperplanes(s)))
       .select(col("vec_id"), col("j"),
-        (round(dot("v", "u"), 6) >= 0).cast("long").as("bit"))
+        (round(expr("dot_product(v, u)"), 6) >= 0).cast("long").as("bit"))
     val buckets = bits
       .withColumn("band", expr("j div 8"))
       .groupBy(col("vec_id"), col("band"))
@@ -201,20 +207,24 @@ object SimilarityQueries {
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
         .filter(length(col("tok")) > 0)
         .withColumn("h", expr(h60("tok")))
-      // repeated tokens collapse to (hash, multiplicity) BEFORE the 60-way
-      // bit explosion — natural-language repetition cuts the exploded row
-      // count severalfold; contributions are count-weighted, same sums.
-      val hc = toks.groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("cnt"))
-      val bits = hc
+      // ONE aggregation computes all 60 bit-position sums as parallel
+      // aggregate columns (sum of ±1 per token occurrence ≡ the former
+      // ±cnt-weighted sums over (doc, hash) groups): the previous
+      // formulation exploded every (doc_id, h) row 60-way — ~60× the token
+      // count flowing into TWO extra shuffles (groupBy(doc_id, bit_idx),
+      // then groupBy(doc_id)). Now the map side partially aggregates
+      // straight to one 60-column row per doc_id and a single exchange
+      // carries |docs| rows. Plan: 4 Exchanges → 2 before the band join.
+      val bitSums = (0 until 60).map { b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as(s"s$b")
+      }
+      val fp = toks.groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"),
-          posexplode(expr(
-            "transform(sequence(0, 59), b -> IF((shiftright(h, b) & 1) = 1, cnt, -cnt))"))
-            .as(Seq("bit_idx", "contrib")))
-      val fp = bits.groupBy(col("doc_id"), col("bit_idx"))
-        .agg(sum(col("contrib")).as("s"))
-        .withColumn("bit", (col("s") >= 0).cast("long"))
-        .groupBy(col("doc_id"))
-        .agg(sum(expr("shiftleft(bit, bit_idx)")).as("simhash"))
+          (0 until 60).map(b =>
+            when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
       val banded = fp.select(col("doc_id"), col("simhash"),
           explode(expr("transform(sequence(0, 3), " +
             "b -> struct(b AS band, shiftright(simhash, b * 15) & 32767 AS bh))")).as("bb"))
@@ -225,8 +235,11 @@ object SimilarityQueries {
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
           expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-        .distinct()
+        // hamming filter BEFORE the cross-band distinct: strictly fewer rows
+        // into the distinct exchange; hamming is a function of the pair, so
+        // filter and distinct commute.
         .filter(col("hamming") <= 12)
+        .distinct()
     },
 
     // IVF (inverted-file) ANN — the classic coarse-quantizer scale path

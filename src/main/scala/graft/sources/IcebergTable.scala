@@ -198,10 +198,37 @@ final class IcebergTable(spark: SparkSession, tablePath: String) {
     Some(seq)
   }
 
-  /** One distributed, column-pruned job: per-file record counts and min/max
-    * bounds for the stats columns of every file just written under `dir`. */
+  /** Per-file record counts and min/max bounds for every file just written
+    * under `dir`. When no bounds are requested (statsCols empty — every
+    * commit except a stats-carrying create), the parquet FOOTERS the write
+    * just produced already hold the row counts: read O(#files) metadata on
+    * the driver — exactly Iceberg's planning model, where writers lift
+    * stats from task commit messages — instead of launching a whole Spark
+    * re-scan job per commit. Bounds-requesting commits keep the one
+    * distributed, column-pruned aggregation. */
   private def statFiles(dir: Path, content: String, seq: Long,
       statsCols: Seq[String], equalityFields: Seq[String]): Seq[FileEntry] = {
+    if (statsCols.isEmpty) {
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sessionState.newHadoopConf()
+      val files = {
+        val l = Files.list(dir)
+        try l.iterator().asScala.toSeq.filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }.sortBy(_.getFileName.toString)
+        finally l.close()
+      }
+      return files.map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toUri), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val n =
+          try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          finally reader.close()
+        FileEntry(p.toAbsolutePath.toString, content, seq, n, equalityFields, Map.empty)
+      }
+    }
     val scan = spark.read.parquet(dir.toString)
     val present = statsCols.filter(scan.columns.contains)
     val aggs: Seq[Column] = count(lit(1)).as("__n") +: present.flatMap { c =>

@@ -34,13 +34,17 @@ object StreamExecQueries {
   private def writeReplayChunks(df: DataFrame, dir: String, chunks: Int): Unit = {
     val base = Paths.get(dir)
     Files.createDirectories(base)
-    val pinned = df.localCheckpoint(true) // chunk assignment computed once
+    val stage = base.resolve(".stage")
+    // ONE shuffle+write job for every chunk (r19: was an eager checkpoint
+    // plus one filtered coalesce(1) write job PER chunk): repartitioning by
+    // __chunk puts each chunk's rows in exactly one task, partitionBy splits
+    // them into __chunk=<i>/ dirs — still exactly one part file per chunk.
+    df.repartition(chunks, col("__chunk"))
+      .write.mode("overwrite").partitionBy("__chunk").parquet(stage.toString)
     for (i <- 1 to chunks) {
-      val tmp = base.resolve(s".stage-$i")
-      pinned.filter(col("__chunk") === i).drop("__chunk")
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(p => p.getFileName.toString.startsWith("part-"))
-        .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+      val cdir = stage.resolve(s"__chunk=$i")
+      val part = Files.list(cdir).filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $cdir"))
       val target = base.resolve(f"chunk-$i%03d.parquet")
       Files.move(part, target)
       // strictly increasing mtimes: FileStreamSource admits files in
@@ -48,9 +52,8 @@ object StreamExecQueries {
       // order varies
       Files.setLastModifiedTime(target, FileTime.fromMillis(
         (System.currentTimeMillis() / 60000L) * 60000L + i * 60000L))
-      deleteRecursively(tmp)
     }
-    pinned.unpersist()
+    deleteRecursively(stage)
     ()
   }
 
@@ -72,16 +75,19 @@ object StreamExecQueries {
     // key's offset range): each key's offsets ascend with its chunk number,
     // which is all replay order needs — no global single-partition sort in
     // the fixture prep (the old Window.orderBy-with-no-partition here was
-    // the source of the bench tail's "No Partition Defined" warnings)
-    val perKeyAll = Window.partitionBy(col("_1"))
+    // the source of the bench tail's "No Partition Defined" warnings).
+    // Both windows partition by user_id IN THE SAME SELECT, so they share
+    // one exchange (r19: the count window used to run over the renamed `_1`
+    // alias a projection later, costing a second shuffle).
+    val perKeyAll = Window.partitionBy(col("user_id"))
     // a deterministic user subset: the row verifies the STREAMING PATH
     // (micro-batch replay, state, sink commits) — volume adds nothing here
     // and the batch analogs already run the operators at full scale
     Tables.load(s, dir, "events")
       .filter(col("user_id") % 5 === 0)
       .select(col("user_id").as("_1"), value.as("_2"),
-        row_number().over(perKey).cast("long").as("_3"))
-      .withColumn("__n", count(lit(1)).over(perKeyAll))
+        row_number().over(perKey).cast("long").as("_3"),
+        count(lit(1)).over(perKeyAll).as("__n"))
       .withColumn("__chunk",
         ceil(col("_3") * chunks / col("__n")).cast("int"))
       .drop("__n")

@@ -73,7 +73,17 @@ object TextQueries {
       (s, dir) =>
         val cand = graft.similarity.MinHashLsh.candidates(
           graft.similarity.MinHashLsh.signatures(docs(s, dir)))
+        // Only docs that appear in a candidate pair ever contribute to the
+        // output (pairs joins on cand, sizes only feed candidate rows), so
+        // the 3-gram explode + distinct — the heaviest intermediate here —
+        // runs over the candidate docs alone (broadcast semi-join prune),
+        // not the corpus. At 100 TB this is the difference between shuffling
+        // |corpus|·shingles and |candidates|·shingles for the exact verify.
+        val candDocs = cand.select(col("id_a").as("doc_id"))
+          .unionByName(cand.select(col("id_b").as("doc_id")))
+          .distinct()
         val csh = docs(s, dir)
+          .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
           .select(col("doc_id"), lower(col("text")).as("t"))
           .select(col("doc_id"),
             explode(array_distinct(expr(
@@ -352,12 +362,22 @@ object TextQueries {
         |FROM documents""".stripMargin) { (s, dir) =>
       val toks = split(col("text"), " ")
       val nW = size(col("toks"))
-      // top-element mass via nested higher-order functions: frequency of
-      // each DISTINCT token counted against the token array (quadratic in
-      // doc length, linear in data — stays inside whole-stage codegen)
+      // top-element mass = max run length over the SORTED token array: one
+      // O(n log n) sort + linear fold, replacing the former nested
+      // distinct×filter scan (O(distinct·n) string comparisons per doc —
+      // the dominant per-row cost of this map-only query). Same value: the
+      // modal token's frequency. Empty input folds to the NULL the old
+      // array_max-over-empty produced.
       def topCount(arr: Column): Column =
-        array_max(transform(array_distinct(arr),
-          w => size(filter(arr, x => x === w))))
+        aggregate(
+          array_sort(arr),
+          struct(lit(null).cast("string").as("p"), lit(0).as("r"), lit(0).as("b")),
+          (acc, x) => {
+            val run = when(acc.getField("p") <=> x, acc.getField("r") + 1).otherwise(lit(1))
+            struct(x.as("p"), run.as("r"), greatest(acc.getField("b"), run).as("b"))
+          },
+          acc => when(acc.getField("p").isNull, lit(null).cast("int"))
+            .otherwise(acc.getField("b")))
       docs(s, dir)
         .withColumn("toks", toks)
         // guard the 1-token doc: sequence(1, 0) is the DESCENDING [1, 0] in
