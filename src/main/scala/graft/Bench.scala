@@ -25,6 +25,21 @@ object Bench {
       .config("spark.sql.variable.substitute", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Join-strategy baseline (optimization guide §3.1/§9): allow the
+      // planner to pick shuffled-hash over sort-merge when its size
+      // conditions hold (no sort, same shuffle), let AQE rewrite SMJ→SHJ at
+      // runtime when every post-shuffle partition fits the local-map
+      // threshold, and raise the broadcast ceiling from 10 MB — dimension
+      // sides stay broadcastable at any SF since they grow sub-linearly vs
+      // facts, and a 64 MB relation is trivially held by executors sized
+      // for this workload. All three are env-overridable so a cluster
+      // profile can re-tune without a code change.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP", "64m"))
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST", "64m"))
       // fresh warehouse per run (bucketed managed tables; keeps the repo
       // clean and avoids LOCATION_ALREADY_EXISTS after a crashed run)
       .config("spark.sql.warehouse.dir",

@@ -19,6 +19,14 @@ object Verify {
       // ${N} replacement groups inside string literals
       .config("spark.sql.variable.substitute", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same join-strategy baseline as Bench.scala: the correctness gate
+      // must exercise the same physical plans the bench times
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP", "64m"))
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST", "64m"))
       // fresh warehouse per run: bucketed managed tables from a crashed run
       // must not collide (LOCATION_ALREADY_EXISTS)
       .config("spark.sql.warehouse.dir",
