@@ -42,6 +42,26 @@ object Tables {
     }
   }
 
+  /** [[load]] plus a scale-adaptive fan-out for CPU-heavy per-row
+    * derivations (md5 shingling, token explosion, codec decode): at the
+    * bench scale factors a whole table is ONE parquet split (splits cannot
+    * cross row groups), so the derivation would serialize on a single core
+    * with the rest of the cluster idle — the "input skew / unsplittable
+    * input" case of the optimization guide (§2.5): repartition immediately
+    * after the read. The repartition fires only when the file fits in one
+    * scan split, so the moved bytes are bounded by one split and the
+    * multiplying work downstream (shingles, 60-way bit sums, decoded
+    * rasters) is what gets parallelized; at production scale the scan has
+    * ≥ cores splits and this is the identity — no shuffle is added. */
+  def loadSpread(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = load(spark, sfDir, name)
+    val singleSplit = try {
+      java.nio.file.Files.size(java.nio.file.Paths.get(sfDir, s"$name.parquet")) <=
+        spark.sessionState.conf.filesMaxPartitionBytes
+    } catch { case _: Throwable => false }
+    if (singleSplit) df.repartition(spark.sparkContext.defaultParallelism) else df
+  }
+
   /** Register every table as a temp view; idempotent and metadata-only. */
   def register(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))

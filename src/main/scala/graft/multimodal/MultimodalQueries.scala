@@ -62,7 +62,9 @@ object MultimodalQueries {
         |  s.mean_r, s.mean_g, s.mean_b, t.thumb_mean
         |FROM stats s JOIN thumb t USING (doc_id)""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val docs = Tables.load(s, dir, "documents")
+      // loadSpread: encode+decode runs a real codec per row — one parquet
+      // split at bench SFs would serialize it on one core (guide §2.5)
+      val docs = Tables.loadSpread(s, dir, "documents")
         .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       // stage 1: binary payload column (real encoded media)
       val media = docs.map { case (id, nc) => (id, MediaCodecs.encodeImage(id, nc)) }
@@ -89,6 +91,9 @@ object MultimodalQueries {
         |  round(sqrt(CAST(sum(smp*smp) AS DOUBLE) / n), 6) AS rms
         |FROM s GROUP BY doc_id, n""".stripMargin) { (s, dir) =>
       import s.implicits._
+      // plain loader: the WAV encode/decode is light enough that a fan-out
+      // exchange measured as net overhead (A/B r19: 0.32 → 0.76 s) — unlike
+      // the image path above, whose raster work dominates
       val docs = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
       val media = docs.map(id => (id, MediaCodecs.encodeWav(id)))
       media.mapPartitions(_.flatMap { case (id, p) => MediaCodecs.decodeWav(id, p) })
@@ -124,6 +129,8 @@ object MultimodalQueries {
         |LATERAL (SELECT unnest(range(0, CAST(greatest(n_bytes // 128, 1) AS INT), 4)) AS i) t""".stripMargin) { (s, dir) =>
       val magic = expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '89504e47' " +
         "WHEN 1 THEN 'ffd8ffe0' ELSE '47494638' END")
+      // plain loader: hex+md5 framing is cheap per row; a fan-out exchange
+      // measured as net overhead here (A/B r19: 0.14 → 0.29 s)
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           concat(unhex(magic), encode(col("text"), "UTF-8")).as("payload"))

@@ -72,7 +72,10 @@ object Recursion {
         news = if (news == null) sub else news.union(sub)
         j += 1
       }
-      val delta = news.distinct().except(all).localCheckpoint(false)
+      // no .distinct() before except: EXCEPT already has set semantics
+      // (its rewrite plans a distinct over the anti-join), so the explicit
+      // pre-aggregation was one redundant exchange per round
+      val delta = news.except(all).localCheckpoint(false)
       if (delta.isEmpty) return all
       all = all.union(delta).localCheckpoint(false)
       frontier = delta
@@ -174,7 +177,8 @@ object Recursion {
     var all = base.distinct().localCheckpoint(false)
     var i = 0
     while (i < maxIter) {
-      val delta = step(all).distinct().except(all).localCheckpoint(false)
+      // EXCEPT has set semantics; a pre-distinct would be a redundant exchange
+      val delta = step(all).except(all).localCheckpoint(false)
       if (delta.isEmpty) return all
       all = all.union(delta).localCheckpoint(false)
       i += 1

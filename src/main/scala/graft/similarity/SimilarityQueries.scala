@@ -25,12 +25,20 @@ import graft.plans.Recursion
   */
 object SimilarityQueries {
 
+  // embeddings stay on the plain loader: `e` is referenced many times per
+  // ANN query (queries/corpus/rerank sides) and a fan-out shuffle per
+  // reference measurably outweighed the parallelized dot work (A/B r19:
+  // dedup_embedding_cosine 2.48 → 3.83 s with loadSpread here — reverted)
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
 
+  // loadSpread: both consumers (MinHash shingle+md5 pipeline, simhash token
+  // md5 + 60 bit sums) multiply per-row CPU work over the text, and at
+  // bench SFs the table is one parquet split — a single core would own all
+  // of it (guide §2.5); at scale the fan-out is the identity
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.loadSpread(s, dir, "documents")
 
   /** Portable 60-bit hash of a string expression (Spark side). */
   private def h60(sqlExpr: String): String =
@@ -164,7 +172,11 @@ object SimilarityQueries {
         |WHERE CAST(list_sum(list_transform(range(1, 33),
         |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32.0
         |  >= 0.4""".stripMargin) { (s, dir) =>
-      val sig = MinHashLsh.signatures(docs(s, dir))
+      // sig is referenced three times (banded candidates + both join sides);
+      // the (lazy-materialized-once) checkpoint keeps the shingle+md5
+      // signature pipeline out of the plan tree per reference — same
+      // rationale as the candidate checkpoint in dedup_ngram_jaccard
+      val sig = MinHashLsh.signatures(docs(s, dir)).localCheckpoint()
       val cand = MinHashLsh.candidates(sig)
       val sa = sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
       val sb = sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))

@@ -59,7 +59,9 @@ object SourceQueries {
         |    CASE WHEN value < 10 THEN 'd' ELSE 'u' END AS op,
         |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM events) WHERE rn = 1 AND op <> 'd'""".stripMargin) { (s, dir) =>
-      val ev = Tables.load(s, dir, "events")
+      // loadSpread: the envelope encode/decode is per-row JSON work and the
+      // events table is one parquet split at bench SFs (guide §2.5)
+      val ev = Tables.loadSpread(s, dir, "events")
       // Encode each event as a Debezium envelope (what a Kafka topic would
       // carry): value<10 → tombstone-style delete of the key.
       val isDelete = col("value") < 10

@@ -22,6 +22,16 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  // Fan-out variant for the CPU-heavy per-row pipelines only (5-gram
+  // shingle md5, per-doc frequency folds, double regex rewrite): at bench
+  // SFs the table is one parquet split and that work would serialize on a
+  // single core (guide §2.5). The cheap one-shuffle aggregations
+  // (dedup_exact, vocab_idf, paragraph…) keep the plain loader — for them
+  // the added exchange measured as pure overhead (A/B r19: dedup_exact
+  // 0.16 → 0.53 s under a blanket fan-out).
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    Tables.loadSpread(s, dir, "documents")
+
   private val EnStops = Seq("the", "and", "of", "to", "a", "in", "is", "it")
   private val DeStops = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu")
 
@@ -71,8 +81,14 @@ object TextQueries {
         |           JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin) {
       (s, dir) =>
+        // cand is referenced SEVEN times through candDocs/csh/pairs below;
+        // without the (lazy) checkpoint the whole MinHash signature pipeline
+        // is replicated per reference in the logical plan (44 scans vs 12),
+        // leaving dedup to runtime stage-reuse and inflating planning cost.
+        // The checkpoint pins the small candidate set once.
         val cand = graft.similarity.MinHashLsh.candidates(
-          graft.similarity.MinHashLsh.signatures(docs(s, dir)))
+          graft.similarity.MinHashLsh.signatures(docsSpread(s, dir)))
+          .localCheckpoint()
         // Only docs that appear in a candidate pair ever contribute to the
         // output (pairs joins on cand, sizes only feed candidate rows), so
         // the 3-gram explode + distinct — the heaviest intermediate here —
@@ -82,7 +98,7 @@ object TextQueries {
         val candDocs = cand.select(col("id_a").as("doc_id"))
           .unionByName(cand.select(col("id_b").as("doc_id")))
           .distinct()
-        val csh = docs(s, dir)
+        val csh = docsSpread(s, dir)
           .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
           .select(col("doc_id"), lower(col("text")).as("t"))
           .select(col("doc_id"),
@@ -216,7 +232,7 @@ object TextQueries {
       val pii = concat(col("text"), lit(" contact user"), col("doc_id"),
         lit("@example.com or +1-555-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
-      docs(s, dir)
+      docsSpread(s, dir)
         .withColumn("pii", pii)
         .select(
           col("doc_id"),
@@ -378,7 +394,7 @@ object TextQueries {
           },
           acc => when(acc.getField("p").isNull, lit(null).cast("int"))
             .otherwise(acc.getField("b")))
-      docs(s, dir)
+      docsSpread(s, dir)
         .withColumn("toks", toks)
         // guard the 1-token doc: sequence(1, 0) is the DESCENDING [1, 0] in
         // Spark and element_at(toks, 0) throws, while the oracle's range(1, 1)
