@@ -467,8 +467,13 @@ case class CreateSinkCommand(name: String, view: String, path: String, keys: Seq
     val snapshot = cat.table(view)
     val missing = keys.filterNot(snapshot.columns.contains)
     require(missing.isEmpty, s"KEY columns not in $view: ${missing.mkString(", ")}")
+    // no statsCols: upsert-sink KEY columns are equality-delete targets, not
+    // range-pruning targets — nothing ever range-scans the sink on them, and
+    // recording their bounds forced the distributed per-file stats job on
+    // EVERY sink commit where the footer-metadata path suffices (r19; tables
+    // that want pruning pass statsCols at create, e.g. sink_iceberg_prune)
     new graft.sources.IcebergTable(spark, path)
-      .create(snapshot, statsCols = keys, batchId = seedVersion)
+      .create(snapshot, batchId = seedVersion)
     cat.addCommitHook(view, s"sink:$name", { (delta, _, version) =>
       graft.sources.IcebergViewSink.applyCommit(spark, cat, view, path, keys, delta, version)
     })
