@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output passes through verbatim instead of being re-logged
+// with sbt's "[info] " prefix: the bench's one-line JSON result must reach
+// stdout as a bare line a JSON parser can read (the decorated line defeated
+// the driver's parser for 19 rounds straight — BENCH_r*.json all show
+// parsed:null with the line present-but-prefixed in the tail).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
