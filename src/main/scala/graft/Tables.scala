@@ -27,8 +27,20 @@ object Tables {
     * losslessly converted here (the data is µs-aligned) — the analog of the
     * reference widening its `MzTimestamp` to the engine timeline
     * (`src/repr/src/timestamp.rs`). */
+  /** Parquet schema per table path, inferred once per JVM. Without a
+    * user-supplied schema EVERY `spark.read.parquet` call launches a footer
+    * schema-inference job (~30-80 ms of job+driver latency) — per table,
+    * per query, per bench pass. The schema of an immutable input is catalog
+    * metadata (exactly what a metastore would hold), so infer it once and
+    * pass it explicitly afterwards. Data is still read from parquet on
+    * every query — this caches no rows, no results. */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
     df.schema.find(_.name == "ts") match {
       case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
@@ -55,10 +67,14 @@ object Tables {
     * ≥ cores splits and this is the identity — no shuffle is added. */
   def loadSpread(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = load(spark, sfDir, name)
+    // regular-file check: for a directory-shaped table Files.size returns the
+    // directory-entry size (a few KB), which would mis-classify an arbitrarily
+    // large table as single-split and repartition it at production scale
+    val p = java.nio.file.Paths.get(sfDir, s"$name.parquet")
     val singleSplit = try {
-      java.nio.file.Files.size(java.nio.file.Paths.get(sfDir, s"$name.parquet")) <=
-        spark.sessionState.conf.filesMaxPartitionBytes
-    } catch { case _: Throwable => false }
+      java.nio.file.Files.isRegularFile(p) &&
+        java.nio.file.Files.size(p) <= spark.sessionState.conf.filesMaxPartitionBytes
+    } catch { case scala.util.control.NonFatal(_) => false }
     if (singleSplit) df.repartition(spark.sparkContext.defaultParallelism) else df
   }
 

@@ -98,7 +98,22 @@ object FileEnvelopeSink {
       .parquet(Paths.get(path, s"batch=$version").toString)
   }
 
-  /** All frames in offset order: `(key, value, batch)` from one root scan. */
-  def readFrames(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  /** All frames in offset order: `(key, value, batch)` from one root scan.
+    * The frame schema is fixed by the envelope recorded at create time
+    * (UPSERT/AVRO frames are binary, DEBEZIUM/JSON frames are strings), so
+    * state it instead of paying a schema-inference job per read; `batch` is
+    * the partition column the dir layout carries. */
+  def readFrames(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val envFile = Paths.get(path, "_envelope")
+    val frameType: DataType =
+      if (Files.exists(envFile) &&
+        new String(Files.readAllBytes(envFile), StandardCharsets.UTF_8)
+          .linesIterator.next().trim == "DEBEZIUM") StringType
+      else BinaryType
+    spark.read.schema(StructType(Seq(
+        StructField("key", frameType), StructField("value", frameType),
+        StructField("batch", LongType))))
+      .parquet(path)
+  }
 }

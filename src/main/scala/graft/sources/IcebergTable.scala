@@ -171,12 +171,12 @@ final class IcebergTable(spark: SparkSession, tablePath: String) {
     val seq = base.lastSequence + 1
     val dDir = dataDir(seq)
     df.write.mode("overwrite").parquet(dDir.toString)
-    val dataEntries = statFiles(dDir, "data", seq, statsCols, Nil)
+    val dataEntries = statFiles(dDir, "data", seq, statsCols, Nil, df.schema)
     val deleteEntries = deletes match {
       case Some(keyDf) =>
         val keys = keyDf.columns.toSeq
         keyDf.write.mode("overwrite").parquet(deleteDir(seq).toString)
-        statFiles(deleteDir(seq), "equality-deletes", seq, Nil, keys)
+        statFiles(deleteDir(seq), "equality-deletes", seq, Nil, keys, keyDf.schema)
       case None => Nil
     }
     val entries = (if (replaceAll) Nil else base.entries) ++ deleteEntries ++ dataEntries
@@ -207,7 +207,8 @@ final class IcebergTable(spark: SparkSession, tablePath: String) {
     * re-scan job per commit. Bounds-requesting commits keep the one
     * distributed, column-pruned aggregation. */
   private def statFiles(dir: Path, content: String, seq: Long,
-      statsCols: Seq[String], equalityFields: Seq[String]): Seq[FileEntry] = {
+      statsCols: Seq[String], equalityFields: Seq[String],
+      writtenSchema: StructType): Seq[FileEntry] = {
     if (statsCols.isEmpty) {
       import scala.jdk.CollectionConverters._
       val conf = spark.sessionState.newHadoopConf()
@@ -229,7 +230,7 @@ final class IcebergTable(spark: SparkSession, tablePath: String) {
         FileEntry(p.toAbsolutePath.toString, content, seq, n, equalityFields, Map.empty)
       }
     }
-    val scan = spark.read.parquet(dir.toString)
+    val scan = spark.read.schema(graft.Schemas.nullable(writtenSchema)).parquet(dir.toString)
     val present = statsCols.filter(scan.columns.contains)
     val aggs: Seq[Column] = count(lit(1)).as("__n") +: present.flatMap { c =>
       Seq(min(col(c)).cast("string").as(s"__min_$c"),
@@ -324,10 +325,15 @@ final class IcebergTable(spark: SparkSession, tablePath: String) {
     if (dataFiles.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // the manifest metadata already records the table schema, so reads pass
+    // it explicitly — an un-schema'd spark.read.parquet launches a footer
+    // schema-inference job per call (asNullable: inference over parquet
+    // always yields nullable fields, so the stated schema must match it)
+    val tblSchema = graft.Schemas.nullable(schema)
     // sequence number is recoverable from the immutable snapshot directory
     // name, so ONE multi-file scan covers every sequence — no per-snapshot
     // union of reads
-    val data = spark.read.parquet(dataFiles.map(_.path): _*)
+    val data = spark.read.schema(tblSchema).parquet(dataFiles.map(_.path): _*)
       .withColumn(SeqCol,
         regexp_extract(input_file_name(), "snap-(\\d+)/", 1).cast("long"))
     val out =
@@ -336,7 +342,8 @@ final class IcebergTable(spark: SparkSession, tablePath: String) {
         val keys = delEntries.head.equalityFields
         require(delEntries.forall(_.equalityFields == keys),
           "mixed equality-delete key sets are not supported")
-        val dels = spark.read.parquet(delEntries.map(_.path): _*)
+        val delSchema = StructType(keys.map(k => tblSchema(k)))
+        val dels = spark.read.schema(delSchema).parquet(delEntries.map(_.path): _*)
           .withColumn(DelSeqCol,
             regexp_extract(input_file_name(), "deletes-(\\d+)/", 1).cast("long"))
         // Iceberg v2 rule: an equality delete at sequence N hides matching

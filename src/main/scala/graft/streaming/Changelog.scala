@@ -106,8 +106,20 @@ object Changelog {
   /** Collapse a changelog back to a plain relation by expanding positive
     * multiplicities (the reference's `RepeatRow` table function,
     * `src/expr/src/relation/func.rs:3611-3614`). */
-  def toRows(df: DataFrame): DataFrame = {
-    val cols = df.columns.filterNot(_ == DiffCol).map(col)
+  def toRows(df: DataFrame): DataFrame = expand(threshold(df))
+
+  /** [[toRows]] for an ALREADY-consolidated changelog: `threshold` on an
+    * unprovably-signed input re-consolidates — a second all-columns exchange
+    * over rows the caller just aggregated — so the consolidated-shape caller
+    * (ViewCatalog merge-on-read reconstruction) skips straight to the
+    * positive filter + expansion. Correct ONLY when each distinct row
+    * appears once (the consolidated shape); multiplicities split across
+    * entries would expand per-entry instead of per-net-sum. */
+  def toRowsOfConsolidated(df: DataFrame): DataFrame =
+    expand(df.filter(col(DiffCol) > 0L))
+
+  private def expand(positive: DataFrame): DataFrame = {
+    val cols = positive.columns.filterNot(_ == DiffCol).map(col)
     // array_repeat takes an Int count; a >2³¹ multiplicity would silently
     // truncate under a bare cast, so raise instead (expanding 2 billion
     // copies of one row is out of scope for RepeatRow either way).
@@ -116,7 +128,7 @@ object Changelog {
           lit(s"Changelog.toRows: row multiplicity exceeds Int.MaxValue: "),
           col(DiffCol))))
       .otherwise(col(DiffCol)).cast("int")
-    threshold(df)
+    positive
       .withColumn("__rep", explode(array_repeat(lit(1), guarded)))
       .select(cols.toIndexedSeq: _*)
   }

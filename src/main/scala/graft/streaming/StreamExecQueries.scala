@@ -147,7 +147,10 @@ object StreamExecQueries {
         .start()
       q.awaitTermination()
 
-      val committed = s.read.parquet(out)
+      // schema is the changelog's own plus the batch partition column —
+      // stating it skips the per-read footer schema-inference job
+      val committed = s.read.schema(graft.Schemas.nullable(changelog.schema)
+          .add("batch", org.apache.spark.sql.types.LongType)).parquet(out)
       // replay guard: re-committing batch 0 with different content must be
       // rejected — were it applied, these rows would corrupt the oracle match
       if (ExactlyOnceSink.writeBatch(committed.limit(5), out, 0L))
@@ -200,7 +203,16 @@ object StreamExecQueries {
       }
       q.awaitTermination()
 
-      val st = s.read.parquet(out)
+      // stamped frame schema: (mz_ts, mz_diff, row...) + the batch partition
+      // column — stating it skips the per-read footer schema-inference job
+      val stSchema = {
+        import org.apache.spark.sql.types._
+        val rest = changelog.schema.fields.filterNot(_.name == Changelog.DiffCol)
+        graft.Schemas.nullable(StructType(StructField(Subscribe.TsCol, LongType) +:
+          StructField(Subscribe.DiffCol, LongType) +: rest.toIndexedSeq))
+          .add("batch", LongType)
+      }
+      val st = s.read.schema(stSchema).parquet(out)
       val counts = st.groupBy(col("user_id")).agg(
         count(when(col(Subscribe.DiffCol) > 0, true)).as("n_inserts"),
         count(when(col(Subscribe.DiffCol) < 0, true)).as("n_retracts"))

@@ -55,6 +55,19 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
   private val commitHooks =
     TrieMap.empty[String, TrieMap[String, (DataFrame, DataFrame, Long) => Unit]]
 
+  // schemas recorded at write time, so read-backs skip parquet
+  // schema-inference (each un-schema'd spark.read.parquet launches a footer
+  // job — pure driver/job latency in the commit chain). Metadata only; a
+  // catalog re-opened over a pre-existing baseDir simply misses and infers.
+  private val snapSchemas =
+    TrieMap.empty[(String, Long), org.apache.spark.sql.types.StructType]
+  private val deltaSchemas =
+    TrieMap.empty[(String, Long), org.apache.spark.sql.types.StructType]
+
+  private def readParquet(p: Path,
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    schema.fold(spark.read)(s => spark.read.schema(s)).parquet(p.toString)
+
   private def viewDir(name: String): Path = Paths.get(baseDir, name)
   private def deltaDir(name: String, v: Long): Path =
     viewDir(name).resolve(s"delta=$v")
@@ -198,23 +211,50 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
     }
   }
 
-  /** Persist version `next` of `name`: delta batch when the commit knows its
-    * changelog (plus periodic compaction), full snapshot otherwise. */
+  /** Persist version `next` of `name` as a delta batch (plus periodic
+    * compaction) whenever a changelog exists for the commit; only version 0
+    * and changelog-VALUED collections write full snapshots.
+    *
+    * Commits that know their changelog (incremental refresh, temporal
+    * advance) always took the delta path. Full refreshes used to write the
+    * new snapshot AND then diff it against the old one into the stored delta
+    * — two sequential write jobs per refresh. The generic diff is itself a
+    * complete changelog of the commit, so the full-refresh path now writes
+    * ONLY that delta (one job, the persist-LSM shape the reference uses):
+    * the snapshot of a delta-structured version is the derived artifact
+    * [[tableAt]] reconstructs, and every `compactEvery`-th commit still
+    * materializes it so merge-on-read chains stay bounded. */
   private def writeVersion(name: String, df: DataFrame, next: Long,
       known: Option[DataFrame => DataFrame]): Unit = {
-    val deltaStructured = known.isDefined && next > 0 &&
-      !df.columns.contains(Changelog.DiffCol)
-    if (deltaStructured) {
-      // `df` IS the new snapshot relation (not yet written) — the delta
-      // function only semi-joins/filters it, so handing it the plan instead
-      // of a read-back keeps the write ∝ |delta|
-      known.get(df).write.mode("overwrite").parquet(deltaDir(name, next).toString)
-      val base = baseVersionAtOrBelow(name, next - 1).getOrElse(-1L)
-      if (next - base >= compactEvery)
+    val delta: Option[DataFrame => DataFrame] =
+      if (next == 0 || df.columns.contains(Changelog.DiffCol)) None
+      else known.orElse(Some { (newSnap: DataFrame) =>
+        // generic commit changelog `new ∖ old ∪ -(old ∖ new)`, computed from
+        // the not-yet-written plan — acceptable only here, on the
+        // full-refresh path, which is already O(|view|)
+        Changelog.consolidate(Changelog.unionAll(
+          Changelog.fromRows(newSnap),
+          Changelog.negate(Changelog.fromRows(tableAt(name, next - 1)))))
+      })
+    delta match {
+      case Some(d) =>
+        // `df` IS the new snapshot relation (not yet written) — the delta
+        // function receives the plan instead of a read-back
+        val dd = d(df)
+        dd.write.mode("overwrite").parquet(deltaDir(name, next).toString)
+        // asNullable: schema inference over parquet always yields nullable
+        // fields, so the recorded schema must match what a read would infer
+        deltaSchemas.put((name, next), graft.Schemas.nullable(dd.schema))
+        snapSchemas.put((name, next), graft.Schemas.nullable(df.schema))
+        val base = baseVersionAtOrBelow(name, next - 1).getOrElse(-1L)
+        if (next - base >= compactEvery)
+          df.write.mode("overwrite").parquet(viewDir(name).resolve(s"v=$next").toString)
+      case None =>
+        // version 0 (deltaAt derives its changelog from the snapshot) and
+        // changelog-valued collections (their rows ARE the delta algebra;
+        // a second diff column would collide) stay snapshot-structured
         df.write.mode("overwrite").parquet(viewDir(name).resolve(s"v=$next").toString)
-    } else {
-      df.write.mode("overwrite").parquet(viewDir(name).resolve(s"v=$next").toString)
-      persistDelta(name, next, known)
+        snapSchemas.put((name, next), graft.Schemas.nullable(df.schema))
     }
   }
 
@@ -233,41 +273,13 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
     next
   }
 
-  /** Persist the commit's consolidated changelog beside the version dir
-    * (`delta=<n>`) — the persist-collection analog: every consumer of the
-    * view's history (commit hooks, [[graft.sql.SubscribeFrame]]) reads the
-    * stored delta instead of re-diffing snapshots (reference
-    * `src/compute/src/sink/materialized_view.rs`: the sink writes the
-    * changelog; snapshots are the derived artifact).
-    *
-    * `known` is the delta the commit path already computed (incremental
-    * refresh, temporal advance) as a function of the durably-written new
-    * snapshot; without one the generic `new ∖ old ∪ -(old ∖ new)` changelog
-    * diff runs — acceptable only on the full-refresh path, which is already
-    * O(|view|). Version 0 needs no file ([[deltaAt]] derives it from the
-    * snapshot), and changelog-VALUED collections (maintained-join internals,
-    * whose rows already carry a `diff` column) are skipped: their persisted
-    * form is itself the delta algebra, and a second diff column would
-    * collide. */
-  private def persistDelta(name: String, version: Long,
-      known: Option[DataFrame => DataFrame]): Unit = {
-    val newSnap = spark.read.parquet(viewDir(name).resolve(s"v=$version").toString)
-    if (version > 0 && !newSnap.columns.contains(Changelog.DiffCol)) {
-      val delta = known.map(_(newSnap)).getOrElse(
-        Changelog.consolidate(Changelog.unionAll(
-          Changelog.fromRows(newSnap),
-          Changelog.negate(Changelog.fromRows(tableAt(name, version - 1))))))
-      delta.write.mode("overwrite").parquet(deltaDir(name, version).toString)
-    }
-  }
-
   /** The stored commit changelog `version-1 → version` — `(row..., diff)`.
     * Version 0 is the snapshot itself at diff +1. Falls back to the snapshot
     * diff for changelog-valued collections and pre-delta history. Delta dirs
     * survive [[vacuum]] (they are the history SUBSCRIBE serves). */
   def deltaAt(name: String, version: Long): DataFrame = {
     val d = deltaDir(name, version)
-    if (Files.exists(d)) spark.read.parquet(d.toString)
+    if (Files.exists(d)) readParquet(d, deltaSchemas.get((name, version)))
     else if (version == 0L) Changelog.fromRows(tableAt(name, 0L))
     else Changelog.consolidate(Changelog.unionAll(
       Changelog.fromRows(tableAt(name, version)),
@@ -327,7 +339,10 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
     * removed rather than extended. Attached commit hooks survive and
     * observe the reseed as a version-0 commit. */
   def createMaterializedView(name: String, query: SparkSession => DataFrame): Long = {
-    if (currentVersion(name).isDefined) deleteRecursive(viewDir(name))
+    if (currentVersion(name).isDefined) {
+      deleteRecursive(viewDir(name))
+      forgetSchemas(name) // new incarnation may change the schema
+    }
     defs.put(name, query)
     commitVersion(name, query(spark))
   }
@@ -361,7 +376,7 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
     * [[vacuum]]). */
   def tableAt(name: String, version: Long): DataFrame = {
     val dir = viewDir(name).resolve(s"v=$version")
-    if (Files.exists(dir)) spark.read.parquet(dir.toString)
+    if (Files.exists(dir)) readParquet(dir, snapSchemas.get((name, version)))
     else {
       // merge-on-read: a delta-structured version derives its snapshot from
       // the nearest base snapshot plus the stored delta batches above it —
@@ -374,11 +389,14 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
         val d = deltaDir(name, v)
         require(Files.exists(d),
           s"version $version of $name not found (missing delta=$v)")
-        spark.read.parquet(d.toString)
+        readParquet(d, deltaSchemas.get((name, v)))
       }
       val baseChg = Changelog.fromRows(
-        spark.read.parquet(viewDir(name).resolve(s"v=$base").toString))
-      Changelog.toRows(Changelog.consolidate(
+        readParquet(viewDir(name).resolve(s"v=$base"), snapSchemas.get((name, base))))
+      // single all-columns aggregation: the consolidated result is a valid
+      // snapshot (net multiplicities ≥ 0 by the commit invariants), so the
+      // expansion skips threshold()'s second exchange over the same rows
+      Changelog.toRowsOfConsolidated(Changelog.consolidate(
         Changelog.unionAll((baseChg +: chain).toIndexedSeq: _*)))
     }
   }
@@ -485,6 +503,12 @@ final class ViewCatalog(spark: SparkSession, baseDir: String) {
     defs.remove(name)
     exposed.remove(name)
     deleteRecursive(viewDir(name))
+    forgetSchemas(name)
+  }
+
+  private def forgetSchemas(name: String): Unit = {
+    snapSchemas.keys.filter(_._1 == name).foreach(snapSchemas.remove)
+    deltaSchemas.keys.filter(_._1 == name).foreach(deltaSchemas.remove)
   }
 
   private def deleteRecursive(p: Path): Unit =
