@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit, min, sum}
 
 /** `WITH MUTUALLY RECURSIVE` / `LetRec` analog
   * (reference `src/expr/src/relation.rs:154-166`).
@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions.lit
   * never on the driver.
   */
 object Recursion {
+
+  /** Marker column of the single-aggregation delta step (absent from every
+    * user relation fed to a fixpoint — double-underscore namespace). */
+  private val TagCol = "__graft_known"
 
   /** Least fixpoint of `base ∪ step(·)` under set semantics.
     *
@@ -72,12 +76,22 @@ object Recursion {
         news = if (news == null) sub else news.union(sub)
         j += 1
       }
-      // no .distinct() before except: EXCEPT already has set semantics
-      // (its rewrite plans a distinct over the anti-join), so the explicit
-      // pre-aggregation was one redundant exchange per round
-      val delta = news.except(all).localCheckpoint(false)
+      // single-aggregation delta (replaces `news.except(all)` + the separate
+      // `all.union(delta)` maintenance): tag known rows 0 and candidates 1,
+      // aggregate once over all columns — min(tag)=1 rows are exactly the
+      // EXCEPT (set semantics included), and the aggregated relation itself
+      // IS the new `all` (old ∪ delta, distinct). One exchange per round
+      // where except planned an anti-join over two shuffled sides plus a
+      // distinct, and the union upkeep rides the same checkpointed RDD.
+      val cols = all.columns.toIndexedSeq.map(col)
+      val tagged = all.withColumn(TagCol, lit(0))
+        .union(news.withColumn(TagCol, lit(1)))
+        .groupBy(cols: _*)
+        .agg(min(col(TagCol)).as(TagCol))
+        .localCheckpoint(false) // materialized by the isEmpty below
+      val delta = tagged.filter(col(TagCol) === 1).drop(TagCol)
       if (delta.isEmpty) return all
-      all = all.union(delta).localCheckpoint(false)
+      all = tagged.drop(TagCol)
       frontier = delta
       i += k
     }
@@ -145,11 +159,18 @@ object Recursion {
       // ONE job per round: union every live binding's symmetric difference
       // (normalized to a single column) and test emptiness — driver/job-launch
       // latency dominates small fixpoints, so 2N emptiness jobs became the
-      // bottleneck, not the distributed work itself
+      // bottleneck, not the distributed work itself. Each binding's multiset
+      // symmetric difference is ONE +1/-1 aggregation (sum per distinct row
+      // ≠ 0) instead of two exceptAll anti-joins — one exchange per binding,
+      // not four.
       val diffs = next.zip(cur).zipWithIndex.collect {
         case ((n, c), j) if !frozen(j) && (n ne c) =>
-          n.exceptAll(c).select(lit(1).as("one"))
-            .unionByName(c.exceptAll(n).select(lit(1).as("one")))
+          val cols = n.columns.toIndexedSeq.map(col)
+          n.withColumn(TagCol, lit(1L)).union(c.withColumn(TagCol, lit(-1L)))
+            .groupBy(cols: _*)
+            .agg(sum(col(TagCol)).as(TagCol))
+            .filter(col(TagCol) =!= 0L)
+            .select(lit(1).as("one"))
       }
       val changed = diffs.reduceOption(_ unionByName _).exists(!_.isEmpty)
       cur = next
@@ -177,10 +198,18 @@ object Recursion {
     var all = base.distinct().localCheckpoint(false)
     var i = 0
     while (i < maxIter) {
-      // EXCEPT has set semantics; a pre-distinct would be a redundant exchange
-      val delta = step(all).except(all).localCheckpoint(false)
+      // same single-aggregation delta as [[fixpoint]]: one exchange replaces
+      // except's anti-join + distinct, and the aggregate doubles as the new
+      // accumulated set
+      val cols = all.columns.toIndexedSeq.map(col)
+      val tagged = all.withColumn(TagCol, lit(0))
+        .union(step(all).withColumn(TagCol, lit(1)))
+        .groupBy(cols: _*)
+        .agg(min(col(TagCol)).as(TagCol))
+        .localCheckpoint(false) // materialized by the isEmpty below
+      val delta = tagged.filter(col(TagCol) === 1).drop(TagCol)
       if (delta.isEmpty) return all
-      all = all.union(delta).localCheckpoint(false)
+      all = tagged.drop(TagCol)
       i += 1
     }
     val msg = s"Recursion.fixpointNonLinear: maxIter=$maxIter reached without convergence; " +

@@ -120,11 +120,20 @@ object MutualRecursionSql {
         prevRound = lastRound
         lastRound = round()
       }
-      val one = org.apache.spark.sql.functions.lit(1).as("one")
+      // per binding: ONE +1/-1 sum aggregation (multiset symmetric
+      // difference ≠ empty) instead of two exceptAll anti-joins — one
+      // exchange per binding, not four
+      import org.apache.spark.sql.functions.{col, lit, sum}
       val diffs = wmr.bindings.flatMap { b =>
         prevRound.get(b.name).map { prev =>
-          lastRound(b.name).exceptAll(prev).select(one)
-            .unionByName(prev.exceptAll(lastRound(b.name)).select(one))
+          val last = lastRound(b.name)
+          val cols = last.columns.toIndexedSeq.map(c => col(s"`$c`"))
+          last.withColumn("__graft_sign", lit(1L))
+            .union(prev.withColumn("__graft_sign", lit(-1L)))
+            .groupBy(cols: _*)
+            .agg(sum(col("__graft_sign")).as("__graft_sign"))
+            .filter(col("__graft_sign") =!= 0L)
+            .select(lit(1).as("one"))
         }
       }
       converged = diffs.size == wmr.bindings.size &&
