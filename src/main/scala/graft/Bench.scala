@@ -60,7 +60,8 @@ object Bench {
       import org.apache.spark.sql.functions.col
       val base = spark.range(1).select(col("id").as("n"))
       graft.plans.Recursion.fixpoint(base,
-        f => f.select((col("n") + 1).as("n")).filter(col("n") <= 3))
+        f => f.select((col("n") + 1).as("n")).filter(col("n") <= 3),
+        stepsPerCheck = 2) // warm the batched path the letrec queries use
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 

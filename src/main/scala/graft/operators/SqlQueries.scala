@@ -175,7 +175,10 @@ object SqlQueries {
       // cached partitions stay pinned for the rest of the 70-query session.
       try
         Recursion.fixpoint(base,
-          frontier => frontier.join(edges, frontier("n") === edges("u")).select(col("v").as("n")))
+          frontier => frontier.join(edges, frontier("n") === edges("u")).select(col("v").as("n")),
+          // linear step (frontier ⋈ static edges) — batching 2 rounds per
+          // materialized check is the r19-verified win on this path
+          stepsPerCheck = 2)
       finally graft.plans.Arrangement.release(edges)
     }
   )

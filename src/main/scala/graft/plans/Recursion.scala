@@ -35,12 +35,17 @@ object Recursion {
     * `limits`, relation.rs:154-166, which also truncates silently by default)
     * logs a warning; pass `requireConvergence = true` to raise instead.
     */
+  /** `stepsPerCheck > 1` batches K lazily-composed step applications per
+    * materialized round. Correct ONLY for linear steps — which [[fixpoint]]
+    * itself already requires (see above: semi-naive feeds only the delta);
+    * still, the default stays at the sequential 1 so a caller must opt in
+    * where linearity was actually verified. */
   def fixpoint(
       base: DataFrame,
       step: DataFrame => DataFrame,
       maxIter: Int = 100,
       requireConvergence: Boolean = false,
-      stepsPerCheck: Int = 2): DataFrame = {
+      stepsPerCheck: Int = 1): DataFrame = {
     require(stepsPerCheck >= 1)
     // LAZY checkpoints throughout: `delta.isEmpty` is the round's single
     // explicit job — Spark's end-of-job checkpoint pass materializes the

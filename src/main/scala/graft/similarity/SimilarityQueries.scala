@@ -173,10 +173,12 @@ object SimilarityQueries {
         |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32.0
         |  >= 0.4""".stripMargin) { (s, dir) =>
       // sig is referenced three times (banded candidates + both join sides);
-      // the (lazy-materialized-once) checkpoint keeps the shingle+md5
-      // signature pipeline out of the plan tree per reference — same
-      // rationale as the candidate checkpoint in dedup_ngram_jaccard
-      val sig = MinHashLsh.signatures(docs(s, dir)).localCheckpoint()
+      // the materialized-once checkpoint keeps the shingle+md5 signature
+      // pipeline out of the plan tree per reference — same rationale as the
+      // candidate checkpoint in dedup_ngram_jaccard. Lazy (r20 — the no-arg
+      // form is EAGER in Spark and ran a job at plan-construction time), so
+      // materialization piggybacks on the first real action.
+      val sig = MinHashLsh.signatures(docs(s, dir)).localCheckpoint(false)
       val cand = MinHashLsh.candidates(sig)
       val sa = sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
       val sb = sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
@@ -360,12 +362,16 @@ object SimilarityQueries {
         .select(col("id_a"), col("id_b"))
       val sym = pairs.select(col("id_a").as("evid"), col("id_b").as("nb"))
         .unionByName(pairs.select(col("id_b").as("evid"), col("id_a").as("nb")))
-        // the edge set is static across fixpoint rounds — materialize once
-        .localCheckpoint()
+        // the edge set is static across fixpoint rounds — materialize once,
+        // lazily (the no-arg form is eager: one extra job at plan build)
+        .localCheckpoint(false)
       val base = e.select(col("vec_id").as("vid"), col("vec_id").as("l"))
       val reach = Recursion.fixpoint(base, frontier =>
         sym.join(frontier, col("nb") === col("vid"))
-          .select(col("evid").as("vid"), col("l")))
+          .select(col("evid").as("vid"), col("l")),
+        // linear step (static edges ⋈ frontier) — batching 2 rounds per
+        // materialized check is the r19-verified win on this path
+        stepsPerCheck = 2)
       reach.groupBy(col("vid"))
         .agg(min(col("l")).as("canon_id"),
           (count(lit(1)) - 1).cast("int").as("n_linked"))

@@ -220,7 +220,7 @@ final class IcebergTable(spark: SparkSession, tablePath: String) {
         }.sortBy(_.getFileName.toString)
         finally l.close()
       }
-      return files.map { p =>
+      def entryOf(p: Path): FileEntry = {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(p.toUri), conf)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -228,6 +228,18 @@ final class IcebergTable(spark: SparkSession, tablePath: String) {
           try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
           finally reader.close()
         FileEntry(p.toAbsolutePath.toString, content, seq, n, equalityFields, Map.empty)
+      }
+      // footer reads are independent driver I/O: past a handful, read them
+      // concurrently (a 10³-file commit would otherwise serialize its stat
+      // step); encounter order — and so manifest order — is preserved
+      return {
+        if (files.length <= 16) files.map(entryOf)
+        else {
+          val jl = new java.util.ArrayList[Path](files.length)
+          files.foreach(jl.add)
+          jl.parallelStream().map[FileEntry](p => entryOf(p))
+            .collect(java.util.stream.Collectors.toList[FileEntry]).asScala.toSeq
+        }
       }
     }
     val scan = spark.read.schema(graft.Schemas.nullable(writtenSchema)).parquet(dir.toString)

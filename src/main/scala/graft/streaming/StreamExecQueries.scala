@@ -43,15 +43,21 @@ object StreamExecQueries {
       .write.mode("overwrite").partitionBy("__chunk").parquet(stage.toString)
     for (i <- 1 to chunks) {
       val cdir = stage.resolve(s"__chunk=$i")
-      val part = Files.list(cdir).filter(p => p.getFileName.toString.startsWith("part-"))
-        .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $cdir"))
-      val target = base.resolve(f"chunk-$i%03d.parquet")
-      Files.move(part, target)
-      // strictly increasing mtimes: FileStreamSource admits files in
-      // (modTime, path) order, so replay order is pinned even if listing
-      // order varies
-      Files.setLastModifiedTime(target, FileTime.fromMillis(
-        (System.currentTimeMillis() / 60000L) * 60000L + i * 60000L))
+      // a chunk value with no rows writes no __chunk=<i> directory (possible
+      // on small/sparse fixtures): skip it — the i-based mtimes below keep
+      // the surviving sequence strictly increasing, which is all replay
+      // determinism needs
+      if (Files.exists(cdir)) {
+        val part = Files.list(cdir).filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $cdir"))
+        val target = base.resolve(f"chunk-$i%03d.parquet")
+        Files.move(part, target)
+        // strictly increasing mtimes: FileStreamSource admits files in
+        // (modTime, path) order, so replay order is pinned even if listing
+        // order varies
+        Files.setLastModifiedTime(target, FileTime.fromMillis(
+          (System.currentTimeMillis() / 60000L) * 60000L + i * 60000L))
+      }
     }
     deleteRecursively(stage)
     ()

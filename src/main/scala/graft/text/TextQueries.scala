@@ -82,13 +82,15 @@ object TextQueries {
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin) {
       (s, dir) =>
         // cand is referenced SEVEN times through candDocs/csh/pairs below;
-        // without the (lazy) checkpoint the whole MinHash signature pipeline
-        // is replicated per reference in the logical plan (44 scans vs 12),
+        // without the checkpoint the whole MinHash signature pipeline is
+        // replicated per reference in the logical plan (44 scans vs 12),
         // leaving dedup to runtime stage-reuse and inflating planning cost.
-        // The checkpoint pins the small candidate set once.
+        // The checkpoint pins the small candidate set once; lazy (r20 — the
+        // no-arg form is EAGER in Spark and ran a job at plan-construction
+        // time), so materialization piggybacks on the first real action.
         val cand = graft.similarity.MinHashLsh.candidates(
           graft.similarity.MinHashLsh.signatures(docsSpread(s, dir)))
-          .localCheckpoint()
+          .localCheckpoint(false)
         // Only docs that appear in a candidate pair ever contribute to the
         // output (pairs joins on cand, sizes only feed candidate rows), so
         // the 3-gram explode + distinct — the heaviest intermediate here —

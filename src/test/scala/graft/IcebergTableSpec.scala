@@ -178,4 +178,17 @@ class IcebergTableSpec extends SparkSpec {
     assert(after < before)
     assert(t.read().count() == orders.count()) // current state untouched
   }
+
+  test("footer-stats commit over many files records exact per-file counts") {
+    // > the sequential threshold, so this exercises the parallel footer path
+    val t = new IcebergTable(spark, freshDir())
+    t.create(orders.repartition(24)) // 24 data files in one commit
+    val entries = t.metadata.entries.filter(_.content == "data")
+    assert(entries.length == 24)
+    assert(entries.map(_.recordCount).sum == orders.count())
+    // manifest order matches the on-disk part-file order (encounter order
+    // must survive the parallel stat step)
+    assert(entries.map(_.path) == entries.map(_.path).sorted)
+    assert(t.read().count() == orders.count())
+  }
 }
