@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
 
 /** `cosine_similarity(a, b)` over `array<double>` — a native Catalyst
   * expression with fused codegen: one loop accumulates dot, ‖a‖², ‖b‖²
@@ -125,6 +125,118 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** `int_dot_product(a, b)` over `array<int>` returning BIGINT — the SQ8
+  * coarse-scan score. Replaces `aggregate(zip_with(a, b, (x,y) -> x*y),
+  * CAST(0 AS BIGINT), (acc,p) -> acc + p)`, which materializes a 64-element
+  * product array and walks both inputs twice per candidate pair in a cross
+  * join. Value-identical to that formulation, including its 32-bit
+  * `x*y` multiplication (widened only at the accumulate, exactly like the
+  * lambda's int arithmetic) and its null semantics: NULL on array-length
+  * mismatch or a null element. */
+case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "int_dot_product"
+  override def nullable: Boolean = true
+
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case org.apache.spark.sql.types.ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = elementsNullable
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      dot += (x.getInt(i) * y.getInt(i)).toLong; i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $dot += (long) ($a.getInt($i) * $b.getInt($i));
+         |  }
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `array_match_count(a, b)` over `array<bigint>` — positions where both
+  * sides are non-null and equal. Replaces `aggregate(zip_with(a, b,
+  * (x,y) -> IF(x = y, 1, 0)), 0, (acc,x) -> acc + x)` (the MinHash band
+  * verify): zip_with pads the shorter side with nulls and `IF(null,1,0)`
+  * contributes 0, so the replaced formulation counts matches over the
+  * common prefix — exactly what the single fused loop does. */
+case class ArrayMatchCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "array_match_count"
+
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case org.apache.spark.sql.types.ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val checkNulls = elementsNullable
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!(checkNulls && (x.isNullAt(i) || y.isNullAt(i))) &&
+        x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val nullGuard =
+        if (elementsNullable) s"!$a.isNullAt($i) && !$b.isNullAt($i) && " else ""
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($nullGuard$a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayMatchCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -135,5 +247,13 @@ object VectorFunctions {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("int_dot_product"),
+      new ExpressionInfo(classOf[IntDotProduct].getName, "int_dot_product"),
+      (args: Seq[Expression]) => IntDotProduct(args(0), args(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("array_match_count"),
+      new ExpressionInfo(classOf[ArrayMatchCount].getName, "array_match_count"),
+      (args: Seq[Expression]) => ArrayMatchCount(args(0), args(1)))
   }
 }

@@ -182,9 +182,14 @@ object SimilarityQueries {
       val cand = MinHashLsh.candidates(sig)
       val sa = sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
       val sb = sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+      // fused-codegen band verify (r20): one loop over both signatures —
+      // the aggregate(zip_with(...)) form allocated a 32-element IF-array
+      // and walked both inputs twice per candidate pair (value-identical,
+      // pinned in OptimizedExprSpec)
+      graft.functions.VectorFunctions.register(s)
       cand.join(sa, "id_a").join(sb, "id_b")
         .select(col("id_a"), col("id_b"),
-          (expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, x) -> acc + x)")
+          (expr("array_match_count(sig_a, sig_b)")
             .cast("double") / 32.0).as("est_jaccard"))
         .filter(col("est_jaccard") >= 0.4)
     },
@@ -436,9 +441,11 @@ object SimilarityQueries {
         .select(col("vec_id").as("q_id"), col("qv").as("qa"))
       val cs = q8.select(col("vec_id").as("c_id"), col("qv").as("qb"))
       val coarse = qs.crossJoin(cs).filter(col("c_id") =!= col("q_id"))
-        .select(col("q_id"), col("c_id"), expr(
-          "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), " +
-            "(acc, p) -> acc + p)").as("score"))
+        // fused-codegen int8 dot product (r20): no 64-element product array
+        // per candidate pair (value-identical incl. int multiply semantics,
+        // pinned in OptimizedExprSpec)
+        .select(col("q_id"), col("c_id"),
+          expr("int_dot_product(qa, qb)").as("score"))
       val wCoarse = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id").asc)
       val cand = coarse.withColumn("rn", row_number().over(wCoarse))
         .filter(col("rn") <= 20).select(col("q_id"), col("c_id"))
@@ -545,9 +552,11 @@ object SimilarityQueries {
         .select(col("q_id"), col("vec_id").as("c_id"))
         .join(q8.select(col("vec_id").as("q_id"), col("qv").as("qa")), "q_id")
         .join(q8.select(col("vec_id").as("c_id"), col("qv").as("qb")), "c_id")
-        .select(col("q_id"), col("c_id"), expr(
-          "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), " +
-            "(acc, p) -> acc + p)").as("score"))
+        // fused-codegen int8 dot product (r20): no 64-element product array
+        // per candidate pair (value-identical incl. int multiply semantics,
+        // pinned in OptimizedExprSpec)
+        .select(col("q_id"), col("c_id"),
+          expr("int_dot_product(qa, qb)").as("score"))
       val wCoarse = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id").asc)
       val cand = coarse.withColumn("rn", row_number().over(wCoarse))
         .filter(col("rn") <= 20).select(col("q_id"), col("c_id"))

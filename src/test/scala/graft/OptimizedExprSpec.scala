@@ -84,4 +84,49 @@ class OptimizedExprSpec extends AnyFunSuite with SparkSpec {
     assert(bad == 0L)
     assert(ref.count() == 50L)
   }
+
+  test("IntDotProduct equals the aggregate(zip_with(...)) integer fold") {
+    graft.functions.VectorFunctions.register(spark)
+    val df = spark.range(200).selectExpr(
+      "transform(sequence(0, 63), d -> CAST((id * 31 + d * 7) % 256 AS INT)) AS a",
+      "transform(sequence(0, 63), d -> CAST((id * 17 + d * 13) % 256 AS INT)) AS b")
+    val n = df.selectExpr(
+      "int_dot_product(a, b) AS fast",
+      "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, p) -> acc + p) AS ref")
+      .filter("fast <> ref OR (fast IS NULL) <> (ref IS NULL)").count()
+    assert(n == 0L)
+    // null element and length mismatch both yield NULL, like the replaced form
+    val edge = spark.sql(
+      """SELECT int_dot_product(array(1, CAST(NULL AS INT), 3), array(1, 2, 3)) AS a,
+        |  int_dot_product(array(1, 2), array(1, 2, 3)) AS b,
+        |  aggregate(zip_with(array(1, CAST(NULL AS INT), 3), array(1, 2, 3),
+        |    (x, y) -> x * y), CAST(0 AS BIGINT), (acc, p) -> acc + p) AS ra,
+        |  aggregate(zip_with(array(1, 2), array(1, 2, 3),
+        |    (x, y) -> x * y), CAST(0 AS BIGINT), (acc, p) -> acc + p) AS rb
+        |""".stripMargin).collect()(0)
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2) && edge.isNullAt(3))
+  }
+
+  test("ArrayMatchCount equals the aggregate(zip_with(IF(x=y,1,0))) fold") {
+    graft.functions.VectorFunctions.register(spark)
+    val df = spark.range(200).selectExpr(
+      "transform(sequence(0, 31), d -> CAST((id * 31 + d * 7) % 5 AS BIGINT)) AS a",
+      "transform(sequence(0, 31), d -> CAST((id * 17 + d * 13) % 5 AS BIGINT)) AS b")
+    val n = df.selectExpr(
+      "array_match_count(a, b) AS fast",
+      "aggregate(zip_with(a, b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, x) -> acc + x) AS ref")
+      .filter("fast <> ref OR (fast IS NULL) <> (ref IS NULL)").count()
+    assert(n == 0L)
+    // length mismatch / null elements contribute 0 matches, like the fold
+    val edge = spark.sql(
+      """SELECT
+        |  array_match_count(array(CAST(1 AS BIGINT), 2), array(CAST(1 AS BIGINT), 2, 3)) AS a,
+        |  aggregate(zip_with(array(CAST(1 AS BIGINT), 2), array(CAST(1 AS BIGINT), 2, 3),
+        |    (x, y) -> IF(x = y, 1, 0)), 0, (acc, x) -> acc + x) AS ra,
+        |  array_match_count(array(CAST(NULL AS BIGINT), 2), array(CAST(1 AS BIGINT), 2)) AS b,
+        |  aggregate(zip_with(array(CAST(NULL AS BIGINT), 2), array(CAST(1 AS BIGINT), 2),
+        |    (x, y) -> IF(x = y, 1, 0)), 0, (acc, x) -> acc + x) AS rb
+        |""".stripMargin).collect()(0)
+    assert(edge.getInt(0) == edge.getInt(1) && edge.getInt(2) == edge.getInt(3))
+  }
 }
