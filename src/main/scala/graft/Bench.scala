@@ -64,6 +64,30 @@ object Bench {
         stepsPerCheck = 2) // warm the batched path the letrec queries use
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    // Third warm-up: the 3-term incremental-join delta chain + threshold.
+    // incremental_join_delta3's cross-round 1.33-4.48 s spread is pass-1
+    // JIT/codegen warmth (per-pass arrays decline monotonically across all
+    // clean rounds), the same class of drift the fixpoint warm-up fixed for
+    // letrec_* — warm the deltaN/threshold machinery on a 3-row fixture.
+    try {
+      import org.apache.spark.sql.functions.col
+      import graft.streaming.{Changelog, IncrementalJoin}
+      def rel(c: String) = spark.range(3).select(col("id").as("k"), col("id").as(c))
+      val states = Seq(Changelog.fromRows(rel("a")),
+        Changelog.fromRows(rel("b").withColumnRenamed("k", "k2")
+          .select(col("k2").as("k"), col("b"), col("k2"))),
+        Changelog.fromRows(rel("c").withColumnRenamed("k", "k2")))
+      val deltas = states.map(Changelog.negate)
+      val stepKeys = Seq(Seq("k"), Seq("k2"))
+      val init = states.zipWithIndex.tail.foldLeft(states.head) { case (acc, (p, j)) =>
+        IncrementalJoin.joinChangelogs(acc, p, stepKeys(j - 1))
+      }
+      Changelog.threshold(Changelog.unionAll(
+          init, IncrementalJoin.deltaN(states, deltas, stepKeys)))
+        .groupBy(col("k"))
+        .agg(org.apache.spark.sql.functions.sum(col(Changelog.DiffCol)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
 
     // --- machine calibration ------------------------------------------------
     // Three rounds of ~9% total drift with untouched hot paths (r10-r13) were
